@@ -1,13 +1,379 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{Apply, Changelog, ChangelogStream}
+import graft.model.Tables
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (reference parity + the LLM-pipeline
+  * extensions) is declared here as a named query; `oracleSql` carries the
+  * ANSI-SQL equivalent the driver runs in DuckDB over the same parquet
+  * tables. Queries without an oracle (approx sketches, stubbed multimodal
+  * codec) get the driver's rows-only check, per the contract.
+  *
+  * Cross-engine determinism rules used throughout (and mirrored in each
+  * oracle): double sums go through DECIMAL(18,4) (exact, order-free);
+  * ratios are single IEEE double divisions of exact integers; floating
+  * scores are rounded *before* ranking; every query ends in a total ORDER
+  * BY; int-typed outputs are cast to BIGINT on both sides.
+  */
 object SparkEntry {
+  private val payload = Changelog.payloadCols
+  private val payloadList = payload.mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("cdc_apply")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── CDC core (reference parity: O1–O16 composites) ──────────────────
+    "cdc_apply" -> ((s, d) =>
+      Apply.latestState(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
+    "cdc_apply_merge" -> ((s, d) =>
+      Apply.mergeApply(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
+    "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
+    "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
+    "cdc_insert_dedup" -> { (s, d) =>
+      val ins = Changelog.fromOrders(s, d).filter(col("op") === "INSERT")
+      val replayed = ins.unionByName(ins.withColumn("seq", col("seq") + 5000000L))
+      Apply.insertDedup(replayed, payload).orderBy(col("o_orderkey"))
+    },
+    "cdc_delete_antijoin" -> { (s, d) =>
+      val dels = Changelog.fromOrders(s, d).filter(col("op") === "DELETE")
+        .select(col("id").as("o_orderkey"))
+      Apply.applyDeletes(Tables.orders(s, d), dels, "o_orderkey").orderBy(col("o_orderkey"))
+    },
+    "cdc_latest_per_key" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    // ── Relational breadth ──────────────────────────────────────────────
+    "q1_pricing" -> (Relational.q1PricingSummary _),
+    "q3_top_revenue" -> (Relational.q3TopRevenue _),
+    "q5_nation_revenue" -> (Relational.q5NationRevenue _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_window_running" -> (Relational.qWindowRunning _),
+    "q_window_lag" -> (Relational.qWindowLag _),
+    "q_topk_per_group" -> (Relational.qTopKPerGroup _),
+    "q_setops" -> (Relational.qSetOps _),
+    "q_scalar_string" -> (Relational.qScalarString _),
+    "q_json_extract" -> (Relational.qJsonExtract _),
+    "q_date_trunc" -> (Relational.qDateTrunc _),
+    "q_tumbling_window" -> (Relational.qTumblingWindow _),
+    "q_session_window" -> (Relational.qSessionWindow _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    // ── Text analysis + dedup (north-star extensions) ───────────────────
+    "doc_text_stats" -> (Text.qTextStats _),
+    "doc_token_count" -> (Text.qTokenCount _),
+    "doc_lang_id" -> (Text.qLangId _),
+    "doc_quality" -> (Text.qQualityScore _),
+    "doc_exact_dedup" -> (Text.qExactDedup _),
+    "doc_dedup_stats" -> (Text.qDedupStats _),
+    "doc_rolling_fp" -> (Text.qRollingFingerprint _),
+    "doc_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "doc_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "doc_simhash_clusters" -> (Dedup.simhashClusters _),
+    // ── Similarity search ───────────────────────────────────────────────
+    "emb_norm_stats" -> (Similarity.qNormStats _),
+    "emb_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
+    "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
+    "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
+    // ── Multimodal plumbing (stub codec — rows-only check) ──────────────
+    "mm_media_features" -> (Multimodal.qMediaFeatures _),
+    "mm_frame_sample" -> (Multimodal.qFrameSample _)
+  )
+
+  // ════════ oracle SQL (DuckDB) ════════
+
+  private def dsum(e: String, alias: String): String =
+    s"CAST(round(sum(CAST($e AS DECIMAL(18,4))), 2) AS DOUBLE) AS $alias"
+
+  private val cdcApplySql =
+    s"""WITH ${Changelog.oracleCte},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog)
+       |SELECT $payloadList FROM ranked
+       |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
+
+  // stopword-hit expression (DuckDB side; mirrors Text.hits/regexp_count)
+  private def hitsSql(words: Seq[String]): String =
+    words.map(w => s"length(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+  private val stopEn = Seq("the", "and", "of", "to", "a")
+  private val langWords = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> stopEn,
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def minhashOracle(n: Int, k: Int, rows: Int, threshold: Double): String = {
+    val sigCols = (0 until k).map(s => s"min(md5('$s|' || shingle)) AS mh_$s").mkString(", ")
+    val nBands = k / rows
+    val bandExprs = (0 until nBands).map { b =>
+      s"md5(${(b * rows until b * rows + rows).map(r => s"mh_$r").mkString(" || '|' || ")})"
+    }.mkString(", ")
+    val shingleExpr = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $shingleExpr)) AS shingle FROM tok),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b USING (band) WHERE a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |com AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |v AS (SELECT c.id_a, c.id_b, c.n_common, round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 4) AS jaccard
+       |  FROM com c JOIN cand USING (id_a, id_b) JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b)
+       |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashVotes(bits: Int): String =
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |v AS (SELECT doc_id, ${(0 until bits).map(i =>
+             s"sum(CASE WHEN substr(md5('$i|' || tok), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i").mkString(", ")}
+       |  FROM t GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, CAST(${(0 until bits).map(i => s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash FROM v)""".stripMargin
+
+  private def bucketSql(bits: Int): String =
+    (0 until bits).map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  // shared embedding CTEs: per-element rows + per-vector norms
+  private val embX =
+    """x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM x GROUP BY 1)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the approx sketch + stub-codec
+    * queries (driver records rows-only). */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_apply" -> cdcApplySql,
+    "cdc_apply_merge" -> cdcApplySql,
+    "cdc_apply_stream" -> cdcApplySql,
+    "cdc_op_counts" ->
+      s"""WITH ${Changelog.oracleCte}
+         |SELECT "table", op, count(*) AS "count" FROM changelog
+         |GROUP BY "table", op ORDER BY "table", op""".stripMargin,
+    "cdc_insert_dedup" ->
+      s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
+    "cdc_delete_antijoin" ->
+      s"SELECT $payloadList FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "cdc_latest_per_key" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity", "sum_qty")},
+         |  ${dsum("l_extendedprice", "sum_base_price")},
+         |  ${dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, ${dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT r_name, n_name, ${dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |  count(*) AS n, ${dsum("l_quantity", "sum_qty")}
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+         |  count(*) AS n, ${dsum("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part)
+        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
+        |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_setops" ->
+      """WITH w AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |b AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT custkey FROM (
+        |  (SELECT custkey FROM w INTERSECT SELECT custkey FROM b)
+        |  EXCEPT SELECT custkey FROM o)
+        |ORDER BY custkey""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower,
+        |  length(p_name) AS name_len,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS brand_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_date_trunc" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tumbling_window" ->
+      s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+         |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "doc_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(length(text)) AS min_len, max(length(text)) AS max_len,
+        |  CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sum_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_token_count" ->
+      """SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_lang_id" -> {
+      val hitCols = langWords.toSeq.sortBy(_._1)
+        .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
+      val m = "greatest(h_de, h_en, h_es, h_fr)"
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  $hitCols
+         |FROM documents),
+         |p AS (SELECT lang,
+         |  CASE WHEN $m = 0 THEN 'und'
+         |       WHEN h_de = $m THEN 'de'
+         |       WHEN h_en = $m THEN 'en'
+         |       WHEN h_es = $m THEN 'es'
+         |       ELSE 'fr' END AS pred
+         |FROM h)
+         |SELECT lang, pred, count(*) AS "count" FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+    },
+    "doc_quality" -> {
+      val stops = hitsSql(stopEn)
+      s"""SELECT doc_id,
+         |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+         |  round(CAST($stops AS DOUBLE) / length(string_split(text, ' ')), 4) AS stop_ratio,
+         |  round(least(CAST(length(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 5
+         |      + least(CAST($stops AS DOUBLE) / 10, 1.0) * 5, 2) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "doc_exact_dedup" ->
+      """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "doc_dedup_stats" ->
+      """WITH f AS (SELECT source, md5(lower(text)) AS fp FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+        |  count(*) - count(DISTINCT fp) AS n_dup_rows
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "doc_rolling_fp" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) AS th,
+        |    CASE pos % 5 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791 ELSE 923521 END AS weight
+        |  FROM t)
+        |SELECT doc_id, CAST(sum(th * weight) % 1000000007 AS BIGINT) AS fingerprint,
+        |  count(*) AS n_tokens
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_minhash_lsh" -> minhashOracle(n = 3, k = 12, rows = 2, threshold = 0.4),
+    "doc_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |v AS (SELECT c.id_a, c.id_b, round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 4) AS jaccard
+        |  FROM com c JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "doc_simhash" ->
+      s"""WITH ${simhashVotes(16)}
+         |SELECT doc_id, simhash FROM sh2 ORDER BY doc_id""".stripMargin,
+    "doc_simhash_clusters" ->
+      s"""WITH ${simhashVotes(16)}
+         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+         |FROM sh2 GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "emb_norm_stats" ->
+      """WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, round(sqrt(sum(e*e)), 6) AS nrm FROM x GROUP BY 1, 2)
+        |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "emb_cosine_topk" ->
+      s"""WITH $embX,
+         |q AS (SELECT * FROM x WHERE vec_id < 10),
+         |dots AS (SELECT q.vec_id AS q_id, x.vec_id AS vec_id, sum(q.e * x.e) AS dot
+         |  FROM q JOIN x ON q.i = x.i AND x.vec_id <> q.vec_id GROUP BY 1, 2),
+         |sc AS (SELECT d.q_id, d.vec_id, round(d.dot / (a.nrm * b.nrm), 6) AS score
+         |  FROM dots d JOIN nrm a ON a.vec_id = d.q_id JOIN nrm b ON b.vec_id = d.vec_id),
+         |r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "emb_ann_ivf" ->
+      s"""WITH $embX,
+         |b AS (SELECT vec_id, CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+         |pairs AS (SELECT q.q_id, bb.vec_id, bb.bucket FROM q JOIN b bb ON q.bucket = bb.bucket AND bb.vec_id <> q.q_id),
+         |dots AS (SELECT p.q_id, p.bucket, p.vec_id, sum(xq.e * xv.e) AS dot
+         |  FROM pairs p JOIN x xq ON xq.vec_id = p.q_id JOIN x xv ON xv.vec_id = p.vec_id AND xv.i = xq.i
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT d.q_id, d.bucket, d.vec_id, round(d.dot / (a.nrm * b2.nrm), 6) AS score
+         |  FROM dots d JOIN nrm a ON a.vec_id = d.q_id JOIN nrm b2 ON b2.vec_id = d.vec_id),
+         |r AS (SELECT q_id, bucket, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, bucket, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "emb_near_dup" ->
+      s"""WITH $embX,
+         |b AS (SELECT vec_id, CAST(${bucketSql(4)} AS BIGINT) AS bucket FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |dots AS (SELECT p.id_a, p.id_b, sum(xa.e * xb.e) AS dot
+         |  FROM pairs p JOIN x xa ON xa.vec_id = p.id_a JOIN x xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS score
+         |  FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b)
+         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  )
 }

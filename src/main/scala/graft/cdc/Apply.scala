@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog-apply: the reference pipeline's composite semantics (SURVEY.md
+  * §2.1, operators O8–O14). Given an ordered changelog keyed by `id`, the
+  * materialized state of a table is: for each id, the latest row by `seq`,
+  * unless that latest row is a DELETE (tombstone).
+  *
+  * The reference applies this one synchronous Elasticsearch HTTP call per
+  * event (reference `es.go:77,100,135`, single thread `producer.go:70-173`).
+  * Spark-first rendering: one hash-partitioned window over (id) — every key
+  * is resolved independently, so the operator scales linearly with
+  * executors; no driver-side state, no per-event round-trips.
+  *
+  * UPDATE merge semantics: the reference's update is painless `putAll`
+  * (reference `es.go:55-61`) — a per-field merge. pgoutput update events
+  * carry the complete new tuple (reference `producer.go:143-145`), so
+  * full-row last-writer-wins is exactly `putAll` merge; for partial updates
+  * [[mergeApply]] below does per-field latest-non-null.
+  *
+  * Scale note: `row_number` over partitionBy(id) is a single shuffle on the
+  * key — the minimum any keyed materialization needs. AQE handles skewed
+  * keys; at 100 TB you'd additionally bucket the state table by id so that
+  * incremental re-apply (state ⟗ new-batch) is shuffle-free on the state
+  * side — that is what [[ChangelogStream]]'s foreachBatch sink does per
+  * micro-batch.
+  */
+object Apply {
+
+  /** Latest-row-wins apply. `payloadCols` are the row columns to emit. */
+  def latestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select(payloadCols.map(col): _*)
+  }
+
+  /** Per-field merge apply (painless putAll semantics for *partial* updates):
+    * for each id, for each field, the latest non-null value across all
+    * non-DELETE versions — unless the overall-latest op is DELETE.
+    * Implemented as one aggregation (max_by over seq per field), still a
+    * single shuffle on id.
+    */
+  def mergeApply(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val agg: Seq[Column] =
+      max(when(col("op") === "DELETE", col("seq"))).as("last_delete_seq") +:
+      max(col("seq")).as("last_seq") +:
+      payloadCols.map { c =>
+        max_by(col(c), when(col("op") =!= "DELETE" && col(c).isNotNull, col("seq"))).as(c)
+      }
+    changelog.groupBy(col("id"))
+      .agg(agg.head, agg.tail: _*)
+      .filter(col("last_delete_seq").isNull || col("last_delete_seq") < col("last_seq"))
+      .select(payloadCols.map(col): _*)
+  }
+
+  /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):
+    * event counts per operation — the consumer-side "routing table". */
+  def opCounts(changelog: DataFrame): DataFrame =
+    changelog.groupBy(col("table"), col("op")).count()
+      .orderBy(col("table"), col("op"))
+
+  /** Idempotent insert (the reference's replay-duplication fix, SURVEY §4.3
+    * item 3): key-addressed dedup of an insert stream — first writer wins by
+    * seq. `row_number` keeps the choice deterministic, unlike
+    * `dropDuplicates` which is arrival-order dependent. */
+  def insertDedup(inserts: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").asc)
+    inserts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(payloadCols.map(col): _*)
+  }
+
+  /** Keyed delete as an anti-join (reference O14 `delete_by_query`,
+    * `es.go:112-144`): state minus delete keys. Broadcast the delete-key
+    * side when small — deletes are usually a sliver of state. */
+  def applyDeletes(state: DataFrame, deleteKeys: DataFrame, key: String): DataFrame =
+    state.join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
+}

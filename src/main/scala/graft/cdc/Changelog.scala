@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Deterministic synthesized changelog (FIXTURES.md "Synthesized changelog").
+  *
+  * The reference's unit of data is a `DatabaseEvent{operationType, tableName,
+  * payload}` (reference `utils.go:22-26`) where UPDATE carries the full new
+  * row and DELETE the old row (reference `producer.go:143-145,154-157`),
+  * keyed by the payload's `id` column (reference `es.go:50-54,115-119`), in
+  * WAL order (reference `producer.go:65,171` — `seq` is the LSN analog).
+  *
+  * No changelog fixture exists on disk, so we derive one (seed-free, so the
+  * DuckDB oracle can re-derive it with plain SQL) from `orders`:
+  *   - every row        → INSERT at seq = o_orderkey
+  *   - o_orderkey%5 == 0 → UPDATE at seq = o_orderkey + 1_000_000 with
+  *                         o_totalprice + 1 (full new row, pgoutput-style)
+  *   - o_orderkey%7 == 0 → DELETE at seq = o_orderkey + 2_000_000
+  *
+  * Layout is flat (id, seq, op, table, o_* payload columns) rather than a
+  * nested payload struct: identical semantics, and flat columns keep both
+  * Catalyst column pruning and the oracle SQL simple.
+  *
+  * Scale note: three narrow projections of one scan, union-ed — Spark plans
+  * this as one pass over orders per branch with pushed filters; at 100 TB the
+  * real source is a Kafka/Debezium topic (see [[ChangelogStream]]), this
+  * shape is only the batch/test rendering.
+  */
+object Changelog {
+  val payloadCols: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  /** (id, seq, op, table, o_*) — op in {INSERT, UPDATE, DELETE}. */
+  def fromOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val inserts = o.select(Seq(
+      col("o_orderkey").as("id"),
+      col("o_orderkey").as("seq"),
+      lit("INSERT").as("op"),
+      lit("orders").as("table")) ++ payloadCols.map(col): _*)
+    val updates = o.filter(col("o_orderkey") % 5 === 0).select(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("orders").as("table"),
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      (col("o_totalprice") + 1d).as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"))
+    val deletes = o.filter(col("o_orderkey") % 7 === 0).select(Seq(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("orders").as("table")) ++ payloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** The oracle-side rendering of [[fromOrders]] as a DuckDB CTE body. */
+  val oracleCte: String =
+    """changelog AS (
+      |  SELECT o_orderkey AS id, o_orderkey AS seq, 'INSERT' AS op, 'orders' AS "table",
+      |         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey + 1000000, 'UPDATE', 'orders',
+      |         o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey + 2000000, 'DELETE', 'orders',
+      |         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |)""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming rendering of the reference pipeline (SURVEY.md §3):
+  * changelog source → decode/dispatch → idempotent keyed upsert sink.
+  *
+  * The reference tails pgoutput and applies one synchronous ES call per
+  * event (producer `producer.go:70-173`, consumer `utils.go:92-117`). Here
+  * the source is a file-based changelog stream carrying the same
+  * `DatabaseEvent` envelope (op, table, id, payload; `utils.go:22-26`) —
+  * swap `readStream.parquet` for `readStream.format("kafka")` + Debezium in
+  * deployment, the transform/sink are unchanged. Delivery semantics are a
+  * strict upgrade over the reference (SURVEY.md §4.3): checkpointed offsets
+  * (vs. lossy temporary slot), idempotent keyed upsert (vs. ES auto-ID
+  * duplicate inserts), retained tombstones (so out-of-order replay cannot
+  * resurrect deleted keys).
+  *
+  * State layout: versioned parquet snapshots `state/v=N` — each micro-batch
+  * merges the previous snapshot with the batch's per-key latest and writes
+  * version N+1 (never overwriting what it reads). At 100 TB the snapshot
+  * would be bucketed by id so the merge join is shuffle-free on the state
+  * side; the per-batch work is then proportional to the batch, not the
+  * state.
+  */
+object ChangelogStream {
+
+  private def latestVersion(stateDir: String): Option[Long] = {
+    val d = new java.io.File(stateDir)
+    if (!d.exists()) None
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted.lastOption
+  }
+
+  /** Merge one micro-batch into the keyed state (exactly the reference's
+    * consumer dispatch `utils.go:103-113`, as one set-oriented merge).
+    * Tombstones (op=DELETE) are kept in state; readers filter them. */
+  def upsertBatch(batch: DataFrame, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val prev = latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+      case None    => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    val next = latestVersion(stateDir).getOrElse(-1L) + 1
+    prev.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$next")
+  }
+
+  /** Read the materialized table: latest snapshot minus tombstones. */
+  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String]): DataFrame =
+    latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+        .filter(col("op") =!= "DELETE")
+        .select(payloadCols.map(col): _*)
+      case None => throw new IllegalStateException(s"no state at $stateDir")
+    }
+
+  /** End-to-end: synthesize the changelog, stream it through in bounded
+    * micro-batches (AvailableNow + maxFilesPerTrigger so multiple batches
+    * actually exercise the cross-batch merge), return the materialized
+    * orders table. Result is identical to the batch [[Apply.latestState]] —
+    * the stream/batch equivalence the engine guarantees. */
+  def applyStreaming(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val clDir = s"$workDir/changelog"
+    val stateDir = s"$workDir/state"
+    val cl = Changelog.fromOrders(spark, sfDir)
+    cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(clDir)
+
+    val stream = spark.readStream
+      .schema(cl.schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(clDir)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    readState(spark, stateDir, Changelog.payloadCols)
+  }
+
+  /** Query-shaped wrapper (fresh temp workdir per run). */
+  def qApplyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString
+    applyStreaming(spark, sfDir, work).orderBy(col("o_orderkey"))
+  }
+}

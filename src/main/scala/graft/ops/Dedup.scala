@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Near-duplicate detection over `documents` — MinHash+LSH, SimHash, and
+  * n-gram Jaccard. All hashes are md5-derived (cross-engine-stable, so every
+  * query is DuckDB-oracle-checkable) and every stage is a plain
+  * shuffle-on-key aggregation/join:
+  *
+  *  - shingling: posexplode → (doc, shingle) — embarrassingly parallel
+  *  - signatures: groupBy(doc) with k min() partial aggregations — one
+  *    shuffle, map-side combined
+  *  - LSH banding: groupBy/join on band key — candidate generation touches
+  *    only colliding docs, never the full O(n²) pair space. That is the
+  *    100 TB scale path; the verify join afterwards runs only on candidates.
+  */
+object Dedup {
+
+  /** Distinct word-level n-gram shingles per row, as an array column: built
+    * with transform() over the token array (pure expression, whole-stage
+    * codegen, no shuffle), then exploded by callers. */
+  def shinglesExpr(n: Int): Column = {
+    val toks = split(col("text"), " ")
+    // sequence(0, -1) would yield [0,-1] (auto step -1), so guard short docs
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature + LSH banding candidates + exact Jaccard verify.
+    * k seeds, bands of `rows` signature values each; a pair is a candidate
+    * if it collides in any band; candidates are then verified with exact
+    * shingle-set Jaccard and filtered at `threshold`.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, n: Int = 3, k: Int = 12,
+                   rows: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle"))
+
+    // signature: min over shingles of md5(seed || '|' || shingle), per seed
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0|"), col("shingle")))).as("mh_0"),
+      (1 until k).map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh_$s")): _*)
+
+    // LSH bands: band b = md5 of its `rows` signature values concatenated
+    val nBands = k / rows
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as(s"band_$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val bandLong = banded.select(col("doc_id"),
+      explode(array((0 until nBands).map(b => col(s"band_$b")): _*)).as("band"))
+
+    val cand = bandLong.as("a").join(bandLong.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // exact verify on candidates only
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x").join(sh.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking key (lang) — the exact
+    * near-dup baseline the LSH path approximates. Blocking bounds the pair
+    * space; at scale the block key would also include a length bucket. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+                        threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"), explode(shinglesExpr(n)).as("shingle"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x").join(sh.as("y"), Seq("lang", "shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash (b-bit, here b=16): per token t and bit i, the bit vote is +1
+    * if the first hex char of md5(i || '|' || t) is >= '8' (i.e. the hash's
+    * high bit), else -1; bit i of the fingerprint is 1 iff the vote sum > 0.
+    * Pure string/integer expressions → identical in DuckDB.
+    */
+  def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val votes = (0 until bits).map { i =>
+      sum(when(substring(md5(concat(lit(s"$i|"), col("tok"))), 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v_$i")
+    }
+    val agged = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), fp.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup clusters: docs sharing an identical 16-bit simhash
+    * (bucket size > 1). With 16 bits this is the "hamming distance 0"
+    * bucketing stage; a banded multi-probe over bit groups generalizes it. */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("simhash"))
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns plus typed metadata, processed per-partition in fixed-size
+  * batches. The decode itself is STUBBED (no media libraries in this
+  * container — see `FakeCodec`, a deterministic fake clearly marked as
+  * such); everything Spark-side is real: schema, batching, partition-level
+  * processing, and the frame-sampling/feature-extraction operator shapes.
+  *
+  * At 100 TB the binary payloads dominate I/O, so operators:
+  *  - never shuffle the binary column (features/frames are derived in-place
+  *    per partition; only the small derived columns flow downstream),
+  *  - carry `media_size` so AQE/file splitting can balance partitions,
+  *  - run the "codec" once per row inside mapPartitions (the Scala analog
+  *    of `mapInPandas` batch processing — amortized per-batch setup).
+  */
+object Multimodal {
+
+  /** STUB CODEC — deterministic fake standing in for a real image/audio
+    * decoder (the real thing would wrap e.g. javax.imageio / ffmpeg and is
+    * NOT available offline). Derives stable pseudo-features from bytes so
+    * tests are reproducible. */
+  object FakeCodec {
+    val featureDim = 8
+
+    /** "Decode" → (width, height, nFrames) from the byte stream. */
+    def probe(bytes: Array[Byte]): (Int, Int, Int) = {
+      val n = bytes.length
+      (64 + n % 64, 64 + n % 48, 1 + n % 10)
+    }
+
+    /** "Feature-extract" → fixed-size float vector (mean/spread of byte
+      * windows — deterministic, shape-compatible with a real embedding). */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      if (bytes.isEmpty) return out
+      val win = math.max(1, bytes.length / featureDim)
+      var i = 0
+      while (i < featureDim) {
+        var s = 0L; var j = i * win
+        val end = math.min(bytes.length, j + win)
+        while (j < end) { s += (bytes(j) & 0xff); j += 1 }
+        out(i) = s.toFloat / math.max(1, end - i * win)
+        i += 1
+      }
+      out
+    }
+
+    /** "Frame-sample" → byte offsets of `k` evenly spaced frames. */
+    def frameOffsets(nFrames: Int, k: Int): Seq[Int] =
+      if (nFrames <= k) 0 until nFrames
+      else (0 until k).map(i => i * nFrames / k)
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_size", LongType, nullable = false),
+    StructField("meta_lang", StringType, nullable = true)))
+
+  /** Fixture adapter: derive a media table from `documents` (text bytes as
+    * the opaque payload — the fixtures carry no real media, TESTDATA.md). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      concat(lit("media/type"), (col("doc_id") % 3).cast("string")).as("media_type"),
+      col("text").cast("binary").as("payload"),
+      length(col("text")).cast("long").as("media_size"),
+      col("lang").as("meta_lang"))
+
+  private val featuresSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Decode + feature-extract per partition. Binary stays partition-local;
+    * output carries only small derived columns. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featuresSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (w, h, f) = FakeCodec.probe(bytes)
+        Row(r.getLong(0), r.getString(1), w, h, f, FakeCodec.features(bytes))
+      }
+    }(enc)
+  }
+
+  private val framesSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_offset", IntegerType, nullable = false)))
+
+  /** Frame sampling: up to k frames per media row (flatMap — one-to-many,
+    * still partition-local, no shuffle). */
+  def sampleFrames(media: DataFrame, k: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(framesSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (_, _, nFrames) = FakeCodec.probe(bytes)
+        FakeCodec.frameOffsets(nFrames, k).zipWithIndex.map { case (off, i) =>
+          Row(r.getLong(0), i, off)
+        }
+      }
+    }(enc)
+  }
+
+  /** The shipped query: feature-extract + per-type aggregate of the derived
+    * columns (rows-only driver check; the stubbed codec has no SQL oracle —
+    * unit tests pin its determinism instead). */
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, dir))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("width")).as("avg_w"),
+        avg(col("height")).as("avg_h"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("media_type"))
+
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, dir))
+      .orderBy(col("media_id"), col("frame_idx"))
+}

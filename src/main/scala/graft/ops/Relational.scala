@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.model.Tables
+
+/** Relational parity operators (SURVEY.md §2.2): joins (incl. the anti-join
+  * the delete path needs), hash aggregations, grouping sets, window
+  * functions, sorts/top-k, set ops, scalar string/date/json functions.
+  *
+  * Determinism contract for the DuckDB oracle: every double aggregate is
+  * summed in DECIMAL (exact, order-independent — a float sum would differ in
+  * ulps between engines and across partition orders), then rounded and cast
+  * back to double; every output has a total ORDER BY.
+  */
+object Relational {
+
+  /** round(sum(cast(e as decimal(18,4))), 2) :: double — the exact-sum idiom.
+    * Oracle side: CAST(round(sum(CAST(e AS DECIMAL(18,4))), 2) AS DOUBLE). */
+  private def dsum(e: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(e.cast(DecimalType(18, 4))), scale).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem — hash aggregation with
+    * map-side partial aggregation; the scan reads only the 7 needed columns
+    * (column pruning) and the shipdate predicate is pushed to parquet. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q3-shaped: revenue per order for one segment, top 10. Join order:
+    * customer (filtered, small) broadcast into orders, result shuffled into
+    * lineitem on the join key. Top-k = sort + limit, which Spark executes as
+    * TakeOrderedAndProject (no full sort materialization). */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shaped star join: revenue per nation. All dimension tables
+    * (region/nation/customer/supplier) broadcast; the single big fact table
+    * (lineitem) is never shuffled for the dim joins. */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus); grouping-null marked 'ALL' so the
+    * oracle needs no null-ordering gymnastics. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Running (cumulative) sum per user over the events stream — frame spec
+    * rowsBetween(unboundedPreceding, current). One shuffle on user_id. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        round(sum(col("value").cast(DecimalType(18, 4))).over(w), 2).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** lag/lead change-diff: microseconds since the user's previous event. */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Top-3 parts per brand by retail price — rank window + filter (the
+    * standard distributed top-k-per-group: no global sort, one shuffle on
+    * the group key). Deterministic tie-break on p_partkey. */
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Set ops: customers with orders ∩ BUILDING segment, minus customers
+    * with an open ('O') order — intersect + except, both built-in. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    withOrders.intersect(building).except(open).orderBy(col("custkey"))
+  }
+
+  /** Scalar string functions over part: lower/substring/concat/replace/
+    * length/levenshtein — all codegen'd built-ins. */
+  def qScalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        levenshtein(col("p_brand"), lit("Brand#13")).cast("long").as("brand_dist"))
+      .orderBy(col("p_partkey"))
+
+  /** JSON decode of events.props (the reference's envelope decode, O9 —
+    * `from_json`, corrupt records become null and are skipped exactly like
+    * reference `utils.go:98-102`). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Date/time bucketing: events per hour. */
+  def qDateTrunc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"))
+
+  /** Tumbling 10-minute windows via the built-in `window` function —
+    * the batch rendering of the streaming tumbling-window operator. */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Session windows per user (30-minute gap) via the built-in
+    * `session_window` — batch rendering of the streaming session operator. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"),
+              col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  /** Exact + approximate distinct counts (HLL). The approx value is
+    * algorithm-specific, so this query has no SQL oracle (rows-only check);
+    * the exact column is covered by other queries' oracles. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+}

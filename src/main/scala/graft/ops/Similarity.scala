@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * fixed 64-dim) — brute-force cosine top-k as the exact baseline, and an
+  * IVF-style partitioned variant as the 100 TB scale path.
+  *
+  * Vector math is `zip_with` + `aggregate` over the array — pure Catalyst
+  * expressions, sequential left-fold in array-index order, so the result is
+  * bit-reproducible (and matched in the DuckDB oracle by an index-ordered
+  * sum). Scores are rounded before ranking so a last-ulp difference between
+  * engines can't flip a rank.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a sequential double fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-label stats: count + mean vector norm (rounded). */
+  def qNormStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), round(norm(col("embedding")), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors. The query side is tiny → broadcast; the
+    * corpus side streams through unshuffled, and per-query top-k is a rank
+    * window over (query). At 100 TB corpus this is the exact-scan baseline:
+    * one pass, no pair materialization beyond (queries × corpus). */
+  def qCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF-style coarse partitioning with deterministic "centroids": bucket =
+    * sign-bit code of the first `codeBits` dimensions (an orthant code — a
+    * data-independent coarse quantizer, so both engines derive it exactly).
+    * ANN search probes only the query's bucket. This is the scale path:
+    * bucket becomes the partition/bucketing key, each query touches
+    * 1/2^codeBits of the corpus. Returns per-query top-k within-bucket. */
+  def ivfCode(emb: Column, codeBits: Int): Column =
+    (0 until codeBits).map { i =>
+      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def qAnnIvf(spark: SparkSession, dir: String, codeBits: Int = 6,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", ivfCode(col("embedding"), codeBits))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("bucket"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("bucket"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: IVF-bucketed self-join (only
+    * same-orthant pairs scored — the LSH-style candidate cut), threshold on
+    * rounded cosine. */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String, codeBits: Int = 4,
+                        threshold: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", ivfCode(col("embedding"), codeBits))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

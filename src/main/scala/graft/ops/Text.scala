@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Text-analysis + exact-dedup operators over `documents` — the
+  * training-data-pipeline extensions (BASELINE.json north star). All are
+  * pure column expressions (whole-stage codegen, no UDFs), so they scan
+  * 100 TB of text at parquet-reader speed and the only shuffles are the
+  * final aggregations.
+  */
+object Text {
+
+  /** Whitespace tokens of `text`. The fixture text is single-space word
+    * soup, so split-on-space == whitespace tokenization. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-language corpus stats: doc count, exact char stats, word counts. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"),
+        size(tokens(col("text"))).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("text_len")).as("min_len"),
+        max(col("text_len")).as("max_len"),
+        sum(col("n_words")).as("sum_words"))
+      .orderBy(col("lang"))
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex token
+    * count (letter runs / digit runs / single other chars) — the standard
+    * pre-tokenizer shape. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def hits(c: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(c, lit(s"\\b$w\\b"))).reduce(_ + _)
+
+  /** N-gram/stopword-heuristic language ID: count stopword hits per
+    * candidate language, argmax wins ('und' = undetermined when all zero);
+    * reports the confusion against the labeled lang. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(Seq(col("doc_id"), col("lang")) ++
+      stopwords.toSeq.sortBy(_._1).map { case (l, ws) => hits(col("text"), ws).as(s"hit_$l") }: _*)
+    // argmax with deterministic tie-break = language name order
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"hit_$l").as("h"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    scored
+      .withColumn("pred", when(greatest(langs.map(l => col(s"hit_$l")): _*) === 0, lit("und"))
+        .otherwise(best.getField("l")))
+      .groupBy(col("lang"), col("pred")).count()
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Quality scoring: length, mean word length, alpha ratio, stopword
+    * ratio — combined into a bounded [0,1] score. All exact-integer inputs;
+    * the one division is done once at the end and rounded. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_words", size(tokens(col("text"))))
+      .withColumn("text_len", length(col("text")))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .withColumn("stop_hits", hits(col("text"), stopwords("en")))
+    // ratios as IEEE double division of exact integers — bit-identical in
+    // any engine, unlike decimal division (dialect-specific result scales)
+    d.select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(col("alpha_chars").cast("double") / col("text_len"), 4).as("alpha_ratio"),
+        round(col("stop_hits").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        round(
+          least(col("n_words").cast("double") / 100d, lit(1d)) * 5 +
+          least(col("stop_hits").cast("double") / 10d, lit(1d)) * 5, 2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint = md5 of normalized text (cross-engine-stable),
+    * and exact dedup over it: one representative (min doc_id) per distinct
+    * normalized text + the duplicate count. Hash-groupBy — the exact-dedup
+    * baseline; at 100 TB this is one shuffle on a 128-bit key, and the
+    * fingerprint column doubles as a bucketing key for incremental dedup. */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+
+  /** Dedup summary per source: total docs, distinct fingerprints, dup rows
+    * to drop — the "how much of my corpus is redundant" report. */
+  def qDedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(lower(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_distinct"),
+           (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_rows"))
+      .orderBy(col("source"))
+
+  /** Rolling (polynomial) hash fingerprint over the token stream — a
+    * content-defined fingerprint that, unlike md5-of-whole-text, is
+    * incrementally computable over chunks. Pure integer arithmetic so it is
+    * reproducible in ANSI SQL: fp = Σ token_ord_hash(i) * 31^(i mod 8) mod p.
+    * Implemented with posexplode + aggregation (distributed; no UDF). */
+  def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    // 31^(pos%5) as exact literals — keeps every product < 2^54 (no Long
+    // overflow, and DuckDB's HUGEINT sum agrees after the final mod+cast)
+    val weights = array(Seq(1L, 31L, 961L, 29791L, 923521L).map(lit): _*)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      // per-token stable hash: first 6 hex chars of md5 (24 bits), as a long
+      .withColumn("th", conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"))
+      .withColumn("weight", element_at(weights, (col("pos") % 5 + 1).cast("int")))
+    d.groupBy(col("doc_id"))
+      .agg((sum(col("th") * col("weight")) % p).cast("long").as("fingerprint"),
+           count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
