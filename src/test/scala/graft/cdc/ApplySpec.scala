@@ -1,0 +1,96 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Changelog-apply semantics (SURVEY.md §5 item 2): last-writer-wins,
+  * tombstones, order-independence, per-field merge. */
+class ApplySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("id", "v")
+  private def cl(rows: (Long, Long, String, String, String)*) =
+    rows.toDF("id", "seq", "op", "table", "v")
+
+  test("insert then delete of same id yields no row") {
+    val out = Apply.latestState(cl(
+      (1L, 1L, "INSERT", "t", "a"),
+      (1L, 2L, "DELETE", "t", "a")), Seq("id", "v"))
+    assert(out.count() === 0)
+  }
+
+  test("last writer wins per key") {
+    val out = Apply.latestState(cl(
+      (1L, 1L, "INSERT", "t", "a"),
+      (1L, 3L, "UPDATE", "t", "c"),
+      (1L, 2L, "UPDATE", "t", "b"),
+      (2L, 1L, "INSERT", "t", "x")), Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "c"), (2L, "x")))
+  }
+
+  test("delete then re-insert resurrects the key") {
+    val out = Apply.latestState(cl(
+      (1L, 1L, "INSERT", "t", "a"),
+      (1L, 2L, "DELETE", "t", "a"),
+      (1L, 3L, "INSERT", "t", "b")), Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "b")))
+  }
+
+  test("apply is order-independent (shuffled changelog = sorted changelog)") {
+    val base = Changelog.fromOrders(spark, sfDir)
+    val shuffled = base.orderBy(rand(seed = 7)).repartition(13)
+    val a = Apply.latestState(base, Changelog.payloadCols)
+    val b = Apply.latestState(shuffled, Changelog.payloadCols)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("mergeApply does per-field latest-non-null (partial updates)") {
+    // payload columns a, b; update at seq 2 only sets b (a is null)
+    val events = Seq(
+      (1L, 1L, "INSERT", Some("a1"), Some("b1")),
+      (1L, 2L, "UPDATE", None, Some("b2")),
+      (2L, 1L, "INSERT", Some("x"), Some("y")),
+      (2L, 2L, "DELETE", None: Option[String], None: Option[String])
+    ).toDF("id", "seq", "op", "a", "b")
+    val out = Apply.mergeApply(events, Seq("a", "b")).orderBy("a")
+      .as[(Option[String], Option[String])].collect()
+    assert(out.toSeq === Seq((Some("a1"), Some("b2"))))
+  }
+
+  test("mergeApply equals latestState for full-row updates") {
+    val base = Changelog.fromOrders(spark, sfDir)
+    val a = Apply.latestState(base, Changelog.payloadCols)
+    val b = Apply.mergeApply(base, Changelog.payloadCols)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("insertDedup keeps exactly one row per key (first by seq)") {
+    val ins = cl(
+      (1L, 5L, "INSERT", "t", "late"),
+      (1L, 1L, "INSERT", "t", "first"),
+      (2L, 2L, "INSERT", "t", "only"))
+    val out = Apply.insertDedup(ins, Seq("id", "v")).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "first"), (2L, "only")))
+  }
+
+  test("applyDeletes removes exactly the delete keys") {
+    val state = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val dels = Seq(2L, 9L).toDF("id")
+    val out = Apply.applyDeletes(state, dels, "id").orderBy("id")
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("changelog synthesis counts match the %5 / %7 rules") {
+    val n = graft.model.Tables.orders(spark, sfDir).count()
+    val byOp = Apply.opCounts(Changelog.fromOrders(spark, sfDir))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byOp("INSERT") === n)
+    assert(byOp("UPDATE") === (n + 4) / 5) // keys 0,5,10,... within 0..n-1
+    assert(byOp("DELETE") === (n + 6) / 7)
+  }
+}

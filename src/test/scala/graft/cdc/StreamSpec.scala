@@ -1,0 +1,62 @@
+package graft.cdc
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Streaming pipeline: stream/batch equivalence + incremental upsert
+  * semantics across micro-batches (SURVEY.md §5 item 3). */
+class StreamSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("streamed changelog apply equals batch apply") {
+    val work = Files.createTempDirectory("graft-streamspec-").toString
+    val streamed = ChangelogStream.applyStreaming(spark, sfDir, work)
+    val batch = Apply.latestState(Changelog.fromOrders(spark, sfDir), Changelog.payloadCols)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() === batch.count())
+  }
+
+  test("upsertBatch merges across batches with tombstones retained") {
+    val work = Files.createTempDirectory("graft-upsert-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String)*) =
+      rows.toDF("id", "seq", "op", "v")
+    // batch 1: two inserts
+    ChangelogStream.upsertBatch(mk((1L, 1L, "INSERT", "a"), (2L, 2L, "INSERT", "b")), stateDir)
+    // batch 2: update id 1, delete id 2
+    ChangelogStream.upsertBatch(mk((1L, 3L, "UPDATE", "a2"), (2L, 4L, "DELETE", "b")), stateDir)
+    // batch 3: LATE event for id 2 (seq 1 < tombstone seq 4) must not resurrect
+    ChangelogStream.upsertBatch(mk((2L, 1L, "INSERT", "late")), stateDir)
+    val out = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a2")))
+  }
+
+  test("windowed streaming aggregation with watermark (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    mem.addData((t(1), 1L, 1.0), (t(2), 1L, 2.0), (t(11), 1L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select(col("window.start"), col("user_id"), col("n"), col("v"))
+      .orderBy("start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(2) === 2 && rows(0).getDouble(3) === 3.0)
+    assert(rows(1).getLong(2) === 1 && rows(1).getDouble(3) === 5.0)
+    q.stop()
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+
+  test("q1 pricing summary groups by flag+status with positive sums") {
+    val rows = Relational.q1PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getLong(5) > 0))
+  }
+
+  test("rollup emits ALL super-aggregate rows that sum to the total") {
+    val out = Relational.qRollup(spark, sfDir).collect()
+    val total = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length === 1)
+    val leaves = out.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(leaves.map(_.getLong(2)).sum === total.head.getLong(2))
+  }
+
+  test("top-k per group returns at most 3 per brand, rank-ordered") {
+    val out = Relational.qTopKPerGroup(spark, sfDir).collect()
+    val byBrand = out.groupBy(_.getString(0))
+    assert(byBrand.values.forall(_.length <= 3))
+    byBrand.values.foreach { rs =>
+      val prices = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("session windows respect the 30-minute gap") {
+    val out = Relational.qSessionWindow(spark, sfDir)
+      .select(col("user_id"), col("s_start"), col("s_end")).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at or after previous session's end
+          assert(!b.getTimestamp(1).before(a.getTimestamp(2)))
+        case _ =>
+      }
+    }
+  }
+
+  test("broadcast hint survives into the q5 physical plan") {
+    val plan = Relational.q5NationRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
+
+class TextSpec extends AnyFunSuite with SparkSpec {
+
+  test("text stats cover every language with consistent counts") {
+    val rows = Text.qTextStats(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("de", "en", "es", "fr", "zh"))
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(5) >= r.getLong(1)))
+  }
+
+  test("token counts: bpe tokens >= whitespace tokens on word soup") {
+    val rows = Text.qTokenCount(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("rolling fingerprint is deterministic across runs") {
+    val a = Text.qRollingFingerprint(spark, sfDir).collect().map(_.toSeq)
+    val b = Text.qRollingFingerprint(spark, sfDir).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("exact dedup: group sizes sum to the table size") {
+    val n = graft.model.Tables.documents(spark, sfDir).count()
+    val groups = Text.qExactDedup(spark, sfDir).collect()
+    assert(groups.map(_.getLong(2)).sum === n)
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("shinglesExpr produces w-n+1 distinct-capped shingles, empty when short") {
+    val df = Seq("a b c d", "a b", "x y z").toDF("text")
+      .select(Dedup.shinglesExpr(3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x y z"))
+  }
+
+  test("minhash candidates verify: every returned pair meets the threshold") {
+    val rows = Dedup.minhashPairs(spark, sfDir).collect()
+    assert(rows.forall(_.getDouble(3) >= 0.4))
+  }
+
+  test("simhash is 16-bit bounded and deterministic") {
+    val a = Dedup.simhash(spark, sfDir).collect()
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1 << 16)))
+    val b = Dedup.simhash(spark, sfDir).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine on known vectors") {
+    val df = Seq((Array(1f, 0f, 2f), Array(3f, 4f, 0.5f))).toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(d === 4.0)
+    val c = df.select(Similarity.cosine(col("a"), col("a"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ivf code buckets by sign of leading dims") {
+    val df = Seq(
+      (Array(1f, -1f, 1f, 1f), 0), (Array(-1f, 1f, 1f, 1f), 1)
+    ).toDF("embedding", "i")
+    val codes = df.select(col("i"), Similarity.ivfCode(col("embedding"), 2))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(codes(0) === 1L) // dim1 positive -> bit0
+    assert(codes(1) === 2L) // dim2 positive -> bit1
+  }
+
+  test("cosine top-k returns k ranked neighbors per query, scores in [-1,1]") {
+    val rows = Similarity.qCosineTopK(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    assert(byQ.values.forall(_.length === 5))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.000001))
+    byQ.values.foreach { rs =>
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+  }
+
+  test("IVF ANN never pairs across buckets") {
+    val rows = Similarity.qAnnIvf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // bucket column is the query's bucket == neighbour's bucket by construction
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("fake codec is deterministic and shape-stable") {
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(Multimodal.FakeCodec.probe(bytes) === Multimodal.FakeCodec.probe(bytes))
+    val f = Multimodal.FakeCodec.features(bytes)
+    assert(f.length === Multimodal.FakeCodec.featureDim)
+    assert(f.sameElements(Multimodal.FakeCodec.features(bytes)))
+  }
+
+  test("extractFeatures keeps one row per media with fixed-dim features") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val out = Multimodal.extractFeatures(media)
+    assert(out.count() === media.count())
+    val r = out.head()
+    assert(r.getAs[Seq[Float]]("features").length === Multimodal.FakeCodec.featureDim)
+  }
+
+  test("sampleFrames emits at most k frames per media") {
+    val out = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(spark, sfDir), k = 4)
+    val counts = out.groupBy("media_id").count().collect()
+    assert(counts.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4))
+  }
+}
