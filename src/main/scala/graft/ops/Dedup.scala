@@ -40,36 +40,43 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle"))
 
-    // signature: min over shingles of md5(seed || '|' || shingle), per seed
+    // signature: min over shingles of md5(seed || '|' || shingle), per seed;
+    // piggyback the shingle count on the same aggregation (no second pass)
     val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("mh_0"),
-      (1 until k).map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh_$s")): _*)
+      count(lit(1)).as("n_sh"),
+      (0 until k).map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh_$s")): _*)
 
     // LSH bands: band b = md5 of its `rows` signature values concatenated
     val nBands = k / rows
     val bandCols = (0 until nBands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as(s"band_$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val bandLong = banded.select(col("doc_id"),
-      explode(array((0 until nBands).map(b => col(s"band_$b")): _*)).as("band"))
+    val bandLong = sig.select(col("doc_id"), col("n_sh"),
+      explode(array((0 until nBands).map(b => bandCols(b)): _*)).as("band"))
 
-    val cand = bandLong.as("a").join(bandLong.as("b"), Seq("band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // candidates: band collision + size-compatibility prune (jaccard is
+    // bounded by min(|A|,|B|)/max(|A|,|B|), so incompatible sizes can never
+    // reach the threshold — cuts the verify join before it happens)
+    val cand = bandLong.as("a").join(bandLong.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")) >=
+          lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
 
-    // exact verify on candidates only
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x").join(sh.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    // exact verify on candidates only — join the (small) candidate set back
+    // to the shingles, never the full shingle self-join: a frequent shingle
+    // would otherwise fan out to O(docs²) pairs before any pruning. Shingle
+    // strings are collapsed to xxhash64 first (cheap long join keys).
+    val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val common = cand
+      .join(shh.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(shh.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
 
     common
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
@@ -84,15 +91,31 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), col("lang"), explode(shinglesExpr(n)).as("shingle"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x").join(sh.as("y"), Seq("lang", "shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // Shuffle hygiene for the self-join:
+    //  - |shingles| carried from the array (free) instead of re-counted
+    //  - shingle strings collapsed to xxhash64 BEFORE the exchange — longs
+    //    shuffle/probe ~5× cheaper than strings, and a 64-bit collision
+    //    inside one lang block is vanishingly improbable (n² · 2⁻⁶⁴)
+    //  - one explicit repartition on the join key so both sides of the
+    //    self-join reuse a single exchange, and a shuffle_hash hint so the
+    //    planner can't broadcast the (large) exploded side
+    //  - size-compatibility predicate prunes pairs that can never reach the
+    //    threshold (jaccard <= min|sets| / max|sets|)
+    val sh = docs
+      .select(col("doc_id"), col("lang"), shinglesExpr(n).as("shs"))
+      .select(col("doc_id"), col("lang"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("shingle"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
+      .repartition(col("lang"), col("sh"))
+    val common = sh.as("x").hint("shuffle_hash").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n_sh"), col("y.n_sh")) >=
+          lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
     common
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))

@@ -17,10 +17,17 @@ import graft.model.Tables
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a sequential double fold (deterministic order). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ via the built-in higher-order fold (sequential, deterministic
+    * order) — kept as the compose-built-ins baseline. */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ·bᵢ via the codegen'd native expression — numerically identical to
+    * [[foldDot]] (same op order), ~an order of magnitude faster inside the
+    * bucketed self-joins. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.float_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
