@@ -72,6 +72,10 @@ object SparkEntry {
     "q_tumbling_window" -> (Relational.qTumblingWindow _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_semijoin" -> (Relational.qSemiJoin _),
+    "q_window_lead" -> (Relational.qWindowLead _),
+    "q_array_agg" -> (Relational.qArrayAgg _),
     // ── Text analysis + dedup (north-star extensions) ───────────────────
     "doc_text_stats" -> (Text.qTextStats _),
     "doc_token_count" -> (Text.qTokenCount _),
@@ -252,6 +256,30 @@ object SparkEntry {
       s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
          |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_lead" ->
+      """SELECT user_id, event_id,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_array_agg" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -195,6 +195,56 @@ object Relational {
               col("user_id"), col("n_events"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** GROUPING SETS beyond rollup/cube: independent per-dimension subtotals
+    * ((returnflag), (linestatus)) in one pass over the fact table — the
+    * shape rollup cannot express. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(1) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Semi-join (EXISTS): customers having at least one finished order.
+    * The probe side streams; only custkeys travel. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** lead + frame-bounded first/last values per user — the remaining
+    * window-function family members (lag is covered by qWindowLag). */
+  def qWindowLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_id")).over(frame).as("first_event"),
+        last(col("event_id")).over(frame).as("last_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Ordered array aggregation rendered as a string (deterministic, and
+    * trivially comparable across engines): per user, the sorted multiset of
+    * event types. collect_list alone is arrival-ordered — sort_array makes
+    * it canonical. */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_list(col("event_type")))).as("types"),
+           count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
   /** Exact + approximate distinct counts (HLL). The approx value is
     * algorithm-specific, so this query has no SQL oracle (rows-only check);
     * the exact column is covered by other queries' oracles. */

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.streaming.Stateful.{KeyedEvent, KeyState}
+
+class StatefulSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState CDC state machine matches batch LWW across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = Stateful.cdcStateMachine(mem.toDS())
+      .toDF("id", "state")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cdc_state")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: inserts; batch 2: update id 1, delete id 2; batch 3: late event
+    mem.addData(KeyedEvent(1, 1, "INSERT", 10.0), KeyedEvent(2, 2, "INSERT", 20.0))
+    q.processAllAvailable()
+    mem.addData(KeyedEvent(1, 3, "UPDATE", 11.0), KeyedEvent(2, 4, "DELETE", 20.0))
+    q.processAllAvailable()
+    mem.addData(KeyedEvent(2, 1, "INSERT", 99.0)) // stale: must not resurrect
+    q.processAllAvailable()
+
+    // latest update per key = materialized state
+    val rows = spark.table("cdc_state")
+      .select($"id", $"state.seq", $"state.op", $"state.price").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.maxBy(_.getLong(1)) }
+    assert(rows(1L).getString(2) === "UPDATE" && rows(1L).getDouble(3) === 11.0)
+    assert(rows(2L).getString(2) === "DELETE") // tombstone retained
+    q.stop()
+  }
+
+  test("mapGroupsWithState running agg converges to batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = Stateful.userRunningAgg(mem.toDS())
+      .toDF("user", "agg")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("user_agg")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 3.0))
+    q.processAllAvailable()
+    val last = spark.table("user_agg")
+      .select($"user", $"agg.n", $"agg.sum").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+    assert(last(1L).getLong(1) === 3 && last(1L).getDouble(2) === 6.0)
+    assert(last(2L).getLong(1) === 1 && last(2L).getDouble(2) === 5.0)
+    q.stop()
+  }
+}
