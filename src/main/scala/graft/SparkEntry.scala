@@ -47,6 +47,19 @@ object SparkEntry {
         .select(col("id").as("o_orderkey"))
       Apply.applyDeletes(Tables.orders(s, d), dels, "o_orderkey").orderBy(col("o_orderkey"))
     },
+    "cdc_apply_customer" -> ((s, d) =>
+      Apply.latestState(Changelog.fromCustomer(s, d), Changelog.customerPayloadCols)
+        .orderBy(col("c_custkey"))),
+    "cdc_decode_props" -> { (s, d) =>
+      // O4/O9 parity: schema-applied decode of the JSON payload column with
+      // from_json — corrupt/missing fields become null, like the reference's
+      // skip-on-unmarshal-error (utils.go:98-102)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
     "cdc_latest_per_key" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -170,6 +183,16 @@ object SparkEntry {
       s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
     "cdc_delete_antijoin" ->
       s"SELECT $payloadList FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "cdc_apply_customer" ->
+      s"""WITH ${Changelog.customerOracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin,
+    "cdc_decode_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_latest_per_key" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,

@@ -57,6 +57,51 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** Second table for multi-table fan-out (the reference handles all tables
+    * of the publication through one stream, dispatching per `tableName` —
+    * `producer.go:42` FOR ALL TABLES, `utils.go:105-112`): customer
+    * changelog with rules INSERT all at seq=c_custkey; %3==0 → UPDATE
+    * (c_acctbal+1); %11==0 → DELETE. */
+  val customerPayloadCols: Seq[String] = Seq(
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  def fromCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val inserts = c.select(Seq(
+      col("c_custkey").as("id"),
+      col("c_custkey").as("seq"),
+      lit("INSERT").as("op"),
+      lit("customer").as("table")) ++ customerPayloadCols.map(col): _*)
+    val updates = c.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("id"),
+      (col("c_custkey") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("customer").as("table"),
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      (col("c_acctbal") + 1d).as("c_acctbal"), col("c_mktsegment"))
+    val deletes = c.filter(col("c_custkey") % 11 === 0).select(Seq(
+      col("c_custkey").as("id"),
+      (col("c_custkey") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("customer").as("table")) ++ customerPayloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  val customerOracleCte: String =
+    """changelog AS (
+      |  SELECT c_custkey AS id, c_custkey AS seq, 'INSERT' AS op,
+      |         c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey + 1000000, 'UPDATE',
+      |         c_custkey, c_name, c_nationkey, c_acctbal + 1, c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey + 2000000, 'DELETE',
+      |         c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |)""".stripMargin
+
   /** The oracle-side rendering of [[fromOrders]] as a DuckDB CTE body. */
   val oracleCte: String =
     """changelog AS (
