@@ -86,6 +86,14 @@ object SparkEntry {
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_sliding_window" -> (Relational.qSlidingWindow _),
+    "q_topk_agg" -> (Relational.qTopKAggregator _),
+    "cdc_time_travel" -> ((s, d) =>
+      // snapshot-as-of: state at LSN 1,500,000 (updates applied, deletes not
+      // yet) — the changelog's version axis doubles as a time-travel key
+      Apply.latestState(
+        Changelog.fromOrders(s, d).filter(col("seq") <= 1500000L), payload)
+        .orderBy(col("o_orderkey"))),
     "q_semijoin" -> (Relational.qSemiJoin _),
     "q_window_lead" -> (Relational.qWindowLead _),
     "q_array_agg" -> (Relational.qArrayAgg _),
@@ -279,6 +287,27 @@ object SparkEntry {
       s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
          |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_window" ->
+      s"""WITH s AS (
+         |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - j.j) * 300000000) AS w_start,
+         |         event_type, value
+         |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
+         |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part)
+        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
+        |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "cdc_time_travel" ->
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog WHERE seq <= 1500000)
+         |SELECT $payloadList FROM ranked
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -41,9 +41,10 @@ object ChangelogStream {
   /** Merge one micro-batch into the keyed state (exactly the reference's
     * consumer dispatch `utils.go:103-113`, as one set-oriented merge).
     * Tombstones (op=DELETE) are kept in state; readers filter them. */
-  def upsertBatch(batch: DataFrame, stateDir: String): Unit = {
+  def upsertBatch(batch: DataFrame, stateDir: String,
+                  keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq").desc)
     val prev = latestVersion(stateDir) match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
       case None    => spark.createDataFrame(
@@ -89,6 +90,38 @@ object ChangelogStream {
     q.awaitTermination()
 
     readState(spark, stateDir, Changelog.payloadCols)
+  }
+
+  /** Multi-table variant: one stream carries every table's events (the
+    * reference's single CDC topic, `utils.go:31`), state is keyed by
+    * (table, id), and each table's view is a filter over the shared state —
+    * the per-table fan-out the consumer does with per-index writes
+    * (`utils.go:105-112`). Differing table schemas union by name with
+    * null padding (the superset-envelope encoding). */
+  def applyStreamingMultiTable(spark: SparkSession, sfDir: String,
+                               workDir: String): Map[String, DataFrame] = {
+    val clDir = s"$workDir/changelog"
+    val stateDir = s"$workDir/state"
+    val cl = Changelog.fromOrders(spark, sfDir)
+      .unionByName(Changelog.fromCustomer(spark, sfDir), allowMissingColumns = true)
+    cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(clDir)
+
+    val stream = spark.readStream.schema(spark.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 3).parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, stateDir, keyCols = Seq("table", "id"))
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    Map(
+      "orders" -> readState(spark, stateDir, "table" +: Changelog.payloadCols)
+        .filter(col("table") === "orders").select(Changelog.payloadCols.map(col): _*),
+      "customer" -> readState(spark, stateDir, "table" +: Changelog.customerPayloadCols)
+        .filter(col("table") === "customer").select(Changelog.customerPayloadCols.map(col): _*))
   }
 
   /** Query-shaped wrapper (fresh temp workdir per run). */

@@ -195,6 +195,34 @@ object Relational {
               col("user_id"), col("n_events"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** Sliding 10-minute windows every 5 minutes — each event lands in two
+    * overlapping buckets (batch rendering of the streaming sliding window). */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Per-group top-k via the typed [[TopKAggregator]] — same result as the
+    * row_number window (q_topk_per_group shares its oracle) but the partial
+    * aggregate carries at most k rows per group, so the shuffle is k·groups
+    * instead of the full table: the 100 TB formulation. */
+  def qTopKAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .as[(String, Double, Long)]
+    val top = ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(3).toColumn.name("topk"))
+    top.toDF("p_brand", "topk")
+      .select(col("p_brand"), posexplode(col("topk")))
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("p_partkey"), col("col._1").as("p_retailprice"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
   /** GROUPING SETS beyond rollup/cube: independent per-dimension subtotals
     * ((returnflag), (linestatus)) in one pass over the fact table — the
     * shape rollup cannot express. */

@@ -37,6 +37,17 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
+  test("multi-table stream materializes each table like its batch apply") {
+    val work = Files.createTempDirectory("graft-multitable-").toString
+    val states = ChangelogStream.applyStreamingMultiTable(spark, sfDir, work)
+    val orders = Apply.latestState(Changelog.fromOrders(spark, sfDir), Changelog.payloadCols)
+    val customer = Apply.latestState(Changelog.fromCustomer(spark, sfDir), Changelog.customerPayloadCols)
+    assert(states("orders").exceptAll(orders).count() === 0)
+    assert(orders.exceptAll(states("orders")).count() === 0)
+    assert(states("customer").exceptAll(customer).count() === 0)
+    assert(customer.exceptAll(states("customer")).count() === 0)
+  }
+
   test("windowed streaming aggregation with watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

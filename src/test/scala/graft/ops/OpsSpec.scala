@@ -136,6 +136,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("float_dot registers for SQL and matches the fold computation") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.model.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      "SELECT vec_id, float_dot(embedding, embedding) AS d FROM emb_sql_test ORDER BY vec_id")
+    val viaFold = graft.model.Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), Similarity.foldDot(col("embedding"), col("embedding")).as("d"))
+      .orderBy(col("vec_id"))
+    assert(viaSql.exceptAll(viaFold).count() === 0)
+  }
+
+  test("topk aggregator equals the row_number window formulation") {
+    val a = Relational.qTopKAggregator(spark, sfDir).collect().map(_.toSeq)
+    val b = Relational.qTopKPerGroup(spark, sfDir).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("IVF ANN never pairs across buckets") {
     val rows = Similarity.qAnnIvf(spark, sfDir).collect()
     assert(rows.nonEmpty)
