@@ -87,6 +87,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_sliding_window" -> (Relational.qSlidingWindow _),
+    "q_outer_join" -> (Relational.qOuterJoin _),
     "q_topk_agg" -> (Relational.qTopKAggregator _),
     "cdc_time_travel" -> ((s, d) =>
       // snapshot-as-of: state at LSN 1,500,000 (updates applied, deletes not
@@ -294,6 +295,11 @@ object SparkEntry {
          |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
          |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_outer_join" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |  ${dsum("coalesce(o_totalprice, 0)", "total_spent")}
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_topk_agg" ->
       """WITH r AS (
         |  SELECT p_brand, p_partkey, p_retailprice,

@@ -195,6 +195,18 @@ object Relational {
               col("user_id"), col("n_events"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** Left outer join: customers retained with zero orders — count(col)
+    * skips the null-extended side, sum over coalesce stays exact. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           dsum(coalesce(col("o_totalprice"), lit(0d))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Sliding 10-minute windows every 5 minutes — each event lands in two
     * overlapping buckets (batch rendering of the streaming sliding window). */
   def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,35 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(customer.exceptAll(states("customer")).count() === 0)
   }
 
+  test("watermark drops data later than the threshold (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 1), 1.0), (t(0, 2), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window so it finalizes
+    mem.addData((t(1, 0), 1.0))
+    q.processAllAvailable()
+    // this event is >5min behind the watermark: must be DROPPED
+    mem.addData((t(0, 3), 99.0))
+    q.processAllAvailable()
+    mem.addData((t(2, 0), 1.0))
+    q.processAllAvailable()
+    val first = spark.table("late_out")
+      .select(col("window.start"), col("n"))
+      .filter(col("start") === t(0, 0)).collect()
+    assert(first.length === 1 && first.head.getLong(1) === 2) // late row excluded
+    q.stop()
+  }
+
   test("windowed streaming aggregation with watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
