@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Pure-JVM property tests for the bounded top-k UDAF: Spark is free to
+  * split groups across partial aggregates arbitrarily, so correctness rests
+  * on split-invariance of merge — exactly what ScalaCheck shakes out. */
+object TopKProps extends Properties("TopKAggregator") {
+  private val agg = new TopKAggregator(3)
+  private val pair = Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L))
+
+  property("matches sort-take reference") = Prop.forAll(Gen.listOf(pair)) { xs =>
+    val expect = xs.sortBy { case (s, id) => (-s, id) }.take(3)
+    agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == expect
+  }
+
+  property("merge is split-invariant") =
+    Prop.forAll(Gen.listOf(pair), Gen.choose(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                             r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(whole) == agg.finish(merged)
+    }
+
+  property("buffer never exceeds k") = Prop.forAll(Gen.listOf(pair)) { xs =>
+    xs.foldLeft(agg.zero)(agg.reduce).size <= 3
+  }
+}
+
+/** The multimodal stub codec must be a pure function of the bytes. */
+object FakeCodecProps extends Properties("FakeCodec") {
+  import graft.ops.Multimodal.FakeCodec
+  private val bytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  property("probe and features are deterministic") = Prop.forAll(bytes) { b =>
+    FakeCodec.probe(b) == FakeCodec.probe(b.clone()) &&
+      FakeCodec.features(b).sameElements(FakeCodec.features(b.clone()))
+  }
+
+  property("features have fixed dimension") = Prop.forAll(bytes) { b =>
+    FakeCodec.features(b).length == FakeCodec.featureDim
+  }
+
+  property("frame offsets are bounded and sorted") =
+    Prop.forAll(Gen.choose(1, 100), Gen.choose(1, 16)) { (nFrames, k) =>
+      val offs = FakeCodec.frameOffsets(nFrames, k)
+      offs.size == math.min(nFrames, k) &&
+        offs.forall(o => o >= 0 && o < nFrames) && offs == offs.sorted
+    }
+}
