@@ -115,6 +115,29 @@ object Multimodal {
     }(enc)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("new_width", IntegerType, nullable = false),
+    StructField("new_height", IntegerType, nullable = false)))
+
+  /** "Resize" to fit a bounding box, preserving aspect ratio — the codec
+    * call is stubbed (dims come from FakeCodec.probe) but the scaling math
+    * and partition-local batch shape are the real operator. */
+  def resize(media: DataFrame, maxDim: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizeSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (w, h, _) = FakeCodec.probe(bytes)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        Row(r.getLong(0), w, h,
+          math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      }
+    }(enc)
+  }
+
   /** The shipped query: feature-extract + per-type aggregate of the derived
     * columns (rows-only driver check; the stubbed codec has no SQL oracle —
     * unit tests pin its determinism instead). */

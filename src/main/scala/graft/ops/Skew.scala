@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew mitigation: two-phase salted aggregation. A single hot key (one
+  * user producing 10% of 100 TB of events) funnels its entire group through
+  * one reducer in a plain groupBy; salting splits each key into `buckets`
+  * sub-groups for the wide partial phase, then re-aggregates the (tiny)
+  * per-salt partials. AQE's skew handling covers joins; this is the
+  * aggregation-side analog, usable wherever the aggregate decomposes
+  * (count/sum/min/max — anything with an associative merge).
+  */
+object Skew {
+
+  /** count + exact decimal sum of `value` per `key`, salted into `buckets`
+    * partial groups. Result is identical to the unsalted aggregation (sums
+    * are decimal — order-free). */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+                     buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(value), lit(buckets)))
+    salted
+      .groupBy(key.as("key"), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(value.cast(DecimalType(18, 4))).as("_s"))
+      .groupBy(col("key"))
+      .agg(sum(col("_n")).as("n"),
+           round(sum(col("_s")), 2).cast("double").as("sum_value"))
+  }
+}
