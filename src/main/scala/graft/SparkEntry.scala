@@ -35,6 +35,11 @@ object SparkEntry {
       Apply.latestState(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
     "cdc_apply_merge" -> ((s, d) =>
       Apply.mergeApply(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
+    "cdc_apply_partial" -> ((s, d) =>
+      // partial-update events (only o_totalprice set) through the per-field
+      // putAll merge — final state must equal the full-row apply
+      Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload)
+        .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
     "cdc_insert_dedup" -> { (s, d) =>
@@ -144,21 +149,30 @@ object SparkEntry {
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
   private def minhashOracle(n: Int, k: Int, rows: Int, threshold: Double): String = {
-    val sigCols = (0 until k).map(s => s"min(md5('$s|' || shingle)) AS mh_$s").mkString(", ")
+    // mirrors Dedup.minhashPairs: Kirsch–Mitzenmacher double hashing
+    // (g_s = (h1 + s·h2) mod p from one md5), band md5 over concat_ws of
+    // the long signatures, size-pruned candidates, verify-join candidates
+    val p = 16777213L
+    val sigCols = (0 until k).map(s => s"min((h1 + $s * h2) % $p) AS mh_$s").mkString(", ")
     val nBands = k / rows
     val bandExprs = (0 until nBands).map { b =>
-      s"md5(${(b * rows until b * rows + rows).map(r => s"mh_$r").mkString(" || '|' || ")})"
+      s"md5(concat_ws('|', ${(b * rows until b * rows + rows).map(r => s"mh_$r").mkString(", ")}))"
     }.mkString(", ")
     val shingleExpr = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $shingleExpr)) AS shingle FROM tok),
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-       |band AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b USING (band) WHERE a.doc_id < b.doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |com AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-       |v AS (SELECT c.id_a, c.id_b, c.n_common, round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 4) AS jaccard
-       |  FROM com c JOIN cand USING (id_a, id_b) JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b)
+       |hashed AS (SELECT doc_id, shingle,
+       |  CAST('0x' || substr(md5(shingle), 1, 6) AS BIGINT) AS h1,
+       |  CAST('0x' || substr(md5(shingle), 7, 6) AS BIGINT) AS h2 FROM sh),
+       |sig AS (SELECT doc_id, count(*) AS n_sh, $sigCols FROM hashed GROUP BY doc_id),
+       |band AS (SELECT doc_id, n_sh, unnest([$bandExprs]) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b
+       |  FROM band a JOIN band b USING (band)
+       |  WHERE a.doc_id < b.doc_id AND least(a.n_sh, b.n_sh) >= $threshold * greatest(a.n_sh, b.n_sh)),
+       |com AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS n_common
+       |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2, 3, 4),
+       |v AS (SELECT id_a, id_b, n_common, round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard FROM com)
        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -183,6 +197,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "cdc_apply" -> cdcApplySql,
     "cdc_apply_merge" -> cdcApplySql,
+    "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}

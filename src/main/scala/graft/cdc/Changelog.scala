@@ -57,6 +57,39 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** Partial-update changelog: UPDATE events carry ONLY the changed field
+    * (o_totalprice) — every other payload column is null. This is the shape
+    * where the reference's painless `putAll` merge (`es.go:55-61`) actually
+    * differs from whole-row last-writer-wins, so it exercises
+    * [[Apply.mergeApply]]'s per-field latest-non-null semantics. The final
+    * state is identical to [[fromOrders]]'s (same fields survive), which
+    * keeps the DuckDB oracle shared. */
+  def fromOrdersPartial(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val inserts = o.select(Seq(
+      col("o_orderkey").as("id"),
+      col("o_orderkey").as("seq"),
+      lit("INSERT").as("op"),
+      lit("orders").as("table")) ++ payloadCols.map(col): _*)
+    val updates = o.filter(col("o_orderkey") % 5 === 0).select(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("orders").as("table"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast("bigint").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      (col("o_totalprice") + 1d).as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+    val deletes = o.filter(col("o_orderkey") % 7 === 0).select(Seq(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("orders").as("table")) ++ payloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
   /** Second table for multi-table fan-out (the reference handles all tables
     * of the publication through one stream, dispatching per `tableName` —
     * `producer.go:42` FOR ALL TABLES, `utils.go:105-112`): customer

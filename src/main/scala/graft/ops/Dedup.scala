@@ -40,11 +40,21 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle"))
 
-    // signature: min over shingles of md5(seed || '|' || shingle), per seed;
-    // piggyback the shingle count on the same aggregation (no second pass)
-    val sig = sh.groupBy(col("doc_id")).agg(
+    // k hash families via Kirsch–Mitzenmacher double hashing: two 24-bit
+    // base hashes from ONE md5 per shingle, then g_s = (h1 + s·h2) mod p —
+    // 2 hash computations instead of k, identical LSH guarantees, and the
+    // arithmetic is exactly reproducible in the DuckDB oracle
+    val p = 16777213L // largest prime < 2^24
+    val md = md5(col("shingle"))
+    val h1 = conv(substring(md, 1, 6), 16, 10).cast("long")
+    val h2 = conv(substring(md, 7, 6), 16, 10).cast("long")
+    val hashed = sh.select(col("doc_id"), col("shingle"), h1.as("h1"), h2.as("h2"))
+
+    // signature: min over shingles of g_s, per seed; piggyback the shingle
+    // count on the same aggregation (no second pass)
+    val sig = hashed.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_sh"),
-      (0 until k).map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh_$s")): _*)
+      (0 until k).map(s => min((col("h1") + lit(s.toLong) * col("h2")) % p).as(s"mh_$s")): _*)
 
     // LSH bands: band b = md5 of its `rows` signature values concatenated
     val nBands = k / rows

@@ -24,6 +24,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
   test("bucketed co-partitioned join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
     spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    // the catalog is in-memory per JVM but the warehouse dirs persist —
+    // stale locations from a previous test run must go first
+    for (t <- Seq("graft_b_orders", "graft_b_lineitem")) {
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
     Tables.orders(spark, sfDir).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("graft_b_orders")
