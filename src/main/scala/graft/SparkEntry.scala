@@ -115,6 +115,7 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "doc_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "doc_simhash_clusters" -> (Dedup.simhashClusters _),
+    "doc_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // ── Similarity search ───────────────────────────────────────────────
     "emb_norm_stats" -> (Similarity.qNormStats _),
     "emb_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
@@ -440,6 +441,12 @@ object SparkEntry {
       s"""WITH ${simhashVotes(16)}
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
          |FROM sh2 GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "doc_simhash_near" ->
+      s"""WITH ${simhashVotes(16)},
+         |d AS (SELECT simhash, count(*) AS n_docs FROM sh2 GROUP BY simhash)
+         |SELECT a.simhash AS sh_a, b.simhash AS sh_b, a.n_docs AS n_a, b.n_docs AS n_b
+         |FROM d a JOIN d b ON a.simhash < b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY sh_a, sh_b""".stripMargin,
     "emb_norm_stats" ->
       """WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
         |n AS (SELECT vec_id, label, round(sqrt(sum(e*e)), 6) AS nrm FROM x GROUP BY 1, 2)
@@ -457,8 +464,9 @@ object SparkEntry {
     "emb_ann_ivf" ->
       s"""WITH $embX,
          |b AS (SELECT vec_id, CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
-         |pairs AS (SELECT q.q_id, bb.vec_id, bb.bucket FROM q JOIN b bb ON q.bucket = bb.bucket AND bb.vec_id <> q.q_id),
+         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 10),
+         |pairs AS (SELECT q.q_id, bb.vec_id, bb.bucket FROM q JOIN b bb
+         |  ON bit_count(xor(bb.bucket, q.q_bucket)) <= 1 AND bb.vec_id <> q.q_id),
          |dots AS (SELECT p.q_id, p.bucket, p.vec_id, sum(xq.e * xv.e) AS dot
          |  FROM pairs p JOIN x xq ON xq.vec_id = p.q_id JOIN x xv ON xv.vec_id = p.vec_id AND xv.i = xq.i
          |  GROUP BY 1, 2, 3),

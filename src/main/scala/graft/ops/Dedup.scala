@@ -154,6 +154,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-miss pairs: distinct signature values within hamming
+    * distance `maxDist` (bit_count of xor — codegen'd bitwise built-ins).
+    * The self-join runs over DISTINCT signatures (≤2^16), never documents,
+    * so the pair space is bounded regardless of corpus size — the banded
+    * multi-probe generalization of exact-bucket clustering. */
+  def simhashNearPairs(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val d = simhash(spark, dir)
+      .groupBy(col("simhash")).agg(count(lit(1)).as("n_docs"))
+    d.as("a").join(d.as("b"),
+        col("a.simhash") < col("b.simhash") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDist)
+      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"),
+        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"))
+      .orderBy(col("sh_a"), col("sh_b"))
+  }
+
   /** SimHash near-dup clusters: docs sharing an identical 16-bit simhash
     * (bucket size > 1). With 16 bits this is the "hamming distance 0"
     * bucketing stage; a banded multi-probe over bit groups generalizes it. */

@@ -74,13 +74,19 @@ object Similarity {
     }.reduce(_ + _)
 
   def qAnnIvf(spark: SparkSession, dir: String, codeBits: Int = 6,
-              nQueries: Int = 10, k: Int = 5): DataFrame = {
+              nQueries: Int = 10, k: Int = 5, probeDist: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", ivfCode(col("embedding"), codeBits))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    // multi-probe: a sign-bit code puts near-boundary neighbors one bit
+    // away, so each query also probes codes within hamming distance
+    // `probeDist` — (1 + codeBits) buckets instead of 1, recall several ×
+    // higher for ~10% of the corpus touched
+    val scored = e.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeDist &&
+        col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))

@@ -37,6 +37,37 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
+  test("stream resumes from checkpoint without duplicating effects") {
+    import org.apache.spark.sql.SaveMode
+    val work = Files.createTempDirectory("graft-resume-").toString
+    val clDir = s"$work/changelog"
+    val stateDir = s"$work/state"
+    val cl = Changelog.fromOrders(spark, sfDir)
+    // phase 1: only INSERT events are available; run to completion
+    cl.filter($"op" === "INSERT").repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(clDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 2).parquet(clDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          ChangelogStream.upsertBatch(b, stateDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" here — checkpoint remembers the offsets
+    // phase 2: updates/deletes arrive; a NEW query resumes from checkpoint
+    cl.filter($"op" =!= "INSERT").repartition(2)
+      .write.mode(SaveMode.Append).parquet(clDir)
+    runOnce()
+    val got = ChangelogStream.readState(spark, stateDir, Changelog.payloadCols)
+    val want = Apply.latestState(cl, Changelog.payloadCols)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("multi-table stream materializes each table like its batch apply") {
     val work = Files.createTempDirectory("graft-multitable-").toString
     val states = ChangelogStream.applyStreamingMultiTable(spark, sfDir, work)

@@ -153,6 +153,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("IVF ANN recall@5 vs brute force is nontrivial and bounded") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.qCosineTopK(spark, sfDir))
+    val approx = pairs(Similarity.qAnnIvf(spark, sfDir).select(col("q_id"), col("vec_id")))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // orthant code with 6 bits keeps ~1/64 of the corpus per probe; on the
+    // synthetic embeddings it must still find a meaningful share of true
+    // neighbors (observed ~0.3-0.5) while never exceeding brute force
+    assert(recall > 0.1, s"recall@5 collapsed: $recall")
+    assert(approx.size <= exact.size + 50)
+  }
+
   test("IVF ANN never pairs across buckets") {
     val rows = Similarity.qAnnIvf(spark, sfDir).collect()
     assert(rows.nonEmpty)
