@@ -93,6 +93,8 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_sliding_window" -> (Relational.qSlidingWindow _),
     "q_outer_join" -> (Relational.qOuterJoin _),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_percentiles" -> (Relational.qPercentiles _),
     "q_topk_agg" -> (Relational.qTopKAggregator _),
     "cdc_time_travel" -> ((s, d) =>
       // snapshot-as-of: state at LSN 1,500,000 (updates applied, deletes not
@@ -311,6 +313,19 @@ object SparkEntry {
          |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
          |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 2) AS p50,
+        |  round(quantile_cont(value, 0.9), 2) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_outer_join" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
          |  ${dsum("coalesce(o_totalprice, 0)", "total_spent")}

@@ -195,6 +195,28 @@ object Relational {
               col("user_id"), col("n_events"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** Pivot: events long→wide, one count column per event type (explicit
+    * value list keeps the schema static — required for a declarative plan
+    * and for any SQL engine to reproduce it). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Exact interpolated percentiles (median + p90) per event type — both
+    * engines use linear interpolation over the sorted set, and the inputs
+    * are 2-decimal doubles, so rounded results agree exactly. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.9)"), 2).as("p90"))
+      .orderBy(col("event_type"))
+
   /** Left outer join: customers retained with zero orders — count(col)
     * skips the null-extended side, sum over coalesce stays exact. */
   def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
