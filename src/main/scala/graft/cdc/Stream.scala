@@ -75,7 +75,7 @@ object ChangelogStream {
     val clDir = s"$workDir/changelog"
     val stateDir = s"$workDir/state"
     val cl = Changelog.fromOrders(spark, sfDir)
-    cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(clDir)
+    cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(clDir)
 
     val stream = spark.readStream
       .schema(cl.schema)

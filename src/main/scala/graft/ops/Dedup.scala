@@ -150,8 +150,12 @@ object Dedup {
     val fp = (0 until bits).map { i =>
       when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // tiny result (one long per doc) consumed by three queries — cache so
+    // the 16-way vote aggregation runs once per session (Spark's cache
+    // manager matches the canonicalized plan across separate calls)
     agged.select(col("doc_id"), fp.as("simhash"))
       .orderBy(col("doc_id"))
+      .cache()
   }
 
   /** SimHash near-miss pairs: distinct signature values within hamming
