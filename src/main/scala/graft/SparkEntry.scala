@@ -65,6 +65,20 @@ object SparkEntry {
             .getField("k").cast("long").as("k"))
         .orderBy(col("event_id"))
     },
+    "cdc_asof_join" -> { (s, d) =>
+      // the custom AS-OF operator (graft.plans.AsOfJoin): each purchase
+      // joined to the user's latest signup at-or-before it. The ordinal is
+      // µs-since-2024 scaled + event_id so it is unique (deterministic ties)
+      val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), ord.as("lo"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user"), col("event_id").as("signup_event"), ord.as("ro"))
+      graft.plans.AsOf.join(l, r, l("user_id"), r("r_user"), l("lo"), r("ro"))
+        .select(col("user_id"), col("event_id"), col("signup_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     "cdc_latest_per_key" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -220,6 +234,15 @@ object SparkEntry {
     "cdc_decode_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  (epoch_us(ts) - 1704067200000000) * 100000 + event_id AS o FROM events),
+        |l AS (SELECT user_id, event_id, o FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, event_id AS signup_event, o FROM e WHERE event_type = 'signup'),
+        |j AS (SELECT l.user_id, l.event_id, r.signup_event,
+        |      row_number() OVER (PARTITION BY l.user_id, l.event_id ORDER BY r.o DESC) AS rn
+        |      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.o <= l.o)
+        |SELECT user_id, event_id, signup_event FROM j WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
     "cdc_latest_per_key" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,

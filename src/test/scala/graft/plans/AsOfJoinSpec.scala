@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.model.Tables
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("as-of picks the latest right version at or before the left ordinal") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "o", "lv")
+    val r = Seq((1L, 5L, "v1"), (1L, 15L, "v2"), (1L, 25L, "v3"), (2L, 9L, "x"))
+      .toDF("k2", "o2", "rv")
+    val out = AsOf.join(l, r, l("k"), r("k2"), l("o"), r("o2"))
+      .select($"k", $"o", $"rv").orderBy($"k", $"o")
+      .as[(Long, Long, Option[String])].collect()
+    assert(out.toSeq === Seq(
+      (1L, 10L, Some("v1")),   // v2@15 is later than 10
+      (1L, 20L, Some("v2")),   // v3@25 is later than 20
+      (2L, 5L, None),          // only version is at 9 > 5
+      (3L, 7L, None)))         // key has no versions at all
+  }
+
+  test("matches the window-join reference formulation on events") {
+    val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), ord.as("lo"))
+    val r = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user"), col("event_id").as("signup_event"), ord.as("ro"))
+    val got = AsOf.join(l, r, l("user_id"), r("r_user"), l("lo"), r("ro"))
+      .select(col("user_id"), col("event_id"), col("signup_event"))
+
+    // reference: pair join + keep latest right per left row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_id")).orderBy(col("ro").desc)
+    val want = l.join(r, col("user_id") === col("r_user") && col("ro") <= col("lo"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("signup_event"))
+
+    assert(got.count() === l.count())
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+}
