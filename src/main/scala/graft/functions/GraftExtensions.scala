@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "", "float_dot",
         "float_dot(a, b) - dot product of two float arrays as double", ""),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

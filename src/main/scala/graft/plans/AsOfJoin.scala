@@ -105,6 +105,30 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Catalyst stops predicate pushdown at nodes it doesn't know, so a filter
+  * written above an as-of join would otherwise run after the shuffle. This
+  * rule pushes left-side-only conjuncts into the left child (pushing right-
+  * side predicates would be wrong: dropping old versions can change which
+  * version is "latest ≤ ord" — they stay put), after which the planner's
+  * normal scan pushdown carries them into the parquet reader. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOf {
   /** left AS-OF join right on key, right.ord ≤ left.ord, latest right wins;
     * unmatched left rows keep nulls on the right side. Key/ord must be
@@ -116,6 +140,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        PushFilterThroughAsOfJoin +: spark.experimental.extraOptimizations
     }
     def check(c: Column, df: DataFrame, what: String): Expression = {
       val e = ColumnBridge.expression(c)

@@ -23,6 +23,28 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (3L, 7L, None)))         // key has no versions at all
   }
 
+  test("left-side filters push through the as-of join into the scan") {
+    val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), ord.as("lo"))
+    val r = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user"), col("event_id").as("signup_event"), ord.as("ro"))
+    val j = AsOf.join(l, r, l("user_id"), r("r_user"), l("lo"), r("ro"))
+      .filter(col("event_id") < 100) // references the LEFT side only
+    val optimized = j.queryExecution.optimizedPlan
+    // the filter must sit BELOW the AsOfJoinNode after optimization
+    val node = optimized.collectFirst { case n: AsOfJoinNode => n }.get
+    assert(node.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("event_id") && f.condition.toString.contains("100") => f
+    }.nonEmpty, s"filter not pushed:\n$optimized")
+    // and results equal joining the pre-filtered left input directly
+    val l2 = l.filter(col("event_id") < 100)
+    val want = AsOf.join(l2, r, l2("user_id"), r("r_user"), l2("lo"), r("ro"))
+    assert(j.exceptAll(want).count() === 0 && want.exceptAll(j).count() === 0)
+  }
+
   test("matches the window-join reference formulation on events") {
     val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
     val ev = Tables.events(spark, sfDir)
