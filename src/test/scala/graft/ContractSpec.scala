@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself — cheap failures here beat silent
+  * zeroes in the driver's correctness round. */
+class ContractSpec extends AnyFunSuite with SparkSpec {
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("queries without an oracle are the documented rows-only set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q_approx_distinct", "mm_media_features", "mm_frame_sample"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("entry (driver smoke) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL contains no tab/CR control chars that bend JSON escaping") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.exists(c => c < ' ' && c != '\n'), s"$k has control chars")
+    }
+  }
+}
