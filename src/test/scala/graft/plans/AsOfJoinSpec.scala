@@ -23,6 +23,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (3L, 7L, None)))         // key has no versions at all
   }
 
+  test("as-of join edge cases: empty sides, dense single-key history") {
+    val emptyR = Seq.empty[(Long, Long, String)].toDF("k2", "o2", "rv")
+    val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "o", "lv")
+    val out1 = AsOf.join(l, emptyR, l("k"), emptyR("k2"), l("o"), emptyR("o2"))
+      .select($"k", $"rv").orderBy($"k").as[(Long, Option[String])].collect()
+    assert(out1.toSeq === Seq((1L, None), (2L, None)))
+
+    val emptyL = Seq.empty[(Long, Long, String)].toDF("k", "o", "lv")
+    val r = Seq((1L, 5L, "v")).toDF("k2", "o2", "rv")
+    assert(AsOf.join(emptyL, r, emptyL("k"), r("k2"), emptyL("o"), r("o2")).count() === 0)
+
+    // one key, 100 versions at ord 0,2,4,... and 100 probes at 1,3,5,...
+    // — probe at 2i+1 must see version 2i; forces sustained merge advance
+    val versions = (0 until 100).map(i => (7L, i * 2L, i.toLong)).toDF("k2", "o2", "v")
+    val probes = (0 until 100).map(i => (7L, i * 2L + 1)).toDF("k", "o")
+    val out3 = AsOf.join(probes, versions, probes("k"), versions("k2"), probes("o"), versions("o2"))
+      .select($"o", $"v").orderBy($"o").as[(Long, Long)].collect()
+    assert(out3.toSeq === (0 until 100).map(i => (i * 2L + 1, i.toLong)))
+  }
+
   test("left-side filters push through the as-of join into the scan") {
     val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
     val ev = Tables.events(spark, sfDir)
