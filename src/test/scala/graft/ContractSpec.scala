@@ -21,6 +21,16 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query plans a cartesian product") {
+    // cdc_apply_stream executes a stream when built, so it is exercised in
+    // StreamSpec instead of planned here
+    val skip = Set("cdc_apply_stream")
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("oracle SQL contains no tab/CR control chars that bend JSON escaping") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.exists(c => c < ' ' && c != '\n'), s"$k has control chars")
