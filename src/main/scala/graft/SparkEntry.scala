@@ -108,6 +108,14 @@ object SparkEntry {
     "q_sliding_window" -> (Relational.qSlidingWindow _),
     "q_outer_join" -> (Relational.qOuterJoin _),
     "q_pivot" -> (Relational.qPivot _),
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_dim"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_dim"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_dim"))
+      .orderBy(col("vec_id"))),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_topk_agg" -> (Relational.qTopKAggregator _),
     "cdc_time_travel" -> ((s, d) =>
@@ -336,6 +344,12 @@ object SparkEntry {
          |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
          |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

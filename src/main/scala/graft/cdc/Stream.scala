@@ -55,6 +55,17 @@ object ChangelogStream {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$next")
+    // retention: keep the new snapshot + one predecessor (for readers that
+    // resolved the previous version before this write); older versions are
+    // dead weight — without this the state store grows with every batch
+    val root = new java.io.File(stateDir)
+    root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        f.getName.stripPrefix("v=").toLong < next - 1)
+      .foreach { dir =>
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
   }
 
   /** Read the materialized table: latest snapshot minus tombstones. */

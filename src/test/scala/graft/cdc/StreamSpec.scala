@@ -37,6 +37,20 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
+  test("state retention keeps at most two snapshot versions") {
+    val work = Files.createTempDirectory("graft-retain-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    (1 to 5).foreach { i =>
+      ChangelogStream.upsertBatch(mk((i.toLong, i.toLong, "INSERT", s"v$i")), stateDir)
+    }
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    assert(versions.toSeq === Seq("v=3", "v=4"))
+    // and the surviving snapshot holds all five keys
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 5)
+  }
+
   test("stream resumes from checkpoint without duplicating effects") {
     import org.apache.spark.sql.SaveMode
     val work = Files.createTempDirectory("graft-resume-").toString
