@@ -108,6 +108,18 @@ object SparkEntry {
     "q_sliding_window" -> (Relational.qSlidingWindow _),
     "q_outer_join" -> (Relational.qOuterJoin _),
     "q_pivot" -> (Relational.qPivot _),
+    "q_scalar_math" -> ((s, d) =>
+      // IEEE-exact math only (sqrt/abs/floor/ceil/sign, x*x) — transcendental
+      // functions (ln/exp) differ in ulps across libm implementations
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        abs(col("l_discount") - 0.05d).as("abs_disc"),
+        floor(col("l_quantity")).as("floor_qty"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        signum(col("l_discount") - 0.05d).as("sign_disc"),
+        (col("l_tax") * col("l_tax")).as("tax_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -344,6 +356,15 @@ object SparkEntry {
          |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
          |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+        |  l_tax * l_tax AS tax_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,

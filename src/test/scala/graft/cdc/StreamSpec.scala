@@ -93,6 +93,28 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(customer.exceptAll(states("customer")).count() === 0)
   }
 
+  test("streaming session window merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = df.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    mem.addData((t(1), 1L), (t(3), 1L), (t(20), 1L), (t(2), 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select(col("session_window.start").as("s"), col("user_id"), col("n"))
+      .orderBy(col("user_id"), col("s")).collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (1L, 1L), (2L, 1L))) // user 1: [1,3] merged, [20] alone
+    q.stop()
+  }
+
   test("watermark drops data later than the threshold (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
