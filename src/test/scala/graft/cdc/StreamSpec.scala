@@ -100,14 +100,19 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val q = df.writeStream.outputMode("update")
+    // session aggregations only support append (emit on finalize) in
+    // streaming, so finalize via a watermark-advancing sentinel event
+    val q = df.writeStream.outputMode("append")
       .format("memory").queryName("sess_out")
       .trigger(Trigger.ProcessingTime(0))
       .start()
-    def t(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
-    mem.addData((t(1), 1L), (t(3), 1L), (t(20), 1L), (t(2), 2L))
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 1), 1L), (t(0, 3), 1L), (t(0, 20), 1L), (t(0, 2), 2L))
+    q.processAllAvailable()
+    mem.addData((t(2, 0), 99L)) // watermark → 01:50, finalizing all sessions
     q.processAllAvailable()
     val rows = spark.table("sess_out")
+      .filter(col("user_id") =!= 99L)
       .select(col("session_window.start").as("s"), col("user_id"), col("n"))
       .orderBy(col("user_id"), col("s")).collect()
     assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
