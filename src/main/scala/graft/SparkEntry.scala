@@ -120,6 +120,18 @@ object SparkEntry {
         signum(col("l_discount") - 0.05d).as("sign_disc"),
         (col("l_tax") * col("l_tax")).as("tax_sq"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q_map_funcs" -> { (s, d) =>
+      // MapType path of the generic (schema-unknown) row model (SURVEY §1.2)
+      val m = map(lit("type"), col("event_type"),
+                  lit("uid"), col("user_id").cast("string"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        size(m).cast("long").as("n_keys"),
+        element_at(m, "type").as("type_val"),
+        concat_ws(",", map_keys(m)).as("keys"),
+        concat_ws(",", map_values(m)).as("vals"))
+      .orderBy(col("event_id"))
+    },
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -365,6 +377,14 @@ object SparkEntry {
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
         |  l_tax * l_tax AS tax_sq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id, CAST(cardinality(m) AS BIGINT) AS n_keys, (m['type'])[1] AS type_val,
+        |  array_to_string(map_keys(m), ',') AS keys,
+        |  array_to_string(map_values(m), ',') AS vals
+        |FROM (SELECT event_id,
+        |        MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
