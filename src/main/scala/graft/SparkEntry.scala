@@ -160,6 +160,7 @@ object SparkEntry {
     "doc_dedup_stats" -> (Text.qDedupStats _),
     "doc_rolling_fp" -> (Text.qRollingFingerprint _),
     "doc_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "doc_dup_clusters" -> (Dedup.duplicateClusters _),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "doc_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "doc_simhash_clusters" -> (Dedup.simhashClusters _),
@@ -517,6 +518,19 @@ object SparkEntry {
         |  count(*) AS n_tokens
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_minhash_lsh" -> minhashOracle(n = 3, k = 12, rows = 2, threshold = 0.4),
+    "doc_dup_clusters" -> {
+      // connected components in SQL: undirected transitive closure via
+      // recursive CTE over the same minhash pairs, cluster = min reachable id
+      val pairsSql = minhashOracle(n = 3, k = 12, rows = 2, threshold = 0.4)
+      s"""WITH RECURSIVE p AS ($pairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    },
     "doc_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang, unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),

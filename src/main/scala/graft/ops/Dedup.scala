@@ -134,6 +134,38 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate clusters: connected components over the near-dup pair graph
+    * (minhash pairs), so "keep one document per duplicate cluster" becomes a
+    * groupBy(cluster). Iterative min-label propagation — the standard
+    * large-scale connected-components shape (driver coordinates iterations;
+    * data never leaves the cluster; converges in O(graph diameter) rounds,
+    * and dedup graphs are shallow). Cluster id = min doc_id of the
+    * component. Only documents that appear in at least one pair are listed.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash (b-bit, here b=16): per token t and bit i, the bit vote is +1
     * if the first hex char of md5(i || '|' || t) is >= '8' (i.e. the hash's
     * high bit), else -1; bit i of the fingerprint is 1 iff the vote sum > 0.

@@ -95,6 +95,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(_.getDouble(3) >= 0.4))
   }
 
+  test("duplicate clusters are consistent with the pair graph") {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.duplicateClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // paired docs always share a cluster, rep is the component's min id
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep === members.keys.min)
+    }
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Dedup.simhash(spark, sfDir).collect()
     assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1 << 16)))
