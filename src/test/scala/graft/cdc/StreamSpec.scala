@@ -93,6 +93,24 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(customer.exceptAll(states("customer")).count() === 0)
   }
 
+  test("streaming dropDuplicates suppresses replays across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "fp")
+      .dropDuplicates("fp") // keyed state: first writer per fingerprint wins
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, "a"), (2L, "b"), (3L, "a")) // 3 duplicates 1 in-batch
+    q.processAllAvailable()
+    mem.addData((4L, "a"), (5L, "c")) // 4 duplicates 1 across batches
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("fp").as[String].collect().sorted
+    assert(out.toSeq === Seq("a", "b", "c"))
+    q.stop()
+  }
+
   test("streaming session window merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
