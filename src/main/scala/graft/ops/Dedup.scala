@@ -38,7 +38,9 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String, n: Int = 3, k: Int = 12,
                    rows: Int = 2, threshold: Double = 0.4): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle"))
+    // cached: consumed three times (signature aggregation + both sides of
+    // the candidate-verify join)
+    val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle")).cache()
 
     // k hash families via Kirsch–Mitzenmacher double hashing: two 24-bit
     // base hashes from ONE md5 per shingle, then g_s = (h1 + s·h2) mod p —
@@ -111,12 +113,15 @@ object Dedup {
     //    planner can't broadcast the (large) exploded side
     //  - size-compatibility predicate prunes pairs that can never reach the
     //    threshold (jaccard <= min|sets| / max|sets|)
+    // cache: the exploded+hashed table is small (one long per shingle) and
+    // the self-join reads it twice — without this, BOTH sides re-run the
+    // expensive shingle expression (no exchange reuse under AQE hints)
     val sh = docs
       .select(col("doc_id"), col("lang"), shinglesExpr(n).as("shs"))
       .select(col("doc_id"), col("lang"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("shingle"))
       .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
-      .repartition(col("lang"), col("sh"))
+      .cache()
     val common = sh.as("x").hint("shuffle_hash").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
         col("x.doc_id") < col("y.doc_id") &&
@@ -143,12 +148,16 @@ object Dedup {
     * component. Only documents that appear in at least one pair are listed.
     */
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select(col("id_a"), col("id_b"))
+    // pairs cached once: the swap-union for undirected edges would otherwise
+    // run the whole minhash pipeline twice
+    val pairs = minhashPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
+    // localCheckpoint each round: iterative algorithms otherwise accumulate
+    // lineage, and every action replans the full history
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = edges
@@ -156,7 +165,7 @@ object Dedup {
         .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nl"))
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).count()
