@@ -227,9 +227,9 @@ object SparkEntry {
   }
 
   private def simhashVotes(bits: Int): String =
-    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""t AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 6) AS BIGINT) AS hv FROM documents),
        |v AS (SELECT doc_id, ${(0 until bits).map(i =>
-             s"sum(CASE WHEN substr(md5('$i|' || tok), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i").mkString(", ")}
+             s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i").mkString(", ")}
        |  FROM t GROUP BY doc_id),
        |sh2 AS (SELECT doc_id, CAST(${(0 until bits).map(i => s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash FROM v)""".stripMargin
 

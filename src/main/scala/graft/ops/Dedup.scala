@@ -175,17 +175,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash (b-bit, here b=16): per token t and bit i, the bit vote is +1
-    * if the first hex char of md5(i || '|' || t) is >= '8' (i.e. the hash's
-    * high bit), else -1; bit i of the fingerprint is 1 iff the vote sum > 0.
-    * Pure string/integer expressions → identical in DuckDB.
-    */
+  /** SimHash (b-bit, here b=16): per token t, ONE 24-bit hash (md5 prefix);
+    * bit i's vote is +1 if bit i of the hash is set, else -1 (independent
+    * bits of one good hash ≡ independent hash functions — same trick as the
+    * minhash double hashing, 1 md5 per token instead of 16); fingerprint
+    * bit i is 1 iff the vote sum > 0. Pure integer expressions → identical
+    * in DuckDB. */
   def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long").as("hv"))
     val votes = (0 until bits).map { i =>
-      sum(when(substring(md5(concat(lit(s"$i|"), col("tok"))), 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v_$i")
+      sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
     }
     val agged = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until bits).map { i =>
