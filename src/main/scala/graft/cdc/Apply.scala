@@ -40,22 +40,30 @@ object Apply {
   }
 
   /** Per-field merge apply (painless putAll semantics for *partial* updates):
-    * for each id, for each field, the latest non-null value across all
-    * non-DELETE versions — unless the overall-latest op is DELETE.
-    * Implemented as one aggregation (max_by over seq per field), still a
-    * single shuffle on id.
+    * for each id, for each field, the latest non-null value among events
+    * AFTER the last DELETE (a delete clears the document — reference
+    * `es.go:112-144` — so pre-delete field values must not survive a
+    * re-insert), and the key exists only if any event follows the last
+    * DELETE. One aggregation, a single shuffle on id: each field carries
+    * both its latest value (max_by over seq) and that value's seq, and a
+    * projection fences both on the delete seq.
     */
   def mergeApply(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    def liveSeq(c: String): Column =
+      when(col("op") =!= "DELETE" && col(c).isNotNull, col("seq"))
     val agg: Seq[Column] =
       max(when(col("op") === "DELETE", col("seq"))).as("last_delete_seq") +:
       max(col("seq")).as("last_seq") +:
-      payloadCols.map { c =>
-        max_by(col(c), when(col("op") =!= "DELETE" && col(c).isNotNull, col("seq"))).as(c)
+      payloadCols.flatMap { c => Seq(
+        max_by(col(c), liveSeq(c)).as(s"val_$c"),
+        max(liveSeq(c)).as(s"seq_$c"))
       }
+    val fence = coalesce(col("last_delete_seq"), lit(Long.MinValue))
     changelog.groupBy(col("id"))
       .agg(agg.head, agg.tail: _*)
       .filter(col("last_delete_seq").isNull || col("last_delete_seq") < col("last_seq"))
-      .select(payloadCols.map(col): _*)
+      .select(payloadCols.map(c =>
+        when(col(s"seq_$c") > fence, col(s"val_$c")).as(c)): _*)
   }
 
   /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):

@@ -60,6 +60,19 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((Some("a1"), Some("b2"))))
   }
 
+  test("mergeApply: delete clears pre-delete fields (no resurrection on re-insert)") {
+    // id 1: insert(a,b) → delete → partial re-insert (only a). The old b
+    // must NOT leak through the merge (reference delete removes the doc).
+    val events = Seq(
+      (1L, 1L, "INSERT", Some("a1"), Some("b1")),
+      (1L, 2L, "DELETE", None: Option[String], None: Option[String]),
+      (1L, 3L, "INSERT", Some("a2"), None: Option[String])
+    ).toDF("id", "seq", "op", "a", "b")
+    val out = Apply.mergeApply(events, Seq("a", "b"))
+      .as[(Option[String], Option[String])].collect()
+    assert(out.toSeq === Seq((Some("a2"), None)))
+  }
+
   test("mergeApply equals latestState for full-row updates") {
     val base = Changelog.fromOrders(spark, sfDir)
     val a = Apply.latestState(base, Changelog.payloadCols)
