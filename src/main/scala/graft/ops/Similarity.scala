@@ -49,12 +49,17 @@ object Similarity {
     * one pass, no pair materialization beyond (queries × corpus). */
   def qCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
                   k: Int = 5): DataFrame = {
+    // norms are per-row: compute once per side instead of letting cosine()
+    // re-derive both inside every pair (3 array loops per pair → 1)
     val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -77,9 +82,10 @@ object Similarity {
               nQueries: Int = 10, k: Int = 5, probeDist: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", ivfCode(col("embedding"), codeBits))
+      .withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
     // multi-probe: a sign-bit code puts near-boundary neighbors one bit
     // away, so each query also probes codes within hamming distance
     // `probeDist` — (1 + codeBits) buckets instead of 1, recall several ×
@@ -88,7 +94,8 @@ object Similarity {
         bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeDist &&
         col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -103,11 +110,13 @@ object Similarity {
                         threshold: Double = 0.8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", ivfCode(col("embedding"), codeBits))
-      .select(col("bucket"), col("vec_id"), col("embedding"))
+      .select(col("bucket"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("score"))
       .filter(col("score") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
