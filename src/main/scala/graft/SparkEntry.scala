@@ -190,7 +190,7 @@ object SparkEntry {
 
   // stopword-hit expression (DuckDB side; mirrors Text.hits/regexp_count)
   private def hitsSql(words: Seq[String]): String =
-    words.map(w => s"length(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+    s"length(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
   private val stopEn = Seq("the", "and", "of", "to", "a")
   private val langWords = Map(
     "de" -> Seq("der", "die", "und", "das", "ist"),

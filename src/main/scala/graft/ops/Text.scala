@@ -48,8 +48,10 @@ object Text {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** One alternation regex per word list (word-boundary matches cannot
+    * overlap, so one pass counts exactly what per-word passes would). */
   private def hits(c: Column, words: Seq[String]): Column =
-    words.map(w => regexp_count(c, lit(s"\\b$w\\b"))).reduce(_ + _)
+    regexp_count(c, lit(s"\\b(${words.mkString("|")})\\b"))
 
   /** N-gram/stopword-heuristic language ID: count stopword hits per
     * candidate language, argmax wins ('und' = undetermined when all zero);
