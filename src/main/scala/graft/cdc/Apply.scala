@@ -30,8 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Apply {
 
-  /** Latest-row-wins apply. `payloadCols` are the row columns to emit. */
+  /** Latest-row-wins apply. `payloadCols` are the row columns to emit.
+    *
+    * Implemented as `max_by(struct(row), seq)` hash aggregation rather than
+    * the equivalent `row_number` window: the aggregate gets map-side partial
+    * combine, so only one candidate row per (input partition, key) ever
+    * reaches the shuffle — on a 100 TB changelog with hot keys that is the
+    * difference between shuffling every event and shuffling ~one row per
+    * key per partition. (The window form shuffles and sorts everything; it
+    * remains in [[windowedLatestState]] as the reference formulation.) */
   def latestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val rowStruct = struct(col("op") +: payloadCols.map(col): _*)
+    changelog.groupBy(col("id"))
+      .agg(max_by(rowStruct, col("seq")).as("last"))
+      .filter(col("last.op") =!= "DELETE")
+      .select(payloadCols.map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** The `row_number` window formulation of [[latestState]] — identical
+    * result; kept as the window-function rendering of the same semantics. */
+  def windowedLatestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
     changelog
       .withColumn("rn", row_number().over(w))
@@ -74,14 +92,13 @@ object Apply {
 
   /** Idempotent insert (the reference's replay-duplication fix, SURVEY §4.3
     * item 3): key-addressed dedup of an insert stream — first writer wins by
-    * seq. `row_number` keeps the choice deterministic, unlike
-    * `dropDuplicates` which is arrival-order dependent. */
-  def insertDedup(inserts: DataFrame, payloadCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("seq").asc)
-    inserts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(payloadCols.map(col): _*)
-  }
+    * seq (`min_by` keeps the choice deterministic, unlike `dropDuplicates`
+    * which is arrival-order dependent; same map-side-combine shape as
+    * [[latestState]]). */
+  def insertDedup(inserts: DataFrame, payloadCols: Seq[String]): DataFrame =
+    inserts.groupBy(col("id"))
+      .agg(min_by(struct(payloadCols.map(col): _*), col("seq")).as("first"))
+      .select(payloadCols.map(c => col(s"first.$c").as(c)): _*)
 
   /** Keyed delete as an anti-join (reference O14 `delete_by_query`,
     * `es.go:112-144`): state minus delete keys. Broadcast the delete-key

@@ -2,7 +2,6 @@ package graft.cdc
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -44,16 +43,18 @@ object ChangelogStream {
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq").desc)
     val prev = latestVersion(stateDir) match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     }
     val next = latestVersion(stateDir).getOrElse(-1L) + 1
+    // max_by hash aggregation (map-side combined) — see Apply.latestState
+    val others = batch.columns.filterNot(keyCols.contains)
     prev.unionByName(batch)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"last.$c").as(c)): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$next")
     // retention: keep the new snapshot + one predecessor (for readers that
     // resolved the previous version before this write); older versions are
