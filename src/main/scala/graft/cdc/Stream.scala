@@ -50,7 +50,7 @@ object ChangelogStream {
     }
     val next = latestVersion(stateDir).getOrElse(-1L) + 1
     // max_by hash aggregation (map-side combined) — see Apply.latestState
-    val others = batch.columns.filterNot(keyCols.contains)
+    val others = batch.columns.toSeq.filterNot(keyCols.contains)
     prev.unionByName(batch)
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))

@@ -20,7 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "", "float_dot",
-        "float_dot(a, b) - dot product of two float arrays as double", ""),
+        "float_dot(a, b) - dot product of two float arrays as double",
+        "", "", "", "", "4.0.0", "", "scala_udf"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
