@@ -39,9 +39,16 @@ object Apply {
     * difference between shuffling every event and shuffling ~one row per
     * key per partition. (The window form shuffles and sorts everything; it
     * remains in [[windowedLatestState]] as the reference formulation.) */
+  /** The op kinds the pipeline applies; anything else (the reference drops
+    * Truncate/Begin/Commit/Type/Origin messages, `producer.go:161-166`) is
+    * filtered out before the merge. */
+  val handledOps: Seq[String] = Seq("INSERT", "UPDATE", "DELETE")
+
   def latestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
     val rowStruct = struct(col("op") +: payloadCols.map(col): _*)
-    changelog.groupBy(col("id"))
+    changelog
+      .filter(col("op").isin(handledOps: _*))
+      .groupBy(col("id"))
       .agg(max_by(rowStruct, col("seq")).as("last"))
       .filter(col("last.op") =!= "DELETE")
       .select(payloadCols.map(c => col(s"last.$c").as(c)): _*)

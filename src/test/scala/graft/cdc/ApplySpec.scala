@@ -98,6 +98,27 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("unhandled op kinds are dropped like the reference's message filter") {
+    // TRUNCATE at the highest seq must neither win LWW nor delete the key
+    val out = Apply.latestState(cl(
+      (1L, 1L, "INSERT", "t", "a"),
+      (1L, 2L, "UPDATE", "t", "b"),
+      (1L, 3L, "TRUNCATE", "t", "zzz")), Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "b")))
+  }
+
+  test("corrupt envelope JSON decodes to null and is skipped (O9 semantics)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
+    val df = Seq("""{"k": 5}""", "not json at all", """{"k": "oops"}""").toDF("props")
+    val ks = df.select(from_json($"props", schema).getField("k").as("k"))
+      .collect().map(r => Option(r.get(0)))
+    assert(ks.toSeq === Seq(Some(5), None, None))
+    // the reference skips such events (utils.go:98-102): filter keeps 1 row
+    assert(df.select(from_json($"props", schema).as("e"))
+      .filter($"e.k".isNotNull).count() === 1)
+  }
+
   test("changelog synthesis counts match the %5 / %7 rules") {
     val n = graft.model.Tables.orders(spark, sfDir).count()
     val byOp = Apply.opCounts(Changelog.fromOrders(spark, sfDir))
