@@ -41,6 +41,8 @@ object SparkEntry {
       Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload)
         .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
+    "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
+    "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
     "cdc_insert_dedup" -> { (s, d) =>
       val ins = Changelog.fromOrders(s, d).filter(col("op") === "INSERT")
@@ -362,6 +364,13 @@ object SparkEntry {
       s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
          |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_tumbling_window" ->
+      s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+         |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """WITH f AS (SELECT DISTINCT source, md5(lower(text)) AS fp FROM documents)
+        |SELECT source, count(*) AS n_distinct FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q_sliding_window" ->
       s"""WITH s AS (
          |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - j.j) * 300000000) AS w_start,
