@@ -151,6 +151,7 @@ object SparkEntry {
         Changelog.fromOrders(s, d).filter(col("seq") <= 1500000L), payload)
         .orderBy(col("o_orderkey"))),
     "q_semijoin" -> (Relational.qSemiJoin _),
+    "q_correlated_subquery" -> (Relational.qCorrelatedSubquery _),
     "q_window_lead" -> (Relational.qWindowLead _),
     "q_array_agg" -> (Relational.qArrayAgg _),
     // ── Text analysis + dedup (north-star extensions) ───────────────────
@@ -440,6 +441,10 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(1) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
     "q_semijoin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

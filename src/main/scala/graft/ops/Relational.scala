@@ -272,6 +272,20 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + outer join (visible with .explain: no per-row subplan
+    * execution survives optimization). */
+  def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_sub")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_sub")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(1) FROM graft_lineitem_sub WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM graft_orders_sub
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Semi-join (EXISTS): customers having at least one finished order.
     * The probe side streams; only custkeys travel. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
