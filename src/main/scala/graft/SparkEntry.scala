@@ -103,6 +103,7 @@ object SparkEntry {
     "q_scalar_string" -> (Relational.qScalarString _),
     "q_json_extract" -> (Relational.qJsonExtract _),
     "q_date_trunc" -> (Relational.qDateTrunc _),
+    "q_date_arith" -> (Relational.qDateArith _),
     "q_tumbling_window" -> (Relational.qTumblingWindow _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -361,6 +362,12 @@ object SparkEntry {
     "q_date_trunc" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mth, day(o_orderdate) AS dom,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_ref
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_tumbling_window" ->
       s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
          |  event_type, count(*) AS n, ${dsum("value", "sum_value")}

@@ -175,6 +175,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour"))
 
+  /** Date arithmetic family: extract parts, shift, diff. */
+  def qDateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_ref"))
+      .orderBy(col("o_orderkey"))
+
   /** Tumbling 10-minute windows via the built-in `window` function —
     * the batch rendering of the streaming tumbling-window operator. */
   def qTumblingWindow(spark: SparkSession, dir: String): DataFrame =
