@@ -104,6 +104,8 @@ object SparkEntry {
     "q_json_extract" -> (Relational.qJsonExtract _),
     "q_date_trunc" -> (Relational.qDateTrunc _),
     "q_date_arith" -> (Relational.qDateArith _),
+    "q_stats" -> (Relational.qStats _),
+    "doc_token_freq" -> (Text.qTokenFreq _),
     "q_tumbling_window" -> (Relational.qTumblingWindow _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -362,6 +364,16 @@ object SparkEntry {
     "q_date_trunc" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  round(var_samp(value), 4) AS var_value,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "doc_token_freq" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS freq FROM t GROUP BY tok
+        |ORDER BY freq DESC, tok LIMIT 30""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mth, day(o_orderdate) AS dom,

@@ -175,6 +175,18 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour"))
 
+  /** Statistical aggregates: stddev/variance/correlation per event type.
+    * Accumulation algorithms differ across engines (ulp-level), so results
+    * are rounded to 4 decimals — coarse enough to absorb that drift. */
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"))
+      .orderBy(col("event_type"))
+
   /** Date arithmetic family: extract parts, shift, diff. */
   def qDateArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

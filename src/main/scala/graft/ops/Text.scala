@@ -116,6 +116,17 @@ object Text {
            (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_rows"))
       .orderBy(col("source"))
 
+  /** Token frequency analysis: corpus-wide top-30 tokens (the word-count
+    * that underlies vocabulary pruning / stop-list induction), deterministic
+    * tie-break on the token itself. */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(30)
+
   /** Rolling (polynomial) hash fingerprint over the token stream — a
     * content-defined fingerprint that, unlike md5-of-whole-text, is
     * incrementally computable over chunks. Pure integer arithmetic so it is
