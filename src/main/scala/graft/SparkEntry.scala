@@ -98,6 +98,8 @@ object SparkEntry {
     "q_cube" -> (Relational.qCube _),
     "q_window_running" -> (Relational.qWindowRunning _),
     "q_window_lag" -> (Relational.qWindowLag _),
+    "q_window_range" -> (Relational.qWindowRange _),
+    "q_window_rank_stats" -> (Relational.qWindowRankStats _),
     "q_topk_per_group" -> (Relational.qTopKPerGroup _),
     "q_setops" -> (Relational.qSetOps _),
     "q_scalar_string" -> (Relational.qScalarString _),
@@ -334,6 +336,20 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_30m
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_rank_stats" ->
+      """SELECT user_id, event_id,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_topk_per_group" ->
       """WITH r AS (
         |  SELECT p_brand, p_partkey, p_retailprice,

@@ -117,6 +117,32 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** RANGE-framed window: per user, the rolling 30-minute sum of value —
+    * the frame is bounded by the ORDER BY *value range* (µs), not row
+    * counts, so sparse and dense periods weight correctly. */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-1800000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("rolling_30m",
+        round(sum(col("value").cast(DecimalType(18, 4))).over(w), 2).cast("double"))
+      .select(col("user_id"), col("event_id"), col("rolling_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rank-statistic windows: percent_rank / cume_dist / ntile over each
+    * user's value distribution (deterministic total order). */
+  def qWindowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Top-3 parts per brand by retail price — rank window + filter (the
     * standard distributed top-k-per-group: no global sort, one shuffle on
     * the group key). Deterministic tie-break on p_partkey. */
