@@ -39,6 +39,13 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "b")))
   }
 
+  test("max_by apply equals the window formulation") {
+    val base = Changelog.fromOrders(spark, sfDir)
+    val a = Apply.latestState(base, Changelog.payloadCols)
+    val b = Apply.windowedLatestState(base, Changelog.payloadCols)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("apply is order-independent (shuffled changelog = sorted changelog)") {
     val base = Changelog.fromOrders(spark, sfDir)
     val shuffled = base.orderBy(rand(seed = 7)).repartition(13)
