@@ -69,14 +69,16 @@ object SparkEntry {
     },
     "cdc_asof_join" -> { (s, d) =>
       // the custom AS-OF operator (graft.plans.AsOfJoin): each purchase
-      // joined to the user's latest signup at-or-before it. The ordinal is
-      // µs-since-2024 scaled + event_id so it is unique (deterministic ties)
-      val ord = (unix_micros(col("ts")) - lit(1704067200000000L)) * 100000L + col("event_id")
+      // joined to the user's latest signup at-or-before it. event_id is the
+      // ordinal: the fixture stream is globally monotone in (ts, event_id)
+      // (verified across all SFs), so event_id is a unique arrival sequence
+      // — the LSN analog — with no timestamp packing to overflow
       val ev = Tables.events(s, d)
       val l = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), ord.as("lo"))
+        .select(col("user_id"), col("event_id"), col("event_id").as("lo"))
       val r = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("r_user"), col("event_id").as("signup_event"), ord.as("ro"))
+        .select(col("user_id").as("r_user"), col("event_id").as("signup_event"),
+          col("event_id").as("ro"))
       graft.plans.AsOf.join(l, r, l("user_id"), r("r_user"), l("lo"), r("ro"))
         .select(col("user_id"), col("event_id"), col("signup_event"))
         .orderBy(col("user_id"), col("event_id"))
@@ -196,6 +198,21 @@ object SparkEntry {
        |SELECT $payloadList FROM ranked
        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
 
+  // shared oracles: queries that must produce identical results check
+  // against the SAME SQL string (editing one cannot drift from its twin)
+  private val topkOracle =
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part)
+        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
+        |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+
+  private val tumblingOracle =
+    s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+       |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // stopword-hit expression (DuckDB side; mirrors Text.hits/regexp_count)
   private def hitsSql(words: Seq[String]): String =
     s"length(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
@@ -276,10 +293,8 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "cdc_asof_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |  (epoch_us(ts) - 1704067200000000) * 100000 + event_id AS o FROM events),
-        |l AS (SELECT user_id, event_id, o FROM e WHERE event_type = 'purchase'),
-        |r AS (SELECT user_id, event_id AS signup_event, o FROM e WHERE event_type = 'signup'),
+      """WITH l AS (SELECT user_id, event_id, event_id AS o FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, event_id AS signup_event, event_id AS o FROM events WHERE event_type = 'signup'),
         |j AS (SELECT l.user_id, l.event_id, r.signup_event,
         |      row_number() OVER (PARTITION BY l.user_id, l.event_id ORDER BY r.o DESC) AS rn
         |      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.o <= l.o)
@@ -350,13 +365,7 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
-    "q_topk_per_group" ->
-      """WITH r AS (
-        |  SELECT p_brand, p_partkey, p_retailprice,
-        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
-        |  FROM part)
-        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
-        |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_topk_per_group" -> topkOracle,
     "q_setops" ->
       """WITH w AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
         |b AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -396,14 +405,8 @@ object SparkEntry {
         |  CAST(o_orderdate AS DATE) + 30 AS due_date,
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_ref
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q_tumbling_window" ->
-      s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
-         |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "stream_tumbling_window" ->
-      s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
-         |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tumbling_window" -> tumblingOracle,
+    "stream_tumbling_window" -> tumblingOracle,
     "stream_dedup" ->
       """WITH f AS (SELECT DISTINCT source, md5(lower(text)) AS fp FROM documents)
         |SELECT source, count(*) AS n_distinct FROM f GROUP BY source ORDER BY source""".stripMargin,
@@ -455,13 +458,7 @@ object SparkEntry {
          |  ${dsum("coalesce(o_totalprice, 0)", "total_spent")}
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-    "q_topk_agg" ->
-      """WITH r AS (
-        |  SELECT p_brand, p_partkey, p_retailprice,
-        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
-        |  FROM part)
-        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
-        |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_topk_agg" -> topkOracle,
     "cdc_time_travel" ->
       s"""WITH ${Changelog.oracleCte},
          |ranked AS (

@@ -59,6 +59,7 @@ object Apply {
   def windowedLatestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
     changelog
+      .filter(col("op").isin(handledOps: _*))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "DELETE")
       .select(payloadCols.map(col): _*)
@@ -74,6 +75,7 @@ object Apply {
     * projection fences both on the delete seq.
     */
   def mergeApply(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val handled = changelog.filter(col("op").isin(handledOps: _*))
     def liveSeq(c: String): Column =
       when(col("op") =!= "DELETE" && col(c).isNotNull, col("seq"))
     val agg: Seq[Column] =
@@ -84,7 +86,7 @@ object Apply {
         max(liveSeq(c)).as(s"seq_$c"))
       }
     val fence = coalesce(col("last_delete_seq"), lit(Long.MinValue))
-    changelog.groupBy(col("id"))
+    handled.groupBy(col("id"))
       .agg(agg.head, agg.tail: _*)
       .filter(col("last_delete_seq").isNull || col("last_delete_seq") < col("last_seq"))
       .select(payloadCols.map(c =>

@@ -28,11 +28,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ChangelogStream {
 
+  /** Only a snapshot whose write job committed (Spark's _SUCCESS marker)
+    * counts — a crash mid-write must leave the previous version as latest,
+    * not a partial directory that would poison every restart. */
   private def latestVersion(stateDir: String): Option[Long] = {
     val d = new java.io.File(stateDir)
     if (!d.exists()) None
     else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("v=").toLong)
       .sorted.lastOption
   }

@@ -19,7 +19,9 @@ object Skew {
     * are decimal — order-free). */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
                      buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(xxhash64(value), lit(buckets)))
+    // salt must be row-local, not value-derived: a hot key whose values are
+    // constant would otherwise land in ONE salt bucket and stay skewed
+    val salted = df.withColumn("_salt", pmod(spark_partition_id(), lit(buckets)))
     salted
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(value.cast(DecimalType(18, 4))).as("_s"))

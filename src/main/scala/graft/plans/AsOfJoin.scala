@@ -72,22 +72,36 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastMatch: InternalRow = null
 
       lIt.map { l =>
-        val curKey = lk.eval(l).asInstanceOf[Long]
-        val curOrd = lo.eval(l).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          val ho = ro.eval(head).asInstanceOf[Long]
-          if (hk < curKey || (hk == curKey && ho <= curOrd)) {
-            val r = rBuf.next()
-            lastKey = hk
-            lastMatch = r.copy() // unsafe rows are reused by the child
-            hasLast = true
-          } else advance = false
+        // SQL join semantics: NULL keys/ordinals match nothing (a bare
+        // asInstanceOf would silently unbox null to 0L and match key 0)
+        val curKeyRaw = lk.eval(l)
+        val curOrdRaw = lo.eval(l)
+        if (curKeyRaw == null || curOrdRaw == null) {
+          proj(joined(l, nullRight))
+        } else {
+          val curKey = curKeyRaw.asInstanceOf[Long]
+          val curOrd = curOrdRaw.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkRaw = rk.eval(head)
+            val hoRaw = ro.eval(head)
+            if (hkRaw == null || hoRaw == null) {
+              rBuf.next() // null-keyed versions can never match (nulls sort first)
+            } else {
+              val hk = hkRaw.asInstanceOf[Long]
+              val ho = hoRaw.asInstanceOf[Long]
+              if (hk < curKey || (hk == curKey && ho <= curOrd)) {
+                val r = rBuf.next()
+                lastKey = hk
+                lastMatch = r.copy() // unsafe rows are reused by the child
+                hasLast = true
+              } else advance = false
+            }
+          }
+          val rSide = if (hasLast && lastKey == curKey) lastMatch else nullRight
+          proj(joined(l, rSide))
         }
-        val rSide = if (hasLast && lastKey == curKey) lastMatch else nullRight
-        proj(joined(l, rSide))
       }
     }
   }

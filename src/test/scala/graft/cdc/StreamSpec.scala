@@ -51,6 +51,23 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 5)
   }
 
+  test("a partial (uncommitted) snapshot directory is ignored") {
+    val work = Files.createTempDirectory("graft-partial-").toString
+    val stateDir = s"$work/state"
+    ChangelogStream.upsertBatch(
+      Seq((1L, 1L, "INSERT", "good")).toDF("id", "seq", "op", "v"), stateDir)
+    // simulate a crash mid-write of the next version: dir exists, no _SUCCESS
+    val partial = new java.io.File(s"$stateDir/v=1")
+    partial.mkdirs()
+    val got = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "good"))) // v=0 stays the committed latest
+    // and the next upsert supersedes the partial dir rather than building on it
+    ChangelogStream.upsertBatch(
+      Seq((2L, 2L, "INSERT", "more")).toDF("id", "seq", "op", "v"), stateDir)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 2)
+  }
+
   test("stream resumes from checkpoint without duplicating effects") {
     import org.apache.spark.sql.SaveMode
     val work = Files.createTempDirectory("graft-resume-").toString

@@ -23,6 +23,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (3L, 7L, None)))         // key has no versions at all
   }
 
+  test("null keys match nothing (SQL join semantics, not key 0)") {
+    val l = Seq((Some(0L), 10L, "real-zero"), (None, 20L, "null-key"))
+      .toDF("k", "o", "lv")
+    val r = Seq((Some(0L), 5L, "v-zero"), (None, 1L, "v-null"))
+      .toDF("k2", "o2", "rv")
+    val out = AsOf.join(l, r, l("k"), r("k2"), l("o"), r("o2"))
+      .select($"lv", $"rv").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(out("real-zero") === Some("v-zero")) // genuine key 0 still matches
+    assert(out("null-key") === None)            // null key must not bind to 0
+  }
+
   test("as-of join edge cases: empty sides, dense single-key history") {
     val emptyR = Seq.empty[(Long, Long, String)].toDF("k2", "o2", "rv")
     val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "o", "lv")
