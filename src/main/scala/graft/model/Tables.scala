@@ -30,8 +30,10 @@ object Tables {
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
     * nanos (legacy nanosAsLong) and convert to a microsecond timestamp with
     * integer `div` (a double division would lose precision above 2^53 ns).
-    * The fixture data is µs-exact (FIXTURES.md), so this is lossless and
-    * matches DuckDB's ns→µs read of the same file. */
+    * The fixture data is µs-exact (verified: zero rows with sub-µs nanos at
+    * any SF), so this is lossless — and even if sub-µs data ever appeared,
+    * integer `div` truncates toward zero exactly like DuckDB's ns→µs read,
+    * so the two engines would still agree. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

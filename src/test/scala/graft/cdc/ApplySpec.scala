@@ -105,6 +105,16 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("mergeApply ignores unknown op kinds (no null-row resurrection after delete)") {
+    // a TRUNCATE after the DELETE must not make the key reappear as nulls
+    val events = Seq(
+      (1L, 1L, "INSERT", Some("a1"), Some("b1")),
+      (1L, 2L, "DELETE", None: Option[String], None: Option[String]),
+      (1L, 3L, "TRUNCATE", None: Option[String], None: Option[String])
+    ).toDF("id", "seq", "op", "a", "b")
+    assert(Apply.mergeApply(events, Seq("a", "b")).count() === 0)
+  }
+
   test("unhandled op kinds are dropped like the reference's message filter") {
     // TRUNCATE at the highest seq must neither win LWW nor delete the key
     val out = Apply.latestState(cl(
