@@ -39,6 +39,7 @@ for name in names:
         for c in g.columns:
             gv, ev = g[c].tolist(), e[c].tolist()
             if str(g[c].dtype) != str(e[c].dtype):
+                ok = False
                 why += f" dtype[{c}]:{g[c].dtype}vs{e[c].dtype}"
             mism = [i for i,(a,b) in enumerate(zip(gv,ev))
                     if a != b and not (a is None and b is None)

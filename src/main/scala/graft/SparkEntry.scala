@@ -34,11 +34,12 @@ object SparkEntry {
     "cdc_apply" -> ((s, d) =>
       Apply.latestState(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
     "cdc_apply_merge" -> ((s, d) =>
-      Apply.mergeApply(Changelog.fromOrders(s, d), payload).orderBy(col("o_orderkey"))),
+      Apply.mergeApply(Changelog.fromOrders(s, d), payload, keyField = Some("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
     "cdc_apply_partial" -> ((s, d) =>
       // partial-update events (only o_totalprice set) through the per-field
       // putAll merge — final state must equal the full-row apply
-      Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload)
+      Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload, keyField = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
@@ -231,7 +232,7 @@ object SparkEntry {
     val sigCols = (0 until k).map(s => s"min((h1 + $s * h2) % $p) AS mh_$s").mkString(", ")
     val nBands = k / rows
     val bandExprs = (0 until nBands).map { b =>
-      s"md5(concat_ws('|', ${(b * rows until b * rows + rows).map(r => s"mh_$r").mkString(", ")}))"
+      s"md5(concat_ws('|', $b, ${(b * rows until b * rows + rows).map(r => s"mh_$r").mkString(", ")}))"
     }.mkString(", ")
     val shingleExpr = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

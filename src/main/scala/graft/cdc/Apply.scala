@@ -73,8 +73,15 @@ object Apply {
     * DELETE. One aggregation, a single shuffle on id: each field carries
     * both its latest value (max_by over seq) and that value's seq, and a
     * projection fences both on the delete seq.
+    *
+    * `keyField` names the payload column that is the natural key (the column
+    * `id` was derived from). Without it, a post-delete partial event carrying
+    * null for that column would emit a row whose key field is null even
+    * though the grouping id is known; naming it coalesces the field with the
+    * grouping id so the emitted key is never lost.
     */
-  def mergeApply(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+  def mergeApply(changelog: DataFrame, payloadCols: Seq[String],
+                 keyField: Option[String] = None): DataFrame = {
     val handled = changelog.filter(col("op").isin(handledOps: _*))
     def liveSeq(c: String): Column =
       when(col("op") =!= "DELETE" && col(c).isNotNull, col("seq"))
@@ -89,8 +96,14 @@ object Apply {
     handled.groupBy(col("id"))
       .agg(agg.head, agg.tail: _*)
       .filter(col("last_delete_seq").isNull || col("last_delete_seq") < col("last_seq"))
-      .select(payloadCols.map(c =>
-        when(col(s"seq_$c") > fence, col(s"val_$c")).as(c)): _*)
+      .select(payloadCols.map { c =>
+        val v = when(col(s"seq_$c") > fence, col(s"val_$c"))
+        val out =
+          if (keyField.contains(c))
+            coalesce(v, col("id").cast(changelog.schema(c).dataType))
+          else v
+        out.as(c)
+      }: _*)
   }
 
   /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):

@@ -28,18 +28,25 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ChangelogStream {
 
+  /** Committed (`_SUCCESS`-marked) version directories under `stateDir`,
+    * via the Hadoop FileSystem API so the versioned-state mechanism works on
+    * HDFS/S3A paths, not just the local filesystem. */
+  private def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
   /** Only a snapshot whose write job committed (Spark's _SUCCESS marker)
     * counts — a crash mid-write must leave the previous version as latest,
     * not a partial directory that would poison every restart. */
-  private def latestVersion(stateDir: String): Option[Long] = {
-    val d = new java.io.File(stateDir)
-    if (!d.exists()) None
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toLong)
-      .sorted.lastOption
-  }
+  private def latestVersion(spark: SparkSession, stateDir: String): Option[Long] =
+    committedVersions(spark, stateDir).lastOption
 
   /** Merge one micro-batch into the keyed state (exactly the reference's
     * consumer dispatch `utils.go:103-113`, as one set-oriented merge).
@@ -47,12 +54,12 @@ object ChangelogStream {
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    val prev = latestVersion(stateDir) match {
+    val prev = latestVersion(spark, stateDir) match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     }
-    val next = latestVersion(stateDir).getOrElse(-1L) + 1
+    val next = latestVersion(spark, stateDir).getOrElse(-1L) + 1
     // max_by hash aggregation (map-side combined) — see Apply.latestState
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
     prev.unionByName(batch)
@@ -63,19 +70,16 @@ object ChangelogStream {
     // retention: keep the new snapshot + one predecessor (for readers that
     // resolved the previous version before this write); older versions are
     // dead weight — without this the state store grows with every batch
-    val root = new java.io.File(stateDir)
-    root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        f.getName.stripPrefix("v=").toLong < next - 1)
-      .foreach { dir =>
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
-      }
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(spark, stateDir)
+      .filter(_ < next - 1)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
   }
 
   /** Read the materialized table: latest snapshot minus tombstones. */
   def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String]): DataFrame =
-    latestVersion(stateDir) match {
+    latestVersion(spark, stateDir) match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
         .filter(col("op") =!= "DELETE")
         .select(payloadCols.map(col): _*)

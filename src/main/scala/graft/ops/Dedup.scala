@@ -58,10 +58,13 @@ object Dedup {
       count(lit(1)).as("n_sh"),
       (0 until k).map(s => min((col("h1") + lit(s.toLong) * col("h2")) % p).as(s"mh_$s")): _*)
 
-    // LSH bands: band b = md5 of its `rows` signature values concatenated
+    // LSH bands: band b = md5 of the band INDEX + its `rows` signature
+    // values — the index prefix keeps signatures that agree at *different*
+    // band positions from colliding into spurious candidates
     val nBands = k / rows
     val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as(s"band_$b")
+      md5(concat_ws("|",
+        lit(b) +: (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as(s"band_$b")
     }
     val bandLong = sig.select(col("doc_id"), col("n_sh"),
       explode(array((0 until nBands).map(b => bandCols(b)): _*)).as("band"))

@@ -19,9 +19,12 @@ object Skew {
     * are decimal — order-free). */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
                      buckets: Int = 16): DataFrame = {
-    // salt must be row-local, not value-derived: a hot key whose values are
-    // constant would otherwise land in ONE salt bucket and stay skewed
-    val salted = df.withColumn("_salt", pmod(spark_partition_id(), lit(buckets)))
+    // salt must be row-local, not value- or partition-derived: a hot key with
+    // constant values (or concentrated in one input partition) would otherwise
+    // land in ONE salt bucket and stay skewed. monotonically_increasing_id
+    // increments per row within a partition, so pmod cycles 0..buckets-1
+    // row by row regardless of input layout.
+    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     salted
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(value.cast(DecimalType(18, 4))).as("_s"))

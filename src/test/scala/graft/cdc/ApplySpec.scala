@@ -105,6 +105,23 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("mergeApply keyField: post-delete partial with null key keeps the grouping id") {
+    // id 1: insert → delete → partial re-insert that does NOT carry the key
+    // column ("id_f" null, only b set). Without keyField the emitted key
+    // field is null; with keyField it is recovered from the grouping id.
+    val events = Seq(
+      (1L, 1L, "INSERT", Some(1L), Some("b1")),
+      (1L, 2L, "DELETE", None: Option[Long], None: Option[String]),
+      (1L, 3L, "UPDATE", None: Option[Long], Some("b2"))
+    ).toDF("id", "seq", "op", "id_f", "b")
+    val bare = Apply.mergeApply(events, Seq("id_f", "b"))
+      .as[(Option[Long], Option[String])].collect()
+    assert(bare.toSeq === Seq((None, Some("b2"))))
+    val keyed = Apply.mergeApply(events, Seq("id_f", "b"), keyField = Some("id_f"))
+      .as[(Option[Long], Option[String])].collect()
+    assert(keyed.toSeq === Seq((Some(1L), Some("b2"))))
+  }
+
   test("mergeApply ignores unknown op kinds (no null-row resurrection after delete)") {
     // a TRUNCATE after the DELETE must not make the key reappear as nulls
     val events = Seq(
