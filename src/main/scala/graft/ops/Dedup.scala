@@ -18,11 +18,20 @@ import graft.model.Tables
   */
 object Dedup {
 
-  /** Distinct word-level n-gram shingles per row, as an array column: built
-    * with transform() over the token array (pure expression, whole-stage
-    * codegen, no shuffle), then exploded by callers. */
-  def shinglesExpr(n: Int): Column = {
-    val toks = split(col("text"), " ")
+  /** Distinct word-level n-gram shingles from a MATERIALIZED token-array
+    * column, as an array column: built with transform() over the tokens
+    * (no shuffle), then exploded by callers.
+    *
+    * `toks` must be a plain column reference, not an inline `split(...)`:
+    * higher-order functions are interpreted (no whole-stage codegen, no
+    * common-subexpression elimination inside the lambda), so an inline
+    * split would re-tokenize the text once per element_at — ~3·(w-n+1)
+    * re-splits per row, which measured ~8 s of a 10 s query at sf0.1.
+    * Materializing the array in a prior projection makes each element_at a
+    * cheap array index. (CollapseProject will not inline a non-cheap
+    * expression referenced many times, so the two-step projection is
+    * stable under optimization.) */
+  def shingles(toks: Column, n: Int): Column = {
     // sequence(0, -1) would yield [0,-1] (auto step -1), so guard short docs
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
@@ -40,7 +49,9 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     // cached: consumed three times (signature aggregation + both sides of
     // the candidate-verify join)
-    val sh = docs.select(col("doc_id"), explode(shinglesExpr(n)).as("shingle")).cache()
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("shingle")).cache()
 
     // k hash families via Kirsch–Mitzenmacher double hashing: two 24-bit
     // base hashes from ONE md5 per shingle, then g_s = (h1 + s·h2) mod p —
@@ -107,25 +118,34 @@ object Dedup {
                         threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Shuffle hygiene for the self-join:
-    //  - |shingles| carried from the array (free) instead of re-counted
     //  - shingle strings collapsed to xxhash64 BEFORE the exchange — longs
     //    shuffle/probe ~5× cheaper than strings, and a 64-bit collision
     //    inside one lang block is vanishingly improbable (n² · 2⁻⁶⁴)
-    //  - one explicit repartition on the join key so both sides of the
-    //    self-join reuse a single exchange, and a shuffle_hash hint so the
-    //    planner can't broadcast the (large) exploded side
+    //  - a shuffle_hash hint so the planner can't broadcast the (large)
+    //    exploded side of the self-join
     //  - size-compatibility predicate prunes pairs that can never reach the
     //    threshold (jaccard <= min|sets| / max|sets|)
     // cache: the exploded+hashed table is small (one long per shingle) and
-    // the self-join reads it twice — without this, BOTH sides re-run the
-    // expensive shingle expression (no exchange reuse under AQE hints)
+    // is read four times (count agg + both join sides) — without this each
+    // read re-runs the expensive shingle expression
+    //
+    // |shingles| is aggregated from the exploded rows, NOT carried as
+    // size(shs) next to the explode: referencing the shingle array twice
+    // keeps it a separate projection, which lets InferFiltersFromGenerate
+    // infer `size(shs) > 0` and predicate pushdown substitute the whole
+    // interpreted transform() (with split() re-inlined per element) into a
+    // Filter at the scan — measured 10× the query's cost. With the array
+    // referenced only by the generator, the HOF guard skips the inference.
     val sh = docs
-      .select(col("doc_id"), col("lang"), shinglesExpr(n).as("shs"))
-      .select(col("doc_id"), col("lang"), size(col("shs")).cast("long").as("n_sh"),
-        explode(col("shs")).as("shingle"))
-      .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), explode(shingles(col("toks"), n)).as("shingle"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("sh"))
       .cache()
-    val common = sh.as("x").hint("shuffle_hash").join(sh.as("y"),
+    // one row per doc (rows per doc = |distinct shingles|); the planner
+    // broadcasts it when small and co-partitions on doc_id at scale
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shn = sh.join(cnt, Seq("doc_id"))
+    val common = shn.as("x").hint("shuffle_hash").join(shn.as("y"),
         col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
         col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n_sh"), col("y.n_sh")) >=

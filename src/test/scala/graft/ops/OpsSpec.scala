@@ -81,9 +81,10 @@ class TextSpec extends AnyFunSuite with SparkSpec {
 class DedupSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("shinglesExpr produces w-n+1 distinct-capped shingles, empty when short") {
+  test("shingles produces w-n+1 distinct-capped shingles, empty when short") {
     val df = Seq("a b c d", "a b", "x y z").toDF("text")
-      .select(Dedup.shinglesExpr(3).as("sh"))
+      .select(split(col("text"), " ").as("toks"))
+      .select(Dedup.shingles(col("toks"), 3).as("sh"))
     val got = df.collect().map(_.getSeq[String](0).toSeq)
     assert(got(0) === Seq("a b c", "b c d"))
     assert(got(1) === Seq.empty)
