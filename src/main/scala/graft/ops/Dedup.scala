@@ -186,13 +186,16 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nl"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over already-materialized data, not a second
+      // join+shuffle per iteration
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
