@@ -183,7 +183,18 @@ object SparkEntry {
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec — rows-only check) ──────────────
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
-    "mm_frame_sample" -> (Multimodal.qFrameSample _)
+    "mm_frame_sample" -> (Multimodal.qFrameSample _),
+    // ── Scale machinery as first-class queries ──────────────────────────
+    "q_skew_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedCountSum(Tables.events(s, d), col("event_type"), col("value"))
+        .orderBy(col("key"))),
+    "q_bloom_semijoin" -> (graft.ops.Prune.qBloomSemiJoin _),
+    "q_range_join" -> (graft.ops.RangeJoin.qRangeJoin _),
+    // ── Dataset curation (hash-deterministic sampling/splitting) ────────
+    "doc_sample_hash" -> (graft.ops.Curate.qSampleHash _),
+    "doc_train_split" -> (graft.ops.Curate.qTrainTestSplit _),
+    "doc_quality_filter" -> (graft.ops.Curate.qQualityFilter _),
+    "doc_length_hist" -> (graft.ops.Curate.qLengthHistogram _)
   )
 
   // ════════ oracle SQL (DuckDB) ════════
@@ -637,6 +648,46 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |sc AS (SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS score
          |  FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b)
-         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
+         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_skew_salted" ->
+      s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_semijoin" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${dsum("l_quantity", "sum_qty")}
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      s"""WITH m AS (SELECT DISTINCT date_trunc('month', ts) AS w_start FROM events)
+         |SELECT w_start, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM m JOIN events e ON e.ts >= m.w_start AND e.ts < m.w_start + INTERVAL 7 DAY
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_sample_hash" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < 10 ORDER BY doc_id""".stripMargin,
+    "doc_train_split" ->
+      """SELECT lang,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM (SELECT lang,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_quality_filter" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(length(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS BIGINT) AS stop_hits
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 30
+        |  AND length(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) >= 2
+        |  AND length(text) = n_chars
+        |ORDER BY doc_id""".stripMargin,
+    "doc_length_hist" ->
+      """SELECT lang, CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Dataset-curation operators — the selection/splitting stages of a
+  * training-data pipeline. Everything is driven by a deterministic content
+  * hash, NOT rand(): reproducible across runs/engines (each step is DuckDB-
+  * oracle-checked), stable under repartitioning, and membership of a row in
+  * a sample/split never changes when the corpus around it grows — the
+  * property that keeps train/test assignment consistent across dataset
+  * versions at 100 TB.
+  *
+  * All are single-pass column expressions + one aggregation at most; the
+  * scan stays pruned to the referenced columns.
+  */
+object Curate {
+
+  /** Deterministic bucket in [0, m): first 24 bits of md5 of the key's
+    * string form. Cross-engine: DuckDB spells it
+    * `CAST('0x'||substr(md5(CAST(k AS VARCHAR)),1,6) AS BIGINT) % m`. */
+  def hashBucket(key: Column, m: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % m
+
+  /** 10% deterministic sample of documents (bucket < 10 of 100). */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id"), 100))
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Hash-split into train/val/test (80/10/10) — per (lang, split) counts.
+    * The split column is derived, never stored: any engine recomputes the
+    * same assignment. */
+  def qTrainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), 100) < 80, "train")
+          .when(hashBucket(col("doc_id"), 100) < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Quality-gate filter chain: keep docs with >= 30 words, >= 2 English
+    * stopword hits, and a text length consistent with its recorded n_chars.
+    * The composed predicate collapses into ONE scan-side filter (conjunctive
+    * predicates push down together); survivors are listed with the gate
+    * inputs. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("stop_hits",
+        regexp_count(col("text"), lit("\\b(the|and|of|to|a)\\b")).cast("long"))
+      .filter(col("n_words") >= 30 && col("stop_hits") >= 2 &&
+        length(col("text")) === col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("stop_hits"))
+      .orderBy(col("doc_id"))
+
+  /** Token-count histogram per language: decade-wide buckets — the corpus
+    * length profile that drives truncation/packing decisions. */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (floor(size(split(col("text"), " ")) / 10) * 10).cast("long").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("bucket"))
+}
