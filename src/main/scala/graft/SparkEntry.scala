@@ -225,15 +225,12 @@ object SparkEntry {
        |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  // stopword-hit expression (DuckDB side; mirrors Text.hits/regexp_count)
+  // stopword-hit expression (DuckDB side; mirrors Text.hits/regexp_count).
+  // Word lists come from Text.stopwords — the one source both engines share.
   private def hitsSql(words: Seq[String]): String =
     s"length(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
-  private val stopEn = Seq("the", "and", "of", "to", "a")
-  private val langWords = Map(
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "en" -> stopEn,
-    "es" -> Seq("el", "la", "de", "que", "y"),
-    "fr" -> Seq("le", "la", "et", "les", "des"))
+  private val stopEn = Text.stopwords("en")
+  private val langWords = Text.stopwords
 
   private def minhashOracle(n: Int, k: Int, rows: Int, threshold: Double): String = {
     // mirrors Dedup.minhashPairs: Kirsch–Mitzenmacher double hashing
@@ -677,14 +674,14 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_quality_filter" ->
-      """SELECT doc_id, lang,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |       CAST(length(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS BIGINT) AS stop_hits
-        |FROM documents
-        |WHERE len(string_split(text, ' ')) >= 30
-        |  AND length(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) >= 2
-        |  AND length(text) = n_chars
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(${hitsSql(stopEn)} AS BIGINT) AS stop_hits
+         |FROM documents
+         |WHERE len(string_split(text, ' ')) >= 30
+         |  AND ${hitsSql(stopEn)} >= 2
+         |  AND length(text) = n_chars
+         |ORDER BY doc_id""".stripMargin,
     "doc_length_hist" ->
       """SELECT lang, CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
         |       count(*) AS n

@@ -54,12 +54,15 @@ object ChangelogStream {
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    val prev = latestVersion(spark, stateDir) match {
+    // one listing per batch: on S3A/HDFS each committedVersions call is a
+    // LIST plus per-version HEADs, so derive prev/next/deletions from it
+    val versions = committedVersions(spark, stateDir)
+    val prev = versions.lastOption match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     }
-    val next = latestVersion(spark, stateDir).getOrElse(-1L) + 1
+    val next = versions.lastOption.getOrElse(-1L) + 1
     // max_by hash aggregation (map-side combined) — see Apply.latestState
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
     prev.unionByName(batch)
@@ -72,7 +75,7 @@ object ChangelogStream {
     // dead weight — without this the state store grows with every batch
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedVersions(spark, stateDir)
+    versions
       .filter(_ < next - 1)
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
   }

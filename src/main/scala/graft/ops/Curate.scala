@@ -36,10 +36,9 @@ object Curate {
     * same assignment. */
   def qTrainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("b", hashBucket(col("doc_id"), 100))
       .withColumn("split",
-        when(hashBucket(col("doc_id"), 100) < 80, "train")
-          .when(hashBucket(col("doc_id"), 100) < 90, "val")
-          .otherwise("test"))
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
@@ -52,8 +51,7 @@ object Curate {
   def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
-      .withColumn("stop_hits",
-        regexp_count(col("text"), lit("\\b(the|and|of|to|a)\\b")).cast("long"))
+      .withColumn("stop_hits", Text.hits(col("text"), Text.stopwords("en")).cast("long"))
       .filter(col("n_words") >= 30 && col("stop_hits") >= 2 &&
         length(col("text")) === col("n_chars"))
       .select(col("doc_id"), col("lang"), col("n_words"), col("stop_hits"))

@@ -49,8 +49,10 @@ object Prune {
   def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
                     keyCol: String, expectedItems: Long = 1000000L): DataFrame = {
     val pruned = big.filter(bloomMightContain(big, bigKey, keys, keyCol, expectedItems))
-    pruned.join(keys.select(col(keyCol)).distinct(),
-      pruned(bigKey) === col(keyCol), "left_semi")
+    // anchor the key column to its side — an unanchored col(keyCol) is
+    // ambiguous whenever both sides use the same key name
+    val k = keys.select(col(keyCol)).distinct()
+    pruned.join(k, pruned(bigKey) === k(keyCol), "left_semi")
   }
 
   /** Query: lineitems of urgent orders, summarized per return flag. The

@@ -42,7 +42,11 @@ object Text {
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** The single source of truth for the per-language stopword lists — the
+    * lang-id, quality, and curation queries AND their DuckDB oracles
+    * (SparkEntry.hitsSql) all derive from this map; editing it anywhere
+    * else silently breaks Spark↔oracle parity. */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -50,7 +54,7 @@ object Text {
 
   /** One alternation regex per word list (word-boundary matches cannot
     * overlap, so one pass counts exactly what per-word passes would). */
-  private def hits(c: Column, words: Seq[String]): Column =
+  def hits(c: Column, words: Seq[String]): Column =
     regexp_count(c, lit(s"\\b(${words.mkString("|")})\\b"))
 
   /** N-gram/stopword-heuristic language ID: count stopword hits per
