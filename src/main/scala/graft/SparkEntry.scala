@@ -44,6 +44,7 @@ object SparkEntry {
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
+    "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
     "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
     "cdc_insert_dedup" -> { (s, d) =>
       val ins = Changelog.fromOrders(s, d).filter(col("op") === "INSERT")
@@ -649,6 +650,12 @@ object SparkEntry {
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_event, s.event_id AS signup_event
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 DAY
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_bloom_semijoin" ->
       s"""SELECT l_returnflag, count(*) AS n, ${dsum("l_quantity", "sum_qty")}
          |FROM lineitem

