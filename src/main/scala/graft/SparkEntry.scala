@@ -179,6 +179,7 @@ object SparkEntry {
     "doc_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // ── Similarity search ───────────────────────────────────────────────
     "emb_norm_stats" -> (Similarity.qNormStats _),
+    "emb_centroids" -> (Similarity.qCentroids _),
     "emb_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
     "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
@@ -650,6 +651,13 @@ object SparkEntry {
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_centroids" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e
+        |           FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        |       round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.user_id, p.event_id AS purchase_event, s.event_id AS signup_event
         |FROM events p JOIN events s

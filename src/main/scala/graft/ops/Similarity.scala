@@ -33,6 +33,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-label centroids — the IVF "training" step (each label stands in
+    * for an assignment; one run of this per k-means iteration). Element-wise
+    * mean as (label, dim, value) rows: posexplode → one shuffle on
+    * (label, dim) with map-side partial aggregation — at 100 TB the only
+    * exchanged data is num_labels × dims partial sums per input partition.
+    *
+    * Determinism: float → double (exact) → round 6 → DECIMAL(18,8) before
+    * summing. The decimal sum is order-free, and a rounded-to-6-places
+    * double is ≥1e-10 away from any scale-8 rounding boundary, so the
+    * double→decimal cast cannot hit a cross-engine halfway case (raw floats
+    * could: any odd multiple of 2^-11 is exactly halfway at scale 10). */
+  def qCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("label"), (col("i") + 1).cast("long").as("i"),
+        round(col("e").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("e"))
+      .groupBy(col("label"), col("i"))
+      .agg(round(sum(col("e")).cast("double") / count(lit(1)), 6).as("c"))
+      .orderBy(col("label"), col("i"))
+
   /** Per-label stats: count + mean vector norm (rounded). */
   def qNormStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -118,6 +118,27 @@ class PruneSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  test("bloom prune runs as a scan-stage filter (before any exchange)") {
+    val plan = graft.SparkEntry.queries("q_bloom_semijoin")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing:\n$plan")
+    // the might_contain Filter must sit below the semi join, not above it
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter should be under the semi join:\n$plan")
+  }
+
+  test("range join plans as an equi-join on the bin key, not a nested loop") {
+    val plan = graft.SparkEntry.queries("q_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+  }
+}
+
 class RangeJoinSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
