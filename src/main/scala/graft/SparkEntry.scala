@@ -196,7 +196,9 @@ object SparkEntry {
     "doc_sample_hash" -> (graft.ops.Curate.qSampleHash _),
     "doc_train_split" -> (graft.ops.Curate.qTrainTestSplit _),
     "doc_quality_filter" -> (graft.ops.Curate.qQualityFilter _),
-    "doc_length_hist" -> (graft.ops.Curate.qLengthHistogram _)
+    "doc_length_hist" -> (graft.ops.Curate.qLengthHistogram _),
+    "doc_split_leakage" -> (graft.ops.Curate.qSplitLeakage _),
+    "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
   )
 
   // ════════ oracle SQL (DuckDB) ════════
@@ -700,6 +702,28 @@ object SparkEntry {
     "doc_length_hist" ->
       """SELECT lang, CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
         |       count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_split_leakage" ->
+      s"""WITH ${simhashVotes(16)},
+         |a AS (SELECT doc_id, simhash,
+         |        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 80 THEN 'train'
+         |             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM sh2)
+         |SELECT simhash, count(*) AS n_docs, count(DISTINCT split) AS n_splits, min(doc_id) AS min_doc
+         |FROM a GROUP BY 1
+         |HAVING count(*) > 1 AND count(DISTINCT split) > 1
+         |ORDER BY 1""".stripMargin,
+    "doc_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE doc_id < 20 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_corpus FROM documents),
+        |s AS (SELECT doc_id, tok, tf, df,
+        |        round(CAST(tf AS DOUBLE) * n_corpus / df, 6) AS score
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

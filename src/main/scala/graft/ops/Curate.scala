@@ -57,6 +57,26 @@ object Curate {
       .select(col("doc_id"), col("lang"), col("n_words"), col("stop_hits"))
       .orderBy(col("doc_id"))
 
+  /** Train/test contamination check: SimHash near-dup buckets whose
+    * documents land in MORE than one hash-split — the leakage report a
+    * training pipeline runs before shipping a split (a near-duplicate of a
+    * test document inside the train set inflates eval scores). Composes the
+    * dedup signature with the split assignment: one join-free pass over
+    * (simhash, split) then a bucket-level aggregation. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = when(hashBucket(col("doc_id"), 100) < 80, "train")
+      .when(hashBucket(col("doc_id"), 100) < 90, "val")
+      .otherwise("test")
+    Dedup.simhash(spark, dir)
+      .withColumn("split", split)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1 && col("n_splits") > 1)
+      .orderBy(col("simhash"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =

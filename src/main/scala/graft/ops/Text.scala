@@ -131,6 +131,33 @@ object Text {
       .orderBy(col("freq").desc, col("tok"))
       .limit(30)
 
+  /** TF-IDF top terms: term frequency per doc × inverse document frequency,
+    * for the first 20 docs, top 3 terms each. The idf is kept rational
+    * (N/df, no logarithm — ln differs in ulps across libm builds, a
+    * rational weight is bit-identical cross-engine and ranks the same).
+    * df is corpus-wide (one distinct+count aggregation); tf is restricted
+    * to the reported docs before the join, so the expensive side stays
+    * small. Scores are rounded before ranking, ties broken on the token. */
+  def qTfIdf(spark: SparkSession, dir: String, nDocs: Int = 20, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.filter(col("doc_id") < nDocs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("n_corpus") / col("df"), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Rolling (polynomial) hash fingerprint over the token stream — a
     * content-defined fingerprint that, unlike md5-of-whole-text, is
     * incrementally computable over chunks. Pure integer arithmetic so it is
