@@ -42,6 +42,33 @@ object SparkEntry {
       Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload, keyField = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
+    "cdc_apply_dsv2" -> { (s, d) =>
+      // the changelog round-tripped through the DSv2 connector: staged as
+      // JSON-line DatabaseEvent envelopes (the reference's wire format),
+      // read back via graft.sources.ChangelogSource (pushdown: table
+      // equality dies in the reader), payload schema-applied with
+      // from_json (O4/O9), then the standard latest-state apply — result
+      // identical to cdc_apply, same oracle
+      val work = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-dsv2-").toString
+      val cl = Changelog.fromOrders(s, d)
+      cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
+          struct(payload.map(col): _*).as("payload"))).as("value"))
+        .repartition(4).write.mode("overwrite").text(work)
+      val env = s.read.format("graft.sources.ChangelogSource").load(work)
+        .filter(col("table") === "orders")
+      val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+      // parse once into a struct, extract fields in a second projection —
+      // CollapseProject keeps the non-cheap from_json single-evaluation
+      val decoded = env
+        .select(col("id"), col("seq"), col("op"),
+          from_json(col("payload"), pSchema).as("p"))
+        .select(Seq(col("id"), col("seq"), col("op")) ++
+          payload.map(c => col(s"p.$c").as(c)): _*)
+      Apply.latestState(decoded, payload).orderBy(col("o_orderkey"))
+    },
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
@@ -284,6 +311,7 @@ object SparkEntry {
     * queries (driver records rows-only). */
   def oracleSql: Map[String, String] = Map(
     "cdc_apply" -> cdcApplySql,
+    "cdc_apply_dsv2" -> cdcApplySql,
     "cdc_apply_merge" -> cdcApplySql,
     "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,
