@@ -58,6 +58,13 @@ object StreamQueries {
   def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_ivjoin_")
+    // a stream-stream join allocates one state store per shuffle partition
+    // PER SIDE, and the store count is frozen into the checkpoint — sizing
+    // it to the stream's key cardinality (not the batch default) is the
+    // standard deployment knob; 8 stores ≫ suffices for this key space
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
@@ -77,6 +84,7 @@ object StreamQueries {
     q.awaitTermination()
     spark.table(name)
       .orderBy(col("user_id"), col("purchase_event"), col("signup_event"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Streaming exact dedup: fingerprint documents, drop duplicates in the
