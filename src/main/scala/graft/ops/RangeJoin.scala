@@ -29,8 +29,12 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // floor-div via `div` (exact integer division; a double floor() would
-    // lose precision above 2^53 — epoch micros are within a factor of 8)
+    // exact integer `div` (a double floor() would lose precision above 2^53
+    // — epoch micros are within a factor of 8). `div` truncates toward zero
+    // rather than flooring, which is still correct: truncating division is
+    // monotone in the dividend, so any p in [s, e) has its bin inside
+    // [s div w, (e-1) div w] — the replicated range (seeded random spec
+    // covers negative domains)
     val binned = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_bin", explode(sequence(

@@ -163,4 +163,22 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("binned join equals the naive join on seeded random data (incl. negatives)") {
+    val rnd = new scala.util.Random(42)
+    for (width <- Seq(1L, 7L, 100L)) {
+      val intervals = (1 to 40).map { i =>
+        val s = rnd.between(-500L, 500L)
+        (i.toLong, s, s + rnd.between(0L, 300L))
+      }.toDF("iv_id", "s", "en")
+      val points = (1 to 200).map(i => (i.toLong, rnd.between(-600L, 600L)))
+        .toDF("p_id", "p")
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "en", width)
+        .select(col("p_id"), col("iv_id"))
+      val naive = points.join(intervals, col("p") >= col("s") && col("p") < col("en"))
+        .select(col("p_id"), col("iv_id"))
+      assert(got.exceptAll(naive).count() === 0 && naive.exceptAll(got).count() === 0,
+        s"mismatch at binWidth=$width")
+    }
+  }
 }
