@@ -187,11 +187,15 @@ object Relational {
     * `from_json`, corrupt records become null and are skipped exactly like
     * reference `utils.go:98-102`). */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    // no pre-aggregation isNotNull filter: pushdown would substitute the
+    // get_json_object alias into the Filter and parse the JSON twice per
+    // row. count(k)/sum(k) skip nulls natively, and the post-agg n>0 filter
+    // reproduces the "group exists iff it has a non-null k" semantics.
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("k").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"))
+      .filter(col("n") > 0)
       .orderBy(col("event_type"))
 
   /** Date/time bucketing: events per hour. */
