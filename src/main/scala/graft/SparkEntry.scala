@@ -72,6 +72,7 @@ object SparkEntry {
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
+    "cdc_apply_stateful" -> (graft.streaming.Stateful.qApplyStateful _),
     "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
     "cdc_insert_dedup" -> { (s, d) =>
       val ins = Changelog.fromOrders(s, d).filter(col("op") === "INSERT")
@@ -312,6 +313,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "cdc_apply" -> cdcApplySql,
     "cdc_apply_dsv2" -> cdcApplySql,
+    "cdc_apply_stateful" -> cdcApplySql,
     "cdc_apply_merge" -> cdcApplySql,
     "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,

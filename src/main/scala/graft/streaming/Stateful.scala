@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Keyed-state streaming operators via `KeyValueGroupedDataset` — the
   * faithful per-key rendering of the reference's consumer loop (one state
@@ -40,6 +40,53 @@ object Stateful {
           state.update(latest)
           Iterator.single((id, latest))
       }
+  }
+
+  /** Full-payload changelog event for the oracle-checked stateful apply
+    * (field names match [[graft.cdc.Changelog.fromOrders]]'s columns;
+    * `.as[OrdersEvent]` binds by name, the `table` column just drops). */
+  case class OrdersEvent(id: Long, seq: Long, op: String,
+      o_orderkey: Option[Long], o_custkey: Option[Long],
+      o_orderstatus: Option[String], o_totalprice: Option[Double],
+      o_orderdate: Option[java.sql.Timestamp], o_orderpriority: Option[String])
+
+  /** Oracle-checked query: the changelog applied through the
+    * `flatMapGroupsWithState` state machine — the faithful per-key rendering
+    * of the reference's consumer loop, streamed in multiple micro-batches so
+    * state genuinely carries across batches. The memory sink (Update mode)
+    * receives one emission per touched key per batch; the final
+    * latest-per-key projection over those emissions is the same
+    * [[graft.cdc.Apply.latestState]] shape, so the query shares cdc_apply's
+    * oracle. State store count follows shuffle partitions (see
+    * stream_interval_join note). */
+  def qApplyStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
+    val name = "st_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cl = graft.cdc.Changelog.fromOrders(spark, dir)
+    cl.repartition(4).write.mode("overwrite").parquet(s"$work/cl")
+
+    val stream = spark.readStream.schema(cl.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$work/cl")
+      .as[OrdersEvent]
+    val q = stream.groupByKey(_.id)
+      .flatMapGroupsWithState[OrdersEvent, OrdersEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[OrdersEvent], state: GroupState[OrdersEvent]) =>
+          val latest = (state.getOption.iterator ++ batch).maxBy(_.seq)
+          state.update(latest)
+          Iterator.single(latest)
+      }
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.cdc.Apply.latestState(spark.table(name), graft.cdc.Changelog.payloadCols)
+      .orderBy(col("o_orderkey"))
   }
 
   /** Running per-user aggregate with explicit keyed state (count + sum) —
