@@ -146,6 +146,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_sliding_window" -> (Relational.qSlidingWindow _),
     "q_outer_join" -> (Relational.qOuterJoin _),
+    "q_full_outer" -> (Relational.qFullOuter _),
     "q_pivot" -> (Relational.qPivot _),
     "q_scalar_math" -> ((s, d) =>
       // IEEE-exact math only (sqrt/abs/floor/ceil/sign, x*x) — transcendental
@@ -210,6 +211,7 @@ object SparkEntry {
     "emb_centroids" -> (Similarity.qCentroids _),
     "emb_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
     "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
+    "emb_ann_centroid" -> ((s, d) => Similarity.qAnnCentroid(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec — rows-only check) ──────────────
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
@@ -670,6 +672,34 @@ object SparkEntry {
          |  FROM dots d JOIN nrm a ON a.vec_id = d.q_id JOIN nrm b2 ON b2.vec_id = d.vec_id),
          |r AS (SELECT q_id, bucket, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
          |SELECT q_id, bucket, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "emb_ann_centroid" ->
+      s"""WITH $embX,
+         |cx AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |              round(CAST(unnest(embedding) AS DOUBLE), 6) AS e FROM embeddings),
+         |cent AS (SELECT CAST(label AS BIGINT) AS clabel, CAST(i AS BIGINT) AS i,
+         |                round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |         FROM cx GROUP BY 1, 2),
+         |cnrm AS (SELECT clabel, sqrt(sum(c*c)) AS cnrm FROM cent GROUP BY 1),
+         |cdot AS (SELECT x.vec_id, ct.clabel, sum(x.e * ct.c) AS d
+         |         FROM x JOIN cent ct ON ct.i = x.i GROUP BY 1, 2),
+         |cs AS (SELECT cd.vec_id, cd.clabel, round(cd.d / (n.nrm * cn.cnrm), 6) AS cscore
+         |       FROM cdot cd JOIN nrm n ON n.vec_id = cd.vec_id JOIN cnrm cn ON cn.clabel = cd.clabel),
+         |asg AS (SELECT vec_id, clabel, cscore,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, clabel) AS crk
+         |        FROM cs),
+         |cells AS (SELECT vec_id, clabel AS cell FROM asg WHERE crk = 1),
+         |probed AS (SELECT vec_id AS q_id, clabel AS cell FROM asg WHERE vec_id < 10 AND crk <= 2),
+         |cand AS (SELECT p.q_id, c.vec_id FROM probed p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+         |dots AS (SELECT cd2.q_id, cd2.vec_id, sum(xq.e * xv.e) AS dot
+         |         FROM cand cd2
+         |         JOIN x xq ON xq.vec_id = cd2.q_id
+         |         JOIN x xv ON xv.vec_id = cd2.vec_id AND xv.i = xq.i
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT d.q_id, d.vec_id, round(d.dot / (a.nrm * b.nrm), 6) AS score
+         |       FROM dots d JOIN nrm a ON a.vec_id = d.q_id JOIN nrm b ON b.vec_id = d.vec_id),
+         |r AS (SELECT q_id, vec_id, score,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "emb_near_dup" ->
       s"""WITH $embX,
          |b AS (SELECT vec_id, CAST(${bucketSql(4)} AS BIGINT) AS bucket FROM embeddings),
@@ -683,6 +713,16 @@ object SparkEntry {
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH od AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |     ed AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |            FROM events GROUP BY 1)
+        |SELECT coalesce(od.day, ed.day) AS day,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed ON od.day = ed.day
+        |ORDER BY 1""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

@@ -284,6 +284,25 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full outer join over genuinely two-sided keys: daily order counts vs
+    * daily event counts — the date ranges barely overlap, so both
+    * null-extension sides are exercised. Both inputs are pre-aggregated, so
+    * the join itself is small; at scale this is the "reconcile two rollups"
+    * shape (each side one shuffle, join co-partitioned on the key). */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
   /** Sliding 10-minute windows every 5 minutes — each event lands in two
     * overlapping buckets (batch rendering of the streaming sliding window). */
   def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =

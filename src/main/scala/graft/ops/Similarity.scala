@@ -89,6 +89,54 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** True IVF with learned centroids: the per-label mean vectors
+    * ([[qCentroids]] — one k-means "iteration" with the labels as the
+    * assignment) are the coarse quantizer. Every vector is assigned to its
+    * nearest centroid by cosine; a query probes its `probes` nearest cells
+    * and exact-reranks only those cells' members. At 100 TB the assignment
+    * is the bucketing/partition key and each query touches
+    * ~probes/num_cells of the corpus.
+    *
+    * Cross-engine determinism: centroids come from the decimal-exact
+    * [[qCentroids]] values; all scores are rounded to 6 places BEFORE every
+    * rank; ties break on (cell, vec_id). */
+  def qAnnCentroid(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   k: Int = 5, probes: Int = 2): DataFrame = {
+    // centroid vectors as double arrays, index-ordered
+    val cent = qCentroids(spark, dir)
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("cnrm", sqrt(foldDot(col("cvec"), col("cvec"))))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // assignment: nearest centroid per vector (10 centroids → broadcast;
+    // at scale this is the map-side "quantize" step, no shuffle)
+    val cscored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("clabel"),
+        round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
+          .as("cscore"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("clabel"))
+    val assigned = cscored.withColumn("crk", row_number().over(aw))
+    val cells = assigned.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("clabel").as("cell"))
+    // probe: each query's `probes` nearest cells
+    val probed = assigned.filter(col("vec_id") < nQueries && col("crk") <= probes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("clabel").as("cell"))
+    // exact rerank inside probed cells only
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF-style coarse partitioning with deterministic "centroids": bucket =
     * sign-bit code of the first `codeBits` dimensions (an orthant code — a
     * data-independent coarse quantizer, so both engines derive it exactly).

@@ -183,6 +183,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(approx.size <= exact.size + 50)
   }
 
+  test("centroid IVF recall@5 vs brute force is nontrivial") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.qCosineTopK(spark, sfDir))
+    val approx = pairs(Similarity.qAnnCentroid(spark, sfDir))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 2 probes of 10 learned cells ≈ 20% of the corpus; label-structured
+    // embeddings should put most true neighbors in the query's own cell
+    assert(recall > 0.3, s"centroid-IVF recall@5 collapsed: $recall")
+  }
+
   test("IVF ANN never pairs across buckets") {
     val rows = Similarity.qAnnIvf(spark, sfDir).collect()
     assert(rows.nonEmpty)
