@@ -68,6 +68,11 @@ object Stateful {
     val cl = graft.cdc.Changelog.fromOrders(spark, dir)
     cl.repartition(4).write.mode("overwrite").parquet(s"$work/cl")
 
+    // state-store count = shuffle partitions at first checkpoint (see
+    // stream_interval_join) — size to the stream, restore after
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val stream = spark.readStream.schema(cl.schema)
       .option("maxFilesPerTrigger", 2).parquet(s"$work/cl")
       .as[OrdersEvent]
@@ -87,6 +92,7 @@ object Stateful {
     q.awaitTermination()
     graft.cdc.Apply.latestState(spark.table(name), graft.cdc.Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Running per-user aggregate with explicit keyed state (count + sum) —
