@@ -49,17 +49,10 @@ object SparkEntry {
       // equality dies in the reader), payload schema-applied with
       // from_json (O4/O9), then the standard latest-state apply — result
       // identical to cdc_apply, same oracle
-      val work = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-dsv2-").toString
-      val cl = Changelog.fromOrders(s, d)
-      cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
-          struct(payload.map(col): _*).as("payload"))).as("value"))
-        .repartition(4).write.mode("overwrite").text(work)
-      val env = s.read.format("graft.sources.ChangelogSource").load(work)
+      val work = Changelog.stageEnvelopeJson(s, d)
+      val env = s.read.format("changelog").load(work)
         .filter(col("table") === "orders")
-      val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
-        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+      val pSchema = Changelog.payloadSchema(s, d)
       // parse once into a struct, extract fields in a second projection —
       // CollapseProject keeps the non-cheap from_json single-evaluation
       val decoded = env

@@ -63,19 +63,17 @@ object Curate {
     * test document inside the train set inflates eval scores). Composes the
     * dedup signature with the split assignment: one join-free pass over
     * (simhash, split) then a bucket-level aggregation. */
-  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val split = when(hashBucket(col("doc_id"), 100) < 80, "train")
-      .when(hashBucket(col("doc_id"), 100) < 90, "val")
-      .otherwise("test")
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(spark, dir)
-      .withColumn("split", split)
+      .withColumn("b", hashBucket(col("doc_id"), 100))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("split")).as("n_splits"),
         min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") > 1 && col("n_splits") > 1)
       .orderBy(col("simhash"))
-  }
 
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */

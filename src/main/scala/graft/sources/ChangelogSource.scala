@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * "table":..,"payload":{..}}` — the shape the reference produces at
   * `utils.go:67-90` and ships through Kafka). This is the faithful O1/O8
   * rendering SURVEY §2.1 marks optional: a first-class connector, so
-  * `spark.read.format("graft.sources.changelog").load(dir)` plans through
-  * the same DSv2 machinery as any production source.
+  * `spark.read.format("changelog").load(dir)` (short name via
+  * DataSourceRegister; the full class name also works) plans through the
+  * same DSv2 machinery as any production source.
   *
   * Scale features a 100 TB source needs, implemented:
   *  - one InputPartition per file → reader parallelism tracks file layout;
@@ -36,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * goes through the file-stream path in [[graft.cdc.ChangelogStream]]; a
   * `MicroBatchStream` here would be the Kafka-backed upgrade.
   */
-class ChangelogSource extends TableProvider {
+class ChangelogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "changelog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangelogSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -59,11 +62,22 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = ChangelogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangelogScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the SESSION Hadoop conf (spark.hadoop.* — S3/ABFS creds,
+    // fs overrides) as a serializable map; a bare `new Configuration()`
+    // would ignore it and the connector would only work on local paths
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val confMap = {
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new ChangelogScanBuilder(path, confMap)
+  }
 }
 
-class ChangelogScanBuilder(path: String)
+class ChangelogScanBuilder(path: String, confMap: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = ChangelogSource.schema
@@ -86,10 +100,11 @@ class ChangelogScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChangelogScan(path, required, pushed)
+  override def build(): Scan = new ChangelogScan(path, required, pushed, confMap)
 }
 
-class ChangelogScan(path: String, required: StructType, filters: Array[Filter])
+class ChangelogScan(path: String, required: StructType, filters: Array[Filter],
+                    confMap: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -98,7 +113,7 @@ class ChangelogScan(path: String, required: StructType, filters: Array[Filter])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(ChangelogConf.toConfiguration(confMap))
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
@@ -107,27 +122,37 @@ class ChangelogScan(path: String, required: StructType, filters: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(required, filters)
+    new ChangelogReaderFactory(required, filters, confMap)
 }
 
 case class ChangelogInputPartition(file: String) extends InputPartition
 
-class ChangelogReaderFactory(required: StructType, filters: Array[Filter])
+object ChangelogConf {
+  def toConfiguration(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+class ChangelogReaderFactory(required: StructType, filters: Array[Filter],
+                             confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangelogPartitionReader(
-      partition.asInstanceOf[ChangelogInputPartition].file, required, filters)
+      partition.asInstanceOf[ChangelogInputPartition].file, required, filters, confMap)
 }
 
 /** Per-file reader: stream lines, jackson-parse the envelope, apply pushed
   * filters, emit only the pruned columns. */
 class ChangelogPartitionReader(file: String, required: StructType,
-                               filters: Array[Filter])
+                               filters: Array[Filter],
+                               confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val path = new org.apache.hadoop.fs.Path(file)
-  private val in = path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path)
+  private val in = path.getFileSystem(ChangelogConf.toConfiguration(confMap)).open(path)
   private val lines = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _
@@ -145,8 +170,10 @@ class ChangelogPartitionReader(file: String, required: StructType,
     var line = lines.readLine()
     while (line != null) {
       if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        if (passes(node)) {
+        // corrupt record -> skip, the engine's O9 decode convention
+        // (from_json yields null and the pipeline filters it)
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (node != null && passes(node)) {
           val values = new ArrayBuffer[Any](required.length)
           required.fields.foreach { f =>
             val n = node.get(f.name)

@@ -62,19 +62,22 @@ object Stateful {
   def qApplyStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // changelog staged once per fixture dir (reused across runs); the
+    // checkpoint stays unique per run — an AvailableNow restart against an
+    // old checkpoint would see no new files and emit nothing
+    val clDir = graft.cdc.Changelog.stageParquet(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
     val name = "st_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val cl = graft.cdc.Changelog.fromOrders(spark, dir)
-    cl.repartition(4).write.mode("overwrite").parquet(s"$work/cl")
+    val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
     // state-store count = shuffle partitions at first checkpoint (see
     // stream_interval_join) — size to the stream, restore after
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-    val stream = spark.readStream.schema(cl.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$work/cl")
+    val stream = spark.readStream.schema(clSchema)
+      .option("maxFilesPerTrigger", 2).parquet(clDir)
       .as[OrdersEvent]
     val q = stream.groupByKey(_.id)
       .flatMapGroupsWithState[OrdersEvent, OrdersEvent](

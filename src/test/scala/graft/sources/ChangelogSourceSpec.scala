@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
@@ -8,19 +7,12 @@ import graft.cdc.Changelog
 
 class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
 
-  private def stage(): String = {
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-dsv2spec-").toString
-    val cl = Changelog.fromOrders(spark, sfDir)
-    cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
-        struct(Changelog.payloadCols.map(col): _*).as("payload"))).as("value"))
-      .repartition(3).write.mode("overwrite").text(work)
-    work
-  }
+  private def stage(): String = Changelog.stageEnvelopeJson(spark, sfDir)
 
   test("envelope round-trip preserves every event") {
     val work = stage()
     val cl = Changelog.fromOrders(spark, sfDir)
-    val back = spark.read.format("graft.sources.ChangelogSource").load(work)
+    val back = spark.read.format("changelog").load(work)
     assert(back.count() === cl.count())
     val a = cl.select(col("id"), col("seq"), col("op"), col("table"))
     val b = back.select(col("id"), col("seq"), col("op"), col("table"))
@@ -29,7 +21,7 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("op equality is pushed into the reader and rows are filtered") {
     val work = stage()
-    val deletes = spark.read.format("graft.sources.ChangelogSource").load(work)
+    val deletes = spark.read.format("changelog").load(work)
       .filter(col("op") === "DELETE")
     val plan = deletes.queryExecution.executedPlan.toString
     assert(plan.contains("ChangelogScan"), s"DSv2 scan missing:\n$plan")
@@ -40,7 +32,7 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("column pruning narrows the scan output") {
     val work = stage()
-    val ops = spark.read.format("graft.sources.ChangelogSource").load(work).select("op")
+    val ops = spark.read.format("changelog").load(work).select("op")
     val scanLine = ops.queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("BatchScan")).getOrElse("")
     assert(scanLine.contains("[op") && !scanLine.contains("payload"),
@@ -50,10 +42,8 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("payload JSON decodes back to the original typed row") {
     val work = stage()
-    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
-      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
-    val decoded = spark.read.format("graft.sources.ChangelogSource").load(work)
+    val pSchema = Changelog.payloadSchema(spark, sfDir)
+    val decoded = spark.read.format("changelog").load(work)
       .select(col("id"), from_json(col("payload"), pSchema).as("p"))
       .select(Seq(col("id")) ++ Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
     val orig = Changelog.fromOrders(spark, sfDir)
