@@ -221,6 +221,7 @@ object SparkEntry {
     "doc_quality_filter" -> (graft.ops.Curate.qQualityFilter _),
     "doc_length_hist" -> (graft.ops.Curate.qLengthHistogram _),
     "doc_split_leakage" -> (graft.ops.Curate.qSplitLeakage _),
+    "doc_pack_chunks" -> ((s, d) => graft.ops.Curate.qPackChunks(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
   )
 
@@ -777,6 +778,15 @@ object SparkEntry {
          |FROM a GROUP BY 1
          |HAVING count(*) > 1 AND count(DISTINCT split) > 1
          |ORDER BY 1""".stripMargin,
+    "doc_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_words,
+        |        CAST(coalesce(sum(n_words) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |      FROM t)
+        |SELECT doc_id, n_words, "offset", CAST("offset" // 2048 AS BIGINT) AS chunk
+        |FROM o ORDER BY doc_id""".stripMargin,
     "doc_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE doc_id < 20 GROUP BY 1, 2),

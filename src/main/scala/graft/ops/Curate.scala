@@ -75,6 +75,24 @@ object Curate {
       .filter(col("n_docs") > 1 && col("n_splits") > 1)
       .orderBy(col("simhash"))
 
+  /** Sequential sequence packing: documents concatenated in a deterministic
+    * order (doc_id) fill fixed-size token chunks; each doc is tagged with
+    * the chunk its first token lands in — the standard pretraining packing
+    * layout. A running-total window gives every doc its start offset;
+    * chunk = offset div budget. One sort-shuffle total; at 100 TB you would
+    * range-partition on the order key so the window runs per partition with
+    * per-partition offsets merged by a second tiny pass. */
+  def qPackChunks(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("offset", coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("offset"),
+        expr(s"offset div $budget").as("chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
