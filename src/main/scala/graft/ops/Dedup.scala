@@ -51,7 +51,9 @@ object Dedup {
     // the candidate-verify join)
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("shingle")).cache()
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.shingle_explode(col("toks"), n).as("shingle"))
+      .cache()
 
     // k hash families via Kirsch–Mitzenmacher double hashing: two 24-bit
     // base hashes from ONE md5 per shingle, then g_s = (h1 + s·h2) mod p —
@@ -138,7 +140,8 @@ object Dedup {
     // referenced only by the generator, the HOF guard skips the inference.
     val sh = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"), explode(shingles(col("toks"), n)).as("shingle"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.ShingleFunctions.shingle_explode(col("toks"), n).as("shingle"))
       .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("sh"))
       .cache()
     // one row per doc (rows per doc = |distinct shingles|); the planner

@@ -81,6 +81,24 @@ class TextSpec extends AnyFunSuite with SparkSpec {
 class DedupSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("shingle_explode generator equals the HOF shingles formulation") {
+    val texts = Seq("a b c d", "a b", "x y z", "p p p p p", "lone")
+    val toks = texts.toDF("text").select(split(col("text"), " ").as("toks"))
+    val gen = toks.select(
+      graft.functions.ShingleFunctions.shingle_explode(col("toks"), 3).as("shingle"))
+    val hof = toks.select(explode(Dedup.shingles(col("toks"), 3)).as("shingle"))
+    assert(gen.exceptAll(hof).count() === 0 && hof.exceptAll(gen).count() === 0)
+    // dedup: "p p p p p" yields ONE distinct shingle "p p p"
+    assert(gen.filter(col("shingle") === "p p p").count() === 1)
+    // fixture-scale equivalence too
+    val dToks = graft.model.Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("toks"))
+    val g2 = dToks.select(
+      graft.functions.ShingleFunctions.shingle_explode(col("toks"), 3).as("s"))
+    val h2 = dToks.select(explode(Dedup.shingles(col("toks"), 3)).as("s"))
+    assert(g2.exceptAll(h2).count() === 0 && h2.exceptAll(g2).count() === 0)
+  }
+
   test("shingles produces w-n+1 distinct-capped shingles, empty when short") {
     val df = Seq("a b c d", "a b", "x y z").toDF("text")
       .select(split(col("text"), " ").as("toks"))
