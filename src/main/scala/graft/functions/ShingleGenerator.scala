@@ -45,7 +45,7 @@ case class ShingleExplode(child: Expression, n: Int)
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() < n) return Iterator.empty
     val len = arr.numElements()
-    val sep = UTF8String.fromString(" ")
+    val sep = ShingleExplode.separator
     val seen = new java.util.HashSet[UTF8String]()
     val rows = new ArrayBuffer[InternalRow](len - n + 1)
     var i = 0
@@ -69,12 +69,17 @@ case class ShingleExplode(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+object ShingleExplode {
+  /** Shared immutable separator — allocated once, not per input row. */
+  val separator: UTF8String = UTF8String.fromString(" ")
+}
+
 object ShingleFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column API: one output row per distinct n-gram shingle of `toks`.
-    * `toks` should be a materialized token-array column (see
-    * [[graft.ops.Dedup.shingles]]'s doc for why not an inline split). */
+    * Unlike the HOF formulation, an inline `split(...)` argument is fine
+    * here: the generator evaluates its child exactly once per row. */
   def shingle_explode(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleExplode(ColumnBridge.expression(toks), n))
 }

@@ -129,15 +129,16 @@ object Dedup {
     //    threshold (jaccard <= min|sets| / max|sets|)
     // cache: the exploded+hashed table is small (one long per shingle) and
     // is read four times (count agg + both join sides) — without this each
-    // read re-runs the expensive shingle expression
+    // read re-runs the shingle generation
     //
-    // |shingles| is aggregated from the exploded rows, NOT carried as
-    // size(shs) next to the explode: referencing the shingle array twice
-    // keeps it a separate projection, which lets InferFiltersFromGenerate
-    // infer `size(shs) > 0` and predicate pushdown substitute the whole
-    // interpreted transform() (with split() re-inlined per element) into a
-    // Filter at the scan — measured 10× the query's cost. With the array
-    // referenced only by the generator, the HOF guard skips the inference.
+    // |shingles| is aggregated from the exploded rows rather than carried
+    // as a per-row array size — with the ShingleExplode generator there is
+    // no shingle array to measure, and the count falls out of the rows the
+    // generator already emits. (Historical note: the earlier HOF
+    // formulation HAD to avoid a size(shs)-next-to-explode shape —
+    // InferFiltersFromGenerate + pushdown substituted the interpreted
+    // transform() into a scan Filter at 10× the query's cost; the custom
+    // generator is immune, the rule only matches the built-in explodes.)
     val sh = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"),

@@ -26,8 +26,15 @@ object Layout {
 
   def writePartitionedSorted(df: DataFrame, dir: String,
                              partCols: Seq[String], sortCols: Seq[String]): Unit =
+    // sort by partCols FIRST: the V1 write path requires ordering by the
+    // partition columns and inserts its own Sort when the child's ordering
+    // doesn't satisfy it — a bare sortWithinPartitions(sortCols) would then
+    // survive only through in-memory TimSort stability and be lost the
+    // moment the write-side sort spills. The partCols-prefixed sort
+    // satisfies the requirement (prefix match), guarantees the in-file
+    // order, and avoids the redundant second sort.
     df.repartition(partCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(dir)

@@ -123,37 +123,47 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
   test("partitioned+sorted write prunes directories and sorts within files") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-layout-").toString
-    val events = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    Layout.writePartitionedSorted(events, dir,
-      partCols = Seq("event_type"), sortCols = Seq("ts"))
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      Layout.writePartitionedSorted(events, dir,
+        partCols = Seq("event_type"), sortCols = Seq("ts"))
 
-    // directory layout: one dir per event_type, no file-per-task explosion
-    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.forall(_.startsWith("event_type=")) && dirs.length >= 3)
+      // directory layout: one dir per event_type, no file-per-task explosion
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(dirs.forall(_.startsWith("event_type=")) && dirs.length >= 3)
 
-    // partition pruning: the scan's PartitionFilters carry the predicate
-    val pruned = Layout.readPartition(spark, dir, "event_type", "purchase")
-    val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
-      s"partition predicate not pruned:\n$scan")
-    assert(pruned.count() ===
-      events.filter(col("event_type") === "purchase").count())
+      // partition pruning: the VALUE must appear inside the scan's
+      // PartitionFilters clause (the clause itself prints even when empty)
+      val pruned = Layout.readPartition(spark, dir, "event_type", "purchase")
+      val scan = pruned.queryExecution.executedPlan.toString
+      val pf = scan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("purchase"), s"partition predicate not pruned:\n$scan")
+      assert(pruned.count() ===
+        events.filter(col("event_type") === "purchase").count())
 
-    // within-file sort: each parquet file's ts column is non-decreasing
-    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-    assert(files.nonEmpty)
-    files.take(3).foreach { f =>
-      val ts = spark.read.parquet(f.getPath).select(col("ts")).collect()
-        .map(_.getTimestamp(0).getTime)
-      assert(ts.sameElements(ts.sorted), s"file ${f.getName} not ts-sorted")
+      // within-file sort at MICROsecond precision (ts is µs-granular;
+      // a millisecond compare would hide sub-ms inversions)
+      val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.take(3).foreach { f =>
+        val ts = spark.read.parquet(f.getPath)
+          .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+        assert(ts.sameElements(ts.sorted), s"file ${f.getName} not ts-sorted")
+      }
+
+      // round-trip completeness
+      val back = spark.read.parquet(dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
     }
-
-    // round-trip completeness
-    val back = spark.read.parquet(dir)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
   }
 }
 
