@@ -222,6 +222,7 @@ object SparkEntry {
     "doc_length_hist" -> (graft.ops.Curate.qLengthHistogram _),
     "doc_split_leakage" -> (graft.ops.Curate.qSplitLeakage _),
     "doc_pack_chunks" -> ((s, d) => graft.ops.Curate.qPackChunks(s, d)),
+    "doc_incr_dedup" -> ((s, d) => graft.ops.Curate.qIncrementalDedup(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
   )
 
@@ -778,6 +779,19 @@ object SparkEntry {
          |FROM a GROUP BY 1
          |HAVING count(*) > 1 AND count(DISTINCT split) > 1
          |ORDER BY 1""".stripMargin,
+    "doc_incr_dedup" ->
+      s"""WITH ${simhashVotes(16)},
+         |corpus AS (SELECT * FROM sh2 WHERE doc_id < 400),
+         |batch AS (SELECT * FROM sh2 WHERE doc_id >= 400),
+         |in_corpus AS (
+         |  SELECT doc_id, 'in_corpus' AS reason FROM batch
+         |  WHERE simhash IN (SELECT simhash FROM corpus)),
+         |in_batch AS (
+         |  SELECT doc_id, 'in_batch' AS reason FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS first_id FROM batch)
+         |  WHERE doc_id > first_id)
+         |SELECT * FROM in_corpus UNION ALL SELECT * FROM in_batch
+         |ORDER BY doc_id, reason""".stripMargin,
     "doc_pack_chunks" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         |           FROM documents),

@@ -93,6 +93,29 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental (per-ingest) dedup: which documents of a NEW batch
+    * near-duplicate the existing corpus (same SimHash signature) or each
+    * other within the batch (first occurrence kept). This is the ingest
+    * shape of dedup at 100 TB: the corpus side is a pre-computed signature
+    * table bucketed on the signature, so each ingest joins only the new
+    * batch against it — never corpus×corpus. Fixture rendering: doc_id <
+    * 400 is the "corpus", the rest the new batch. */
+  def qIncrementalDedup(spark: SparkSession, dir: String, split: Long = 400L): DataFrame = {
+    val sig = Dedup.simhash(spark, dir)
+    val corpus = sig.filter(col("doc_id") < split)
+    val batch = sig.filter(col("doc_id") >= split)
+    val inCorpus = batch
+      .join(corpus.select(col("simhash")).distinct(), Seq("simhash"), "left_semi")
+      .select(col("doc_id"), lit("in_corpus").as("reason"))
+    val inBatch = batch
+      .withColumn("first_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .filter(col("doc_id") > col("first_id"))
+      .select(col("doc_id"), lit("in_batch").as("reason"))
+    // a doc can hit both rules; report each reason (deterministic set)
+    inCorpus.unionByName(inBatch).orderBy(col("doc_id"), col("reason"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
