@@ -29,6 +29,26 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r.getLong(2) >= 30 && r.getLong(3) >= 2))
   }
 
+  test("incremental dedup flags only batch docs, with verifiable reasons") {
+    import org.apache.spark.sql.functions._
+    val out = Curate.qIncrementalDedup(spark, sfDir).collect()
+    val sig = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, reason) = (r.getLong(0), r.getString(1))
+      assert(id >= 400L, s"corpus doc $id flagged")
+      reason match {
+        case "in_corpus" =>
+          assert(sig.exists { case (o, s) => o < 400L && s == sig(id) })
+        case "in_batch" =>
+          assert(sig.exists { case (o, s) => o >= 400L && o < id && s == sig(id) })
+        case other => fail(s"unknown reason $other")
+      }
+    }
+    // each (doc, reason) at most once
+    assert(out.map(r => (r.getLong(0), r.getString(1))).distinct.length === out.length)
+  }
+
   test("length histogram counts sum to the corpus size") {
     val total = Tables.documents(spark, sfDir).count()
     val out = Curate.qLengthHistogram(spark, sfDir).collect()
