@@ -7,7 +7,9 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q1_pricing", "q5_nation_revenue", "emb_cosine_topk", "cdc_apply", "q_tumbling_window", "cdc_asof_join", "doc_ngram_jaccard", "q_topk_agg")) {
+    for (q <- Seq("q1_pricing", "q5_nation_revenue", "emb_cosine_topk", "cdc_apply",
+        "q_tumbling_window", "cdc_asof_join", "doc_ngram_jaccard", "q_topk_agg",
+        "q_bloom_semijoin", "q_range_join", "cdc_apply_dsv2", "emb_ann_centroid")) {
       println(s"##### $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
