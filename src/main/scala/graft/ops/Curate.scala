@@ -99,13 +99,16 @@ object Curate {
     * shape of dedup at 100 TB: the corpus side is a pre-computed signature
     * table bucketed on the signature, so each ingest joins only the new
     * batch against it — never corpus×corpus. Fixture rendering: doc_id <
-    * 400 is the "corpus", the rest the new batch. */
-  def qIncrementalDedup(spark: SparkSession, dir: String, split: Long = 400L): DataFrame = {
+    * 400 is the "corpus", the rest the new batch (the constant is mirrored
+    * in the oracle SQL and CurateSpec — change all three together). */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val split = 400L
     val sig = Dedup.simhash(spark, dir)
     val corpus = sig.filter(col("doc_id") < split)
     val batch = sig.filter(col("doc_id") >= split)
+    // no distinct on the corpus side: left_semi already has set semantics
     val inCorpus = batch
-      .join(corpus.select(col("simhash")).distinct(), Seq("simhash"), "left_semi")
+      .join(corpus.select(col("simhash")), Seq("simhash"), "left_semi")
       .select(col("doc_id"), lit("in_corpus").as("reason"))
     val inBatch = batch
       .withColumn("first_id", min(col("doc_id")).over(

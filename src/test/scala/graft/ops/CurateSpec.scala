@@ -29,13 +29,14 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r.getLong(2) >= 30 && r.getLong(3) >= 2))
   }
 
-  test("incremental dedup flags only batch docs, with verifiable reasons") {
-    import org.apache.spark.sql.functions._
+  test("incremental dedup flags exactly the batch docs with matching signatures") {
     val out = Curate.qIncrementalDedup(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture should contain cross-split signature collisions")
     val sig = Dedup.simhash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    out.foreach { r =>
-      val (id, reason) = (r.getLong(0), r.getString(1))
+    val flagged = out.map(r => (r.getLong(0), r.getString(1))).toSet
+    // soundness: every flag is justified by the signature table
+    flagged.foreach { case (id, reason) =>
       assert(id >= 400L, s"corpus doc $id flagged")
       reason match {
         case "in_corpus" =>
@@ -43,6 +44,15 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
         case "in_batch" =>
           assert(sig.exists { case (o, s) => o >= 400L && o < id && s == sig(id) })
         case other => fail(s"unknown reason $other")
+      }
+    }
+    // completeness: every batch doc with a matching signature is flagged
+    sig.foreach { case (id, s) =>
+      if (id >= 400L) {
+        if (sig.exists { case (o, so) => o < 400L && so == s })
+          assert(flagged.contains(id -> "in_corpus"), s"$id missing in_corpus")
+        if (sig.exists { case (o, so) => o >= 400L && o < id && so == s })
+          assert(flagged.contains(id -> "in_batch"), s"$id missing in_batch")
       }
     }
     // each (doc, reason) at most once
