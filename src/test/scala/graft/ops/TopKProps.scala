@@ -49,3 +49,27 @@ object FakeCodecProps extends Properties("FakeCodec") {
         offs.forall(o => o >= 0 && o < nFrames) && offs == offs.sorted
     }
 }
+
+/** The ShingleExplode generator against a pure-Scala sliding-window
+  * reference: same distinct n-grams, same first-occurrence order, for any
+  * token list and shingle size. */
+object ShingleProps extends Properties("ShingleExplode") {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.ShingleExplode
+
+  private val tok = Gen.oneOf("a", "b", "c", "ab", "x")
+
+  property("matches the sliding-distinct reference") =
+    Prop.forAll(Gen.listOf(tok), Gen.choose(1, 4)) { (ts, n) =>
+      val expect = ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList.distinct
+      val arr = ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray)
+      val gen = ShingleExplode(Literal.create(arr, ArrayType(StringType)), n)
+      val got = gen.eval(InternalRow.empty).iterator
+        .map(_.getUTF8String(0).toString).toList
+      got == expect
+    }
+}
