@@ -779,6 +779,27 @@ object SparkEntry {
          |FROM a GROUP BY 1
          |HAVING count(*) > 1 AND count(DISTINCT split) > 1
          |ORDER BY 1""".stripMargin,
+    // mm oracles mirror FakeCodec's probe arithmetic: (w,h,frames) are pure
+    // functions of the payload BYTE length (strlen; fixtures are ASCII but
+    // bytes is what the codec sees), media_type = doc_id % 3
+    "mm_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |                  'media/type' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
+        |                  strlen(text) AS len
+        |           FROM documents)
+        |SELECT media_type, count(*) AS n,
+        |       round(avg(64 + len % 64), 6) AS avg_w,
+        |       round(avg(64 + len % 48), 6) AS avg_h,
+        |       CAST(sum(1 + len % 10) AS BIGINT) AS total_frames
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, CAST(1 + strlen(text) % 10 AS BIGINT) AS nf
+        |           FROM documents),
+        |f AS (SELECT media_id, nf,
+        |             unnest(generate_series(0, least(nf, 4) - 1)) AS i FROM m)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(CASE WHEN nf <= 4 THEN i ELSE (i * nf) // 4 END AS BIGINT) AS frame_offset
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "doc_incr_dedup" ->
       s"""WITH ${simhashVotes(16)},
          |corpus AS (SELECT * FROM sh2 WHERE doc_id < 400),

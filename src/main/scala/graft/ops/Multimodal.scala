@@ -139,18 +139,23 @@ object Multimodal {
   }
 
   /** The shipped query: feature-extract + per-type aggregate of the derived
-    * columns (rows-only driver check; the stubbed codec has no SQL oracle —
-    * unit tests pin its determinism instead). */
+    * columns. The codec is the deterministic stub, so its probe arithmetic
+    * (pure functions of the payload BYTE length) can be mirrored in SQL —
+    * the mapPartitions plumbing is therefore oracle-checked end to end,
+    * not just rows-counted. */
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(spark, dir))
       .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n"),
-        avg(col("width")).as("avg_w"),
-        avg(col("height")).as("avg_h"),
+        round(avg(col("width")), 6).as("avg_w"),
+        round(avg(col("height")), 6).as("avg_h"),
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("media_type"))
 
   def qFrameSample(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(spark, dir))
+      .select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_offset").cast("long").as("frame_offset"))
       .orderBy(col("media_id"), col("frame_idx"))
 }

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
 
   test("queries without an oracle are the documented rows-only set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_approx_distinct", "mm_media_features", "mm_frame_sample"),
+    assert(rowsOnly === Set("q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
