@@ -94,11 +94,18 @@ object ChangelogStream {
     * actually exercise the cross-batch merge), return the materialized
     * orders table. Result is identical to the batch [[Apply.latestState]] —
     * the stream/batch equivalence the engine guarantees. */
-  def applyStreaming(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val clDir = s"$workDir/changelog"
-    val stateDir = s"$workDir/state"
+  def applyStreaming(spark: SparkSession, sfDir: String, workDir: String,
+                     stagedClDir: Option[String] = None): DataFrame = {
+    // changelog files can be pre-staged (shared across runs); state and
+    // checkpoint must stay per-run — an AvailableNow restart against an old
+    // checkpoint sees no new files and would materialize nothing
     val cl = Changelog.fromOrders(spark, sfDir)
-    cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(clDir)
+    val clDir = stagedClDir.getOrElse {
+      val d = s"$workDir/changelog"
+      cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(d)
+      d
+    }
+    val stateDir = s"$workDir/state"
 
     val stream = spark.readStream
       .schema(cl.schema)
@@ -147,9 +154,12 @@ object ChangelogStream {
         .filter(col("table") === "customer").select(Changelog.customerPayloadCols.map(col): _*))
   }
 
-  /** Query-shaped wrapper (fresh temp workdir per run). */
+  /** Query-shaped wrapper: staged changelog shared across runs, fresh temp
+    * workdir (state + checkpoint) per run. */
   def qApplyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString
-    applyStreaming(spark, sfDir, work).orderBy(col("o_orderkey"))
+    applyStreaming(spark, sfDir, work,
+      stagedClDir = Some(Changelog.stageParquet(spark, sfDir)))
+      .orderBy(col("o_orderkey"))
   }
 }
