@@ -11,8 +11,8 @@ import graft.ops.{Dedup, Multimodal, Relational, Similarity, Text}
   * Every operator from SURVEY.md §2 (reference parity + the LLM-pipeline
   * extensions) is declared here as a named query; `oracleSql` carries the
   * ANSI-SQL equivalent the driver runs in DuckDB over the same parquet
-  * tables. Queries without an oracle (approx sketches, stubbed multimodal
-  * codec) get the driver's rows-only check, per the contract.
+  * tables. Only the HLL sketch query lacks an oracle (approximate by
+  * nature) and gets the driver's rows-only check, per the contract.
   *
   * Cross-engine determinism rules used throughout (and mirrored in each
   * oracle): double sums go through DECIMAL(18,4) (exact, order-free);
@@ -206,7 +206,7 @@ object SparkEntry {
     "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
     "emb_ann_centroid" -> ((s, d) => Similarity.qAnnCentroid(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
-    // ── Multimodal plumbing (stub codec — rows-only check) ──────────────
+    // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample" -> (Multimodal.qFrameSample _),
     // ── Scale machinery as first-class queries ──────────────────────────
@@ -305,8 +305,8 @@ object SparkEntry {
       |nrm AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM x GROUP BY 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approx sketch + stub-codec
-    * queries (driver records rows-only). */
+    * the same parquet tables. Omitted only for the approx sketch
+    * (driver records rows-only). */
   def oracleSql: Map[String, String] = Map(
     "cdc_apply" -> cdcApplySql,
     "cdc_apply_dsv2" -> cdcApplySql,
@@ -785,7 +785,7 @@ object SparkEntry {
     "mm_media_features" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |                  'media/type' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
-        |                  strlen(text) AS len
+        |                  strlen(coalesce(text, '')) AS len
         |           FROM documents)
         |SELECT media_type, count(*) AS n,
         |       round(avg(64 + len % 64), 6) AS avg_w,
@@ -793,7 +793,7 @@ object SparkEntry {
         |       CAST(sum(1 + len % 10) AS BIGINT) AS total_frames
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frame_sample" ->
-      """WITH m AS (SELECT doc_id AS media_id, CAST(1 + strlen(text) % 10 AS BIGINT) AS nf
+      """WITH m AS (SELECT doc_id AS media_id, CAST(1 + strlen(coalesce(text, '')) % 10 AS BIGINT) AS nf
         |           FROM documents),
         |f AS (SELECT media_id, nf,
         |             unnest(generate_series(0, least(nf, 4) - 1)) AS i FROM m)

@@ -150,6 +150,16 @@ object Changelog {
       cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** The multi-table (orders ∪ customer, null-padded superset envelope)
+    * changelog as parquet files. */
+  def stageParquetMultiTable(spark: SparkSession, sfDir: String): String =
+    stage(
+      fromOrders(spark, sfDir)
+        .unionByName(fromCustomer(spark, sfDir), allowMissingColumns = true),
+      sfDir, "parquet-multi") { (cl, dir) =>
+      cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** The typed payload schema, derived from the changelog itself — the one
     * place the column set is defined. */
   def payloadSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType =

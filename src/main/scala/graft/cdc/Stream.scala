@@ -99,16 +99,16 @@ object ChangelogStream {
     // changelog files can be pre-staged (shared across runs); state and
     // checkpoint must stay per-run — an AvailableNow restart against an old
     // checkpoint sees no new files and would materialize nothing
-    val cl = Changelog.fromOrders(spark, sfDir)
     val clDir = stagedClDir.getOrElse {
       val d = s"$workDir/changelog"
-      cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(d)
+      Changelog.fromOrders(spark, sfDir)
+        .repartition(4).write.mode(SaveMode.Overwrite).parquet(d)
       d
     }
     val stateDir = s"$workDir/state"
 
     val stream = spark.readStream
-      .schema(cl.schema)
+      .schema(spark.read.parquet(clDir).schema)
       .option("maxFilesPerTrigger", 3)
       .parquet(clDir)
 
@@ -130,11 +130,9 @@ object ChangelogStream {
     * null padding (the superset-envelope encoding). */
   def applyStreamingMultiTable(spark: SparkSession, sfDir: String,
                                workDir: String): Map[String, DataFrame] = {
-    val clDir = s"$workDir/changelog"
+    // staged once per fixture dir, like the single-table path
+    val clDir = Changelog.stageParquetMultiTable(spark, sfDir)
     val stateDir = s"$workDir/state"
-    val cl = Changelog.fromOrders(spark, sfDir)
-      .unionByName(Changelog.fromCustomer(spark, sfDir), allowMissingColumns = true)
-    cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(clDir)
 
     val stream = spark.readStream.schema(spark.read.parquet(clDir).schema)
       .option("maxFilesPerTrigger", 3).parquet(clDir)

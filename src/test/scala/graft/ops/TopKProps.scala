@@ -61,12 +61,22 @@ object ShingleProps extends Properties("ShingleExplode") {
   import org.apache.spark.unsafe.types.UTF8String
   import graft.functions.ShingleExplode
 
-  private val tok = Gen.oneOf("a", "b", "c", "ab", "x")
+  // alphabet includes a null (exercises concatWs null-skip) and a
+  // space-containing token ("a b" collides with the joined bigram a+b —
+  // exercises dedup on the JOINED string, not the window)
+  private val tok = Gen.frequency(
+    1 -> Gen.const(null: String),
+    8 -> Gen.oneOf("a", "b", "c", "ab", "x", "a b"))
 
   property("matches the sliding-distinct reference") =
     Prop.forAll(Gen.listOf(tok), Gen.choose(1, 4)) { (ts, n) =>
-      val expect = ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList.distinct
-      val arr = ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray)
+      // reference model: window size counts null positions (the generator
+      // slides over array slots), but nulls drop out of the join —
+      // concat_ws semantics
+      val expect = ts.sliding(n).filter(_.size == n)
+        .map(_.filter(_ != null).mkString(" ")).toList.distinct
+      val arr = ArrayData.toArrayData(
+        ts.map(t => if (t == null) null else UTF8String.fromString(t)).toArray)
       val gen = ShingleExplode(Literal.create(arr, ArrayType(StringType)), n)
       val got = gen.eval(InternalRow.empty).iterator
         .map(_.getUTF8String(0).toString).toList
