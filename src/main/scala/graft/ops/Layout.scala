@@ -44,4 +44,26 @@ object Layout {
   def readPartition(spark: SparkSession, dir: String,
                     partCol: String, value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
+    * writers accrete files over time; at 100 TB each file costs a task +
+    * open + footer parse on every read, so periodic compaction is standard
+    * table maintenance (what table formats schedule as OPTIMIZE). The
+    * rewrite goes through a temp sibling dir and an atomic-ish swap so a
+    * crash mid-compact leaves the original intact. */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nFiles).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    fs.delete(old, true)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+  }
 }

@@ -167,6 +167,33 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+class CompactSpec extends AnyFunSuite with SparkSpec {
+
+  test("compaction collapses a many-files table without changing its rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-compact-").toString + "/t"
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      events.repartition(23).write.parquet(dir)
+      def nFiles = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles === 23)
+      Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+      assert(nFiles === 1, s"expected 1 file after compaction, got $nFiles")
+      val back = spark.read.parquet(dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+}
+
 class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("bloom prune runs as a scan-stage filter (before any exchange)") {
