@@ -132,6 +132,31 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(Apply.mergeApply(events, Seq("a", "b")).count() === 0)
   }
 
+  test("schema evolution: a column added mid-stream flows through the apply") {
+    // v1 files lack column "b"; v2 files carry it (the reference's
+    // RelationMessage re-announcement, O3). mergeSchema unifies the read;
+    // old events surface b as null and last-writer-wins still holds.
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-evo-").toString
+    try {
+      Seq((1L, 1L, "INSERT", "a1"), (2L, 1L, "INSERT", "a2"))
+        .toDF("id", "seq", "op", "a").write.parquet(s"$dir/files1")
+      Seq((1L, 2L, "UPDATE", "a1b", "b1"))
+        .toDF("id", "seq", "op", "a", "b").write.parquet(s"$dir/files2")
+      val cl = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/files1", s"$dir/files2")
+      val out = Apply.latestState(cl, Seq("a", "b")).orderBy("id")
+        .as[(String, Option[String])].collect()
+      assert(out.toSeq === Seq(("a1b", Some("b1")), ("a2", None)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("unhandled op kinds are dropped like the reference's message filter") {
     // TRUNCATE at the highest seq must neither win LWW nor delete the key
     val out = Apply.latestState(cl(
