@@ -42,6 +42,7 @@ object SparkEntry {
       Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload, keyField = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
+    "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     "cdc_apply_dsv2" -> { (s, d) =>
       // the changelog round-tripped through the DSv2 connector: staged as
       // JSON-line DatabaseEvent envelopes (the reference's wire format),
@@ -314,6 +315,7 @@ object SparkEntry {
     "cdc_apply_merge" -> cdcApplySql,
     "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,
+    "cdc_apply_stream_dsv2" -> cdcApplySql,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog

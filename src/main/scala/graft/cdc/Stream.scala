@@ -160,4 +160,46 @@ object ChangelogStream {
       stagedClDir = Some(Changelog.stageParquet(spark, sfDir)))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Streaming apply fed by the engine's OWN DSv2 connector
+    * ([[graft.sources.ChangelogMicroBatchStream]]): JSON-line DatabaseEvent
+    * envelopes tailed as a MicroBatchStream (file-offset resume, bounded
+    * micro-batches via maxFilesPerTrigger admission control), payload
+    * schema-applied with from_json (O4/O9), then the same idempotent keyed
+    * upsert sink. This is BASELINE's "Structured Streaming with CDC source
+    * connector" literally — the reference's ordered resumable tail
+    * (`producer.go:18-174`) as a first-class Spark source. Result is
+    * identical to the batch [[Apply.latestState]]; shares cdc_apply's
+    * oracle. */
+  def applyStreamingDsv2(spark: SparkSession, clDir: String, workDir: String,
+                         pSchema: org.apache.spark.sql.types.StructType,
+                         maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stateDir = s"$workDir/state"
+    val decoded = spark.readStream.format("changelog")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(clDir)
+      .filter(col("table") === "orders")
+      .select(Seq(col("id"), col("seq"), col("op")) :+
+        from_json(col("payload"), pSchema).as("p"): _*)
+      .select(Seq(col("id"), col("seq"), col("op")) ++
+        Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+    val q = decoded.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readState(spark, stateDir, Changelog.payloadCols)
+  }
+
+  /** Query-shaped wrapper for [[applyStreamingDsv2]]: staged envelope files
+    * shared across runs (4 text files → 4 micro-batches at
+    * maxFilesPerTrigger=1, so cross-batch merge + offset advance are truly
+    * exercised), fresh state/checkpoint per run. */
+  def qApplyStreamingDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString
+    applyStreamingDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir))
+      .orderBy(col("o_orderkey"))
+  }
 }

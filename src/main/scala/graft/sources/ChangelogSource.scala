@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -24,18 +25,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * same DSv2 machinery as any production source.
   *
   * Scale features a 100 TB source needs, implemented:
-  *  - one InputPartition per file → reader parallelism tracks file layout;
+  *  - byte-range splits: one InputPartition per `maxSplitBytes` range with
+  *    Hadoop line-boundary semantics (a non-zero-offset range discards its
+  *    first partial line; every range reads through the end of the last
+  *    line that STARTS inside it) — a 10 GB envelope file becomes ~80
+  *    parallel tasks, not one;
+  *  - recursive listing (`fs.listFiles(_, true)`) so date-bucketed
+  *    `dt=…/part-…` layouts are picked up, skipping `_`/`.` metadata at
+  *    any depth;
+  *  - compressed envelopes (.gz etc.) via the Hadoop codec factory —
+  *    detected by extension, read whole-file (codecs aren't splittable
+  *    here), never mis-parsed as text;
   *  - column pruning (`SupportsPushDownRequiredColumns`): un-projected
   *    envelope fields are never materialized per row;
   *  - filter pushdown (`SupportsPushDownFilters`) for the op/table equality
   *    dispatch predicates (O5/O10): rows are dropped inside the reader,
-  *    before Spark sees them.
+  *    before Spark sees them;
+  *  - MICRO_BATCH_READ: the same scan is a Structured Streaming source
+  *    ([[ChangelogMicroBatchStream]]) — file-granular offsets, admission
+  *    control (`maxFilesPerTrigger`), checkpoint-restart resume. This is
+  *    the reference's core shape — an ordered, resumable tail of the
+  *    changelog (`producer.go:18-174`, resume-from-position; consume from
+  *    earliest `utils.go:48-54`) — rendered as the engine's own connector.
+  *
+  * Corrupt lines are skipped (the O9 decode convention: `from_json` yields
+  * null and the pipeline filters it) but COUNTED: a range where every line
+  * failed to parse fails loudly instead of reading as an empty changelog —
+  * a binary or mis-encoded file is a systemic error, not late data.
   *
   * The `payload` column stays a raw JSON string — schema application is
   * the downstream `from_json` step (O4/O9), exactly the engine's dynamic-
-  * schema model (SURVEY §1.3). Streaming ingestion of the same envelope
-  * goes through the file-stream path in [[graft.cdc.ChangelogStream]]; a
-  * `MicroBatchStream` here would be the Kafka-backed upgrade.
+  * schema model (SURVEY §1.3).
   */
 class ChangelogSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -55,13 +75,15 @@ object ChangelogSource {
     StructField("op", StringType),
     StructField("table", StringType),
     StructField("payload", StringType)))
+
+  val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
 }
 
 class ChangelogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"changelog($path)"
   override def schema(): StructType = ChangelogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // capture the SESSION Hadoop conf (spark.hadoop.* — S3/ABFS creds,
     // fs overrides) as a serializable map; a bare `new Configuration()`
@@ -73,11 +95,15 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new ChangelogScanBuilder(path, confMap)
+    val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(ChangelogSource.DefaultMaxSplitBytes)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    new ChangelogScanBuilder(path, confMap, maxSplit, maxFiles)
   }
 }
 
-class ChangelogScanBuilder(path: String, confMap: Map[String, String])
+class ChangelogScanBuilder(path: String, confMap: Map[String, String],
+                           maxSplitBytes: Long, maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = ChangelogSource.schema
@@ -100,32 +126,77 @@ class ChangelogScanBuilder(path: String, confMap: Map[String, String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChangelogScan(path, required, pushed, confMap)
+  override def build(): Scan =
+    new ChangelogScan(path, required, pushed, confMap, maxSplitBytes, maxFilesPerTrigger)
 }
 
 class ChangelogScan(path: String, required: StructType, filters: Array[Filter],
-                    confMap: Map[String, String])
+                    confMap: Map[String, String], maxSplitBytes: Long,
+                    maxFilesPerTrigger: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ChangelogScan(path=$path, pushed=${filters.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(ChangelogConf.toConfiguration(confMap))
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(s => ChangelogInputPartition(s.getPath.toString): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangelogPlanner.planFiles(
+      ChangelogPlanner.listDataFiles(path, confMap), confMap, maxSplitBytes)
+      .map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory(required, filters, confMap)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangelogMicroBatchStream(path, confMap, maxSplitBytes, maxFilesPerTrigger)
 }
 
-case class ChangelogInputPartition(file: String) extends InputPartition
+/** Byte range `[start, start+length)` of one file. `compressed` ranges span
+  * the whole file (codec streams aren't seekable). */
+case class ChangelogInputPartition(file: String, start: Long, length: Long,
+                                   compressed: Boolean) extends InputPartition
+
+/** File listing + range planning shared by the batch scan and the
+  * micro-batch stream. */
+object ChangelogPlanner {
+  /** Recursive listing of data files under `dir`: skips any file whose name
+    * or whose sub-directory component (relative to `dir`) starts with `_`
+    * or `.` (Spark/Hadoop metadata: `_SUCCESS`, `.staging`, …). */
+  def listDataFiles(dir: String, confMap: Map[String, String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(ChangelogConf.toConfiguration(confMap))
+    val rootUri = fs.makeQualified(root).toUri
+    val out = ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = rootUri.relativize(s.getPath.toUri).getPath
+      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      if (s.isFile && !hidden) out += s
+    }
+    out.sortBy(_.getPath.toString).toSeq
+  }
+
+  /** One partition per `maxSplitBytes` range; compressed files (by
+    * extension, via the Hadoop codec factory) are one unsplit range. */
+  def planFiles(files: Seq[org.apache.hadoop.fs.FileStatus],
+                confMap: Map[String, String],
+                maxSplitBytes: Long): Seq[ChangelogInputPartition] = {
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      ChangelogConf.toConfiguration(confMap))
+    files.flatMap { s =>
+      val len = s.getLen
+      if (len == 0) Nil
+      else if (codecs.getCodec(s.getPath) != null)
+        Seq(ChangelogInputPartition(s.getPath.toString, 0L, len, compressed = true))
+      else
+        (0L until len by maxSplitBytes).map { off =>
+          ChangelogInputPartition(s.getPath.toString, off,
+            math.min(maxSplitBytes, len - off), compressed = false)
+        }
+    }
+  }
+}
 
 object ChangelogConf {
   def toConfiguration(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
@@ -135,27 +206,218 @@ object ChangelogConf {
   }
 }
 
+/** Streaming offset: the sorted set of files fully processed. File-granular
+  * (a file is the unit of admission, like Spark's own file source); kept
+  * sorted so offset JSON equality is deterministic. At very large file
+  * counts the production upgrade is a compacted seen-file log (what
+  * `FileStreamSource` keeps) — the offset CONTRACT is unchanged. */
+case class ChangelogOffset(files: Seq[String]) extends Offset {
+  override def json(): String = {
+    val arr = ChangelogOffsetCodec.mapper.createArrayNode()
+    files.foreach(arr.add)
+    arr.toString
+  }
+}
+
+object ChangelogOffsetCodec {
+  val mapper = new ObjectMapper()
+  def fromJson(json: String): ChangelogOffset = {
+    val node = mapper.readTree(json)
+    val b = Seq.newBuilder[String]
+    node.forEach(n => b += n.asText())
+    ChangelogOffset(b.result().sorted)
+  }
+}
+
+/** The streaming side of the connector: an ordered, resumable tail of the
+  * changelog directory — the engine's rendering of the reference's
+  * replication-slot consumer (`producer.go:18-174` tails in order and
+  * resumes from its saved position; `utils.go:48-54` consumes from
+  * earliest). Offsets are file sets; a restart replans exactly the files
+  * between the checkpointed and latest offsets, so no event is re-applied
+  * or skipped. Admission control honors `maxFilesPerTrigger` so
+  * AvailableNow replays history as bounded micro-batches —
+  * [[SupportsTriggerAvailableNow]] is implemented directly because Spark's
+  * generic wrapper returns the captured end offset wholesale, collapsing
+  * AvailableNow to one unbounded batch and defeating the read limit. */
+class ChangelogMicroBatchStream(path: String, confMap: Map[String, String],
+                                maxSplitBytes: Long, maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def listNow(): Seq[String] =
+    ChangelogPlanner.listDataFiles(path, confMap).map(_.getPath.toString)
+
+  // AvailableNow contract: freeze the file set at query start; batches then
+  // drain toward it under the read limit and the query stops at the target
+  // (files landing mid-run wait for the next start — exactly Spark's own
+  // file-source semantics)
+  private var availableNowTarget: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listNow().toSet)
+
+  override def initialOffset(): Offset = ChangelogOffset(Nil)
+
+  override def deserializeOffset(json: String): Offset =
+    ChangelogOffsetCodec.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = ChangelogOffset(listNow())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[ChangelogOffset].files
+    val doneSet = done.toSet
+    val visible = availableNowTarget match {
+      case Some(target) => listNow().filter(target)
+      case None => listNow()
+    }
+    val fresh = visible.filterNot(doneSet)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    ChangelogOffset((done ++ admitted).sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val doneSet = start.asInstanceOf[ChangelogOffset].files.toSet
+    val batchFiles = end.asInstanceOf[ChangelogOffset].files.filterNot(doneSet).toSet
+    val statuses = ChangelogPlanner.listDataFiles(path, confMap)
+      .filter(s => batchFiles.contains(s.getPath.toString))
+    ChangelogPlanner.planFiles(statuses, confMap, maxSplitBytes)
+      .map(p => p: InputPartition).toArray
+  }
+
+  /** Streaming reads the full envelope; pruning/pushdown happen in the
+    * query above the source (the stream is the raw tail). */
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(ChangelogSource.schema, Array.empty, confMap)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 class ChangelogReaderFactory(required: StructType, filters: Array[Filter],
                              confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangelogPartitionReader(
-      partition.asInstanceOf[ChangelogInputPartition].file, required, filters, confMap)
+      partition.asInstanceOf[ChangelogInputPartition], required, filters, confMap)
 }
 
-/** Per-file reader: stream lines, jackson-parse the envelope, apply pushed
-  * filters, emit only the pruned columns. */
-class ChangelogPartitionReader(file: String, required: StructType,
+/** Byte-oriented line reader over one range of an uncompressed file, with
+  * Hadoop `LineRecordReader` boundary semantics: a range starting past 0
+  * discards everything through its first newline (that line belongs to the
+  * previous range, which reads THROUGH the boundary: a new line is started
+  * while its first byte's offset is <= `end`). Counts bytes, not chars, so
+  * multi-byte UTF-8 never desyncs the offsets. */
+private[sources] class LineRangeReader(in: org.apache.hadoop.fs.FSDataInputStream,
+                                       start: Long, length: Long) {
+  private val end = start + length
+  private var pos = start
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+
+  in.seek(start)
+  if (start != 0) skipLine()
+
+  private def fill(): Boolean = {
+    if (bufPos < bufLen) true
+    else {
+      bufLen = in.read(buf)
+      bufPos = 0
+      bufLen > 0
+    }
+  }
+
+  private def skipLine(): Unit = {
+    var done = false
+    while (!done && fill()) {
+      val nl = indexOfNl()
+      if (nl >= 0) { pos += nl - bufPos + 1; bufPos = nl + 1; done = true }
+      else { pos += bufLen - bufPos; bufPos = bufLen }
+    }
+  }
+
+  private def indexOfNl(): Int = {
+    var i = bufPos
+    while (i < bufLen && buf(i) != '\n') i += 1
+    if (i < bufLen) i else -1
+  }
+
+  /** Next line whose first byte lies in `[start, end]` (Hadoop's `<= end`
+    * convention), or null at range end / EOF. Strips the trailing `\r` of
+    * CRLF input; the returned string never contains the newline. */
+  def readLine(): String = {
+    if (pos > end) return null
+    var out: java.io.ByteArrayOutputStream = null
+    var line: String = null
+    var done = false
+    while (!done) {
+      if (!fill()) {
+        // EOF: flush a final unterminated line if any bytes were gathered
+        line = if (out != null && out.size() > 0) finish(out) else null
+        done = true
+      } else {
+        val nl = indexOfNl()
+        if (nl >= 0) {
+          if (out == null) out = new java.io.ByteArrayOutputStream(256)
+          out.write(buf, bufPos, nl - bufPos)
+          pos += nl - bufPos + 1
+          bufPos = nl + 1
+          line = finish(out)
+          done = true
+        } else {
+          if (out == null) out = new java.io.ByteArrayOutputStream(256)
+          out.write(buf, bufPos, bufLen - bufPos)
+          pos += bufLen - bufPos
+          bufPos = bufLen
+        }
+      }
+    }
+    line
+  }
+
+  private def finish(out: java.io.ByteArrayOutputStream): String = {
+    val bytes = out.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** Per-range reader: stream lines, jackson-parse the envelope, apply pushed
+  * filters, emit only the pruned columns. Corrupt lines are skipped AND
+  * counted — a range whose every line fails to parse raises instead of
+  * silently reading as empty (see class doc of [[ChangelogSource]]). */
+class ChangelogPartitionReader(partition: ChangelogInputPartition,
+                               required: StructType,
                                filters: Array[Filter],
                                confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val path = new org.apache.hadoop.fs.Path(file)
-  private val in = path.getFileSystem(ChangelogConf.toConfiguration(confMap)).open(path)
-  private val lines = new java.io.BufferedReader(
-    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private val conf = ChangelogConf.toConfiguration(confMap)
+  private val path = new org.apache.hadoop.fs.Path(partition.file)
+  private val in = path.getFileSystem(conf).open(path)
+  // compressed: whole-file codec stream (unsplittable, so start is always 0);
+  // plain: byte-range reader with line-boundary handling
+  private val compressedLines: java.io.BufferedReader =
+    if (partition.compressed) {
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(path)
+      new java.io.BufferedReader(new java.io.InputStreamReader(
+        codec.createInputStream(in), java.nio.charset.StandardCharsets.UTF_8))
+    } else null
+  private val rangeLines: LineRangeReader =
+    if (partition.compressed) null else new LineRangeReader(in, partition.start, partition.length)
+
   private var row: InternalRow = _
+  private var parsed = 0L
+  private var corrupt = 0L
+
+  private def nextLine(): String =
+    if (compressedLines != null) compressedLines.readLine() else rangeLines.readLine()
 
   private def passes(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
     filters.forall {
@@ -167,34 +429,45 @@ class ChangelogPartitionReader(file: String, required: StructType,
     }
 
   override def next(): Boolean = {
-    var line = lines.readLine()
+    var line = nextLine()
     while (line != null) {
       if (line.nonEmpty) {
-        // corrupt record -> skip, the engine's O9 decode convention
+        // corrupt record -> skip + count, the engine's O9 decode convention
         // (from_json yields null and the pipeline filters it)
         val node = try mapper.readTree(line) catch { case _: Exception => null }
-        if (node != null && passes(node)) {
-          val values = new ArrayBuffer[Any](required.length)
-          required.fields.foreach { f =>
-            val n = node.get(f.name)
-            values += (if (n == null || n.isNull) null
-            else f.dataType match {
-              case LongType => n.asLong()
-              // payload: keep the raw JSON text (object or scalar)
-              case StringType if n.isContainerNode => UTF8String.fromString(n.toString)
-              case StringType => UTF8String.fromString(n.asText())
-              case dt => throw new IllegalStateException(s"unsupported type $dt")
-            })
+        if (node == null || !node.isObject) corrupt += 1
+        else {
+          parsed += 1
+          if (passes(node)) {
+            val values = new ArrayBuffer[Any](required.length)
+            required.fields.foreach { f =>
+              val n = node.get(f.name)
+              values += (if (n == null || n.isNull) null
+              else f.dataType match {
+                case LongType => n.asLong()
+                // payload: keep the raw JSON text (object or scalar)
+                case StringType if n.isContainerNode => UTF8String.fromString(n.toString)
+                case StringType => UTF8String.fromString(n.asText())
+                case dt => throw new IllegalStateException(s"unsupported type $dt")
+              })
+            }
+            row = new GenericInternalRow(values.toArray)
+            return true
           }
-          row = new GenericInternalRow(values.toArray)
-          return true
         }
       }
-      line = lines.readLine()
+      line = nextLine()
     }
+    // end of range: all-corrupt input is a systemic failure (binary file,
+    // unknown compression, wrong encoding) — fail loudly, don't read as empty
+    if (corrupt > 0 && parsed == 0)
+      throw new IllegalStateException(
+        s"changelog range ${partition.file}[${partition.start}+${partition.length}] " +
+          s"contained $corrupt lines, none parseable as JSON envelopes")
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = lines.close()
+  override def close(): Unit =
+    if (compressedLines != null) compressedLines.close() else in.close()
 }
