@@ -19,14 +19,25 @@ import org.apache.spark.sql.streaming.Trigger
   * duplicate inserts), retained tombstones (so out-of-order replay cannot
   * resurrect deleted keys).
   *
-  * State layout: versioned parquet snapshots `state/v=N` — each micro-batch
-  * merges the previous snapshot with the batch's per-key latest and writes
-  * version N+1 (never overwriting what it reads). At 100 TB the snapshot
-  * would be bucketed by id so the merge join is shuffle-free on the state
-  * side; the per-batch work is then proportional to the batch, not the
-  * state.
+  * State layout: the snapshot is hash-bucketed by key —
+  * `state/bucket=B/v=N` with per-bucket versions — and each micro-batch
+  * merges and rewrites ONLY the buckets its keys hash into (one Spark job:
+  * read touched-bucket snapshots ∪ batch, per-key `max_by`, write
+  * partitioned by bucket; then per-bucket atomic renames). Untouched
+  * buckets are never read or rewritten, so per-batch IO is proportional to
+  * `touched_buckets × bucket_size`, not to total state — the property that
+  * keeps a 100 TB keyed state serviceable by small batches (at that scale
+  * `numBuckets` grows to thousands; the mechanism is unchanged). Each
+  * bucket version is `_SUCCESS`-fenced and written fresh (never
+  * overwriting what it reads); replaying a batch after a crash mid-rename
+  * is idempotent because the per-key `max_by(seq)` merge is.
   */
 object ChangelogStream {
+
+  /** Buckets in the keyed state snapshot. Sized so sf-test states stay
+    * multi-file without drowning tiny batches in task overhead; a real
+    * deployment sizes this to `total_state / target_bucket_bytes`. */
+  val NumBuckets = 16
 
   /** Committed (`_SUCCESS`-marked) version directories under `stateDir`,
     * via the Hadoop FileSystem API so the versioned-state mechanism works on
@@ -48,46 +59,93 @@ object ChangelogStream {
   private def latestVersion(spark: SparkSession, stateDir: String): Option[Long] =
     committedVersions(spark, stateDir).lastOption
 
+  private def bucketOf(keyCols: Seq[String]) =
+    pmod(hash(keyCols.map(col): _*), lit(NumBuckets))
+
   /** Merge one micro-batch into the keyed state (exactly the reference's
     * consumer dispatch `utils.go:103-113`, as one set-oriented merge).
-    * Tombstones (op=DELETE) are kept in state; readers filter them. */
+    * Tombstones (op=DELETE) are kept in state; readers filter them.
+    *
+    * Incremental: only buckets containing batch keys are read, merged, and
+    * rewritten — ONE Spark job regardless of how many buckets a batch
+    * touches (union of touched snapshots + batch → per-key `max_by` → write
+    * partitioned by bucket), followed by per-bucket renames into the next
+    * `_SUCCESS`-fenced version. Untouched bucket files are left
+    * byte-for-byte alone (asserted by StreamSpec). */
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    // one listing per batch: on S3A/HDFS each committedVersions call is a
-    // LIST plus per-version HEADs, so derive prev/next/deletions from it
-    val versions = committedVersions(spark, stateDir)
-    val prev = versions.lastOption match {
-      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-      case None    => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    }
-    val next = versions.lastOption.getOrElse(-1L) + 1
-    // max_by hash aggregation (map-side combined) — see Apply.latestState
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
-    prev.unionByName(batch)
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
-      .select(keyCols.map(col) ++ others.map(c => col(s"last.$c").as(c)): _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$next")
-    // retention: keep the new snapshot + one predecessor (for readers that
-    // resolved the previous version before this write); older versions are
-    // dead weight — without this the state store grows with every batch
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions
-      .filter(_ < next - 1)
-      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+    val withB = batch.withColumn("__bucket", bucketOf(keyCols))
+    withB.persist()
+    try {
+      val touched = withB.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      // one listing per touched bucket: prev snapshot paths + next versions
+      val bucketVersions = touched.map { b =>
+        b -> committedVersions(spark, s"$stateDir/bucket=$b")
+      }.toMap
+      val prevPaths = bucketVersions.toSeq.sortBy(_._1).flatMap { case (b, vs) =>
+        vs.lastOption.map(v => s"$stateDir/bucket=$b/v=$v")
+      }
+      // prev rows carry no bucket column on disk; recompute it (cheap hash)
+      val prev =
+        if (prevPaths.nonEmpty)
+          spark.read.parquet(prevPaths: _*).withColumn("__bucket", bucketOf(keyCols))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withB.schema)
+      // max_by hash aggregation (map-side combined) — see Apply.latestState;
+      // grouping by (bucket, keys) keeps the bucket for the partitioned write
+      // (bucket is key-functional, so groups are identical to groupBy(keys))
+      val tmp = s"$stateDir/.merge-tmp"
+      prev.unionByName(withB)
+        .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+        .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
+          others.map(c => col(s"last.$c").as(c)): _*)
+        .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      // promote each touched bucket dir to its next version; the _SUCCESS
+      // fence is created only after the rename, so a crash anywhere leaves
+      // every bucket on its previous committed version and the batch replay
+      // (checkpointed offsets) re-merges idempotently
+      touched.foreach { b =>
+        val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
+        val next = bucketVersions(b).lastOption.getOrElse(-1L) + 1
+        val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
+        fs.mkdirs(bDir)
+        val to = new org.apache.hadoop.fs.Path(bDir, s"v=$next")
+        if (!fs.rename(from, to))
+          throw new IllegalStateException(s"state promote failed: $from -> $to")
+        fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+        // retention: keep the new snapshot + one predecessor (for readers
+        // that resolved the previous version before this write); older
+        // versions are dead weight
+        bucketVersions(b).filter(_ < next - 1)
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } finally withB.unpersist()
   }
 
-  /** Read the materialized table: latest snapshot minus tombstones. */
-  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String]): DataFrame =
-    latestVersion(spark, stateDir) match {
-      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-        .filter(col("op") =!= "DELETE")
-        .select(payloadCols.map(col): _*)
-      case None => throw new IllegalStateException(s"no state at $stateDir")
-    }
+  /** Read the materialized table: per-bucket latest snapshots minus
+    * tombstones. */
+  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .flatMap(b => latestVersion(spark, b.getPath.toString)
+          .map(v => s"${b.getPath}/v=$v"))
+    if (latest.isEmpty) throw new IllegalStateException(s"no state at $stateDir")
+    spark.read.parquet(latest: _*)
+      .filter(col("op") =!= "DELETE")
+      .select(payloadCols.map(col): _*)
+  }
 
   /** End-to-end: synthesize the changelog, stream it through in bounded
     * micro-batches (AvailableNow + maxFilesPerTrigger so multiple batches

@@ -37,18 +37,23 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
-  test("state retention keeps at most two snapshot versions") {
+  test("state retention keeps at most two snapshot versions per bucket") {
     val work = Files.createTempDirectory("graft-retain-").toString
     val stateDir = s"$work/state"
     def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    // same key every batch -> the SAME bucket advances a version per batch
     (1 to 5).foreach { i =>
-      ChangelogStream.upsertBatch(mk((i.toLong, i.toLong, "INSERT", s"v$i")), stateDir)
+      ChangelogStream.upsertBatch(mk((7L, i.toLong, "INSERT", s"v$i")), stateDir)
     }
-    val versions = new java.io.File(stateDir).listFiles()
+    val buckets = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).toSeq
+    assert(buckets.size === 1)
+    val versions = buckets.head.listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted
     assert(versions.toSeq === Seq("v=3", "v=4"))
-    // and the surviving snapshot holds all five keys
-    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 5)
+    val out = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((7L, "v5"))) // latest seq wins
   }
 
   test("a partial (uncommitted) snapshot directory is ignored") {
@@ -57,15 +62,51 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     ChangelogStream.upsertBatch(
       Seq((1L, 1L, "INSERT", "good")).toDF("id", "seq", "op", "v"), stateDir)
     // simulate a crash mid-write of the next version: dir exists, no _SUCCESS
-    val partial = new java.io.File(s"$stateDir/v=1")
+    val bucket = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val partial = new java.io.File(bucket, "v=1")
     partial.mkdirs()
     val got = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
       .as[(Long, String)].collect()
     assert(got.toSeq === Seq((1L, "good"))) // v=0 stays the committed latest
     // and the next upsert supersedes the partial dir rather than building on it
     ChangelogStream.upsertBatch(
-      Seq((2L, 2L, "INSERT", "more")).toDF("id", "seq", "op", "v"), stateDir)
-    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 2)
+      Seq((1L, 2L, "UPDATE", "better")).toDF("id", "seq", "op", "v"), stateDir)
+    val after = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(after.toSeq === Seq((1L, "better")))
+  }
+
+  test("a batch rewrites only the buckets its keys hash into") {
+    val work = Files.createTempDirectory("graft-buckets-").toString
+    val stateDir = s"$work/state"
+    // seed state across many buckets
+    val seed = (1L to 200L).map(i => (i, i, "INSERT", s"v$i"))
+      .toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(seed, stateDir)
+    def filesNow(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(stateDir))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = filesNow()
+    // one-key batch: exactly one bucket may change
+    ChangelogStream.upsertBatch(
+      Seq((42L, 1000L, "UPDATE", "fresh")).toDF("id", "seq", "op", "v"), stateDir)
+    val after = filesNow()
+    val changedBuckets = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .flatMap(_.split('/').find(_.startsWith("bucket=")))
+    assert(changedBuckets.size === 1, s"expected 1 touched bucket, got $changedBuckets")
+    // untouched-bucket files are byte-identical (same path, length, mtime)
+    val untouched = before.keySet.filterNot(p =>
+      changedBuckets.exists(b => p.contains(s"/$b/")))
+    untouched.foreach(p => assert(before(p) === after(p), s"rewritten: $p"))
+    // and the merge is still correct
+    val got = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .filter($"id" === 42L).as[(Long, String)].collect()
+    assert(got.toSeq === Seq((42L, "fresh")))
   }
 
   test("stream resumes from checkpoint without duplicating effects") {
