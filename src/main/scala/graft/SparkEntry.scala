@@ -64,6 +64,8 @@ object SparkEntry {
       Apply.latestState(decoded, payload).orderBy(col("o_orderkey"))
     },
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
+    "stream_session_window" -> (graft.streaming.StreamQueries.qStreamingSessionWindow _),
+    "stream_late_data" -> (graft.streaming.StreamQueries.qStreamingLateData _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
     "cdc_apply_stateful" -> (graft.streaming.Stateful.qApplyStateful _),
@@ -249,6 +251,21 @@ object SparkEntry {
         |  FROM part)
         |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
         |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+
+  private val sessionOracle =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
   private val tumblingOracle =
     s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
@@ -536,20 +553,24 @@ object SparkEntry {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q_session_window" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, sum(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM g)
-        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q_session_window" -> sessionOracle,
+    "stream_session_window" -> sessionOracle,
+    "stream_late_data" ->
+      // same cutoff predicate the watermark enforces: late rows (the
+      // event_id%10=0 set, replayed after the on-time corpus) survive only
+      // if their 10-minute window ends after max(on-time ts) - the 3570 s
+      // watermark delay; the sentinel the stream uses to finalize windows
+      // exists only stream-side and its window is never emitted
+      s"""WITH m AS (SELECT max(ts) AS mx FROM events WHERE event_id % 10 <> 0),
+         |kept AS (
+         |  SELECT e.ts, e.event_type, e.value FROM events e, m
+         |  WHERE e.event_id % 10 <> 0
+         |     OR make_timestamp((epoch_us(e.ts) // 600000000 + 1) * 600000000)
+         |          > mx - INTERVAL 3570 SECOND
+         |)
+         |SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+         |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(length(text)) AS min_len, max(length(text)) AS max_len,

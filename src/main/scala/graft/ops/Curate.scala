@@ -78,18 +78,43 @@ object Curate {
   /** Sequential sequence packing: documents concatenated in a deterministic
     * order (doc_id) fill fixed-size token chunks; each doc is tagged with
     * the chunk its first token lands in — the standard pretraining packing
-    * layout. A running-total window gives every doc its start offset;
-    * chunk = offset div budget. One sort-shuffle total; at 100 TB you would
-    * range-partition on the order key so the window runs per partition with
-    * per-partition offsets merged by a second tiny pass. */
-  def qPackChunks(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    * layout.
+    *
+    * Scale-safe two-pass cumulative sum (no global window — a
+    * `Window.orderBy` with empty partitionBy funnels the corpus through ONE
+    * reducer): documents are assigned a deterministic range bucket on the
+    * order key, the running offset is computed per-bucket in parallel
+    * (`Window.partitionBy(bucket)`), and each bucket's base offset is the
+    * cumulative sum of the per-bucket totals — a `parts`-row aggregate
+    * merged on the driver and broadcast back. Offsets are identical to the
+    * global window's by construction (buckets are contiguous doc_id
+    * ranges). At 100 TB `parts` scales with the cluster and the max-id
+    * probe becomes a sketch/metadata lookup; the shape is unchanged. */
+  def qPackChunks(spark: SparkSession, dir: String, budget: Int = 2048,
+                  parts: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
-      .withColumn("offset", coalesce(sum(col("n_words")).over(w), lit(0L)))
-      .select(col("doc_id"), col("n_words"), col("offset"),
-        expr(s"offset div $budget").as("chunk"))
+    // deterministic contiguous ranges (not repartitionByRange: its sampled
+    // bounds differ between the two passes; an arithmetic bucket agrees
+    // across jobs with no caching)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val step = math.max(1L, maxId / parts + 1)
+    val bucketed = docs.withColumn("pid", expr(s"doc_id div $step"))
+    // pass 1: per-bucket token totals -> cumulative base per bucket (tiny)
+    val totals = bucketed.groupBy(col("pid")).agg(sum(col("n_words")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val baseDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base")
+    // pass 2: per-bucket running offset (parallel window) + broadcast base
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("local", coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .join(broadcast(baseDf), Seq("pid"))
+      .select(col("doc_id"), col("n_words"),
+        (col("base") + col("local")).as("offset"))
+      .withColumn("chunk", expr(s"offset div $budget"))
       .orderBy(col("doc_id"))
   }
 

@@ -90,7 +90,9 @@ object Multimodal {
       it.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val (w, h, f) = FakeCodec.probe(bytes)
-        Row(r.getLong(0), r.getString(1), w, h, f, FakeCodec.features(bytes))
+        // name-based access: robust to select-list reordering upstream
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
+          w, h, f, FakeCodec.features(bytes))
       }
     }(enc)
   }
@@ -109,7 +111,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val (_, _, nFrames) = FakeCodec.probe(bytes)
         FakeCodec.frameOffsets(nFrames, k).zipWithIndex.map { case (off, i) =>
-          Row(r.getLong(0), i, off)
+          Row(r.getAs[Long]("media_id"), i, off)
         }
       }
     }(enc)
@@ -132,7 +134,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val (w, h, _) = FakeCodec.probe(bytes)
         val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        Row(r.getLong(0), w, h,
+        Row(r.getAs[Long]("media_id"), w, h,
           math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
       }
     }(enc)

@@ -87,6 +87,96 @@ object StreamQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming session windows per user (30-minute gap) — same result (and
+    * oracle) as the batch q_session_window. Complete output mode: the
+    * bounded run must emit every session, including ones a watermark never
+    * finalizes (append-mode finalization semantics are covered by
+    * StreamSpec's sentinel test; this query is the result-parity
+    * rendering). */
+  def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val (raw, _) = stagedStream(spark, dir, "events")
+    val name = uniq("st_session_")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  /** Watermark late-data semantics, oracle-checked: events whose event time
+    * has fallen behind the watermark are DROPPED from the aggregation.
+    *
+    * Deterministic staging (file mtimes force micro-batch order at
+    * maxFilesPerTrigger=1):
+    *   batch 1 — the on-time corpus (every event_id % 10 != 0) advances the
+    *             watermark to max(on-time ts) - delay;
+    *   batch 2 — an EMPTY heartbeat file: since Spark 3.4 late events are
+    *             filtered against the PREVIOUS batch's watermark (eviction
+    *             uses the current one), so the advance must commit one
+    *             batch before the late data arrives to deterministically
+    *             gate it;
+    *   batch 3 — the "delayed in transit" rows (event_id % 10 == 0): only
+    *             those whose 10-minute window still ends after the watermark
+    *             are admitted;
+    *   batch 4 — a far-future sentinel advances the watermark past every
+    *             real window so append mode emits them all (the sentinel's
+    *             own window stays unfinalized and never appears).
+    * The oracle states the same cutoff in SQL: keep late rows only where
+    * window_end > max(on-time ts) - delay. */
+  def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-sq-late-").toString
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    val onTime = ev.filter(col("event_id") % 10 =!= 0)
+    val late = ev.filter(col("event_id") % 10 === 0)
+    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = ev.limit(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"),
+      lit(new java.sql.Timestamp(mx.getTime + 10L * 3600 * 1000)).as("ts"),
+      lit(0.0d).as("value"))
+    // one parquet file per phase with forced mtimes: the file source orders
+    // by (modification time, path), so replay order is deterministic
+    def stageFile(df: DataFrame, n: String, mtime: Long): Unit = {
+      val tmp = s"$work/.stage-$n"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$work/$n.parquet")
+      assert(part.renameTo(dst), s"stage failed: $n")
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    stageFile(onTime, "f1", 1000000L)
+    stageFile(onTime.limit(0), "f2", 2000000L)
+    stageFile(late, "f3", 3000000L)
+    stageFile(sentinel, "f4", 4000000L)
+    val name = uniq("st_late_")
+    val schema = spark.read.parquet(s"$work/f1.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(work)
+      .withWatermark("ts", "3570 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Streaming exact dedup: fingerprint documents, drop duplicates in the
     * streaming state store, append the survivors to a parquet sink, then
     * summarize — the streaming rendering of doc_dedup_stats' n_distinct. */

@@ -213,6 +213,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated to a nested loop:\n$plan")
   }
+
+  test("pack-chunks windows run partitioned, never through a single reducer") {
+    val df = Curate.qPackChunks(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global cumulative sum collapsed to one reducer:\n$plan")
+    // offsets equal the single-window definition: each doc's offset is the
+    // total words of all earlier docs (spot-checked via a self-aggregate)
+    val rows = df.collect()
+    var acc = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) === acc, s"offset mismatch at doc ${r.getLong(0)}")
+      acc += r.getLong(1)
+    }
+  }
 }
 
 class RangeJoinSpec extends AnyFunSuite with SparkSpec {
