@@ -178,6 +178,7 @@ object SparkEntry {
       .orderBy(col("vec_id"))),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_topk_agg" -> (Relational.qTopKAggregator _),
+    "q_bucketed_join" -> (graft.ops.Layout.qBucketedJoin _),
     "cdc_time_travel" -> ((s, d) =>
       // snapshot-as-of: state at LSN 1,500,000 (updates applied, deletes not
       // yet) — the changelog's version axis doubles as a time-travel key
@@ -208,6 +209,7 @@ object SparkEntry {
     "emb_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
     "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
     "emb_ann_centroid" -> ((s, d) => Similarity.qAnnCentroid(s, d)),
+    "emb_kmeans" -> ((s, d) => Similarity.qKmeans(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
@@ -321,6 +323,29 @@ object SparkEntry {
   private val embX =
     """x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
       |nrm AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM x GROUP BY 1)""".stripMargin
+
+  /** Unrolled spherical k-means (mirrors Similarity.qKmeans): a0 = the
+    * label seed; each round k derives centroids c_k from a_(k-1) with the
+    * decimal-exact mean arithmetic, then reassigns (round-6 scores, ties
+    * on cluster id). */
+  private def kmeansOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT a.cl, x.i,
+         |  round(CAST(sum(CAST(round(x.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |  FROM x JOIN a${k - 1} a USING (vec_id) GROUP BY 1, 2),
+         |n$k AS (SELECT cl, sqrt(sum(c*c)) AS cnrm FROM c$k GROUP BY 1),
+         |d$k AS (SELECT x.vec_id, c.cl, sum(x.e * c.c) AS d FROM x JOIN c$k c ON c.i = x.i GROUP BY 1, 2),
+         |s$k AS (SELECT d.vec_id, d.cl, round(d.d / (n.nrm * cn.cnrm), 6) AS score
+         |  FROM d$k d JOIN nrm n USING (vec_id) JOIN n$k cn USING (cl)),
+         |a$k AS (SELECT vec_id, cl, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rk FROM s$k)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+       |$rounds
+       |SELECT vec_id, cl AS cluster, score FROM a$iters ORDER BY vec_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the approx sketch
@@ -464,6 +489,10 @@ object SparkEntry {
         |  CAST(o_orderdate AS DATE) + 30 AS due_date,
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_ref
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${dsum("l_extendedprice", "revenue")}
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tumbling_window" -> tumblingOracle,
     "stream_tumbling_window" -> tumblingOracle,
     "stream_dedup" ->
@@ -741,6 +770,7 @@ object SparkEntry {
         |       coalesce(n_events, 0) AS n_events
         |FROM od FULL OUTER JOIN ed ON od.day = ed.day
         |ORDER BY 1""".stripMargin,
+    "emb_kmeans" -> kmeansOracle(3),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

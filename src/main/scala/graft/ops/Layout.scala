@@ -45,6 +45,43 @@ object Layout {
                     partCol: String, value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
 
+  /** Stage orders + lineitem as hash-bucketed catalog tables (8 buckets on
+    * the join key, sorted within buckets), once per JVM+fixture: bucketing
+    * is THE layout that turns the biggest fact-fact join shuffle-free, and
+    * it needs the catalog (bucket spec is table metadata, not file bytes).
+    * External location under /tmp keeps the warehouse out of the repo. */
+  def stageBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val fp = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ordersT, lineitemT) = (s"graft_bkt_orders_$fp", s"graft_bkt_lineitem_$fp")
+    def stage(t: String, df: DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", s"/tmp/graft-bucketed/$t")
+          .mode("overwrite").saveAsTable(t)
+      }
+    stage(ordersT, graft.model.Tables.orders(spark, dir), "o_orderkey")
+    stage(lineitemT, graft.model.Tables.lineitem(spark, dir), "l_orderkey")
+    (ordersT, lineitemT)
+  }
+
+  /** The bucketed join as a first-class query: lineitem ⋈ orders on the
+    * bucket key with a merge-join hint — both sides read pre-sorted
+    * buckets, so the JOIN plans with no Exchange on either input (asserted
+    * in PlanShapeSpec); the only shuffle left is the tiny post-join
+    * rollup. This is the layout-as-index story at 100 TB: co-bucketed
+    * fact tables join at scan speed. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (ordersT, lineitemT) = stageBucketedTables(spark, dir)
+    spark.table(lineitemT).hint("merge")
+      .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Small-files compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * writers accrete files over time; at 100 TB each file costs a task +

@@ -137,6 +137,58 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Per-cluster centroid arrays from an assignment: the decimal-exact
+    * elementwise mean ([[qCentroids]] arithmetic), reshaped to
+    * (cl, cvec, cnrm) for the broadcast-assign step. */
+  private def centroidArrays(e: DataFrame, asg: DataFrame): DataFrame =
+    e.join(asg, "vec_id")
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("i0", "ev")))
+      .select(col("cl"), (col("i0") + 1).as("i"),
+        round(col("ev").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ev"))
+      .groupBy(col("cl"), col("i"))
+      .agg(round(sum(col("ev")).cast("double") / count(lit(1)), 6).as("c"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("cnrm", sqrt(foldDot(col("cvec"), col("cvec"))))
+
+  /** Multi-iteration (spherical) k-means: assignment → centroid recompute,
+    * looped — the Lloyd refinement that turns the label-seeded quantizer
+    * of [[qAnnCentroid]] into a trained one. Each round is one broadcast
+    * of k tiny centroid vectors (the corpus NEVER shuffles on anything but
+    * the (cl, dim) partial-mean aggregate) and a `localCheckpoint` on the
+    * k-row centroid table truncates the growing lineage — the
+    * `duplicateClusters` iteration pattern. At 100 TB: per round, one pass
+    * over the corpus + k×dims partial sums per partition; identical shape
+    * at any scale.
+    *
+    * Determinism (cross-engine, hash-checked): centroid elements are
+    * decimal-exact rounded-6 means; scores are rounded to 6 before every
+    * rank; ties break on cluster id. Output is the final assignment. */
+  def qKmeans(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    // iteration 0 "assignment" = the labels (the seed quantizer)
+    var asg = e.select(col("vec_id"), col("label").cast("long").as("cl"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cent = centroidArrays(e, asg).localCheckpoint()
+      val scored = e.join(broadcast(cent))
+        .select(col("vec_id"), col("cl"),
+          round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
+            .as("score"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cl"))
+      out = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cl"), col("score"))
+      asg = out.select(col("vec_id"), col("cl"))
+    }
+    out.select(col("vec_id"), col("cl").as("cluster"), col("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style coarse partitioning with deterministic "centroids": bucket =
     * sign-bit code of the first `codeBits` dimensions (an orthant code — a
     * data-independent coarse quantizer, so both engines derive it exactly).

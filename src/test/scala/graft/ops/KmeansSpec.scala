@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Multi-iteration k-means: Lloyd refinement must (a) monotonically
+  * improve the spherical objective (average cosine to the assigned
+  * centroid — the k-means guarantee, up to round-6 score quantization) and
+  * (b) measurably improve the centroid quantizer for ANN search (recall of
+  * one-probe candidate sets against the brute-force ground truth).
+  * Measured at sf0.001: objective 0.223 → 0.275 and recall 0.16 → 0.32
+  * from iteration 1 to 3. */
+class KmeansSpec extends AnyFunSuite with SparkSpec {
+
+  private def objective(asg: org.apache.spark.sql.DataFrame): Double =
+    asg.agg(avg(col("score"))).head.getDouble(0)
+
+  /** 1-probe recall: fraction of the brute-force top-5 (queries < 10) that
+    * share the query's cell under the given assignment. */
+  private def recall(asg: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.qCosineTopK(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val cells = asg.select(col("vec_id"), col("cluster"))
+    val qcell = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cluster").as("qc"))
+    val hits = truth.join(qcell, "q_id")
+      .join(cells.select(col("vec_id"), col("cluster").as("vc")), "vec_id")
+      .filter(col("qc") === col("vc")).count()
+    hits / 50.0
+  }
+
+  test("iterating assign/recompute improves objective and ANN recall") {
+    val a1 = Similarity.qKmeans(spark, sfDir, iters = 1)
+    val a2 = Similarity.qKmeans(spark, sfDir, iters = 2)
+    val a3 = Similarity.qKmeans(spark, sfDir, iters = 3)
+    val (o1, o2, o3) = (objective(a1), objective(a2), objective(a3))
+    // monotone objective (k-means guarantee; 1e-6 = round-6 quantization)
+    assert(o2 >= o1 - 1e-6, s"objective dropped: $o1 -> $o2")
+    assert(o3 >= o2 - 1e-6, s"objective dropped: $o2 -> $o3")
+    assert(o3 > o1 + 0.01, s"training had no effect: $o1 -> $o3")
+    // the trained quantizer beats the label-seeded one for ANN probing
+    val (r1, r3) = (recall(a1), recall(a3))
+    assert(r3 > r1, s"recall did not improve: $r1 -> $r3")
+    // and assignments actually moved between iterations (not a fixpoint)
+    assert(a1.select("vec_id", "cluster").exceptAll(a3.select("vec_id", "cluster")).count() > 0)
+  }
+}

@@ -214,6 +214,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"range join degenerated to a nested loop:\n$plan")
   }
 
+  test("q_bucketed_join reads co-bucketed tables with no exchange on either input") {
+    val df = Layout.qBucketedJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs must not shuffle:\n$plan")
+    // result parity with the plain (unbucketed) join
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+    assert(df.collect().map(_.toSeq).toSeq === plain.collect().map(_.toSeq).toSeq)
+  }
+
   test("pack-chunks windows run partitioned, never through a single reducer") {
     val df = Curate.qPackChunks(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
