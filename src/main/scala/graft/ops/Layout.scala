@@ -86,12 +86,25 @@ object Layout {
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * writers accrete files over time; at 100 TB each file costs a task +
     * open + footer parse on every read, so periodic compaction is standard
-    * table maintenance (what table formats schedule as OPTIMIZE). The
-    * rewrite goes through a temp sibling dir and an atomic-ish swap so a
-    * crash mid-compact leaves the original intact. */
+    * table maintenance (what table formats schedule as OPTIMIZE).
+    *
+    * Crash safety: the rewrite goes through a temp sibling dir, then a
+    * two-rename swap. A crash between the renames leaves the data only
+    * under `dir + ".compact-old"` — [[recoverCompact]] (called on entry
+    * here, and safe to call at reader startup) rolls that window back, so
+    * no crash point loses the table.
+    *
+    * Partitioned layouts ([[writePartitionedSorted]] output) are rejected:
+    * reading them flat would inline the `col=value` directories as data
+    * columns and destroy the pruning layout — compact each leaf partition
+    * directory instead. */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, dir)
+    if (fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"$dir is a partitioned layout; compact its leaf partition dirs, not the root")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
@@ -102,5 +115,15 @@ object Layout {
     fs.rename(path, old)
     fs.rename(tmp, path)
     fs.delete(old, true)
+  }
+
+  /** Roll back a compact that crashed between its two renames (data only
+    * under `.compact-old`, nothing at `dir`). Idempotent; call before
+    * compacting or at reader startup. */
+  def recoverCompact(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
   }
 }

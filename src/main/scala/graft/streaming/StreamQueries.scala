@@ -54,7 +54,16 @@ object StreamQueries {
     * can stop waiting for signups older than a day; that state-cleanup bound
     * is what makes the join runnable forever at 100 TB/day). Inner-join
     * output is a set, so the result is deterministic and shares a plain-SQL
-    * oracle. */
+    * oracle.
+    *
+    * Oracle-parity precondition: [[stagedStream]] stages ONE parquet file
+    * and sets no maxFilesPerTrigger, so the whole input lands in a single
+    * micro-batch and the 1-hour watermarks never gate anything — the batch
+    * oracle needs every pair. Multi-file replay would process files in
+    * mtime order (not event-time order) and nondeterministically drop
+    * event-time-late rows; to go multi-batch, stage event-time-ordered
+    * files or widen the watermarks to the fixture's full time range (the
+    * late-data CONTRACT itself is oracle-checked by stream_late_data). */
   def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_ivjoin_")

@@ -192,6 +192,39 @@ class CompactSpec extends AnyFunSuite with SparkSpec {
       rm(new java.io.File(dir).getParentFile)
     }
   }
+
+  test("a crash between the compact renames is recovered, losing nothing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-crash-").toString + "/t"
+    val events = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    events.repartition(3).write.parquet(dir)
+    // simulate the crash window: data only under .compact-old, nothing at dir
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact-old")))
+    Layout.recoverCompact(spark, dir)
+    val back = spark.read.parquet(dir).select(col("event_id"), col("value"))
+    assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+    // and compact() itself self-recovers before rewriting
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact-old")))
+    Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() === events.count())
+  }
+
+  test("compacting a partitioned layout is rejected, not flattened") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-partcompact-").toString + "/t"
+    Layout.writePartitionedSorted(
+      Tables.events(spark, sfDir).select(col("event_id"), col("event_type"), col("value")),
+      dir, partCols = Seq("event_type"), sortCols = Seq("event_id"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned"))
+    // the layout is untouched and leaf-dir compaction still works
+    val leaf = new java.io.File(dir).listFiles().find(_.getName.startsWith("event_type=")).get
+    Layout.compact(spark, leaf.getPath, targetFileBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() ===
+      Tables.events(spark, sfDir).count())
+  }
 }
 
 class PlanShapeSpec extends AnyFunSuite with SparkSpec {
