@@ -251,13 +251,15 @@ object ChangelogStream {
   }
 
   /** Query-shaped wrapper for [[applyStreamingDsv2]]: staged envelope files
-    * shared across runs (4 text files → 4 micro-batches at
-    * maxFilesPerTrigger=1, so cross-batch merge + offset advance are truly
-    * exercised), fresh state/checkpoint per run. */
+    * shared across runs (4 text files → 2 micro-batches at
+    * maxFilesPerTrigger=2, so cross-batch merge + offset advance are truly
+    * exercised without paying per-batch overhead 4×; the restart spec
+    * drives the 1-file-per-batch path), fresh state/checkpoint per run. */
   def qApplyStreamingDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString
-    applyStreamingDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir))
+    applyStreamingDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir),
+      maxFilesPerTrigger = 2)
       .orderBy(col("o_orderkey"))
   }
 }

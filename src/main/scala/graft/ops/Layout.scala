@@ -55,9 +55,17 @@ object Layout {
     val (ordersT, lineitemT) = (s"graft_bkt_orders_$fp", s"graft_bkt_lineitem_$fp")
     def stage(t: String, df: DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(t)) {
-        df.write.bucketBy(8, key).sortBy(key)
-          .option("path", s"/tmp/graft-bucketed/$t")
-          .mode("overwrite").saveAsTable(t)
+        val path = s"/tmp/graft-bucketed/$t"
+        if (new java.io.File(path, "_SUCCESS").exists())
+          // files staged by a previous JVM: bucket ids live in the file
+          // names, so registering the external table restores the layout
+          // without a rewrite
+          spark.sql(s"CREATE TABLE $t (${df.schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$path'")
+        else
+          df.write.bucketBy(8, key).sortBy(key)
+            .option("path", path)
+            .mode("overwrite").saveAsTable(t)
       }
     stage(ordersT, graft.model.Tables.orders(spark, dir), "o_orderkey")
     stage(lineitemT, graft.model.Tables.lineitem(spark, dir), "l_orderkey")
