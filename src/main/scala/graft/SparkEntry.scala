@@ -41,6 +41,9 @@ object SparkEntry {
       // putAll merge — final state must equal the full-row apply
       Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload, keyField = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
+    "cdc_apply_txn" -> ((s, d) =>
+      Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
+        .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     "cdc_apply_dsv2" -> { (s, d) =>
@@ -358,6 +361,15 @@ object SparkEntry {
     "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,
     "cdc_apply_stream_dsv2" -> cdcApplySql,
+    "cdc_apply_txn" ->
+      // txn = id % 50, committed iff txn % 7 != 3: since txn is a pure
+      // function of the key, the all-or-nothing gate is this predicate
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog WHERE (id % 50) % 7 <> 3)
+         |SELECT $payloadList FROM ranked
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog

@@ -90,6 +90,25 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** The orders changelog with transaction envelopes: every event carries
+    * `txn = id % 50`, and each transaction that committed (txn % 7 != 3 —
+    * the rest are "in flight" when the stream stops) contributes one
+    * COMMIT marker row (op=COMMIT, no payload, seq past all events).
+    * Consumed by [[Apply.txnApply]]; the oracle mirrors the arithmetic
+    * directly because txn is a pure function of the key. */
+  def fromOrdersTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = fromOrders(spark, sfDir).withColumn("txn", col("id") % 50)
+    val commits = base.select(col("txn")).distinct()
+      .filter(col("txn") % 7 =!= 3)
+      .select(
+        lit(-1L).as("id"),
+        (col("txn") + 3000000L).as("seq"),
+        lit("COMMIT").as("op"),
+        lit("orders").as("table"),
+        col("txn"))
+    base.unionByName(commits, allowMissingColumns = true)
+  }
+
   /** Second table for multi-table fan-out (the reference handles all tables
     * of the publication through one stream, dispatching per `tableName` —
     * `producer.go:42` FOR ALL TABLES, `utils.go:105-112`): customer

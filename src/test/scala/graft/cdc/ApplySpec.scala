@@ -13,6 +13,22 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
   private def cl(rows: (Long, Long, String, String, String)*) =
     rows.toDF("id", "seq", "op", "table", "v")
 
+  test("an uncommitted transaction is applied all-or-nothing (nothing)") {
+    def txCl(rows: (Long, Long, String, Long, String)*) =
+      rows.toDF("id", "seq", "op", "txn", "v")
+    val out = Apply.txnApply(txCl(
+      // txn 10 committed: both events visible
+      (1L, 1L, "INSERT", 10L, "a"),
+      (2L, 2L, "INSERT", 10L, "b"),
+      (0L, 9L, "COMMIT", 10L, null),
+      // txn 20 never commits: NEITHER event may surface, even the update
+      // that supersedes a committed row's seq
+      (3L, 3L, "INSERT", 20L, "c"),
+      (1L, 8L, "UPDATE", 20L, "a2")), Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("insert then delete of same id yields no row") {
     val out = Apply.latestState(cl(
       (1L, 1L, "INSERT", "t", "a"),
