@@ -9,7 +9,8 @@ object Plans {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q1_pricing", "q5_nation_revenue", "emb_cosine_topk", "cdc_apply",
         "q_tumbling_window", "cdc_asof_join", "doc_ngram_jaccard", "q_topk_agg",
-        "q_bloom_semijoin", "q_range_join", "cdc_apply_dsv2", "emb_ann_centroid")) {
+        "q_bloom_semijoin", "q_range_join", "cdc_apply_dsv2", "emb_ann_centroid",
+        "q_bucketed_join", "doc_pack_chunks", "cdc_apply_txn", "emb_kmeans")) {
       println(s"##### $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
