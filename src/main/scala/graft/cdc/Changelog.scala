@@ -142,39 +142,14 @@ object Changelog {
   /** Deterministic staging dir per (fixture content, variant): staged once
     * and reused across invocations — repeated Verify/Bench runs neither
     * leak a fresh /tmp dir per call nor charge the rewrite to every query
-    * timing. The path embeds a fingerprint of the SOURCE fixture files
-    * (name/size/mtime), so changed fixture content under the same path
-    * never reuses a stale staging; the `_SUCCESS` marker gates reuse (a
-    * partial write restages). */
-  private def stagePath(sfDir: String, variant: String, sources: Seq[String]): String = {
-    val sig = sources.sorted.map { n =>
-      val f = new java.io.File(sfDir, n)
-      s"$n:${f.length}:${f.lastModified}"
-    }.mkString("|")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"/tmp/graft-stage-$variant-${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}-$fp"
-  }
-
-  /** Concurrency-safe staging: write to a private temp dir, then one atomic
-    * rename into place. Two JVMs racing stage independently; the loser's
-    * rename fails against the winner's committed dir and its temp is
-    * discarded — a reader can never observe a half-written staging. */
+    * timing. Fingerprinting, atomic commit, and concurrent-JVM safety are
+    * [[graft.model.Staging]]'s protocol. */
   private def stage(cl: DataFrame, sfDir: String, variant: String,
                     sources: Seq[String])
                    (write: (DataFrame, String) => Unit): String = {
-    val dir = stagePath(sfDir, variant, sources)
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-      write(cl, tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-        // lost the race (or a stale committed dir exists): keep the winner
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        if (!new java.io.File(dir, "_SUCCESS").exists())
-          throw new IllegalStateException(s"staging commit failed for $dir")
-      }
-    }
-    dir
+    val dir = s"/tmp/graft-stage-$variant-${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
+      graft.model.Staging.fingerprint(sfDir, sources)
+    graft.model.Staging.ensure(dir)(tmp => write(cl, tmp))
   }
 
   /** The orders changelog as JSON-line DatabaseEvent envelopes (the wire

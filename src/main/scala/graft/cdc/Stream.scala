@@ -117,6 +117,10 @@ object ChangelogStream {
         val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
         fs.mkdirs(bDir)
         val to = new org.apache.hadoop.fs.Path(bDir, s"v=$next")
+        // a crash between last replay's rename and its _SUCCESS create can
+        // leave a POPULATED uncommitted v=next; renaming onto it would nest
+        // (Hadoop's local rename falls back to copy-into), so clear it first
+        if (fs.exists(to)) fs.delete(to, true)
         if (!fs.rename(from, to))
           throw new IllegalStateException(s"state promote failed: $from -> $to")
         fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()

@@ -1,0 +1,55 @@
+package graft.model
+
+/** Commit-once staging of derived fixture data under /tmp, shared by every
+  * component that caches an expensive derivation across runs and JVMs
+  * (changelog envelopes, late-data replay files, bucketed tables).
+  *
+  * Protocol: the final dir name embeds a CONTENT fingerprint of the source
+  * fixture files, so changed fixtures can never reuse a stale staging; the
+  * payload is written to a private temp dir and committed with ONE atomic
+  * rename, so concurrent JVMs race safely (the loser discards its temp and
+  * adopts the winner's dir) and a reader can never observe a half-written
+  * staging. The `_STAGED` marker is created before the rename — its
+  * presence inside the committed dir is the reuse gate (underscore-prefixed
+  * files are invisible to every Spark reader).
+  */
+object Staging {
+
+  /** Fingerprint of source fixture files: name/size/mtime, 12 hex chars. */
+  def fingerprint(sfDir: String, sources: Seq[String]): String = {
+    val sig = sources.sorted.map { n =>
+      val f = new java.io.File(sfDir, n)
+      s"$n:${f.length}:${f.lastModified}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Ensure `dir` is staged: reuse a committed dir, else run `write` into a
+    * temp sibling and atomically promote it. A dir present WITHOUT the
+    * marker is a stale artifact (older protocol, or a crash before its
+    * rename became visible) — it is replaced, not trusted. Returns `dir`. */
+  def ensure(dir: String)(write: String => Unit): String = {
+    val dirFile = new java.io.File(dir)
+    if (new java.io.File(dir, "_STAGED").exists()) return dir
+    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val tmpFile = new java.io.File(tmp)
+    write(tmp)
+    new java.io.File(tmp, "_STAGED").createNewFile()
+    if (!tmpFile.renameTo(dirFile)) {
+      if (new java.io.File(dir, "_STAGED").exists()) {
+        // lost the race to a committed winner: adopt theirs
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpFile)
+      } else {
+        // stale unmarked dir blocks the rename: replace it
+        org.apache.commons.io.FileUtils.deleteDirectory(dirFile)
+        if (!tmpFile.renameTo(dirFile)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmpFile)
+          if (!new java.io.File(dir, "_STAGED").exists())
+            throw new IllegalStateException(s"staging commit failed for $dir")
+        }
+      }
+    }
+    dir
+  }
+}

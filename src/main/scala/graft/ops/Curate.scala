@@ -93,11 +93,15 @@ object Curate {
   def qPackChunks(spark: SparkSession, dir: String, budget: Int = 2048,
                   parts: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist: both passes need (doc_id, n_words) and the tokenize is the
+    // dominant cost — one scan instead of two (ContextCleaner reaps the
+    // cache once the returned plan is unreferenced)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .persist()
     // deterministic contiguous ranges (not repartitionByRange: its sampled
     // bounds differ between the two passes; an arithmetic bucket agrees
-    // across jobs with no caching)
+    // across jobs — correctness does not depend on the cache)
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
     val step = math.max(1L, maxId / parts + 1)
     val bucketed = docs.withColumn("pid", expr(s"doc_id div $step"))

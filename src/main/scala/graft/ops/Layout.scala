@@ -51,22 +51,29 @@ object Layout {
     * it needs the catalog (bucket spec is table metadata, not file bytes).
     * External location under /tmp keeps the warehouse out of the repo. */
   def stageBucketedTables(spark: SparkSession, dir: String): (String, String) = {
-    val fp = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val (ordersT, lineitemT) = (s"graft_bkt_orders_$fp", s"graft_bkt_lineitem_$fp")
-    def stage(t: String, df: DataFrame, key: String): Unit =
-      if (!spark.catalog.tableExists(t)) {
-        val path = s"/tmp/graft-bucketed/$t"
-        if (new java.io.File(path, "_SUCCESS").exists())
-          // files staged by a previous JVM: bucket ids live in the file
-          // names, so registering the external table restores the layout
-          // without a rewrite
-          spark.sql(s"CREATE TABLE $t (${df.schema.toDDL}) USING PARQUET " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$path'")
-        else
-          df.write.bucketBy(8, key).sortBy(key)
-            .option("path", path)
-            .mode("overwrite").saveAsTable(t)
+    // table name embeds the fixture-content fingerprint: changed fixtures
+    // re-stage instead of silently reusing stale buckets
+    val fp = graft.model.Staging.fingerprint(dir, Seq("orders.parquet", "lineitem.parquet"))
+    val base = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ordersT, lineitemT) =
+      (s"graft_bkt_orders_${base}_$fp", s"graft_bkt_lineitem_${base}_$fp")
+    def stage(t: String, df: DataFrame, key: String): Unit = {
+      if (spark.catalog.tableExists(t)) return
+      // files commit via Staging's temp-dir + atomic-rename protocol
+      // (concurrent JVMs race safely); the bucketed write needs a catalog
+      // entry, so write through a throwaway external table name pointed at
+      // the temp dir, then drop it (external: files stay)
+      val path = graft.model.Staging.ensure(s"/tmp/graft-bucketed/$t") { tmp =>
+        val writer = t + "_w" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", tmp).saveAsTable(writer)
+        spark.sql(s"DROP TABLE $writer")
       }
+      // bucket ids live in the file names, so registering the external
+      // table over committed files restores the layout without a rewrite
+      spark.sql(s"CREATE TABLE $t (${df.schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$path'")
+    }
     stage(ordersT, graft.model.Tables.orders(spark, dir), "o_orderkey")
     stage(lineitemT, graft.model.Tables.lineitem(spark, dir), "l_orderkey")
     (ordersT, lineitemT)
@@ -120,8 +127,13 @@ object Layout {
     spark.read.parquet(dir).repartition(nFiles).write.parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
     fs.delete(old, true)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
+    // both renames checked: an unchecked failure of the first would make
+    // the second nest the compacted output INSIDE the live table (Hadoop's
+    // local rename falls back to copy-into-existing-dir)
+    if (!fs.rename(path, old))
+      throw new IllegalStateException(s"compact swap failed: $path -> $old")
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(s"compact swap failed: $tmp -> $path")
     fs.delete(old, true)
   }
 

@@ -285,6 +285,15 @@ class ChangelogMicroBatchStream(path: String, confMap: Map[String, String],
     val batchFiles = end.asInstanceOf[ChangelogOffset].files.filterNot(doneSet).toSet
     val statuses = ChangelogPlanner.listDataFiles(path, confMap)
       .filter(s => batchFiles.contains(s.getPath.toString))
+    // an admitted file missing from the listing (deleted by retention
+    // between admission and replay) must fail, not silently lose events —
+    // the offset CLAIMS those rows; same contract as Spark's file source
+    // without ignoreMissingFiles
+    if (statuses.size != batchFiles.size) {
+      val missing = batchFiles -- statuses.map(_.getPath.toString)
+      throw new IllegalStateException(
+        s"changelog files admitted into offsets but no longer present: $missing")
+    }
     ChangelogPlanner.planFiles(statuses, confMap, maxSplitBytes)
       .map(p => p: InputPartition).toArray
   }
@@ -415,6 +424,7 @@ class ChangelogPartitionReader(partition: ChangelogInputPartition,
   private var row: InternalRow = _
   private var parsed = 0L
   private var corrupt = 0L
+  private var corruptBytes = 0L
 
   private def nextLine(): String =
     if (compressedLines != null) compressedLines.readLine() else rangeLines.readLine()
@@ -435,7 +445,7 @@ class ChangelogPartitionReader(partition: ChangelogInputPartition,
         // corrupt record -> skip + count, the engine's O9 decode convention
         // (from_json yields null and the pipeline filters it)
         val node = try mapper.readTree(line) catch { case _: Exception => null }
-        if (node == null || !node.isObject) corrupt += 1
+        if (node == null || !node.isObject) { corrupt += 1; corruptBytes += line.length }
         else {
           parsed += 1
           if (passes(node)) {
@@ -459,11 +469,16 @@ class ChangelogPartitionReader(partition: ChangelogInputPartition,
       line = nextLine()
     }
     // end of range: all-corrupt input is a systemic failure (binary file,
-    // unknown compression, wrong encoding) — fail loudly, don't read as empty
-    if (corrupt > 0 && parsed == 0)
+    // unknown compression, wrong encoding) — fail loudly, don't read as
+    // empty. A LONE short corrupt line is NOT systemic: a producer crash
+    // can tear the final line of a file, and a split boundary can isolate
+    // that tail in its own range — that stays an O9 skip. Systemic =
+    // several corrupt lines, or one newline-free blob (binary data parses
+    // as a single huge "line").
+    if (parsed == 0 && (corrupt > 2 || corruptBytes >= (1L << 20)))
       throw new IllegalStateException(
         s"changelog range ${partition.file}[${partition.start}+${partition.length}] " +
-          s"contained $corrupt lines, none parseable as JSON envelopes")
+          s"contained $corrupt lines ($corruptBytes bytes), none parseable as JSON envelopes")
     false
   }
 

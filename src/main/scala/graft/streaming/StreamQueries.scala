@@ -161,49 +161,41 @@ object StreamQueries {
   }
 
   /** Stage the late-data replay files once per fixture content (shared
-    * across runs and JVMs like the changelog stagings): one parquet file
+    * across runs and JVMs via [[graft.model.Staging]]): one parquet file
     * per phase with forced mtimes — the file source orders by
-    * (modification time, path), so replay order is deterministic. Staged
-    * via temp dir + one atomic rename; `rename` preserves the forced
-    * mtimes. State/checkpoint/sink stay per-run. */
+    * (modification time, path), so replay order is deterministic; the
+    * staging rename preserves the forced mtimes. State/checkpoint/sink
+    * stay per-run. */
   private def stageLateFiles(spark: SparkSession, dir: String): String = {
-    val src = new java.io.File(dir, "events.parquet")
     val work = s"/tmp/graft-stage-late-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
-      s"${src.length}-${src.lastModified}"
-    if (new java.io.File(work, "_STAGED").exists()) return work
-    val tmp = work + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    new java.io.File(tmp).mkdirs()
-    val ev = graft.model.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-    val onTime = ev.filter(col("event_id") % 10 =!= 0)
-    val late = ev.filter(col("event_id") % 10 === 0)
-    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val sentinel = ev.limit(1).select(
-      lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-      lit("sentinel").as("event_type"),
-      lit(new java.sql.Timestamp(mx.getTime + 10L * 3600 * 1000)).as("ts"),
-      lit(0.0d).as("value"))
-    def stageFile(df: DataFrame, n: String, mtime: Long): Unit = {
-      val part = s"$tmp/.write-$n"
-      df.coalesce(1).write.parquet(part)
-      val file = new java.io.File(part).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(s"$tmp/$n.parquet")
-      assert(file.renameTo(dst), s"stage failed: $n")
-      dst.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      graft.model.Staging.fingerprint(dir, Seq("events.parquet"))
+    graft.model.Staging.ensure(work) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      val ev = graft.model.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      val onTime = ev.filter(col("event_id") % 10 =!= 0)
+      val late = ev.filter(col("event_id") % 10 === 0)
+      val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val sentinel = ev.limit(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(new java.sql.Timestamp(mx.getTime + 10L * 3600 * 1000)).as("ts"),
+        lit(0.0d).as("value"))
+      def stageFile(df: DataFrame, n: String, mtime: Long): Unit = {
+        val part = s"$tmp/.write-$n"
+        df.coalesce(1).write.parquet(part)
+        val file = new java.io.File(part).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$tmp/$n.parquet")
+        assert(file.renameTo(dst), s"stage failed: $n")
+        dst.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      }
+      stageFile(onTime, "f1", 1000000L)
+      stageFile(onTime.limit(0), "f2", 2000000L)
+      stageFile(late, "f3", 3000000L)
+      stageFile(sentinel, "f4", 4000000L)
     }
-    stageFile(onTime, "f1", 1000000L)
-    stageFile(onTime.limit(0), "f2", 2000000L)
-    stageFile(late, "f3", 3000000L)
-    stageFile(sentinel, "f4", 4000000L)
-    new java.io.File(tmp, "_STAGED").createNewFile()
-    if (!new java.io.File(tmp).renameTo(new java.io.File(work))) {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      if (!new java.io.File(work, "_STAGED").exists())
-        throw new IllegalStateException(s"late-data staging commit failed for $work")
-    }
-    work
   }
 
   /** Streaming exact dedup: fingerprint documents, drop duplicates in the

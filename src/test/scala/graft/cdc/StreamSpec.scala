@@ -61,20 +61,27 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     val stateDir = s"$work/state"
     ChangelogStream.upsertBatch(
       Seq((1L, 1L, "INSERT", "good")).toDF("id", "seq", "op", "v"), stateDir)
-    // simulate a crash mid-write of the next version: dir exists, no _SUCCESS
+    // simulate a crash AFTER the promote rename but BEFORE the _SUCCESS
+    // fence: the uncommitted v=1 is POPULATED with stale files (a bare
+    // mkdirs would mask the rename-onto-nonempty-dir hazard)
     val bucket = new java.io.File(stateDir).listFiles()
       .filter(_.getName.startsWith("bucket=")).head
     val partial = new java.io.File(bucket, "v=1")
     partial.mkdirs()
+    java.nio.file.Files.write(partial.toPath.resolve("part-stale.parquet"),
+      "stale".getBytes("UTF-8"))
     val got = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
       .as[(Long, String)].collect()
     assert(got.toSeq === Seq((1L, "good"))) // v=0 stays the committed latest
-    // and the next upsert supersedes the partial dir rather than building on it
+    // the next upsert (= the checkpoint replay) must supersede the partial
+    // dir cleanly — no nesting, no stale files surviving into v=1
     ChangelogStream.upsertBatch(
       Seq((1L, 2L, "UPDATE", "better")).toDF("id", "seq", "op", "v"), stateDir)
     val after = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
       .as[(Long, String)].collect()
     assert(after.toSeq === Seq((1L, "better")))
+    assert(!new java.io.File(partial, "part-stale.parquet").exists(),
+      "stale crash files must not survive the replay promote")
   }
 
   test("a batch rewrites only the buckets its keys hash into") {
