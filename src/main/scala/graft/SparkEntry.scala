@@ -231,6 +231,7 @@ object SparkEntry {
     "doc_split_leakage" -> (graft.ops.Curate.qSplitLeakage _),
     "doc_pack_chunks" -> ((s, d) => graft.ops.Curate.qPackChunks(s, d)),
     "doc_incr_dedup" -> ((s, d) => graft.ops.Curate.qIncrementalDedup(s, d)),
+    "doc_decontam" -> ((s, d) => graft.ops.Curate.qDecontaminate(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
   )
 
@@ -806,6 +807,26 @@ object SparkEntry {
          |SELECT w_start, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM m JOIN events e ON e.ts >= m.w_start AND e.ts < m.w_start + INTERVAL 7 DAY
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_decontam" ->
+      // shingles joined as strings (Spark joins their xxhash64 — same
+      // convention as doc_ngram_jaccard); DISTINCT mirrors the generator's
+      // one-pass per-doc dedup
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+        |  FROM tok),
+        |b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |train AS (SELECT DISTINCT s.shingle FROM sh s JOIN b USING (doc_id) WHERE b.bucket < 80),
+        |test AS (SELECT s.doc_id, s.shingle FROM sh s JOIN b USING (doc_id) WHERE b.bucket >= 90),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM test GROUP BY 1),
+        |con AS (SELECT doc_id, count(*) AS n_contam FROM test
+        |        WHERE shingle IN (SELECT shingle FROM train) GROUP BY 1)
+        |SELECT c.doc_id, c.n_sh, o.n_contam,
+        |       round(CAST(o.n_contam AS DOUBLE) / c.n_sh, 4) AS contam_rate
+        |FROM cnt c JOIN con o USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     "doc_sample_hash" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

@@ -148,6 +148,37 @@ object Curate {
     inCorpus.unionByName(inBatch).orderBy(col("doc_id"), col("reason"))
   }
 
+  /** Eval-set decontamination: the exact n-gram collision check a training
+    * pipeline runs before shipping a split — any test document sharing a
+    * word 5-gram with ANY train document is flagged with its contamination
+    * rate (the GPT-3-style "13-gram overlap" check, sized to the fixture's
+    * short documents).
+    *
+    * Scale shape: the train side collapses to a DISTINCT shingle-hash set
+    * (at 100 TB: the bucketed "index" of the train corpus, built once per
+    * split version); each test document then needs ONE left-semi probe of
+    * its shingles against it — never a doc×doc join, and the probe is
+    * proportional to the (small) test split, not the corpus. Shingles are
+    * xxhash64-collapsed before the exchange (repo convention; a 64-bit
+    * collision is n²·2⁻⁶⁴ noise). */
+  def qDecontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.shingle_explode(col("toks"), n).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"),
+        hashBucket(col("doc_id"), 100).as("bucket"))
+    val train = sh.filter(col("bucket") < 80).select(col("sh")).distinct()
+    val test = sh.filter(col("bucket") >= 90)
+    val counts = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val contam = test.join(train, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    counts.join(contam, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_sh"), 4).as("contam_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
