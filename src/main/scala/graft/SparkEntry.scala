@@ -232,6 +232,7 @@ object SparkEntry {
     "doc_pack_chunks" -> ((s, d) => graft.ops.Curate.qPackChunks(s, d)),
     "doc_incr_dedup" -> ((s, d) => graft.ops.Curate.qIncrementalDedup(s, d)),
     "doc_decontam" -> ((s, d) => graft.ops.Curate.qDecontaminate(s, d)),
+    "doc_stratified_sample" -> ((s, d) => graft.ops.Curate.qStratifiedSample(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
   )
 
@@ -827,6 +828,17 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_sh, o.n_contam,
         |       round(CAST(o.n_contam AS DOUBLE) / c.n_sh, 4) AS contam_rate
         |FROM cnt c JOIN con o USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+    "doc_stratified_sample" ->
+      // en capped at 10%, every other language sampled at 30% — the rate
+      // map mirrored as a CASE (Spark carries it as a broadcast table)
+      """WITH x AS (
+        |  SELECT lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket,
+        |         CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate
+        |  FROM documents)
+        |SELECT lang, CAST(rate AS BIGINT) AS rate, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM x GROUP BY lang, rate ORDER BY lang""".stripMargin,
     "doc_sample_hash" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

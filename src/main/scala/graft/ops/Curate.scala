@@ -179,6 +179,27 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified (per-language) sampling: rebalance the corpus mix by
+    * giving each language its own deterministic hash-rate — the standard
+    * "cap the dominant language, keep the tail" curation step. Same md5
+    * bucketing as [[qSampleHash]], so membership is stable under corpus
+    * growth; per-language rates are data (a join, not a hard-coded
+    * `when` chain), so at 100 TB the mix config is a broadcast table. */
+  def qStratifiedSample(spark: SparkSession, dir: String,
+                        rates: Map[String, Int] = Map("en" -> 10).withDefaultValue(30)): DataFrame = {
+    val langs = Tables.documents(spark, dir).select(col("lang")).distinct()
+      .collect().map(_.getString(0))
+    val rateDf = spark.createDataFrame(
+      langs.toSeq.map(l => (l, rates(l)))).toDF("lang", "rate")
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id"), 100))
+      .join(broadcast(rateDf), Seq("lang"))
+      .withColumn("sampled", (col("bucket") < col("rate")).cast("int").cast("long"))
+      .groupBy(col("lang"), col("rate").cast("long").as("rate"))
+      .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
