@@ -148,7 +148,8 @@ class ChangelogScan(path: String, required: StructType, filters: Array[Filter],
     new ChangelogReaderFactory(required, filters, confMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangelogMicroBatchStream(path, confMap, maxSplitBytes, maxFilesPerTrigger)
+    new ChangelogMicroBatchStream(path, required, filters, confMap,
+      maxSplitBytes, maxFilesPerTrigger)
 }
 
 /** Byte range `[start, start+length)` of one file. `compressed` ranges span
@@ -240,7 +241,9 @@ object ChangelogOffsetCodec {
   * [[SupportsTriggerAvailableNow]] is implemented directly because Spark's
   * generic wrapper returns the captured end offset wholesale, collapsing
   * AvailableNow to one unbounded batch and defeating the read limit. */
-class ChangelogMicroBatchStream(path: String, confMap: Map[String, String],
+class ChangelogMicroBatchStream(path: String, required: StructType,
+                                filters: Array[Filter],
+                                confMap: Map[String, String],
                                 maxSplitBytes: Long, maxFilesPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -298,10 +301,14 @@ class ChangelogMicroBatchStream(path: String, confMap: Map[String, String],
       .map(p => p: InputPartition).toArray
   }
 
-  /** Streaming reads the full envelope; pruning/pushdown happen in the
-    * query above the source (the stream is the raw tail). */
+  /** Spark 4.1 does not run operator pushdown on streaming relations
+    * (filters/projection stay in the query plan — pinned by
+    * StreamAlignmentSpec), so `required`/`filters` arrive here as the full
+    * schema and an empty set. Honoring them anyway keeps the reader's rows
+    * aligned with `Scan.readSchema()` under EITHER behavior — if a future
+    * Spark prunes streaming scans, nothing here breaks. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(ChangelogSource.schema, Array.empty, confMap)
+    new ChangelogReaderFactory(required, filters, confMap)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
