@@ -160,14 +160,21 @@ object Curate {
     * its shingles against it — never a doc×doc join, and the probe is
     * proportional to the (small) test split, not the corpus. Shingles are
     * xxhash64-collapsed before the exchange (repo convention; a 64-bit
-    * collision is n²·2⁻⁶⁴ noise). */
+    * collision is n²·2⁻⁶⁴ noise).
+    *
+    * `n` is mirrored in the oracle SQL's 5-gram arithmetic
+    * (generate_series(1, len-4), toks[i]..toks[i+4]) — change both
+    * together, like qIncrementalDedup's split constant. */
   def qDecontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    // cache: the shingle table feeds three consumers (train distinct, test
+    // counts, contam probe) — same shape and reason as Dedup's pipelines
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         graft.functions.ShingleFunctions.shingle_explode(col("toks"), n).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"),
         hashBucket(col("doc_id"), 100).as("bucket"))
+      .cache()
     val train = sh.filter(col("bucket") < 80).select(col("sh")).distinct()
     val test = sh.filter(col("bucket") >= 90)
     val counts = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -186,14 +193,15 @@ object Curate {
     * growth; per-language rates are data (a join, not a hard-coded
     * `when` chain), so at 100 TB the mix config is a broadcast table. */
   def qStratifiedSample(spark: SparkSession, dir: String,
-                        rates: Map[String, Int] = Map("en" -> 10).withDefaultValue(30)): DataFrame = {
-    val langs = Tables.documents(spark, dir).select(col("lang")).distinct()
-      .collect().map(_.getString(0))
-    val rateDf = spark.createDataFrame(
-      langs.toSeq.map(l => (l, rates(l)))).toDF("lang", "rate")
+                        rates: Map[String, Int] = Map("en" -> 10),
+                        defaultRate: Int = 30): DataFrame = {
+    // rate table holds only the explicit overrides; unlisted languages take
+    // the default via coalesce — no eager lang scan, no partial-map trap
+    val rateDf = spark.createDataFrame(rates.toSeq).toDF("lang", "r")
     Tables.documents(spark, dir)
       .withColumn("bucket", hashBucket(col("doc_id"), 100))
-      .join(broadcast(rateDf), Seq("lang"))
+      .join(broadcast(rateDf), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("r"), lit(defaultRate)))
       .withColumn("sampled", (col("bucket") < col("rate")).cast("int").cast("long"))
       .groupBy(col("lang"), col("rate").cast("long").as("rate"))
       .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"))

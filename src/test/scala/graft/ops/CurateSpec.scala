@@ -65,4 +65,38 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(2)).sum === total)
     assert(out.forall(_.getLong(1) % 10 === 0))
   }
+
+  test("decontamination flags only test-split docs with genuine train overlap") {
+    import org.apache.spark.sql.functions._
+    val out = Curate.qDecontaminate(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture should contain contaminated test docs")
+    out.foreach { r =>
+      val (id, nSh, nContam) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nContam >= 1 && nContam <= nSh, s"doc $id: $nContam of $nSh")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // every flagged doc is in the TEST bucket range (>= 90) — a train/test
+    // bucket overlap would make documents contaminate themselves
+    val flagged = out.map(_.getLong(0)).toSet
+    val buckets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Curate.hashBucket(col("doc_id"), 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.foreach(id => assert(buckets(id) >= 90, s"doc $id not in test split"))
+  }
+
+  test("stratified sample respects per-language rates with a default") {
+    import org.apache.spark.sql.functions._
+    val out = Curate.qStratifiedSample(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select(col("lang")).distinct().count()
+    assert(out.length === langs, "one row per language")
+    out.foreach { r =>
+      val (lang, rate, total, sampled) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate === (if (lang == "en") 10L else 30L))
+      assert(sampled <= total)
+      // the hash rate lands near the target within binomial noise
+      assert(math.abs(sampled.toDouble / total - rate / 100.0) < 0.15,
+        s"$lang sampled $sampled/$total at target $rate%")
+    }
+  }
 }
