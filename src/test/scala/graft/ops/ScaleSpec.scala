@@ -247,6 +247,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"range join degenerated to a nested loop:\n$plan")
   }
 
+  test("q1 scan hygiene: shipdate filter pushed, unused columns pruned") {
+    val plan = graft.SparkEntry.queries("q1_pricing")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate not pushed to the scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment") &&
+      !readSchema.contains("l_orderkey"),
+      s"scan should read only the referenced columns:\n$readSchema")
+  }
+
+  test("q5 star join broadcasts every dimension; the fact table never shuffles for a join") {
+    val plan = graft.SparkEntry.queries("q5_nation_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected 4 broadcast joins, saw $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dimension join fell back to sort-merge (fact-table shuffle):\n$plan")
+  }
+
   test("q_bucketed_join reads co-bucketed tables with no exchange on either input") {
     val df = Layout.qBucketedJoin(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
