@@ -86,6 +86,8 @@ object SparkEntry {
     "cdc_apply_customer" -> ((s, d) =>
       Apply.latestState(Changelog.fromCustomer(s, d), Changelog.customerPayloadCols)
         .orderBy(col("c_custkey"))),
+    "cdc_apply_customer_dsv2" -> ((s, d) =>
+      ChangelogStream.qApplyStreamingCustomerDsv2(s, d)),
     "cdc_decode_props" -> { (s, d) =>
       // O4/O9 parity: schema-applied decode of the JSON payload column with
       // from_json — corrupt/missing fields become null, like the reference's
@@ -259,6 +261,14 @@ object SparkEntry {
         |SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
         |FROM r WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
 
+  private val cdcApplyCustomerSql =
+    s"""WITH ${Changelog.customerOracleCte},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog)
+       |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
+       |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin
+
   private val sessionOracle =
     """WITH g AS (
       |  SELECT user_id, ts, event_id,
@@ -380,13 +390,8 @@ object SparkEntry {
       s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
     "cdc_delete_antijoin" ->
       s"SELECT $payloadList FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
-    "cdc_apply_customer" ->
-      s"""WITH ${Changelog.customerOracleCte},
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
-         |  FROM changelog)
-         |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
-         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin,
+    "cdc_apply_customer" -> cdcApplyCustomerSql,
+    "cdc_apply_customer_dsv2" -> cdcApplyCustomerSql,
     "cdc_decode_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

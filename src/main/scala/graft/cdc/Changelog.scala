@@ -161,6 +161,21 @@ object Changelog {
         .repartition(4).write.mode(SaveMode.Overwrite).text(dir)
     }
 
+  /** The multi-table changelog (orders ∪ customer superset envelope) as
+    * JSON-line DatabaseEvents — the reference's single CDC topic carrying
+    * every table (`utils.go:31`). `to_json` omits null fields, so each
+    * row's payload holds exactly its own table's columns. */
+  def stageEnvelopeJsonMultiTable(spark: SparkSession, sfDir: String): String =
+    stage(
+      fromOrders(spark, sfDir)
+        .unionByName(fromCustomer(spark, sfDir), allowMissingColumns = true),
+      sfDir, "envjson-multi", Seq("orders.parquet", "customer.parquet")) { (cl, dir) =>
+      val payload = (payloadCols ++ customerPayloadCols).map(col)
+      cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
+          struct(payload: _*).as("payload"))).as("value"))
+        .repartition(4).write.mode(SaveMode.Overwrite).text(dir)
+    }
+
   /** The orders changelog as parquet files (multi-file, for bounded
     * micro-batch streaming sources). */
   def stageParquet(spark: SparkSession, sfDir: String): String =

@@ -266,4 +266,34 @@ object ChangelogStream {
       maxFilesPerTrigger = 2)
       .orderBy(col("o_orderkey"))
   }
+
+  /** Multi-table tail through the engine's own connector: ONE envelope
+    * stream carries every table (the reference's single CDC topic,
+    * `utils.go:31`), the per-table dispatch is a filter above the source,
+    * and the customer view materializes through the same bucketed upsert —
+    * shares cdc_apply_customer's oracle. (Dispatch filters stay in the
+    * query in streaming — StreamAlignmentSpec pins that contract.) */
+  def qApplyStreamingCustomerDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val clDir = Changelog.stageEnvelopeJsonMultiTable(spark, sfDir)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-mdsv2-").toString
+    val stateDir = s"$work/state"
+    val pSchema = Changelog.fromCustomer(spark, sfDir)
+      .select(Changelog.customerPayloadCols.map(col): _*).schema
+    val decoded = spark.readStream.format("changelog")
+      .option("maxFilesPerTrigger", 2)
+      .load(clDir)
+      .filter(col("table") === "customer")
+      .select(Seq(col("id"), col("seq"), col("op")) :+
+        from_json(col("payload"), pSchema).as("p"): _*)
+      .select(Seq(col("id"), col("seq"), col("op")) ++
+        Changelog.customerPayloadCols.map(c => col(s"p.$c").as(c)): _*)
+    val q = decoded.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readState(spark, stateDir, Changelog.customerPayloadCols)
+      .orderBy(col("c_custkey"))
+  }
 }
