@@ -204,6 +204,7 @@ object SparkEntry {
     "doc_rolling_fp" -> (Text.qRollingFingerprint _),
     "doc_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "doc_dup_clusters" -> (Dedup.duplicateClusters _),
+    "doc_dup_drop_list" -> (Dedup.qDupDropList _),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "doc_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "doc_simhash_clusters" -> (Dedup.simhashClusters _),
@@ -687,6 +688,19 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    },
+    "doc_dup_drop_list" -> {
+      // the clusters oracle minus the canonical (min-id) member per cluster
+      val pairsSql = minhashOracle(n = 3, k = 12, rows = 2, threshold = 0.4)
+      s"""WITH RECURSIVE p AS ($pairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         |SELECT doc_id, cluster AS keep_doc FROM c
+         |WHERE doc_id <> cluster ORDER BY doc_id""".stripMargin
     },
     "doc_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -205,6 +205,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup ACTION: from the duplicate clusters, emit the drop list —
+    * every non-canonical member (canonical = min doc_id of its cluster,
+    * which [[duplicateClusters]] already uses as the cluster id). This is
+    * the row set a pipeline anti-joins against the corpus to "keep one per
+    * duplicate group"; at 100 TB the drop list is a sliver of the corpus
+    * and the anti-join broadcasts it. */
+  def qDupDropList(spark: SparkSession, dir: String): DataFrame =
+    duplicateClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), col("cluster").as("keep_doc"))
+      .orderBy(col("doc_id"))
+
   /** SimHash (b-bit, here b=16): per token t, ONE 24-bit hash (md5 prefix);
     * bit i's vote is +1 if bit i of the hash is set, else -1 (independent
     * bits of one good hash ≡ independent hash functions — same trick as the
