@@ -46,6 +46,7 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
+    "cdc_apply_sink_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingSinkDsv2(s, d)),
     "cdc_apply_dsv2" -> { (s, d) =>
       // the changelog round-tripped through the DSv2 connector: staged as
       // JSON-line DatabaseEvent envelopes (the reference's wire format),
@@ -374,6 +375,7 @@ object SparkEntry {
     "cdc_apply_partial" -> cdcApplySql,
     "cdc_apply_stream" -> cdcApplySql,
     "cdc_apply_stream_dsv2" -> cdcApplySql,
+    "cdc_apply_sink_dsv2" -> cdcApplySql,
     "cdc_apply_txn" ->
       // txn = id % 50, committed iff txn % 7 != 3: since txn is a pure
       // function of the key, the all-or-nothing gate is this predicate

@@ -267,6 +267,48 @@ object ChangelogStream {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The fully connector-native pipeline: the engine's DSv2 SOURCE tails
+    * the envelope files AND the engine's DSv2 SINK
+    * ([[graft.sources.ChangelogStateSink]]) materializes the keyed state —
+    * `readStream.format("changelog")` → decode → `writeStream
+    * .format("changelog-state")`. No foreachBatch: the micro-batch rows are
+    * staged by executor DataWriters and merged by the sink's epoch-fenced
+    * driver commit, so the plan is end-to-end DSv2 — the reference's
+    * producer half (`producer.go:18-174`) and consumer half (`es.go:13-144`)
+    * each rendered as a first-class connector. Result is identical to the
+    * batch [[Apply.latestState]]; shares cdc_apply's oracle. */
+  def applyStreamingSinkDsv2(spark: SparkSession, clDir: String, workDir: String,
+                             pSchema: org.apache.spark.sql.types.StructType,
+                             maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stateDir = s"$workDir/state"
+    val decoded = spark.readStream.format("changelog")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(clDir)
+      .filter(col("table") === "orders")
+      .select(Seq(col("id"), col("seq"), col("op")) :+
+        from_json(col("payload"), pSchema).as("p"): _*)
+      .select(Seq(col("id"), col("seq"), col("op")) ++
+        Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+    val q = decoded.writeStream.format("changelog-state")
+      .option("path", stateDir)
+      .option("schema", decoded.schema.toDDL)
+      .option("keyCols", "id")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ChangelogStream.readState(spark, stateDir, Changelog.payloadCols)
+  }
+
+  /** Query-shaped wrapper for [[applyStreamingSinkDsv2]]: staged envelopes
+    * shared across runs, fresh state/checkpoint per run. */
+  def qApplyStreamingSinkDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-sink-dsv2-").toString
+    applyStreamingSinkDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Multi-table tail through the engine's own connector: ONE envelope
     * stream carries every table (the reference's single CDC topic,
     * `utils.go:31`), the per-table dispatch is a filter above the source,
