@@ -77,6 +77,12 @@ object ChangelogSource {
     StructField("payload", StringType)))
 
   val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Incremental-listing slack: files older than (max seen mtime − slack)
+    * are skipped during the streaming walk. Wide enough to absorb writer
+    * clock skew; widen via `.option("mtimeSlackMs", …)` on filesystems with
+    * non-monotonic visibility. */
+  val DefaultMtimeSlackMs: Long = 10L * 60 * 1000
 }
 
 class ChangelogTable(path: String) extends Table with SupportsRead {
@@ -98,12 +104,15 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(ChangelogSource.DefaultMaxSplitBytes)
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-    new ChangelogScanBuilder(path, confMap, maxSplit, maxFiles)
+    val mtimeSlack = Option(options.get("mtimeSlackMs")).map(_.toLong)
+      .getOrElse(ChangelogSource.DefaultMtimeSlackMs)
+    new ChangelogScanBuilder(path, confMap, maxSplit, maxFiles, mtimeSlack)
   }
 }
 
 class ChangelogScanBuilder(path: String, confMap: Map[String, String],
-                           maxSplitBytes: Long, maxFilesPerTrigger: Option[Int])
+                           maxSplitBytes: Long, maxFilesPerTrigger: Option[Int],
+                           mtimeSlackMs: Long = ChangelogSource.DefaultMtimeSlackMs)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = ChangelogSource.schema
@@ -127,12 +136,14 @@ class ChangelogScanBuilder(path: String, confMap: Map[String, String],
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ChangelogScan(path, required, pushed, confMap, maxSplitBytes, maxFilesPerTrigger)
+    new ChangelogScan(path, required, pushed, confMap, maxSplitBytes,
+      maxFilesPerTrigger, mtimeSlackMs)
 }
 
 class ChangelogScan(path: String, required: StructType, filters: Array[Filter],
                     confMap: Map[String, String], maxSplitBytes: Long,
-                    maxFilesPerTrigger: Option[Int])
+                    maxFilesPerTrigger: Option[Int],
+                    mtimeSlackMs: Long = ChangelogSource.DefaultMtimeSlackMs)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -149,7 +160,7 @@ class ChangelogScan(path: String, required: StructType, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangelogMicroBatchStream(path, required, filters, confMap,
-      maxSplitBytes, maxFilesPerTrigger)
+      maxSplitBytes, maxFilesPerTrigger, checkpointLocation, mtimeSlackMs)
 }
 
 /** Byte range `[start, start+length)` of one file. `compressed` ranges span
@@ -162,8 +173,11 @@ case class ChangelogInputPartition(file: String, start: Long, length: Long,
 object ChangelogPlanner {
   /** Recursive listing of data files under `dir`: skips any file whose name
     * or whose sub-directory component (relative to `dir`) starts with `_`
-    * or `.` (Spark/Hadoop metadata: `_SUCCESS`, `.staging`, …). */
-  def listDataFiles(dir: String, confMap: Map[String, String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    * or `.` (Spark/Hadoop metadata: `_SUCCESS`, `.staging`, …). Files with
+    * mtime < `minMtime` are dropped during the walk — the streaming side's
+    * incremental-listing floor (nothing that old can be new). */
+  def listDataFiles(dir: String, confMap: Map[String, String],
+                    minMtime: Long = Long.MinValue): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(ChangelogConf.toConfiguration(confMap))
     val rootUri = fs.makeQualified(root).toUri
@@ -171,9 +185,11 @@ object ChangelogPlanner {
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val s = it.next()
-      val rel = rootUri.relativize(s.getPath.toUri).getPath
-      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
-      if (s.isFile && !hidden) out += s
+      if (s.isFile && s.getModificationTime >= minMtime) {
+        val rel = rootUri.relativize(s.getPath.toUri).getPath
+        val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden) out += s
+      }
     }
     out.sortBy(_.getPath.toString).toSeq
   }
@@ -182,17 +198,27 @@ object ChangelogPlanner {
     * extension, via the Hadoop codec factory) are one unsplit range. */
   def planFiles(files: Seq[org.apache.hadoop.fs.FileStatus],
                 confMap: Map[String, String],
-                maxSplitBytes: Long): Seq[ChangelogInputPartition] = {
+                maxSplitBytes: Long): Seq[ChangelogInputPartition] =
+    planEntries(files.map(s =>
+      ChangelogFileEntry(s.getPath.toString, s.getLen, s.getModificationTime)),
+      confMap, maxSplitBytes)
+
+  /** Range planning from logged (path, length) metadata — the streaming
+    * path plans from its own file log and never re-lists the directory. */
+  def planEntries(files: Seq[ChangelogFileEntry],
+                  confMap: Map[String, String],
+                  maxSplitBytes: Long): Seq[ChangelogInputPartition] = {
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
       ChangelogConf.toConfiguration(confMap))
     files.flatMap { s =>
-      val len = s.getLen
+      val len = s.len
+      val p = new org.apache.hadoop.fs.Path(s.path)
       if (len == 0) Nil
-      else if (codecs.getCodec(s.getPath) != null)
-        Seq(ChangelogInputPartition(s.getPath.toString, 0L, len, compressed = true))
+      else if (codecs.getCodec(p) != null)
+        Seq(ChangelogInputPartition(s.path, 0L, len, compressed = true))
       else
         (0L until len by maxSplitBytes).map { off =>
-          ChangelogInputPartition(s.getPath.toString, off,
+          ChangelogInputPartition(s.path, off,
             math.min(maxSplitBytes, len - off), compressed = false)
         }
     }
@@ -207,26 +233,111 @@ object ChangelogConf {
   }
 }
 
-/** Streaming offset: the sorted set of files fully processed. File-granular
-  * (a file is the unit of admission, like Spark's own file source); kept
-  * sorted so offset JSON equality is deterministic. At very large file
-  * counts the production upgrade is a compacted seen-file log (what
-  * `FileStreamSource` keeps) — the offset CONTRACT is unchanged. */
-case class ChangelogOffset(files: Seq[String]) extends Offset {
-  override def json(): String = {
-    val arr = ChangelogOffsetCodec.mapper.createArrayNode()
-    files.foreach(arr.add)
-    arr.toString
-  }
+/** Streaming offset: just the id of the last admitted micro-batch. The
+  * file set each batch covers lives in the source's own batch-id-keyed
+  * seen-file log ([[ChangelogFileLog]], under the checkpoint), so the JSON
+  * Spark re-serializes into its offset log every trigger is O(1) — not the
+  * O(total-files-ever-seen) array the first version shipped. This is the
+  * `FileStreamSource` design: tiny offsets, compacted metadata log. */
+case class ChangelogOffset(batchId: Long) extends Offset {
+  override def json(): String = s"""{"batchId":$batchId}"""
 }
 
 object ChangelogOffsetCodec {
   val mapper = new ObjectMapper()
   def fromJson(json: String): ChangelogOffset = {
     val node = mapper.readTree(json)
-    val b = Seq.newBuilder[String]
-    node.forEach(n => b += n.asText())
-    ChangelogOffset(b.result().sorted)
+    if (node.isObject && node.hasNonNull("batchId"))
+      ChangelogOffset(node.get("batchId").asLong())
+    else throw new IllegalStateException(
+      s"unrecognized changelog offset $json (a pre-compaction file-set " +
+        "checkpoint cannot be resumed by this version; restart the query " +
+        "with a fresh checkpoint)")
+  }
+}
+
+/** One admitted file: enough metadata to plan its splits without ever
+  * listing the directory again (length) and to bound the incremental
+  * listing (mtime). */
+case class ChangelogFileEntry(path: String, len: Long, mtime: Long)
+
+/** Batch-id-keyed seen-file log under the streaming checkpoint — the
+  * `FileStreamSource`-style metadata log backing [[ChangelogOffset]]:
+  *  - `<id>` (zero-padded): the files ADMITTED in batch id, one
+  *    `path\tlen\tmtime` line each — O(batch) bytes;
+  *  - `<id>.compact` every `compactInterval` batches: the FULL seen set at
+  *    that batch, so a restart replays one compact + at most
+  *    `compactInterval-1` deltas instead of the whole history.
+  * Entries are written temp-file + rename BEFORE the offset is returned to
+  * Spark, so any offset Spark ever checkpoints is resolvable here. Writes
+  * happen only on the driver's streaming thread — no locking needed. */
+class ChangelogFileLog(logDir: String, confMap: Map[String, String],
+                       compactInterval: Int = 10) {
+  require(compactInterval > 0, "compactInterval must be positive")
+  private val dir = new org.apache.hadoop.fs.Path(logDir)
+  private def fs = dir.getFileSystem(ChangelogConf.toConfiguration(confMap))
+
+  private def name(id: Long, compact: Boolean): String =
+    f"$id%020d${if (compact) ".compact" else ""}"
+
+  private def write(p: org.apache.hadoop.fs.Path, entries: Seq[ChangelogFileEntry]): Unit = {
+    val f = fs
+    f.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try entries.foreach { e =>
+      out.write(s"${e.path}\t${e.len}\t${e.mtime}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"file-log write failed: $tmp -> $p")
+  }
+
+  private def read(p: org.apache.hadoop.fs.Path): Seq[ChangelogFileEntry] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).filter(_.nonEmpty)
+      .map { line =>
+        val Array(path, len, mtime) = line.split('\t')
+        ChangelogFileEntry(path, len.toLong, mtime.toLong)
+      }.toVector
+    finally in.close()
+  }
+
+  /** Record batch `id`'s admitted files; additionally roll a compact entry
+    * (`allSeen`, lazily materialized only when due). */
+  def append(id: Long, admitted: Seq[ChangelogFileEntry],
+             allSeen: => Seq[ChangelogFileEntry]): Unit = {
+    write(new org.apache.hadoop.fs.Path(dir, name(id, compact = false)), admitted)
+    if (id % compactInterval == compactInterval - 1)
+      write(new org.apache.hadoop.fs.Path(dir, name(id, compact = true)), allSeen)
+  }
+
+  /** The files admitted in exactly batch `id`. Fails loudly if the log has
+    * no entry — an offset Spark checkpointed MUST be resolvable. */
+  def delta(id: Long): Seq[ChangelogFileEntry] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name(id, compact = false))
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"changelog file-log has no entry for batch $id under $logDir")
+    read(p)
+  }
+
+  /** Rebuild driver state after a restart: (latest batch id, full seen set)
+    * from the newest compact entry plus the deltas after it. */
+  def replay(): (Long, Seq[ChangelogFileEntry]) = {
+    val f = fs
+    if (!f.exists(dir)) return (-1L, Nil)
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+    if (names.isEmpty) return (-1L, Nil)
+    def id(n: String): Long = n.stripSuffix(".compact").toLong
+    val latest = names.map(id).max
+    val lastCompact = names.filter(_.endsWith(".compact")).map(id)
+      .filter(_ <= latest).sorted.lastOption
+    val base = lastCompact.toSeq.flatMap(c =>
+      read(new org.apache.hadoop.fs.Path(dir, name(c, compact = true))))
+    val tail = ((lastCompact.getOrElse(-1L) + 1L) to latest).flatMap(delta)
+    (latest, base ++ tail)
   }
 }
 
@@ -234,21 +345,59 @@ object ChangelogOffsetCodec {
   * changelog directory — the engine's rendering of the reference's
   * replication-slot consumer (`producer.go:18-174` tails in order and
   * resumes from its saved position; `utils.go:48-54` consumes from
-  * earliest). Offsets are file sets; a restart replans exactly the files
-  * between the checkpointed and latest offsets, so no event is re-applied
-  * or skipped. Admission control honors `maxFilesPerTrigger` so
-  * AvailableNow replays history as bounded micro-batches —
-  * [[SupportsTriggerAvailableNow]] is implemented directly because Spark's
-  * generic wrapper returns the captured end offset wholesale, collapsing
-  * AvailableNow to one unbounded batch and defeating the read limit. */
+  * earliest). Offsets are batch ids backed by a compacted seen-file log
+  * (see [[ChangelogFileLog]]); a restart replays one compact entry plus a
+  * bounded delta tail, then replans exactly the admitted-but-uncommitted
+  * batches, so no event is re-applied or skipped. Admission control honors
+  * `maxFilesPerTrigger` so AvailableNow replays history as bounded
+  * micro-batches — [[SupportsTriggerAvailableNow]] is implemented directly
+  * because Spark's generic wrapper returns the captured end offset
+  * wholesale, collapsing AvailableNow to one unbounded batch and defeating
+  * the read limit.
+  *
+  * Per-trigger cost at scale: the directory walk skips every file whose
+  * mtime predates the seen watermark minus `mtimeSlackMs` (no seen-set
+  * lookup, no candidate materialization), so only the recent band is
+  * diffed; planning reads the batch's own log entry (path+length), never
+  * re-listing the world; offset JSON is O(1). The slack absorbs writer
+  * clock skew and non-monotonic visibility — a file surfacing with an
+  * mtime older than every seen file by more than the slack is the one
+  * hazard, and the knob exists to widen the band where that can happen. */
 class ChangelogMicroBatchStream(path: String, required: StructType,
                                 filters: Array[Filter],
                                 confMap: Map[String, String],
-                                maxSplitBytes: Long, maxFilesPerTrigger: Option[Int])
+                                maxSplitBytes: Long, maxFilesPerTrigger: Option[Int],
+                                checkpointLocation: String,
+                                mtimeSlackMs: Long = 10L * 60 * 1000)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private def listNow(): Seq[String] =
-    ChangelogPlanner.listDataFiles(path, confMap).map(_.getPath.toString)
+  private val log = new ChangelogFileLog(s"$checkpointLocation/graft-filelog", confMap)
+
+  // driver-side state, rebuilt from the log once per query start (compact +
+  // bounded tail), then maintained incrementally — never per trigger. The
+  // entry map (not just a path set) is what compaction rolls from; at
+  // extreme file counts the production knob is age-based eviction, exactly
+  // FileStreamSource's maxFileAge.
+  private val seen = scala.collection.mutable.HashMap.empty[String, ChangelogFileEntry]
+  private var latestBatchId = -1L
+  private var maxSeenMtime = Long.MinValue
+  locally {
+    val (lb, entries) = log.replay()
+    latestBatchId = lb
+    entries.foreach { e =>
+      seen(e.path) = e
+      if (e.mtime > maxSeenMtime) maxSeenMtime = e.mtime
+    }
+  }
+
+  /** Recursive walk keeping only files that could be new: anything whose
+    * mtime predates every seen file by more than the slack is skipped
+    * before any set lookup. */
+  private def listCandidates(): Seq[ChangelogFileEntry] = {
+    val floor = if (seen.isEmpty) Long.MinValue else maxSeenMtime - mtimeSlackMs
+    ChangelogPlanner.listDataFiles(path, confMap, minMtime = floor)
+      .map(s => ChangelogFileEntry(s.getPath.toString, s.getLen, s.getModificationTime))
+  }
 
   // AvailableNow contract: freeze the file set at query start; batches then
   // drain toward it under the read limit and the query stops at the target
@@ -256,9 +405,9 @@ class ChangelogMicroBatchStream(path: String, required: StructType,
   // file-source semantics)
   private var availableNowTarget: Option[Set[String]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(listNow().toSet)
+    availableNowTarget = Some(listCandidates().map(_.path).toSet)
 
-  override def initialOffset(): Offset = ChangelogOffset(Nil)
+  override def initialOffset(): Offset = ChangelogOffset(-1L)
 
   override def deserializeOffset(json: String): Offset =
     ChangelogOffsetCodec.fromJson(json)
@@ -266,38 +415,47 @@ class ChangelogMicroBatchStream(path: String, required: StructType,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(): Offset = ChangelogOffset(listNow())
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val done = start.asInstanceOf[ChangelogOffset].files
-    val doneSet = done.toSet
+    val startId = start.asInstanceOf[ChangelogOffset].batchId
+    // durable log entries Spark hasn't consumed yet (admitted, then crashed
+    // before Spark checkpointed the offset): hand them back before
+    // admitting anything new
+    if (latestBatchId > startId) return ChangelogOffset(latestBatchId)
     val visible = availableNowTarget match {
-      case Some(target) => listNow().filter(target)
-      case None => listNow()
+      case Some(target) => listCandidates().filter(e => target(e.path))
+      case None => listCandidates()
     }
-    val fresh = visible.filterNot(doneSet)
+    val fresh = visible.filterNot(e => seen.contains(e.path)).sortBy(_.path)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    ChangelogOffset((done ++ admitted).sorted)
+    if (admitted.isEmpty) ChangelogOffset(latestBatchId)
+    else {
+      val id = latestBatchId + 1
+      // log first, offset after: any offset Spark ever sees is resolvable
+      log.append(id, admitted, (seen.values ++ admitted).toSeq)
+      admitted.foreach { e =>
+        seen(e.path) = e
+        if (e.mtime > maxSeenMtime) maxSeenMtime = e.mtime
+      }
+      latestBatchId = id
+      ChangelogOffset(id)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val doneSet = start.asInstanceOf[ChangelogOffset].files.toSet
-    val batchFiles = end.asInstanceOf[ChangelogOffset].files.filterNot(doneSet).toSet
-    val statuses = ChangelogPlanner.listDataFiles(path, confMap)
-      .filter(s => batchFiles.contains(s.getPath.toString))
-    // an admitted file missing from the listing (deleted by retention
-    // between admission and replay) must fail, not silently lose events —
-    // the offset CLAIMS those rows; same contract as Spark's file source
-    // without ignoreMissingFiles
-    if (statuses.size != batchFiles.size) {
-      val missing = batchFiles -- statuses.map(_.getPath.toString)
-      throw new IllegalStateException(
-        s"changelog files admitted into offsets but no longer present: $missing")
-    }
-    ChangelogPlanner.planFiles(statuses, confMap, maxSplitBytes)
+    val startId = start.asInstanceOf[ChangelogOffset].batchId
+    val endId = end.asInstanceOf[ChangelogOffset].batchId
+    // the batch's files come from the source's own log — planning never
+    // re-lists the directory. A file deleted between admission and replay
+    // fails loudly at open time (the offset CLAIMS those rows; same
+    // contract as Spark's file source without ignoreMissingFiles).
+    val entries = ((startId + 1L) to endId).flatMap(log.delta)
+    ChangelogPlanner.planEntries(entries, confMap, maxSplitBytes)
       .map(p => p: InputPartition).toArray
   }
 
@@ -416,7 +574,14 @@ class ChangelogPartitionReader(partition: ChangelogInputPartition,
   private val mapper = new ObjectMapper()
   private val conf = ChangelogConf.toConfiguration(confMap)
   private val path = new org.apache.hadoop.fs.Path(partition.file)
-  private val in = path.getFileSystem(conf).open(path)
+  // a planned file that vanished (deleted by retention between admission
+  // and replay) must fail loudly, not read as empty — the offset/plan
+  // CLAIMS those rows; same contract as Spark's file source without
+  // ignoreMissingFiles
+  private val in = try path.getFileSystem(conf).open(path) catch {
+    case e: java.io.FileNotFoundException => throw new IllegalStateException(
+      s"changelog file admitted into offsets but no longer present: ${partition.file}", e)
+  }
   // compressed: whole-file codec stream (unsplittable, so start is always 0);
   // plain: byte-range reader with line-boundary handling
   private val compressedLines: java.io.BufferedReader =
