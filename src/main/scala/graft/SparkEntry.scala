@@ -791,7 +791,7 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |sc AS (SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS score
          |  FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b)
-         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

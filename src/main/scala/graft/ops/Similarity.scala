@@ -227,10 +227,16 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: IVF-bucketed self-join (only
     * same-orthant pairs scored — the LSH-style candidate cut), threshold on
-    * rounded cosine. */
-  def qEmbeddingNearDup(spark: SparkSession, dir: String, codeBits: Int = 4,
-                        threshold: Double = 0.8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    * rounded cosine. The default threshold is tuned to the fixture corpus
+    * (near-random vectors top out around cosine 0.5; 0.4 keeps the verified
+    * result non-empty at every SF) — a production near-dup run over real
+    * embeddings would use 0.9+. Recall caveat inherent to orthant codes: a
+    * pair straddling a sign boundary lands in different buckets and is
+    * never scored; the multi-probe trick in [[qAnnIvf]] is the fix when
+    * that matters. */
+  def embeddingNearDup(embeddings: DataFrame, codeBits: Int = 4,
+                       threshold: Double = 0.4): DataFrame = {
+    val e = embeddings
       .withColumn("bucket", ivfCode(col("embedding"), codeBits))
       .select(col("bucket"), col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
@@ -242,4 +248,8 @@ object Similarity {
       .filter(col("score") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  def qEmbeddingNearDup(spark: SparkSession, dir: String, codeBits: Int = 4,
+                        threshold: Double = 0.4): DataFrame =
+    embeddingNearDup(Tables.embeddings(spark, dir), codeBits, threshold)
 }
