@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,10 +26,35 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision per-query map goes to a file (the harness that captures
+    // stdout keeps only a short tail, so the printed line must stay small);
+    // sorted by name for stable diffs across rounds.
+    val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
+    val detail = results.map { case (k, v) => s"\"$k\":$v" }
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""", ",", "}}")
+    java.nio.file.Files.write(detailPath.toPath,
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Print ONE parseable JSON line that fits (with room for the build
+    // tool's trailer lines) in a 2000-char output tail: the most expensive
+    // queries first, greedily added under a strict budget, the rest in the
+    // detail file.
+    val budget = 1800
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
+    val tail = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + s"\"$k\":${r3(v)}"
+      if (sb.length + entry.length + tail.length <= budget) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(tail)
+    println(sb.toString)
     spark.stop()
   }
 }

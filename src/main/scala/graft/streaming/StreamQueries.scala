@@ -27,10 +27,23 @@ object StreamQueries {
   private def uniq(prefix: String) =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** Run `body` with a state-store count sized to the stream's key
+    * cardinality instead of the batch shuffle default: a stateful operator
+    * allocates (and commits, per micro-batch) one state store per shuffle
+    * partition, so an aggregation over a handful of keys paying 32 store
+    * commits per batch is pure overhead — late_data pays it ×4 batches.
+    * The store count freezes into the checkpoint at first use, which is
+    * why this is set before the query starts and restored after. */
+  private def withStateStores[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming tumbling-window aggregation over events — same result (and
     * oracle) as the batch q_tumbling_window; complete output mode because
     * the bounded run must emit every window, finalized or not. */
-  def qStreamingTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingTumbling(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_tumbling_")
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -64,16 +77,11 @@ object StreamQueries {
     * event-time-late rows; to go multi-batch, stage event-time-ordered
     * files or widen the watermarks to the fixture's full time range (the
     * late-data CONTRACT itself is oracle-checked by stream_late_data). */
-  def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_ivjoin_")
     // a stream-stream join allocates one state store per shuffle partition
-    // PER SIDE, and the store count is frozen into the checkpoint — sizing
-    // it to the stream's key cardinality (not the batch default) is the
-    // standard deployment knob; 8 stores ≫ suffices for this key space
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // PER SIDE — 8 stores ≫ suffices for this key space
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
@@ -93,7 +101,6 @@ object StreamQueries {
     q.awaitTermination()
     spark.table(name)
       .orderBy(col("user_id"), col("purchase_event"), col("signup_event"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Streaming session windows per user (30-minute gap) — same result (and
@@ -102,7 +109,7 @@ object StreamQueries {
     * finalizes (append-mode finalization semantics are covered by
     * StreamSpec's sentinel test; this query is the result-parity
     * rendering). */
-  def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_session_")
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -140,7 +147,7 @@ object StreamQueries {
     *             own window stays unfinalized and never appears).
     * The oracle states the same cutoff in SQL: keep late rows only where
     * window_end > max(on-time ts) - delay. */
-  def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val work = stageLateFiles(spark, dir)
     val name = uniq("st_late_")
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
