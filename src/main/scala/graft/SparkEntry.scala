@@ -44,6 +44,7 @@ object SparkEntry {
     "cdc_apply_txn" -> ((s, d) =>
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
+    "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     "cdc_apply_sink_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingSinkDsv2(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     },
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
     "stream_session_window" -> (graft.streaming.StreamQueries.qStreamingSessionWindow _),
+    "stream_sliding_window" -> (graft.streaming.StreamQueries.qStreamingSliding _),
     "stream_late_data" -> (graft.streaming.StreamQueries.qStreamingLateData _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
@@ -217,6 +219,7 @@ object SparkEntry {
     "emb_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(s, d)),
     "emb_ann_centroid" -> ((s, d) => Similarity.qAnnCentroid(s, d)),
     "emb_kmeans" -> ((s, d) => Similarity.qKmeans(s, d)),
+    "emb_ann_kmeans" -> ((s, d) => Similarity.qAnnKmeans(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
@@ -286,6 +289,25 @@ object SparkEntry {
       |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
+  // txn = id % 50, committed iff txn % 7 != 3: since txn is a pure
+  // function of the key, the all-or-nothing gate is this predicate
+  // (shared by the batch semi-join and the streaming txn-buffer renderings)
+  private val txnOracle =
+    s"""WITH ${Changelog.oracleCte},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog WHERE (id % 50) % 7 <> 3)
+       |SELECT $payloadList FROM ranked
+       |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
+
+  private val slidingOracle =
+    s"""WITH s AS (
+       |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - j.j) * 300000000) AS w_start,
+       |         event_type, value
+       |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
+       |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val tumblingOracle =
     s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
        |  event_type, count(*) AS n, ${dsum("value", "sum_value")}
@@ -345,8 +367,8 @@ object SparkEntry {
     * label seed; each round k derives centroids c_k from a_(k-1) with the
     * decimal-exact mean arithmetic, then reassigns (round-6 scores, ties
     * on cluster id). */
-  private def kmeansOracle(iters: Int): String = {
-    val rounds = (1 to iters).map { k =>
+  private def kmeansRounds(iters: Int): String =
+    (1 to iters).map { k =>
       s"""c$k AS (SELECT a.cl, x.i,
          |  round(CAST(sum(CAST(round(x.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
          |  FROM x JOIN a${k - 1} a USING (vec_id) GROUP BY 1, 2),
@@ -358,11 +380,37 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rk FROM s$k)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+
+  private def kmeansOracle(iters: Int): String =
     s"""WITH $embX,
        |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
-       |$rounds
+       |${kmeansRounds(iters)}
        |SELECT vec_id, cl AS cluster, score FROM a$iters ORDER BY vec_id""".stripMargin
-  }
+
+  /** Mirrors Similarity.qAnnKmeans: the round-`iters` k-means scoring
+    * (s$iters — every vector vs the trained centroids) ranked per vector
+    * gives cells (crk=1) and the queries' probe set (crk<=2); then the
+    * exact rerank of emb_ann_centroid over the probed cells. */
+  private def annKmeansOracle(iters: Int): String =
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+       |${kmeansRounds(iters)},
+       |asg AS (SELECT vec_id, cl, score,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
+       |        FROM s$iters),
+       |cells AS (SELECT vec_id, cl AS cell FROM asg WHERE crk = 1),
+       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asg WHERE vec_id < 10 AND crk <= 2),
+       |cand AS (SELECT p.q_id, c.vec_id FROM probed p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |dots AS (SELECT cd2.q_id, cd2.vec_id, sum(xq.e * xv.e) AS dot
+       |         FROM cand cd2
+       |         JOIN x xq ON xq.vec_id = cd2.q_id
+       |         JOIN x xv ON xv.vec_id = cd2.vec_id AND xv.i = xq.i
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT d.q_id, d.vec_id, round(d.dot / (qa.nrm * qb.nrm), 6) AS score
+       |       FROM dots d JOIN nrm qa ON qa.vec_id = d.q_id JOIN nrm qb ON qb.vec_id = d.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the approx sketch
@@ -376,15 +424,8 @@ object SparkEntry {
     "cdc_apply_stream" -> cdcApplySql,
     "cdc_apply_stream_dsv2" -> cdcApplySql,
     "cdc_apply_sink_dsv2" -> cdcApplySql,
-    "cdc_apply_txn" ->
-      // txn = id % 50, committed iff txn % 7 != 3: since txn is a pure
-      // function of the key, the all-or-nothing gate is this predicate
-      s"""WITH ${Changelog.oracleCte},
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
-         |  FROM changelog WHERE (id % 50) % 7 <> 3)
-         |SELECT $payloadList FROM ranked
-         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply_txn" -> txnOracle,
+    "cdc_apply_txn_stream" -> txnOracle,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog
@@ -520,13 +561,8 @@ object SparkEntry {
     "stream_dedup" ->
       """WITH f AS (SELECT DISTINCT source, md5(lower(text)) AS fp FROM documents)
         |SELECT source, count(*) AS n_distinct FROM f GROUP BY source ORDER BY source""".stripMargin,
-    "q_sliding_window" ->
-      s"""WITH s AS (
-         |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - j.j) * 300000000) AS w_start,
-         |         event_type, value
-         |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS j(j))
-         |SELECT w_start, event_type, count(*) AS n, ${dsum("value", "sum_value")}
-         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_window" -> slidingOracle,
+    "stream_sliding_window" -> slidingOracle,
     "q_scalar_math" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
@@ -806,6 +842,7 @@ object SparkEntry {
         |FROM od FULL OUTER JOIN ed ON od.day = ed.day
         |ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansOracle(3),
+    "emb_ann_kmeans" -> annKmeansOracle(3),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

@@ -183,6 +183,24 @@ object Changelog {
       cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** The txn changelog ([[fromOrdersTxn]]) staged as mtime-ordered parquet
+    * files: data events split across the first two files, EVERY COMMIT
+    * marker in the last — replayed at maxFilesPerTrigger=1 the commits
+    * reach the stream two micro-batches after the earliest events of their
+    * transactions, so a streaming consumer must genuinely buffer
+    * uncommitted txns across batches (the [[graft.streaming.Stateful]] txn
+    * gate's contract). */
+  def stageParquetTxnPhased(spark: SparkSession, sfDir: String): String =
+    stage(fromOrdersTxn(spark, sfDir), sfDir, "parquet-txn", Seq("orders.parquet")) { (cl, dir) =>
+      new java.io.File(dir).mkdirs()
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op") =!= "COMMIT" && col("id") % 2 === 0), dir, "f1", 1000000L)
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op") =!= "COMMIT" && col("id") % 2 =!= 0), dir, "f2", 2000000L)
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op") === "COMMIT"), dir, "f3", 3000000L)
+    }
+
   /** The multi-table (orders ∪ customer, null-padded superset envelope)
     * changelog as parquet files. */
   def stageParquetMultiTable(spark: SparkSession, sfDir: String): String =

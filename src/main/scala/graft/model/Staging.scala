@@ -25,6 +25,23 @@ object Staging {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Write `df` as ONE parquet file `dir/name.parquet` with a forced mtime
+    * — the building block of mtime-ordered replay stagings: the file stream
+    * source orders files by (modification time, path), so forced mtimes fix
+    * the micro-batch replay order, and [[ensure]]'s whole-dir rename
+    * preserves them. */
+  def stageOrderedFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                       name: String, mtime: Long): Unit = {
+    val part = s"$dir/.write-$name"
+    df.coalesce(1).write.parquet(part)
+    val file = new java.io.File(part).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$dir/$name.parquet")
+    assert(file.renameTo(dst), s"stage failed: $name")
+    dst.setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+  }
+
   /** Ensure `dir` is staged: reuse a committed dir, else run `write` into a
     * temp sibling and atomically promote it. A dir present WITHOUT the
     * marker is a stale artifact (older protocol, or a crash before its

@@ -137,6 +137,40 @@ object Layout {
     fs.delete(old, true)
   }
 
+  /** Compact every leaf partition directory of a [[writePartitionedSorted]]
+    * layout — the partitioned counterpart [[compact]] points to when it
+    * rejects a partitioned root. Walks the `col=value` tree to its leaves
+    * (multi-level layouts compact one leaf at a time) and compacts each in
+    * place, so the directory layout — the reader's pruning index — is
+    * untouched and the partition values stay encoded in the paths, never
+    * inlined into files. Each leaf inherits [[compact]]'s two-rename crash
+    * protocol, and a leaf that crashed mid-swap in a PREVIOUS run (visible
+    * only as `leaf.compact-old`) is rolled back during the walk, so no
+    * crash point loses a partition. A non-partitioned root degenerates to
+    * a single [[compact]].
+    *
+    * At 100 TB this is the maintenance unit you actually schedule: leaves
+    * compact independently (parallelize across a job per leaf set), and a
+    * failure confines itself to one partition. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      // a crashed swap leaves data only under <leaf>.compact-old with no
+      // live <leaf> dir — recover it BEFORE scanning for partition dirs
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".compact-old"))
+        .foreach { s =>
+          recoverCompact(spark, s.getPath.toString.stripSuffix(".compact-old"))
+        }
+      val parts = fs.listStatus(p).toSeq.filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && !s.getPath.getName.contains(".compact-"))
+      if (parts.isEmpty) Seq(p) else parts.flatMap(s => leaves(s.getPath))
+    }
+    leaves(new org.apache.hadoop.fs.Path(dir))
+      .foreach(leaf => compact(spark, leaf.toString, targetFileBytes))
+  }
+
   /** Roll back a compact that crashed between its two renames (data only
     * under `.compact-old`, nothing at `dir`). Idempotent; call before
     * compacting or at reader startup. */

@@ -98,6 +98,83 @@ object Stateful {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Txn-enveloped changelog event ([[graft.cdc.Changelog.fromOrdersTxn]]'s
+    * columns; COMMIT markers carry id=-1 and a null payload). */
+  case class TxnEvent(id: Long, seq: Long, op: String, txn: Long,
+      o_orderkey: Option[Long], o_custkey: Option[Long],
+      o_orderstatus: Option[String], o_totalprice: Option[Double],
+      o_orderdate: Option[java.sql.Timestamp], o_orderpriority: Option[String])
+
+  /** Per-txn state: whether COMMIT has arrived, and the data events
+    * buffered while it hasn't. */
+  case class TxnBuffer(committed: Boolean, buffered: Seq[TxnEvent])
+
+  /** Streaming transaction-atomic gate: the streaming completion of
+    * [[graft.cdc.Apply.txnApply]]'s COMMIT gating (itself a documented
+    * improvement over the reference, which drops Begin/Commit outright —
+    * `producer.go:161-166` — and can materialize half a transaction).
+    * Keyed by txn id: data events buffer in the state store until the
+    * transaction's COMMIT marker arrives — in ANY later micro-batch — then
+    * release exactly once (Append mode); events arriving after the commit
+    * pass straight through; uncommitted transactions never emit.
+    *
+    * Scale note: state is ∝ events of OPEN transactions (a commit clears
+    * its buffer to an empty-seq tombstone), the same bound the batch
+    * rendering's committed-marker set has — not ∝ stream history. */
+  def txnGate(events: Dataset[TxnEvent]): Dataset[TxnEvent] = {
+    implicit val evEnc = Encoders.product[TxnEvent]
+    implicit val bufEnc = Encoders.product[TxnBuffer]
+    events.groupByKey(_.txn)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TxnBuffer, TxnEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[TxnEvent], state: GroupState[TxnBuffer]) =>
+          val events = batch.toSeq
+          val data = events.filter(e => graft.cdc.Apply.handledOps.contains(e.op))
+          val prev = state.getOption.getOrElse(TxnBuffer(committed = false, Nil))
+          if (prev.committed || events.exists(_.op == "COMMIT")) {
+            state.update(TxnBuffer(committed = true, Nil))
+            (prev.buffered ++ data).iterator
+          } else {
+            state.update(TxnBuffer(committed = false, prev.buffered ++ data))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Oracle-checked query: the txn changelog replayed in three
+    * micro-batches with every COMMIT arriving LAST
+    * ([[graft.cdc.Changelog.stageParquetTxnPhased]] — events buffer across
+    * two batches before any release), gated by [[txnGate]], then the
+    * standard latest-state merge over the released events. Shares
+    * cdc_apply_txn's oracle: the released set IS the committed-txn
+    * semi-join. */
+  def qApplyTxnStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clDir = graft.cdc.Changelog.stageParquetTxnPhased(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString
+    val name = "st_txn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
+    // state-store count sized to the 50-txn key space (see qApplyStateful)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream.schema(clSchema)
+        .option("maxFilesPerTrigger", 1).parquet(clDir)
+        .as[TxnEvent]
+      val q = txnGate(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.cdc.Apply.latestState(spark.table(name), graft.cdc.Changelog.payloadCols)
+        .orderBy(col("o_orderkey"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Running per-user aggregate with explicit keyed state (count + sum) —
     * `mapGroupsWithState` flavor. */
   case class UserAgg(n: Long, sum: Double)

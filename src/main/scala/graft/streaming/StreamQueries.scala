@@ -60,6 +60,29 @@ object StreamQueries {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Streaming sliding-window aggregation (10-minute windows every 5
+    * minutes) — same result (and oracle) as the batch q_sliding_window;
+    * complete output mode like its tumbling/session siblings: the bounded
+    * run must emit every window, finalized or not. Each event lands in
+    * window/slide = 2 windows, so the state store holds 2× the window
+    * count of the tumbling twin — still ∝ distinct windows, not events. */
+  def qStreamingSliding(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+    val (raw, _) = stagedStream(spark, dir, "events")
+    val name = uniq("st_sliding_")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Stream-stream interval join: purchases joined to the same user's
     * signups within the following day — both sides are real streams with
     * event-time watermarks, so Spark plans a StreamingSymmetricHashJoin and
@@ -188,16 +211,8 @@ object StreamQueries {
         lit("sentinel").as("event_type"),
         lit(new java.sql.Timestamp(mx.getTime + 10L * 3600 * 1000)).as("ts"),
         lit(0.0d).as("value"))
-      def stageFile(df: DataFrame, n: String, mtime: Long): Unit = {
-        val part = s"$tmp/.write-$n"
-        df.coalesce(1).write.parquet(part)
-        val file = new java.io.File(part).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(s"$tmp/$n.parquet")
-        assert(file.renameTo(dst), s"stage failed: $n")
-        dst.setLastModified(mtime)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
-      }
+      def stageFile(df: DataFrame, n: String, mtime: Long): Unit =
+        graft.model.Staging.stageOrderedFile(df, tmp, n, mtime)
       stageFile(onTime, "f1", 1000000L)
       stageFile(onTime.limit(0), "f2", 2000000L)
       stageFile(late, "f3", 3000000L)

@@ -44,4 +44,22 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     // and assignments actually moved between iterations (not a fixpoint)
     assert(a1.select("vec_id", "cluster").exceptAll(a3.select("vec_id", "cluster")).count() > 0)
   }
+
+  /** End-result recall of an ANN query: fraction of the brute-force top-5
+    * pairs the approximate result reproduces. */
+  private def resultRecall(ann: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.qCosineTopK(spark, sfDir).select(col("q_id"), col("vec_id"))
+    ann.select(col("q_id"), col("vec_id"))
+      .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
+  }
+
+  test("the trained quantizer beats the label-seeded one end-to-end (ANN recall)") {
+    // same probe budget (2), same rerank — only the quantizer differs:
+    // label-seeded cells 0.40 vs Lloyd-trained cells 0.44 at sf0.001,
+    // both far above the 1-probe 0.32 candidate-recall baseline
+    val seeded = resultRecall(Similarity.qAnnCentroid(spark, sfDir))
+    val trained = resultRecall(Similarity.qAnnKmeans(spark, sfDir))
+    assert(trained > seeded, s"training did not help: seeded=$seeded trained=$trained")
+    assert(trained > 0.32, s"trained recall below the 1-probe baseline: $trained")
+  }
 }

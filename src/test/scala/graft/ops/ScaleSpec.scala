@@ -209,6 +209,51 @@ class CompactSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === events.count())
   }
 
+  test("compactPartitioned collapses every leaf, preserving layout, pruning, and crashed leaves") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-partleaf-").toString + "/t"
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      // the accretion scenario compaction exists for: many writers → many
+      // files per leaf (writePartitionedSorted would coalesce per leaf)
+      events.repartition(7).write.partitionBy("event_type").parquet(dir)
+      val leaves = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      assert(leaves.length >= 3 &&
+        leaves.forall(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
+      // one leaf crashed mid-swap in a "previous run": data only under
+      // .compact-old — the walk must recover it, not skip it
+      val crashed = leaves.head
+      assert(crashed.renameTo(new java.io.File(crashed.getPath + ".compact-old")))
+
+      Layout.compactPartitioned(spark, dir, targetFileBytes = 1L << 30)
+
+      val after = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      assert(after.map(_.getName).sorted.sameElements(leaves.map(_.getName).sorted),
+        "partition directory layout changed")
+      after.foreach { leaf =>
+        assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"leaf ${leaf.getName} not compacted")
+      }
+      // rows survive (including the crashed leaf) and pruning still works
+      val back = spark.read.parquet(dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+      val scan = Layout.readPartition(spark, dir, "event_type", "purchase")
+        .queryExecution.executedPlan.toString
+      val pf = scan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("purchase"), s"partition predicate not pruned:\n$scan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("compacting a partitioned layout is rejected, not flattened") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-partcompact-").toString + "/t"

@@ -35,6 +35,42 @@ class StatefulSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("txn gate holds a transaction until its COMMIT, even 2 batches late") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.TxnEvent
+    def ev(id: Long, seq: Long, op: String, txn: Long, price: Option[Double] = None) =
+      TxnEvent(id, seq, op, txn, Some(id), None, None, price, None, None)
+    val mem = MemoryStream[TxnEvent]
+    val q = Stateful.txnGate(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("txn_gate")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def released = spark.table("txn_gate").select($"id", $"seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch 1: txn 10 opens (2 events), txn 20 opens — nothing committed
+    mem.addData(ev(1, 1, "INSERT", 10, Some(5.0)), ev(2, 2, "INSERT", 10), ev(9, 3, "INSERT", 20))
+    q.processAllAvailable()
+    assert(released.isEmpty, "events released before COMMIT")
+    // batch 2: txn 10 keeps writing — still no commit
+    mem.addData(ev(1, 4, "UPDATE", 10, Some(6.0)))
+    q.processAllAvailable()
+    assert(released.isEmpty, "events released before COMMIT")
+    // batch 3: txn 10's COMMIT (2 batches after it opened) releases ALL its
+    // buffered events exactly once; txn 20 stays held
+    mem.addData(ev(-1, 100, "COMMIT", 10))
+    q.processAllAvailable()
+    assert(released === Set((1L, 1L), (2L, 2L), (1L, 4L)), s"wrong release: $released")
+    // batch 4: post-commit events of txn 10 pass straight through
+    mem.addData(ev(3, 5, "INSERT", 10))
+    q.processAllAvailable()
+    assert(released.contains((3L, 5L)))
+    // txn 20 never committed, never released
+    assert(!released.exists(_._1 == 9L))
+    q.stop()
+  }
+
   test("mapGroupsWithState running agg converges to batch totals") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
