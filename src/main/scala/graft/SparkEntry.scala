@@ -45,6 +45,7 @@ object SparkEntry {
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
     "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
+    "cdc_mv_agg" -> (graft.cdc.Materialize.qMvAgg _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     "cdc_apply_sink_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingSinkDsv2(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "stream_tumbling_window" -> (graft.streaming.StreamQueries.qStreamingTumbling _),
     "stream_session_window" -> (graft.streaming.StreamQueries.qStreamingSessionWindow _),
     "stream_sliding_window" -> (graft.streaming.StreamQueries.qStreamingSliding _),
+    "stream_static_join" -> (graft.streaming.StreamQueries.qStreamStaticJoin _),
     "stream_late_data" -> (graft.streaming.StreamQueries.qStreamingLateData _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
@@ -193,6 +195,12 @@ object SparkEntry {
       Apply.latestState(
         Changelog.fromOrders(s, d).filter(col("seq") <= 1500000L), payload)
         .orderBy(col("o_orderkey"))),
+    "cdc_state_diff" -> ((s, d) =>
+      // audit diff between two snapshot versions: what changed from LSN
+      // 500,000 (mid-insert at sf>=0.1, so ADDED appears too) to now
+      Apply.stateDiff(Changelog.fromOrders(s, d), payload, "o_orderkey",
+        asOfOld = 500000L, asOfNew = Long.MaxValue, diffCols = Seq("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
     "q_semijoin" -> (Relational.qSemiJoin _),
     "q_correlated_subquery" -> (Relational.qCorrelatedSubquery _),
     "q_window_lead" -> (Relational.qWindowLead _),
@@ -228,6 +236,21 @@ object SparkEntry {
     "q_skew_salted" -> ((s, d) =>
       graft.ops.Skew.saltedCountSum(Tables.events(s, d), col("event_type"), col("value"))
         .orderBy(col("key"))),
+    "q_skew_join" -> { (s, d) =>
+      // the 5-value event_type key is maximally skewed for a sort-merge
+      // join; the salted join spreads each hot key over 16 reducers. The
+      // dim's threshold is (min+max)/2 — single exact double ops, so both
+      // engines compute the identical boundary (an accumulated avg could
+      // flip a >= comparison in the last ulp)
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(((min(col("value")) + max(col("value"))) / 2).as("mid"))
+      graft.ops.Skew.saltedJoin(ev, dim.hint("merge"), Seq("event_type"), 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") >= col("mid"), 1)).as("n_above"))
+        .orderBy(col("event_type"))
+    },
     "q_bloom_semijoin" -> (graft.ops.Prune.qBloomSemiJoin _),
     "q_range_join" -> (graft.ops.RangeJoin.qRangeJoin _),
     // ── Dataset curation (hash-deterministic sampling/splitting) ────────
@@ -426,10 +449,46 @@ object SparkEntry {
     "cdc_apply_sink_dsv2" -> cdcApplySql,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
+    "cdc_mv_agg" ->
+      // the IVM guarantee: the incrementally-maintained MV equals the
+      // aggregate recomputed over the fully-applied state
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT o_orderstatus, count(*) AS n, ${dsum("o_totalprice", "sum_value")}
+         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog
          |GROUP BY "table", op ORDER BY "table", op""".stripMargin,
+    "cdc_state_diff" -> {
+      // whole-payload null-safe compare, mirroring Spark's struct <=> —
+      // only o_totalprice can differ in the fixture, but the predicate
+      // states the real semantics
+      val changed = Changelog.payloadCols
+        .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString(" OR ")
+      s"""WITH ${Changelog.oracleCte},
+         |s1 AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog WHERE seq <= 500000) WHERE rn = 1 AND op <> 'DELETE'),
+         |s2 AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog) WHERE rn = 1 AND op <> 'DELETE'),
+         |d AS (SELECT coalesce(s2.id, s1.id) AS o_orderkey,
+         |  CASE WHEN s1.id IS NULL THEN 'ADDED'
+         |       WHEN s2.id IS NULL THEN 'REMOVED'
+         |       WHEN $changed THEN 'UPDATED' END AS change,
+         |  s1.o_totalprice AS old_o_totalprice, s2.o_totalprice AS new_o_totalprice
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id)
+         |SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice
+         |FROM d WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin
+    },
+    "stream_static_join" ->
+      s"""SELECT c_mktsegment, event_type, count(*) AS n, ${dsum("value", "sum_value")}
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cdc_insert_dedup" ->
       s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
     "cdc_delete_antijoin" ->
@@ -831,6 +890,13 @@ object SparkEntry {
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (SELECT event_type, (min(value) + max(value)) / 2 AS mid
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       count(CASE WHEN e.value >= d.mid THEN 1 END) AS n_above
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_full_outer" ->
       """WITH od AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
         |            FROM orders GROUP BY 1),

@@ -123,6 +123,37 @@ object Apply {
       changelog.join(broadcast(committed), Seq("txn"), "left_semi"), payloadCols)
   }
 
+  /** Time-travel state diff: the net change set between two as-of-seq
+    * snapshots of the materialized state — per key, ADDED (alive only in
+    * the newer snapshot), REMOVED (alive only in the older), or UPDATED
+    * (alive in both with any payload field changed; unchanged keys are
+    * omitted). The version axis is the changelog's `seq`, the same axis
+    * cdc_time_travel snapshots on — this is the audit/debug companion:
+    * "what changed between LSN A and LSN B".
+    *
+    * Rendered as two as-of applies + one full-outer join on the key with a
+    * null-safe whole-payload compare. Scale note: both sides hash-partition
+    * on the key, so the join is the minimum one shuffle; over the bucketed
+    * state sink ([[ChangelogStream]]) you would instead diff two committed
+    * bucket VERSIONS directly — co-partitioned by construction, no shuffle
+    * at all — this is the changelog-axis rendering of that operation. */
+  def stateDiff(changelog: DataFrame, payloadCols: Seq[String], key: String,
+                asOfOld: Long, asOfNew: Long,
+                diffCols: Seq[String]): DataFrame = {
+    def snap(asOf: Long, alias: String) =
+      latestState(changelog.filter(col("seq") <= asOf), payloadCols)
+        .select(col(key).as("k"), struct(payloadCols.map(col): _*).as(alias))
+    snap(asOfOld, "o").join(snap(asOfNew, "n"), Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("o").isNull, "ADDED")
+          .when(col("n").isNull, "REMOVED")
+          .when(!(col("o") <=> col("n")), "UPDATED"))
+      .filter(col("change").isNotNull)
+      .select(Seq(col("k").as(key), col("change")) ++
+        diffCols.flatMap(c => Seq(
+          col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
   /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):
     * event counts per operation — the consumer-side "routing table". */
   def opCounts(changelog: DataFrame): DataFrame =

@@ -1,0 +1,151 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental materialized-view maintenance over the changelog stream:
+  * a per-group (count, exact decimal sum) aggregate of the LIVE keyed state,
+  * kept current batch-by-batch WITHOUT ever re-aggregating the full state.
+  *
+  * The reference materializes only the keyed document store (`es.go:13-144`);
+  * any aggregate over it is recomputed by the reader. This operator is the
+  * natural next table in a CDC engine: each micro-batch derives group deltas
+  * from ONLY the keys it touches — old rows read from the touched state
+  * buckets (the same incremental-IO property [[ChangelogStream.upsertBatch]]
+  * has), new rows recomputed by the same per-key `max_by` merge the upsert
+  * applies — and folds them into a tiny MV table whose size is ∝ groups,
+  * not corpus. At 100 TB the per-batch cost is `touched_buckets ×
+  * bucket_size` reads plus a groups-sized write, independent of total state.
+  *
+  * Crash protocol: the MV version directory is named by the MICRO-BATCH ID
+  * (`v=<batchId>`, `_SUCCESS`-fenced), so replaying a batch whose MV delta
+  * already committed skips the delta (a delta is NOT idempotent — applying
+  * it twice double-counts) while the state upsert re-runs through its own
+  * idempotent merge. The delta commits BEFORE the state upsert: computing a
+  * delta against already-merged state would read back zero change and
+  * silently drop the batch from the MV, so the MV must fence first.
+  */
+object Materialize {
+
+  /** Stored sum type: wide enough that per-group decimal partial sums never
+    * overflow mid-maintenance (DecimalType sums widen to precision 28). */
+  private val SType = DecimalType(28, 4)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed MV version = id of the last batch whose delta
+    * committed (version dirs are batch-id-named). */
+  private def lastMvBatch(spark: SparkSession, mvDir: String): Option[Long] =
+    ChangelogStream.committedVersions(spark, mvDir).lastOption
+
+  /** The current MV rows: (group, n, s) of the latest committed version. */
+  def readMv(spark: SparkSession, mvDir: String): DataFrame = {
+    val v = lastMvBatch(spark, mvDir).getOrElse(
+      throw new IllegalStateException(s"no materialized view at $mvDir"))
+    spark.read.parquet(s"$mvDir/v=$v")
+  }
+
+  /** Merge one micro-batch: commit the MV delta (fenced on batchId), then
+    * upsert the keyed state. `groupCol`/`valueCol` name payload columns of
+    * the changelog rows. */
+  def maintainAggBatch(batch: DataFrame, batchId: Long,
+                       stateDir: String, mvDir: String,
+                       groupCol: String, valueCol: String,
+                       keyCols: Seq[String] = Seq("id")): Unit = {
+    val spark = batch.sparkSession
+    if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) {
+      // replay of a batch whose delta already committed (crash between MV
+      // commit and checkpoint advance): skip the delta, re-run the
+      // idempotent state merge
+      ChangelogStream.upsertBatch(batch, stateDir, keyCols)
+      return
+    }
+    batch.persist()
+    try {
+      // old rows: latest committed versions of ONLY the touched buckets,
+      // restricted to the batch's keys (tombstones included — a DELETE row
+      // contributes nothing to either side's live aggregate)
+      val touched = batch.select(ChangelogStream.bucketOf(keyCols).as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val prevPaths = touched.toSeq.flatMap { b =>
+        ChangelogStream.committedVersions(spark, s"$stateDir/bucket=$b")
+          .lastOption.map(v => s"$stateDir/bucket=$b/v=$v")
+      }
+      val keys = batch.select(keyCols.map(col): _*).distinct()
+      val old =
+        if (prevPaths.nonEmpty)
+          spark.read.parquet(prevPaths: _*).join(keys, keyCols, "left_semi")
+        else batch.limit(0)
+      // new rows of the touched keys: the same latest-wins merge the state
+      // upsert will apply — computed here, not read back, so the delta and
+      // the state transition can never disagree
+      val others = batch.columns.toSeq.filterNot(keyCols.contains)
+      val merged = old.unionByName(batch.select(old.columns.map(col): _*))
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+        .select(keyCols.map(col) ++ others.map(c => col(s"last.$c").as(c)): _*)
+      def liveAgg(rows: DataFrame, sign: Int) = rows
+        .filter(col("op") =!= "DELETE")
+        .groupBy(col(groupCol))
+        .agg((count(lit(1)) * sign).as("n"),
+          (sum(col(valueCol).cast(DecimalType(18, 4))) * sign).cast(SType).as("s"))
+      val delta = liveAgg(merged, 1).unionByName(liveAgg(old, -1))
+      val mvPrev = lastMvBatch(spark, mvDir)
+        .map(v => spark.read.parquet(s"$mvDir/v=$v"))
+        .getOrElse(delta.limit(0))
+      val next = mvPrev.unionByName(delta)
+        .groupBy(col(groupCol))
+        .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
+        .filter(col("n") =!= 0)
+      // commit v=<batchId>: write to a temp sibling, rename, then fence
+      val f = fs(spark, mvDir)
+      val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
+      f.delete(tmp, true)
+      next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val to = new org.apache.hadoop.fs.Path(s"$mvDir/v=$batchId")
+      if (f.exists(to)) f.delete(to, true) // uncommitted leftover of a crash
+      if (!f.rename(tmp, to))
+        throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
+      f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+      // retention: the new version + one predecessor
+      ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
+        .dropRight(1)
+        .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
+    } finally batch.unpersist()
+    // state merge LAST (see crash protocol in the object doc)
+    ChangelogStream.upsertBatch(batch, stateDir, keyCols)
+  }
+
+  /** Oracle-checked query: the orders changelog streamed in micro-batches,
+    * maintaining (n orders, sum totalprice) per order status incrementally;
+    * the final MV equals the aggregate over the fully-applied state — the
+    * IVM guarantee. */
+  def qMvAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val clDir = Changelog.stageParquet(spark, sfDir)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-mv-").toString
+    val stateDir = s"$work/state"
+    val mvDir = s"$work/mv"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainAggBatch(batch, batchId, stateDir, mvDir,
+          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readMv(spark, mvDir)
+      .select(col("o_orderstatus"), col("n"),
+        round(col("s"), 2).cast("double").as("sum_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+}

@@ -42,7 +42,7 @@ object ChangelogStream {
   /** Committed (`_SUCCESS`-marked) version directories under `stateDir`,
     * via the Hadoop FileSystem API so the versioned-state mechanism works on
     * HDFS/S3A paths, not just the local filesystem. */
-  private def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+  private[cdc] def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
@@ -59,7 +59,7 @@ object ChangelogStream {
   private def latestVersion(spark: SparkSession, stateDir: String): Option[Long] =
     committedVersions(spark, stateDir).lastOption
 
-  private def bucketOf(keyCols: Seq[String]) =
+  private[cdc] def bucketOf(keyCols: Seq[String]) =
     pmod(hash(keyCols.map(col): _*), lit(NumBuckets))
 
   /** Merge one micro-batch into the keyed state (exactly the reference's

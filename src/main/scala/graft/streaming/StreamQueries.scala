@@ -220,6 +220,35 @@ object StreamQueries {
     }
   }
 
+  /** Stream-static join: the event stream enriched by a broadcast static
+    * dimension (customer segment), then aggregated — the bread-and-butter
+    * enrichment pattern. The static side is a plain batch plan re-resolved
+    * per micro-batch; no join state store exists at all (only the
+    * aggregation keeps state), which is why stream-static enrichment
+    * scales to any stream volume: the join is map-side against a
+    * broadcast, exactly like q5's star join. Complete-mode AvailableNow
+    * like the other bounded result-parity streams; shares a plain-SQL
+    * join+group oracle. */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+    val (raw, _) = stagedStream(spark, dir, "events")
+    val name = uniq("st_stjoin_")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = graft.model.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Streaming exact dedup: fingerprint documents, drop duplicates in the
     * streaming state store, append the survivors to a parquet sink, then
     * summarize — the streaming rendering of doc_dedup_stats' n_distinct. */

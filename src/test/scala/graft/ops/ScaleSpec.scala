@@ -21,6 +21,32 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(salted.map(_.toSeq).sameElements(plain.map(_.toSeq)))
   }
 
+  test("salted join equals the plain join on skewed data, and salts the shuffle key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 70% of rows on one hot key; k15..k19 have no dim row (outer case)
+    val large = (1 to 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.7) "hot" else s"k${rnd.nextInt(20)}"
+      (k, i.toDouble)
+    }.toDF("key", "v")
+    val small = ("hot" +: (0 until 15).map(i => s"k$i"))
+      .map(k => (k, k.length.toLong)).toDF("key", "w")
+    for (jt <- Seq("inner", "left_outer", "left_semi")) {
+      val salted = Skew.saltedJoin(large, small.hint("merge"), Seq("key"), buckets = 8, joinType = jt)
+      val plain = large.join(small, Seq("key"), jt)
+      assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0,
+        s"salted $jt join diverged from plain")
+    }
+    // the join condition really carries the salt (the skew-spreading key)
+    val plan = Skew.saltedJoin(large, small.hint("merge"), Seq("key"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt not in join plan:\n$plan")
+    // semantics-breaking join types are refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, Seq("key"), 8, joinType = "full_outer")
+    }
+  }
+
   test("bucketed co-partitioned join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
     spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
