@@ -131,25 +131,34 @@ object Apply {
     * cdc_time_travel snapshots on — this is the audit/debug companion:
     * "what changed between LSN A and LSN B".
     *
-    * Rendered as two as-of applies + one full-outer join on the key with a
-    * null-safe whole-payload compare. Scale note: both sides hash-partition
-    * on the key, so the join is the minimum one shuffle; over the bucketed
-    * state sink ([[ChangelogStream]]) you would instead diff two committed
+    * Rendered as two as-of applies + one full-outer join ON THE GROUPING
+    * ID — not the payload key column: the apply's aggregation already
+    * hash-partitions each side on `id`, and joining on that same attribute
+    * lets Catalyst reuse the partitioning, so the join adds ZERO exchanges
+    * (one shuffle per side total; joining on a renamed payload column
+    * would re-shuffle both sides — plan-audited). Over the bucketed state
+    * sink ([[ChangelogStream]]) you would instead diff two committed
     * bucket VERSIONS directly — co-partitioned by construction, no shuffle
     * at all — this is the changelog-axis rendering of that operation. */
   def stateDiff(changelog: DataFrame, payloadCols: Seq[String], key: String,
                 asOfOld: Long, asOfNew: Long,
                 diffCols: Seq[String]): DataFrame = {
-    def snap(asOf: Long, alias: String) =
-      latestState(changelog.filter(col("seq") <= asOf), payloadCols)
-        .select(col(key).as("k"), struct(payloadCols.map(col): _*).as(alias))
-    snap(asOfOld, "o").join(snap(asOfNew, "n"), Seq("k"), "full_outer")
+    val rowStruct = struct(col("op") +: payloadCols.map(col): _*)
+    def snap(asOf: Long, alias: String) = changelog
+      .filter(col("seq") <= asOf && col("op").isin(handledOps: _*))
+      .groupBy(col("id"))
+      .agg(max_by(rowStruct, col("seq")).as("last"))
+      .filter(col("last.op") =!= "DELETE")
+      .select(col("id"),
+        struct(payloadCols.map(c => col(s"last.$c").as(c)): _*).as(alias))
+    snap(asOfOld, "o").join(snap(asOfNew, "n"), Seq("id"), "full_outer")
       .withColumn("change",
         when(col("o").isNull, "ADDED")
           .when(col("n").isNull, "REMOVED")
           .when(!(col("o") <=> col("n")), "UPDATED"))
       .filter(col("change").isNotNull)
-      .select(Seq(col("k").as(key), col("change")) ++
+      .select(Seq(col("id").cast(changelog.schema(key).dataType).as(key),
+        col("change")) ++
         diffCols.flatMap(c => Seq(
           col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
   }

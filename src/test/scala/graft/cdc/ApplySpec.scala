@@ -29,6 +29,22 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("state diff classifies ADDED/REMOVED/UPDATED and omits unchanged keys") {
+    val changes = Seq(
+      (1L, 1L, "INSERT", 1L, 10.0), (1L, 11L, "UPDATE", 1L, 11.0), // UPDATED
+      (2L, 2L, "INSERT", 2L, 20.0), (2L, 12L, "DELETE", 2L, 20.0), // REMOVED
+      (3L, 10L, "INSERT", 3L, 30.0),                               // ADDED (after asOfOld=5)
+      (4L, 4L, "INSERT", 4L, 40.0))                                // unchanged → omitted
+      .toDF("id", "seq", "op", "k", "v")
+    val out = Apply.stateDiff(changes, Seq("k", "v"), "k",
+        asOfOld = 5L, asOfNew = Long.MaxValue, diffCols = Seq("v"))
+      .orderBy("k").as[(Long, String, Option[Double], Option[Double])].collect()
+    assert(out.toSeq === Seq(
+      (1L, "UPDATED", Some(10.0), Some(11.0)),
+      (2L, "REMOVED", Some(20.0), None),
+      (3L, "ADDED", None, Some(30.0))))
+  }
+
   test("insert then delete of same id yields no row") {
     val out = Apply.latestState(cl(
       (1L, 1L, "INSERT", "t", "a"),
