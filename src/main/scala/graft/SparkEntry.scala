@@ -73,6 +73,7 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.StreamQueries.qStreamingSessionWindow _),
     "stream_sliding_window" -> (graft.streaming.StreamQueries.qStreamingSliding _),
     "stream_static_join" -> (graft.streaming.StreamQueries.qStreamStaticJoin _),
+    "stream_dedup_watermark" -> (graft.streaming.StreamQueries.qStreamingDedupWatermark _),
     "stream_late_data" -> (graft.streaming.StreamQueries.qStreamingLateData _),
     "stream_dedup" -> (graft.streaming.StreamQueries.qStreamingDedup _),
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
@@ -489,6 +490,10 @@ object SparkEntry {
       s"""SELECT c_mktsegment, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup_watermark" ->
+      // the corpus is replayed twice across a batch boundary; every replay
+      // falls within the delay, so the surviving set is exactly DISTINCT
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
     "cdc_insert_dedup" ->
       s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
     "cdc_delete_antijoin" ->

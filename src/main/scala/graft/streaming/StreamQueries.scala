@@ -220,6 +220,47 @@ object StreamQueries {
     }
   }
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a key in the dedup store only until the watermark passes its
+    * event time plus the delay — the knob that makes streaming dedup
+    * runnable forever (the plain `dropDuplicates` store in [[qStreamingDedup]]
+    * grows with every key ever seen; at 100 TB/day that is the difference
+    * between state ∝ retention window and state ∝ stream history).
+    *
+    * Replay staging: the full event corpus twice (identical files, forced
+    * mtimes) at maxFilesPerTrigger=1 — batch 2 replays every event of
+    * batch 1 across a real micro-batch boundary. The delay exceeds the
+    * fixture's whole time span, so no key is evicted inside the bounded
+    * run and every replay is deduplicated — the result is exactly DISTINCT
+    * events (the shared oracle). Eviction itself (state rows dropping once
+    * the watermark passes) is pinned by StreamSpec via the state-operator
+    * metrics. */
+  def qStreamingDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+    val work = s"/tmp/graft-stage-dedupwm-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
+      graft.model.Staging.fingerprint(dir, Seq("events.parquet"))
+    graft.model.Staging.ensure(work) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      val ev = graft.model.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      graft.model.Staging.stageOrderedFile(ev, tmp, "f1", 1000000L)
+      graft.model.Staging.stageOrderedFile(ev, tmp, "f2", 2000000L)
+    }
+    val name = uniq("st_dedupwm_")
+    val schema = spark.read.parquet(s"$work/f1.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(work)
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Stream-static join: the event stream enriched by a broadcast static
     * dimension (customer segment), then aggregated — the bread-and-butter
     * enrichment pattern. The static side is a plain batch plan re-resolved

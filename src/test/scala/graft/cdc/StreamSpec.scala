@@ -176,6 +176,36 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("dedup-within-watermark suppresses in-delay replays and EVICTS expired keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, t(0)), (2L, t(5)))
+    q.processAllAvailable()
+    mem.addData((1L, t(6))) // replay within the delay, next batch → deduped
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm_out").count() === 2)
+    // jump event time far ahead: watermark passes ids 1/2's expiry
+    mem.addData((3L, t(1000)))
+    q.processAllAvailable()
+    mem.addData((4L, t(1001))) // next batch applies the advanced watermark
+    q.processAllAvailable()
+    // the bounded-state guarantee: expired keys left the store
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.last < stateRows.max,
+      s"no state eviction observed: $stateRows")
+    q.stop()
+  }
+
   test("streaming session window merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
