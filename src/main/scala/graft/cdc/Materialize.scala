@@ -13,20 +13,22 @@ import org.apache.spark.sql.types.DecimalType
   * The reference materializes only the keyed document store (`es.go:13-144`);
   * any aggregate over it is recomputed by the reader. This operator is the
   * natural next table in a CDC engine: each micro-batch derives group deltas
-  * from ONLY the keys it touches — old rows read from the touched state
-  * buckets (the same incremental-IO property [[ChangelogStream.upsertBatch]]
-  * has), new rows recomputed by the same per-key `max_by` merge the upsert
-  * applies — and folds them into a tiny MV table whose size is ∝ groups,
-  * not corpus. At 100 TB the per-batch cost is `touched_buckets ×
-  * bucket_size` reads plus a groups-sized write, independent of total state.
+  * from ONLY the buckets it touches, riding the ONE merge the state sink
+  * already computes ([[ChangelogStream.upsertBatch]]'s beforeCommit hands
+  * over the touched buckets' previous and merged rows), and folds them into
+  * a tiny MV table whose size is ∝ groups, not corpus. At 100 TB the
+  * per-batch cost is `touched_buckets × bucket_size` reads plus a
+  * groups-sized write, independent of total state — and the MV adds no
+  * second merge or state read beyond what the sink does anyway.
   *
   * Crash protocol: the MV version directory is named by the MICRO-BATCH ID
   * (`v=<batchId>`, `_SUCCESS`-fenced), so replaying a batch whose MV delta
   * already committed skips the delta (a delta is NOT idempotent — applying
   * it twice double-counts) while the state upsert re-runs through its own
-  * idempotent merge. The delta commits BEFORE the state upsert: computing a
-  * delta against already-merged state would read back zero change and
-  * silently drop the batch from the MV, so the MV must fence first.
+  * idempotent merge. The delta commits BEFORE any state bucket version
+  * becomes visible (the sink's beforeCommit point): computing a delta
+  * against already-merged state would read back zero change and silently
+  * drop the batch from the MV, so the MV must fence first.
   */
 object Materialize {
 
@@ -50,9 +52,15 @@ object Materialize {
     spark.read.parquet(s"$mvDir/v=$v")
   }
 
-  /** Merge one micro-batch: commit the MV delta (fenced on batchId), then
-    * upsert the keyed state. `groupCol`/`valueCol` name payload columns of
-    * the changelog rows. */
+  /** Merge one micro-batch: commit the MV delta (fenced on batchId) at the
+    * sink's beforeCommit point, then let the state promote proceed — ONE
+    * shared merge for both the MV and the state ([[ChangelogStream
+    * .upsertBatch]] hands this callback the touched buckets' previous and
+    * merged rows, already computed for the state write). The delta needs
+    * no key restriction: untouched keys of a touched bucket appear
+    * identically in `prev` and `merged`, and their contributions cancel
+    * exactly (long counts, exact decimal sums). `groupCol`/`valueCol` name
+    * payload columns of the changelog rows. */
   def maintainAggBatch(batch: DataFrame, batchId: Long,
                        stateDir: String, mvDir: String,
                        groupCol: String, valueCol: String,
@@ -65,60 +73,40 @@ object Materialize {
       ChangelogStream.upsertBatch(batch, stateDir, keyCols)
       return
     }
-    batch.persist()
-    try {
-      // old rows: latest committed versions of ONLY the touched buckets,
-      // restricted to the batch's keys (tombstones included — a DELETE row
-      // contributes nothing to either side's live aggregate)
-      val touched = batch.select(ChangelogStream.bucketOf(keyCols).as("__b"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      val prevPaths = touched.toSeq.flatMap { b =>
-        ChangelogStream.committedVersions(spark, s"$stateDir/bucket=$b")
-          .lastOption.map(v => s"$stateDir/bucket=$b/v=$v")
-      }
-      val keys = batch.select(keyCols.map(col): _*).distinct()
-      val old =
-        if (prevPaths.nonEmpty)
-          spark.read.parquet(prevPaths: _*).join(keys, keyCols, "left_semi")
-        else batch.limit(0)
-      // new rows of the touched keys: the same latest-wins merge the state
-      // upsert will apply — computed here, not read back, so the delta and
-      // the state transition can never disagree
-      val others = batch.columns.toSeq.filterNot(keyCols.contains)
-      val merged = old.unionByName(batch.select(old.columns.map(col): _*))
-        .groupBy(keyCols.map(col): _*)
-        .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
-        .select(keyCols.map(col) ++ others.map(c => col(s"last.$c").as(c)): _*)
-      def liveAgg(rows: DataFrame, sign: Int) = rows
-        .filter(col("op") =!= "DELETE")
-        .groupBy(col(groupCol))
-        .agg((count(lit(1)) * sign).as("n"),
-          (sum(col(valueCol).cast(DecimalType(18, 4))) * sign).cast(SType).as("s"))
-      val delta = liveAgg(merged, 1).unionByName(liveAgg(old, -1))
-      val mvPrev = lastMvBatch(spark, mvDir)
-        .map(v => spark.read.parquet(s"$mvDir/v=$v"))
-        .getOrElse(delta.limit(0))
-      val next = mvPrev.unionByName(delta)
-        .groupBy(col(groupCol))
-        .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
-        .filter(col("n") =!= 0)
-      // commit v=<batchId>: write to a temp sibling, rename, then fence
-      val f = fs(spark, mvDir)
-      val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
-      f.delete(tmp, true)
-      next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val to = new org.apache.hadoop.fs.Path(s"$mvDir/v=$batchId")
-      if (f.exists(to)) f.delete(to, true) // uncommitted leftover of a crash
-      if (!f.rename(tmp, to))
-        throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
-      f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
-      // retention: the new version + one predecessor
-      ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
-        .dropRight(1)
-        .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
-    } finally batch.unpersist()
-    // state merge LAST (see crash protocol in the object doc)
-    ChangelogStream.upsertBatch(batch, stateDir, keyCols)
+    // per-row signed contributions — merged rows credit, previous rows
+    // debit, the prior MV carries over as pre-aggregated rows — so the
+    // whole fold is ONE union + ONE shuffle (a per-side aggregate pair
+    // would cost three shuffle stages per batch for the same result)
+    def contrib(rows: DataFrame, sign: Int) = rows
+      .filter(col("op") =!= "DELETE")
+      .select(col(groupCol), lit(sign.toLong).as("n"),
+        (col(valueCol).cast(DecimalType(18, 4)) * sign).cast(SType).as("s"))
+    ChangelogStream.upsertBatch(batch, stateDir, keyCols,
+      beforeCommit = (prev, merged) => {
+        val carry = lastMvBatch(spark, mvDir)
+          .map(v => spark.read.parquet(s"$mvDir/v=$v"))
+          .getOrElse(contrib(merged, 1).limit(0))
+        val next = contrib(merged, 1)
+          .unionByName(contrib(prev, -1))
+          .unionByName(carry)
+          .groupBy(col(groupCol))
+          .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
+          .filter(col("n") =!= 0)
+        // commit v=<batchId>: write to a temp sibling, rename, then fence
+        val f = fs(spark, mvDir)
+        val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
+        f.delete(tmp, true)
+        next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val to = new org.apache.hadoop.fs.Path(s"$mvDir/v=$batchId")
+        if (f.exists(to)) f.delete(to, true) // uncommitted leftover of a crash
+        if (!f.rename(tmp, to))
+          throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
+        f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+        // retention: the new version + one predecessor
+        ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
+          .dropRight(1)
+          .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
+      })
   }
 
   /** Oracle-checked query: the orders changelog streamed in micro-batches,
@@ -130,19 +118,27 @@ object Materialize {
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-mv-").toString
     val stateDir = s"$work/state"
     val mvDir = s"$work/mv"
-    val stream = spark.readStream
-      .schema(spark.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 3)
-      .parquet(clDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainAggBatch(batch, batchId, stateDir, mvDir,
-          groupCol = "o_orderstatus", valueCol = "o_totalprice")
-      }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-batch merges + MV delta stages run over touched-bucket-sized
+    // data; 8 shuffle partitions fit that (the batch-default 32 charges
+    // every tiny stage 4× the tasks) — restored after, like the stateful
+    // streams' state-store sizing
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(clDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          maintainAggBatch(batch, batchId, stateDir, mvDir,
+            groupCol = "o_orderstatus", valueCol = "o_totalprice")
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     readMv(spark, mvDir)
       .select(col("o_orderstatus"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))

@@ -72,8 +72,17 @@ object ChangelogStream {
     * partitioned by bucket), followed by per-bucket renames into the next
     * `_SUCCESS`-fenced version. Untouched bucket files are left
     * byte-for-byte alone (asserted by StreamSpec). */
+  /** `beforeCommit(prev, merged)` — if supplied — runs after the merged
+    * bucket contents are written but BEFORE any bucket version becomes
+    * visible: `prev` is the touched buckets' previous rows (unrestricted),
+    * `merged` their post-merge contents. This is the fence point derived
+    * tables ([[Materialize]]) need: they can commit their own delta first,
+    * so a crash at any point leaves either (no delta, old state) — replay
+    * redoes both — or (delta committed, old state) — replay skips the
+    * delta and redoes only the idempotent state merge. */
   def upsertBatch(batch: DataFrame, stateDir: String,
-                  keyCols: Seq[String] = Seq("id")): Unit = {
+                  keyCols: Seq[String] = Seq("id"),
+                  beforeCommit: (DataFrame, DataFrame) => Unit = null): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,6 +116,7 @@ object ChangelogStream {
         .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
           others.map(c => col(s"last.$c").as(c)): _*)
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      if (beforeCommit != null) beforeCommit(prev, spark.read.parquet(tmp))
       // promote each touched bucket dir to its next version; the _SUCCESS
       // fence is created only after the rename, so a crash anywhere leaves
       // every bucket on its previous committed version and the batch replay
