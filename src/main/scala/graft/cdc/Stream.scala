@@ -161,6 +161,34 @@ object ChangelogStream {
       .select(payloadCols.map(col): _*)
   }
 
+  /** Point lookup: the current row for ONE key — the reference's per-id ES
+    * match query (`es.go:50-54`), served from the bucketed snapshot without
+    * touching the rest of the state. The key hashes to its bucket
+    * (the same `bucketOf` the writer used), so the read opens exactly one
+    * bucket's latest committed version — O(bucket_size), not O(state) —
+    * and the in-bucket filter is a pushed parquet predicate. This is the
+    * "layout IS the index" completion: at 100 TB with thousands of
+    * buckets, a point read costs one directory listing and one bucket
+    * scan. Returns None for absent or tombstoned keys. */
+  def readKey(spark: SparkSession, stateDir: String, key: Long,
+              keyCol: String = "id"): Option[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    val b = spark.range(1).select(
+      pmod(hash(lit(key)), lit(NumBuckets))).head.getInt(0)
+    val latest = latestVersion(spark, s"$stateDir/bucket=$b")
+      .map(v => s"$stateDir/bucket=$b/v=$v")
+    latest.flatMap { dir =>
+      spark.read.parquet(dir)
+        .filter(col(keyCol) === key && col("op") =!= "DELETE")
+        .collect() match {
+          case Array(row: Row) => Some(row)
+          case Array() => None
+          case rows => throw new IllegalStateException(
+            s"key $key resolved to ${rows.length} rows — corrupt state")
+        }
+    }
+  }
+
   /** End-to-end: synthesize the changelog, stream it through in bounded
     * micro-batches (AvailableNow + maxFilesPerTrigger so multiple batches
     * actually exercise the cross-batch merge), return the materialized

@@ -37,6 +37,29 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
+  test("point lookup touches exactly one bucket and honors tombstones") {
+    val work = Files.createTempDirectory("graft-lookup-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(
+      mk((1L to 40L).map(i => (i, i, "INSERT", s"v$i")): _*), stateDir)
+    ChangelogStream.upsertBatch(
+      mk((1L, 100L, "UPDATE", "v1b"), (2L, 101L, "DELETE", "v2")), stateDir)
+    assert(ChangelogStream.readKey(spark, stateDir, 1L)
+      .exists(_.getAs[String]("v") === "v1b"))
+    assert(ChangelogStream.readKey(spark, stateDir, 2L).isEmpty)   // tombstone
+    assert(ChangelogStream.readKey(spark, stateDir, 999L).isEmpty) // absent
+    // single-bucket proof: delete every OTHER bucket dir — the lookup must
+    // not notice (it never lists or reads them)
+    val b1 = spark.range(1).select(
+      pmod(hash(lit(1L)), lit(ChangelogStream.NumBuckets))).head.getInt(0)
+    new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName != s"bucket=$b1")
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    assert(ChangelogStream.readKey(spark, stateDir, 1L)
+      .exists(_.getAs[String]("v") === "v1b"))
+  }
+
   test("state retention keeps at most two snapshot versions per bucket") {
     val work = Files.createTempDirectory("graft-retain-").toString
     val stateDir = s"$work/state"

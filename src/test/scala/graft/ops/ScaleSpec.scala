@@ -280,6 +280,41 @@ class CompactSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compactPartitioned walks multi-level layouts to their leaves") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-twolevel-").toString + "/t"
+    try {
+      val events = Tables.events(spark, sfDir)
+        .withColumn("half", (col("event_id") % 2).cast("int"))
+        .select(col("event_id"), col("event_type"), col("half"), col("value"))
+      events.repartition(5).write.partitionBy("event_type", "half").parquet(dir)
+      Layout.compactPartitioned(spark, dir, targetFileBytes = 1L << 30)
+      // every LEAF (type/half) dir holds one file; intermediate dirs hold none
+      val typeDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      assert(typeDirs.nonEmpty)
+      typeDirs.foreach { td =>
+        assert(td.listFiles().count(_.getName.endsWith(".parquet")) === 0,
+          s"files compacted into intermediate dir ${td.getName}")
+        val halves = td.listFiles().filter(f => f.isDirectory && f.getName.startsWith("half="))
+        assert(halves.nonEmpty)
+        halves.foreach { leaf =>
+          assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+            s"leaf ${td.getName}/${leaf.getName} not compacted")
+        }
+      }
+      val back = spark.read.parquet(dir)
+        .select(col("event_id"), col("event_type"), col("half"), col("value"))
+      assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("compacting a partitioned layout is rejected, not flattened") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-partcompact-").toString + "/t"
