@@ -10,7 +10,8 @@ object Plans {
     for (q <- Seq("q1_pricing", "q5_nation_revenue", "emb_cosine_topk", "cdc_apply",
         "q_tumbling_window", "cdc_asof_join", "doc_ngram_jaccard", "q_topk_agg",
         "q_bloom_semijoin", "q_range_join", "cdc_apply_dsv2", "emb_ann_centroid",
-        "q_bucketed_join", "doc_pack_chunks", "cdc_apply_txn", "emb_kmeans")) {
+        "q_bucketed_join", "doc_pack_chunks", "cdc_apply_txn", "emb_kmeans",
+        "q_skew_join", "cdc_state_diff", "emb_ann_kmeans")) {
       println(s"##### $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
