@@ -46,6 +46,7 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
     "cdc_mv_agg" -> (graft.cdc.Materialize.qMvAgg _),
+    "cdc_secondary_index" -> (graft.cdc.Index.qSecondaryIndex _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     "cdc_apply_sink_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingSinkDsv2(s, d)),
@@ -460,6 +461,15 @@ object SparkEntry {
          |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE')
          |SELECT o_orderstatus, count(*) AS n, ${dsum("o_totalprice", "sum_value")}
          |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_secondary_index" ->
+      // the index invariant: after the stream drains, the (value → key)
+      // table holds exactly the live state's (status, key) pairs
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT o_orderstatus, id AS o_orderkey FROM state ORDER BY 1, 2""".stripMargin,
     "cdc_op_counts" ->
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog

@@ -80,14 +80,23 @@ object ChangelogStream {
     * so a crash at any point leaves either (no delta, old state) — replay
     * redoes both — or (delta committed, old state) — replay skips the
     * delta and redoes only the idempotent state merge. */
+  /** `bucketCols` (default: the key columns) choose the hash the buckets
+    * are laid out by; they must be a prefix-functional subset of `keyCols`
+    * so every merge group lands in exactly one bucket. A narrower bucket
+    * key (e.g. bucket a (value, id)-keyed secondary index by `value`
+    * alone) is what makes value-addressed point reads single-bucket. */
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id"),
-                  beforeCommit: (DataFrame, DataFrame) => Unit = null): Unit = {
+                  beforeCommit: (DataFrame, DataFrame) => Unit = null,
+                  bucketCols: Seq[String] = null): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bCols = Option(bucketCols).getOrElse(keyCols)
+    require(bCols.forall(keyCols.contains),
+      s"bucketCols $bCols must be a subset of keyCols $keyCols")
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
-    val withB = batch.withColumn("__bucket", bucketOf(keyCols))
+    val withB = batch.withColumn("__bucket", bucketOf(bCols))
     withB.persist()
     try {
       val touched = withB.select("__bucket").distinct()
@@ -103,7 +112,7 @@ object ChangelogStream {
       // prev rows carry no bucket column on disk; recompute it (cheap hash)
       val prev =
         if (prevPaths.nonEmpty)
-          spark.read.parquet(prevPaths: _*).withColumn("__bucket", bucketOf(keyCols))
+          spark.read.parquet(prevPaths: _*).withColumn("__bucket", bucketOf(bCols))
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withB.schema)
       // max_by hash aggregation (map-side combined) — see Apply.latestState;
@@ -145,17 +154,37 @@ object ChangelogStream {
   }
 
   /** Read the materialized table: per-bucket latest snapshots minus
-    * tombstones. */
-  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String]): DataFrame = {
+    * tombstones. `onlyBucket` restricts the read to a single bucket's
+    * latest version — the bucket-pruned path value/key point reads use. */
+  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String],
+                onlyBucket: Option[Int] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .filter(s => onlyBucket.forall(b => s.getPath.getName == s"bucket=$b"))
         .flatMap(b => latestVersion(spark, b.getPath.toString)
           .map(v => s"${b.getPath}/v=$v"))
-    if (latest.isEmpty) throw new IllegalStateException(s"no state at $stateDir")
+    if (latest.isEmpty) {
+      // a pruned read of a bucket no write has touched is legitimately
+      // empty (nothing ever hashed there) — answer with an empty frame in
+      // the state's schema, taken from any committed bucket
+      val any = onlyBucket.flatMap { _ =>
+        if (!fs.exists(root)) None
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .flatMap(b => latestVersion(spark, b.getPath.toString)
+            .map(v => s"${b.getPath}/v=$v")).headOption
+      }
+      any match {
+        case Some(path) => return spark.read.parquet(path).limit(0)
+          .filter(col("op") =!= "DELETE")
+          .select(payloadCols.map(col): _*)
+        case None => throw new IllegalStateException(s"no state at $stateDir")
+      }
+    }
     spark.read.parquet(latest: _*)
       .filter(col("op") =!= "DELETE")
       .select(payloadCols.map(col): _*)
