@@ -66,10 +66,8 @@ object Index {
     * are Murmur3 over StringType. */
   def lookupByValue(spark: SparkSession, idxDir: String, value: String,
                     keyCols: Seq[String] = Seq("id")): DataFrame = {
-    val b = spark.range(1).select(
-      pmod(hash(lit(value)), lit(ChangelogStream.NumBuckets))).head.getInt(0)
     ChangelogStream.readState(spark, idxDir, "v" +: keyCols,
-      onlyBucket = Some(b))
+      onlyBucket = Some(ChangelogStream.bucketOfValues(Seq(value))))
       .filter(col("v") === value)
       .select(keyCols.map(col): _*)
   }

@@ -62,6 +62,17 @@ object ChangelogStream {
   private[cdc] def bucketOf(keyCols: Seq[String]) =
     pmod(hash(keyCols.map(col): _*), lit(NumBuckets))
 
+  /** The bucket a concrete key tuple hashes to — evaluated driver-side by
+    * folding the same Murmur3(seed 42) expression `bucketOf` plans, so a
+    * point read never launches a Spark job just to locate its bucket.
+    * Values must carry the key columns' exact runtime types (Long vs Int
+    * changes the hash). */
+  def bucketOfValues(values: Seq[Any]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(new Murmur3Hash(values.map(Literal(_))), Literal(NumBuckets))
+      .eval(null).asInstanceOf[Int]
+  }
+
   /** Merge one micro-batch into the keyed state (exactly the reference's
     * consumer dispatch `utils.go:103-113`, as one set-oriented merge).
     * Tombstones (op=DELETE) are kept in state; readers filter them.
@@ -192,23 +203,31 @@ object ChangelogStream {
 
   /** Point lookup: the current row for ONE key — the reference's per-id ES
     * match query (`es.go:50-54`), served from the bucketed snapshot without
-    * touching the rest of the state. The key hashes to its bucket
-    * (the same `bucketOf` the writer used), so the read opens exactly one
-    * bucket's latest committed version — O(bucket_size), not O(state) —
-    * and the in-bucket filter is a pushed parquet predicate. This is the
-    * "layout IS the index" completion: at 100 TB with thousands of
-    * buckets, a point read costs one directory listing and one bucket
-    * scan. Returns None for absent or tombstoned keys. */
-  def readKey(spark: SparkSession, stateDir: String, key: Long,
-              keyCol: String = "id"): Option[org.apache.spark.sql.Row] = {
+    * touching the rest of the state. The key tuple hashes (driver-side, no
+    * job) to its bucket — the same `bucketOf` the writer used — so the
+    * read opens exactly one bucket's latest committed version —
+    * O(bucket_size), not O(state) — and the in-bucket filter is a pushed
+    * parquet predicate. This is the "layout IS the index" completion: at
+    * 100 TB with thousands of buckets, a point read costs one directory
+    * listing and one bucket scan. Returns None for absent or tombstoned
+    * keys.
+    *
+    * `key` pairs each key column with its value, in the SAME order and
+    * runtime types the state was written with (`upsertBatch`'s `keyCols`)
+    * — e.g. `Seq("table" -> "orders", "id" -> 42L)` for the multi-table
+    * state. A mismatched tuple would hash to the wrong bucket and
+    * silently miss, which is why the layout's key columns are part of the
+    * call, not assumed. */
+  def readKey(spark: SparkSession, stateDir: String,
+              key: Seq[(String, Any)]): Option[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
-    val b = spark.range(1).select(
-      pmod(hash(lit(key)), lit(NumBuckets))).head.getInt(0)
+    val b = bucketOfValues(key.map(_._2))
     val latest = latestVersion(spark, s"$stateDir/bucket=$b")
       .map(v => s"$stateDir/bucket=$b/v=$v")
     latest.flatMap { dir =>
       spark.read.parquet(dir)
-        .filter(col(keyCol) === key && col("op") =!= "DELETE")
+        .filter(key.map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _) && col("op") =!= "DELETE")
         .collect() match {
           case Array(row: Row) => Some(row)
           case Array() => None
@@ -217,6 +236,12 @@ object ChangelogStream {
         }
     }
   }
+
+  /** Single-column convenience overload of [[readKey]] for the default
+    * `id`-keyed state. */
+  def readKey(spark: SparkSession, stateDir: String, key: Long,
+              keyCol: String = "id"): Option[org.apache.spark.sql.Row] =
+    readKey(spark, stateDir, Seq(keyCol -> key))
 
   /** End-to-end: synthesize the changelog, stream it through in bounded
     * micro-batches (AvailableNow + maxFilesPerTrigger so multiple batches

@@ -103,16 +103,29 @@ object Layout {
     * open + footer parse on every read, so periodic compaction is standard
     * table maintenance (what table formats schedule as OPTIMIZE).
     *
-    * Crash safety: the rewrite goes through a temp sibling dir, then a
-    * two-rename swap. A crash between the renames leaves the data only
-    * under `dir + ".compact-old"` — [[recoverCompact]] (called on entry
-    * here, and safe to call at reader startup) rolls that window back, so
-    * no crash point loses the table.
+    * Crash safety: the rewrite goes through a HIDDEN temp sibling dir
+    * (`.name.compact-tmp` — invisible to Spark readers, see [[scratch]]),
+    * then a two-rename swap. A crash between the renames leaves the data
+    * only under the hidden `.name.compact-old` — [[recoverCompact]]
+    * (called on entry here, and safe to call at reader startup) rolls that
+    * window back, so no crash point loses the table.
     *
     * Partitioned layouts ([[writePartitionedSorted]] output) are rejected:
     * reading them flat would inline the `col=value` directories as data
     * columns and destroy the pruning layout — compact each leaf partition
     * directory instead. */
+  /** Scratch siblings of `dir` for the two-rename swap. DOT-PREFIXED so
+    * they are invisible to Spark readers: for a leaf INSIDE a partitioned
+    * root (`root/event_type=a`), an un-hidden sibling like
+    * `event_type=a.compact-tmp` would match partition discovery and
+    * silently double or mis-attribute rows for any concurrent reader of
+    * the root (or any reader after a mid-swap crash); hidden dirs are
+    * skipped by every Spark/Hadoop file index. */
+  private def scratch(dir: String, suffix: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}$suffix")
+  }
+
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,10 +135,10 @@ object Layout {
         s"$dir is a partitioned layout; compact its leaf partition dirs, not the root")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    val tmp = scratch(dir, ".compact-tmp")
     fs.delete(tmp, true)
     spark.read.parquet(dir).repartition(nFiles).write.parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    val old = scratch(dir, ".compact-old")
     fs.delete(old, true)
     // both renames checked: an unchecked failure of the first would make
     // the second nest the compacted output INSIDE the live table (Hadoop's
@@ -157,14 +170,16 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      // a crashed swap leaves data only under <leaf>.compact-old with no
-      // live <leaf> dir — recover it BEFORE scanning for partition dirs
+      // a crashed swap leaves data only under the hidden .<leaf>.compact-old
+      // with no live <leaf> dir — recover it BEFORE scanning for partitions
       fs.listStatus(p).filter(_.getPath.getName.endsWith(".compact-old"))
         .foreach { s =>
-          recoverCompact(spark, s.getPath.toString.stripSuffix(".compact-old"))
+          val live = s.getPath.getName
+            .stripPrefix(".").stripSuffix(".compact-old")
+          recoverCompact(spark, new org.apache.hadoop.fs.Path(p, live).toString)
         }
       val parts = fs.listStatus(p).toSeq.filter(s => s.isDirectory &&
-        s.getPath.getName.contains("=") && !s.getPath.getName.contains(".compact-"))
+        s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("."))
       if (parts.isEmpty) Seq(p) else parts.flatMap(s => leaves(s.getPath))
     }
     leaves(new org.apache.hadoop.fs.Path(dir))
@@ -172,12 +187,12 @@ object Layout {
   }
 
   /** Roll back a compact that crashed between its two renames (data only
-    * under `.compact-old`, nothing at `dir`). Idempotent; call before
-    * compacting or at reader startup. */
+    * under the hidden `.<name>.compact-old` sibling, nothing at `dir`).
+    * Idempotent; call before compacting or at reader startup. */
   def recoverCompact(spark: SparkSession, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    val old = scratch(dir, ".compact-old")
     if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
   }
 }

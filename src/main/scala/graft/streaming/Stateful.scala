@@ -118,25 +118,46 @@ object Stateful {
     * release exactly once (Append mode); events arriving after the commit
     * pass straight through; uncommitted transactions never emit.
     *
-    * Scale note: state is ∝ events of OPEN transactions (a commit clears
-    * its buffer to an empty-seq tombstone), the same bound the batch
-    * rendering's committed-marker set has — not ∝ stream history. */
-  def txnGate(events: Dataset[TxnEvent]): Dataset[TxnEvent] = {
+    * Scale note: open transactions hold their buffered events; a COMMIT
+    * clears the buffer to an empty marker that must outlive any straggler
+    * data events (pass-through correctness), so by default one empty cell
+    * per transaction ever seen remains — fine for bounded replays and for
+    * deployments whose txn ids recycle (the reference's do: Postgres xids
+    * wrap). For unbounded txn-id churn pass `commitRetention`: committed
+    * markers then expire that long after their last activity
+    * (processing-time timeout) and a straggler arriving later re-buffers
+    * as if uncommitted — the same bounded-lateness contract a watermark
+    * gives aggregations. Retention stays OFF in the bounded oracle runs
+    * and specs: a timeout-enabled operator fires continuous empty
+    * timeout-check batches, which AvailableNow/test triggers don't want.
+    * Uncommitted buffers never time out under either mode —
+    * all-or-nothing needs them held until their COMMIT. */
+  def txnGate(events: Dataset[TxnEvent],
+              commitRetention: Option[String] = None): Dataset[TxnEvent] = {
     implicit val evEnc = Encoders.product[TxnEvent]
     implicit val bufEnc = Encoders.product[TxnBuffer]
+    val timeoutConf = if (commitRetention.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.txn)(Encoders.scalaLong)
       .flatMapGroupsWithState[TxnBuffer, TxnEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: Long, batch: Iterator[TxnEvent], state: GroupState[TxnBuffer]) =>
-          val events = batch.toSeq
-          val data = events.filter(e => graft.cdc.Apply.handledOps.contains(e.op))
-          val prev = state.getOption.getOrElse(TxnBuffer(committed = false, Nil))
-          if (prev.committed || events.exists(_.op == "COMMIT")) {
-            state.update(TxnBuffer(committed = true, Nil))
-            (prev.buffered ++ data).iterator
-          } else {
-            state.update(TxnBuffer(committed = false, prev.buffered ++ data))
+          if (state.hasTimedOut) {
+            // retention elapsed on a committed marker: drop the cell
+            state.remove()
             Iterator.empty
+          } else {
+            val events = batch.toSeq
+            val data = events.filter(e => graft.cdc.Apply.handledOps.contains(e.op))
+            val prev = state.getOption.getOrElse(TxnBuffer(committed = false, Nil))
+            if (prev.committed || events.exists(_.op == "COMMIT")) {
+              state.update(TxnBuffer(committed = true, Nil))
+              commitRetention.foreach(state.setTimeoutDuration)
+              (prev.buffered ++ data).iterator
+            } else {
+              state.update(TxnBuffer(committed = false, prev.buffered ++ data))
+              Iterator.empty
+            }
           }
       }
   }

@@ -40,25 +40,36 @@ object StreamQueries {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared skeleton of the bounded complete-mode event streams: staged
+    * events file stream → ts conversion → caller-shaped count/decimal-sum
+    * aggregation → complete-mode memory sink drained under AvailableNow.
+    * Each query differs only in its grouping (window flavor / enrichment
+    * join), so the sink plumbing and the exact-sum arithmetic live once. */
+  private def completeEventAgg(spark: SparkSession, dir: String, prefix: String)
+                              (shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    withStateStores(spark, 8) {
+      val (raw, _) = stagedStream(spark, dir, "events")
+      val name = uniq(prefix)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = shape(ev)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
   /** Streaming tumbling-window aggregation over events — same result (and
     * oracle) as the batch q_tumbling_window; complete output mode because
     * the bounded run must emit every window, finalized or not. */
-  def qStreamingTumbling(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
-    val (raw, _) = stagedStream(spark, dir, "events")
-    val name = uniq("st_tumbling_")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = ev.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  def qStreamingTumbling(spark: SparkSession, dir: String): DataFrame =
+    completeEventAgg(spark, dir, "st_tumbling_")(
+      _.groupBy(window(col("ts"), "10 minutes"), col("event_type")))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
-  }
 
   /** Streaming sliding-window aggregation (10-minute windows every 5
     * minutes) — same result (and oracle) as the batch q_sliding_window;
@@ -66,22 +77,11 @@ object StreamQueries {
     * run must emit every window, finalized or not. Each event lands in
     * window/slide = 2 windows, so the state store holds 2× the window
     * count of the tumbling twin — still ∝ distinct windows, not events. */
-  def qStreamingSliding(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
-    val (raw, _) = stagedStream(spark, dir, "events")
-    val name = uniq("st_sliding_")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  def qStreamingSliding(spark: SparkSession, dir: String): DataFrame =
+    completeEventAgg(spark, dir, "st_sliding_")(
+      _.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type")))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
-  }
 
   /** Stream-stream interval join: purchases joined to the same user's
     * signups within the following day — both sides are real streams with
@@ -132,23 +132,13 @@ object StreamQueries {
     * finalizes (append-mode finalization semantics are covered by
     * StreamSpec's sentinel test; this query is the result-parity
     * rendering). */
-  def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
-    val (raw, _) = stagedStream(spark, dir, "events")
-    val name = uniq("st_session_")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    completeEventAgg(spark, dir, "st_session_")(
+      _.groupBy(session_window(col("ts"), "30 minutes"), col("user_id")))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
-        col("user_id"), col("n_events"))
+        col("user_id"), col("n").as("n_events"))
       .orderBy(col("user_id"), col("s_start"))
-  }
 
   /** Watermark late-data semantics, oracle-checked: events whose event time
     * has fallen behind the watermark are DROPPED from the aggregation.
@@ -270,22 +260,12 @@ object StreamQueries {
     * broadcast, exactly like q5's star join. Complete-mode AvailableNow
     * like the other bounded result-parity streams; shares a plain-SQL
     * join+group oracle. */
-  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
-    val (raw, _) = stagedStream(spark, dir, "events")
-    val name = uniq("st_stjoin_")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = graft.model.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    completeEventAgg(spark, dir, "st_stjoin_")(
+      _.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type")))
       .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }

@@ -219,18 +219,26 @@ class CompactSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** The crashed-swap leftover's path: hidden sibling `.name.compact-old`
+    * (compaction scratch dirs are dot-prefixed so partition discovery on a
+    * partitioned root can never see them as data). */
+  private def crashedOld(dir: String): java.io.File = {
+    val f = new java.io.File(dir)
+    new java.io.File(f.getParentFile, s".${f.getName}.compact-old")
+  }
+
   test("a crash between the compact renames is recovered, losing nothing") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-crash-").toString + "/t"
     val events = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
     events.repartition(3).write.parquet(dir)
-    // simulate the crash window: data only under .compact-old, nothing at dir
-    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact-old")))
+    // simulate the crash window: data only under .t.compact-old, nothing at dir
+    assert(new java.io.File(dir).renameTo(crashedOld(dir)))
     Layout.recoverCompact(spark, dir)
     val back = spark.read.parquet(dir).select(col("event_id"), col("value"))
     assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
     // and compact() itself self-recovers before rewriting
-    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact-old")))
+    assert(new java.io.File(dir).renameTo(crashedOld(dir)))
     Layout.compact(spark, dir, targetFileBytes = 1L << 30)
     assert(spark.read.parquet(dir).count() === events.count())
   }
@@ -248,10 +256,12 @@ class CompactSpec extends AnyFunSuite with SparkSpec {
         .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
       assert(leaves.length >= 3 &&
         leaves.forall(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
-      // one leaf crashed mid-swap in a "previous run": data only under
-      // .compact-old — the walk must recover it, not skip it
+      // one leaf crashed mid-swap in a "previous run": data only under the
+      // hidden .<leaf>.compact-old — the walk must recover it, not skip it;
+      // readers of the root meanwhile see neither the leftover nor a
+      // phantom partition (the leftover is dot-prefixed)
       val crashed = leaves.head
-      assert(crashed.renameTo(new java.io.File(crashed.getPath + ".compact-old")))
+      assert(crashed.renameTo(crashedOld(crashed.getPath)))
 
       Layout.compactPartitioned(spark, dir, targetFileBytes = 1L << 30)
 
