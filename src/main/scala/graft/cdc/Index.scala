@@ -61,10 +61,12 @@ object Index {
 
   /** All keys currently holding `value` — served from ONE index bucket
     * (hash(value) names it, the same hash the writer bucketed by), with
-    * the value filter pushed to parquet inside it. The string-typed hash
-    * here must match the writer's hash of the string `v` column — both
-    * are Murmur3 over StringType. */
-  def lookupByValue(spark: SparkSession, idxDir: String, value: String,
+    * the value filter pushed to parquet inside it. `value` must carry the
+    * indexed column's exact RUNTIME type (a Long probe of a string-indexed
+    * column hashes differently than the string "42" — same contract as
+    * [[ChangelogStream.readKey]]), so the literal's hash matches the
+    * writer's hash of the stored `v` column. */
+  def lookupByValue(spark: SparkSession, idxDir: String, value: Any,
                     keyCols: Seq[String] = Seq("id")): DataFrame = {
     ChangelogStream.readState(spark, idxDir, "v" +: keyCols,
       onlyBucket = Some(ChangelogStream.bucketOfValues(Seq(value))))

@@ -92,7 +92,12 @@ object Materialize {
           .groupBy(col(groupCol))
           .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
           .filter(col("n") =!= 0)
-        // commit v=<batchId>: write to a temp sibling, rename, then fence
+        // commit v=<batchId>: write to a temp sibling, rename, then fence.
+        // INVARIANT behind the coalesce(1): the MV is a per-group aggregate,
+        // so `next` has |groups| rows — tiny by construction. An MV over a
+        // high-cardinality group key would serialize this write through one
+        // task; shard the version dir (write partitioned by group-hash)
+        // before maintaining such a view.
         val f = fs(spark, mvDir)
         val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
         f.delete(tmp, true)

@@ -130,8 +130,19 @@ object Stateful {
     * gives aggregations. Retention stays OFF in the bounded oracle runs
     * and specs: a timeout-enabled operator fires continuous empty
     * timeout-check batches, which AvailableNow/test triggers don't want.
-    * Uncommitted buffers never time out under either mode —
-    * all-or-nothing needs them held until their COMMIT. */
+    *
+    * Without retention, uncommitted buffers never time out — all-or-nothing
+    * needs them held until their COMMIT. WITH retention the same timeout
+    * also covers uncommitted buffers: a straggler data event whose txn's
+    * committed marker already expired re-buffers as uncommitted, and
+    * without its own timeout that cell (and the withheld event) would leak
+    * forever. When an uncommitted buffer's retention elapses, its events
+    * are emitted DEAD-LETTERED — op rewritten to `DLQ:<op>` — so the loss
+    * is observable downstream (the apply's `handledOps` filter keeps DLQ
+    * rows out of materialized state) instead of silently held; the cell is
+    * then dropped. This trades all-or-nothing for bounded state only past
+    * the retention horizon, the same trade the caller opted into for
+    * committed markers. */
   def txnGate(events: Dataset[TxnEvent],
               commitRetention: Option[String] = None): Dataset[TxnEvent] = {
     implicit val evEnc = Encoders.product[TxnEvent]
@@ -143,9 +154,12 @@ object Stateful {
         OutputMode.Append, timeoutConf) {
         (_: Long, batch: Iterator[TxnEvent], state: GroupState[TxnBuffer]) =>
           if (state.hasTimedOut) {
-            // retention elapsed on a committed marker: drop the cell
+            // retention elapsed: committed marker cells just drop;
+            // uncommitted buffers dead-letter their withheld events first
+            val leaked = state.getOption.toSeq.filterNot(_.committed)
+              .flatMap(_.buffered).map(e => e.copy(op = s"DLQ:${e.op}"))
             state.remove()
-            Iterator.empty
+            leaked.iterator
           } else {
             val events = batch.toSeq
             val data = events.filter(e => graft.cdc.Apply.handledOps.contains(e.op))
@@ -156,6 +170,8 @@ object Stateful {
               (prev.buffered ++ data).iterator
             } else {
               state.update(TxnBuffer(committed = false, prev.buffered ++ data))
+              // bound the uncommitted buffer too (see scale note above)
+              commitRetention.foreach(state.setTimeoutDuration)
               Iterator.empty
             }
           }
