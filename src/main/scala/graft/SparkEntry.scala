@@ -45,6 +45,14 @@ object SparkEntry {
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
     "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
+    "cdc_apply_truncate" -> ((s, d) =>
+      // table-wide TRUNCATE applied (the reference drops it,
+      // producer.go:161-166): events at-or-before the truncate seq erased,
+      // later events rebuild the table
+      Apply.truncateApply(Changelog.fromOrdersTruncate(s, d), payload)
+        .orderBy(col("o_orderkey"))),
+    "cdc_apply_truncate_stream" -> ((s, d) =>
+      ChangelogStream.qApplyStreamingTruncate(s, d)),
     "cdc_mv_agg" -> (graft.cdc.Materialize.qMvAgg _),
     "cdc_secondary_index" -> (graft.cdc.Index.qSecondaryIndex _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
@@ -325,6 +333,18 @@ object SparkEntry {
        |SELECT $payloadList FROM ranked
        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
 
+  // TRUNCATE at seq 1,000,000 erases everything at-or-before it; the state
+  // is rebuilt from the surviving updates (full rows) minus later deletes.
+  // Shared by the batch fence-join and the streaming fence-metadata
+  // renderings.
+  private val truncateOracle =
+    s"""WITH ${Changelog.oracleCte},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog WHERE seq > 1000000)
+       |SELECT $payloadList FROM ranked
+       |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
+
   private val slidingOracle =
     s"""WITH s AS (
        |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - j.j) * 300000000) AS w_start,
@@ -451,6 +471,8 @@ object SparkEntry {
     "cdc_apply_sink_dsv2" -> cdcApplySql,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
+    "cdc_apply_truncate" -> truncateOracle,
+    "cdc_apply_truncate_stream" -> truncateOracle,
     "cdc_mv_agg" ->
       // the IVM guarantee: the incrementally-maintained MV equals the
       // aggregate recomputed over the fully-applied state

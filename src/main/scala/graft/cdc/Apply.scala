@@ -106,6 +106,28 @@ object Apply {
       }: _*)
   }
 
+  /** TRUNCATE as an APPLIED operation — the second documented upgrade over
+    * the reference, which drops Truncate messages with Begin/Commit
+    * (`producer.go:161-166`) and so leaves a truncated table fully
+    * populated downstream. Semantics: a TRUNCATE at seq T erases every
+    * event of its table with seq <= T; later events (re-inserts, full-row
+    * updates) rebuild the table from empty. Rendered as one broadcast join
+    * of the (tables × truncates → max seq) fence — rows-per-table, tiny by
+    * construction — then the normal latest-state merge; no per-key
+    * bookkeeping, and at 100 TB the fence is the only extra state. The
+    * streaming rendering keeps the same fence as O(1) versioned metadata in
+    * the bucketed state sink ([[ChangelogStream.upsertBatch]]) rather than
+    * rewriting every bucket. */
+  def truncateApply(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val fences = changelog.filter(col("op") === "TRUNCATE")
+      .groupBy(col("table")).agg(max(col("seq")).as("__trunc_seq"))
+    latestState(
+      changelog.join(broadcast(fences), Seq("table"), "left_outer")
+        .filter(col("__trunc_seq").isNull || col("seq") > col("__trunc_seq"))
+        .drop("__trunc_seq"),
+      payloadCols)
+  }
+
   /** Transaction-atomic apply — a documented IMPROVEMENT over the
     * reference, which drops Begin/Commit messages outright
     * (`producer.go:163-166`, SURVEY §4.3 item 5) and can therefore

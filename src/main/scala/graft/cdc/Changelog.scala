@@ -109,6 +109,43 @@ object Changelog {
     base.unionByName(commits, allowMissingColumns = true)
   }
 
+  /** [[fromOrders]] plus a table-wide TRUNCATE marker at seq = 1,000,000 —
+    * ordered after every INSERT (keys stay below 1e6 at the test SFs) and
+    * before every UPDATE/DELETE. The reference drops Truncate messages
+    * outright (`producer.go:161-166`) and can leave a truncated table fully
+    * populated downstream; applying them is the same class of documented
+    * upgrade as the txn gate (SURVEY §4.3). Consumed by
+    * [[Apply.truncateApply]] (batch) and the keyed-state sink's fence
+    * (streaming). */
+  def fromOrdersTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    val marker = spark.range(1).select(
+      lit(-1L).as("id"), lit(1000000L).as("seq"),
+      lit("TRUNCATE").as("op"), lit("orders").as("table"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast("bigint").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+    fromOrders(spark, sfDir).unionByName(marker)
+  }
+
+  /** The truncate changelog ([[fromOrdersTruncate]]) staged as three
+    * mtime-ordered files — all INSERTs, then the TRUNCATE marker ALONE,
+    * then the UPDATEs+DELETEs — so a streaming consumer sees the truncate
+    * arrive mid-stream as a fence-only micro-batch with live state on both
+    * sides of it. */
+  def stageParquetTruncatePhased(spark: SparkSession, sfDir: String): String =
+    stage(fromOrdersTruncate(spark, sfDir), sfDir, "parquet-trunc", Seq("orders.parquet")) { (cl, dir) =>
+      new java.io.File(dir).mkdirs()
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op") === "INSERT"), dir, "f1", 1000000L)
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op") === "TRUNCATE"), dir, "f2", 2000000L)
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("op").isin("UPDATE", "DELETE")), dir, "f3", 3000000L)
+    }
+
   /** Second table for multi-table fan-out (the reference handles all tables
     * of the publication through one stream, dispatching per `tableName` —
     * `producer.go:42` FOR ALL TABLES, `utils.go:105-112`): customer

@@ -62,6 +62,70 @@ object ChangelogStream {
   private[cdc] def bucketOf(keyCols: Seq[String]) =
     pmod(hash(keyCols.map(col): _*), lit(NumBuckets))
 
+  // ── TRUNCATE fence ────────────────────────────────────────────────────
+  // A TRUNCATE at seq T erases every event of its table with seq <= T.
+  // Rather than rewriting every bucket (IO ∝ state), the sink commits the
+  // per-table fence as O(1) versioned metadata under `_truncate/v=N` and
+  // READERS apply it (`seq > fence`); rows the fence killed are physically
+  // dropped whenever their bucket is next merged-or-compacted anyway. This
+  // is the only rendering that stays O(batch) at 100 TB.
+
+  /** Per-table TRUNCATE fences of a state: table → last truncate seq.
+    * The empty-string table key fences states whose rows carry no `table`
+    * column (single-table streams). */
+  private[cdc] def truncateFences(spark: SparkSession, stateDir: String): Map[String, Long] = {
+    val dir = s"$stateDir/_truncate"
+    committedVersions(spark, dir).lastOption.map { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/v=$v/fence.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split('\n').filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.take(i) -> line.drop(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Fold new truncate maxima into the fence and commit the next version
+    * (idempotent: replaying a batch re-derives the same fence and skips
+    * the write). Same `_SUCCESS`-fenced version protocol as the buckets. */
+  private def commitTruncateFence(spark: SparkSession, stateDir: String,
+                                  updates: Map[String, Long]): Unit = {
+    val cur = truncateFences(spark, stateDir)
+    val merged = (cur.keySet ++ updates.keySet).map { t =>
+      t -> math.max(cur.getOrElse(t, Long.MinValue), updates.getOrElse(t, Long.MinValue))
+    }.toMap
+    if (merged == cur) return
+    val dir = s"$stateDir/_truncate"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = committedVersions(spark, dir).lastOption.getOrElse(-1L) + 1
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
+    if (fs.exists(vDir)) fs.delete(vDir, true) // uncommitted crash leftover
+    fs.mkdirs(vDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(vDir, "fence.txt"))
+    out.write(merged.toSeq.sortBy(_._1).map { case (t, s) => s"$t\t$s" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")).close()
+    committedVersions(spark, dir).filter(_ < next - 1)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+  }
+
+  /** The reader-side fence predicate: a row survives if its seq is past its
+    * table's fence (per-table when the state carries `table`, else the
+    * global maximum — single-table states). */
+  private[cdc] def fenceCondition(columns: Seq[String], fences: Map[String, Long]) =
+    if (fences.isEmpty) lit(true)
+    else if (columns.contains("table"))
+      fences.foldLeft(lit(true).as("keep")) { case (acc, (t, s)) =>
+        when(col("table") === t, col("seq") > s).otherwise(acc)
+      }
+    else col("seq") > lit(fences.values.max)
+
   /** The bucket a concrete key tuple hashes to — evaluated driver-side by
     * folding the same Murmur3(seed 42) expression `bucketOf` plans, so a
     * point read never launches a Spark job just to locate its bucket.
@@ -107,11 +171,25 @@ object ChangelogStream {
     require(bCols.forall(keyCols.contains),
       s"bucketCols $bCols must be a subset of keyCols $keyCols")
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
+    val hasOp = batch.columns.contains("op")
     val withB = batch.withColumn("__bucket", bucketOf(bCols))
     withB.persist()
     try {
-      val touched = withB.select("__bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
+      // ONE job over the cached batch: the touched buckets of the DATA rows
+      // plus any TRUNCATE markers' (table, seq) — markers are sink metadata
+      // (they commit a fence below), never merged as state rows
+      val tableCol =
+        if (batch.columns.contains("table")) col("table") else lit("")
+      val isTrunc = if (hasOp) col("op") === "TRUNCATE" else lit(false)
+      val probe = withB.agg(
+        collect_set(when(!isTrunc, col("__bucket"))).as("bs"),
+        collect_set(when(isTrunc,
+          struct(tableCol.as("t"), col("seq").as("s")))).as("ts")).head()
+      val touched = probe.getSeq[Int](0).sorted
+      val truncs = probe.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      if (truncs.nonEmpty) commitTruncateFence(spark, stateDir, truncs)
       if (touched.isEmpty) return
       // one listing per touched bucket: prev snapshot paths + next versions
       val bucketVersions = touched.map { b =>
@@ -130,7 +208,8 @@ object ChangelogStream {
       // grouping by (bucket, keys) keeps the bucket for the partitioned write
       // (bucket is key-functional, so groups are identical to groupBy(keys))
       val tmp = s"$stateDir/.merge-tmp"
-      prev.unionByName(withB)
+      val data = if (hasOp) withB.filter(col("op") =!= "TRUNCATE") else withB
+      prev.unionByName(data)
         .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
         .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
         .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
@@ -196,8 +275,9 @@ object ChangelogStream {
         case None => throw new IllegalStateException(s"no state at $stateDir")
       }
     }
-    spark.read.parquet(latest: _*)
-      .filter(col("op") =!= "DELETE")
+    val df = spark.read.parquet(latest: _*)
+    df.filter(col("op") =!= "DELETE" &&
+        fenceCondition(df.columns, truncateFences(spark, stateDir)))
       .select(payloadCols.map(col): _*)
   }
 
@@ -225,9 +305,10 @@ object ChangelogStream {
     val latest = latestVersion(spark, s"$stateDir/bucket=$b")
       .map(v => s"$stateDir/bucket=$b/v=$v")
     latest.flatMap { dir =>
-      spark.read.parquet(dir)
-        .filter(key.map { case (c, v) => col(c) === lit(v) }
-          .reduce(_ && _) && col("op") =!= "DELETE")
+      val df = spark.read.parquet(dir)
+      df.filter(key.map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _) && col("op") =!= "DELETE" &&
+          fenceCondition(df.columns, truncateFences(spark, stateDir)))
         .collect() match {
           case Array(row: Row) => Some(row)
           case Array() => None
@@ -313,6 +394,29 @@ object ChangelogStream {
     applyStreaming(spark, sfDir, work,
       stagedClDir = Some(Changelog.stageParquet(spark, sfDir)))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Streaming rendering of TRUNCATE-apply: the changelog replays in three
+    * micro-batches — inserts, the TRUNCATE marker ALONE, updates+deletes —
+    * and the marker batch commits the O(1) per-table fence (no bucket
+    * rewrite; see the fence notes above). The drained state equals
+    * [[Apply.truncateApply]]'s batch result; shares cdc_apply_truncate's
+    * oracle. */
+  def qApplyStreamingTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    val clDir = Changelog.stageParquetTruncatePhased(spark, sfDir)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString
+    val stateDir = s"$work/state"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readState(spark, stateDir, Changelog.payloadCols).orderBy(col("o_orderkey"))
   }
 
   /** Streaming apply fed by the engine's OWN DSv2 connector

@@ -199,6 +199,26 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "b")))
   }
 
+  test("truncateApply erases a table up to its fence; later events rebuild it") {
+    val events = Seq(
+      (1L, 1L, "INSERT", "t", "a"),     // erased by the truncate
+      (2L, 2L, "INSERT", "t", "b"),     // erased
+      (-1L, 5L, "TRUNCATE", "t", null), // fence at seq 5
+      (2L, 6L, "UPDATE", "t", "b2"),    // rebuilds key 2 after the truncate
+      (3L, 7L, "INSERT", "t", "c"),     // re-insert after the truncate
+      (3L, 8L, "DELETE", "t", null),    // normal delete still applies
+      (9L, 9L, "INSERT", "u", "x"))     // OTHER table: untouched by t's fence
+      .toDF("id", "seq", "op", "table", "v")
+    val out = Apply.truncateApply(events, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((2L, "b2"), (9L, "x")))
+    // the LAST truncate wins when several arrive
+    val twice = events.unionByName(
+      Seq((-1L, 10L, "TRUNCATE", "t", null)).toDF("id", "seq", "op", "table", "v"))
+    assert(Apply.truncateApply(twice, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq === Seq((9L, "x")))
+  }
+
   test("corrupt envelope JSON decodes to null and is skipped (O9 semantics)") {
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
     val df = Seq("""{"k": 5}""", "not json at all", """{"k": "oops"}""").toDF("props")

@@ -37,6 +37,41 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "a2")))
   }
 
+  test("a TRUNCATE batch fences prior state as O(1) metadata; later events rebuild") {
+    val work = Files.createTempDirectory("graft-trunc-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String, String)*) =
+      rows.toDF("id", "seq", "op", "table", "v")
+    ChangelogStream.upsertBatch(mk(
+      (1L, 1L, "INSERT", "t", "a"), (2L, 2L, "INSERT", "t", "b"),
+      (9L, 3L, "INSERT", "u", "x")), stateDir)
+    // snapshot the bucket dirs: the truncate-only batch must rewrite NONE
+    def bucketMtimes() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified)
+      walk(new java.io.File(stateDir)).filterNot(_._1.contains("_truncate")).sortBy(_._1)
+    }
+    val before = bucketMtimes()
+    ChangelogStream.upsertBatch(mk((-1L, 5L, "TRUNCATE", "t", null)), stateDir)
+    assert(bucketMtimes() === before, "truncate must not rewrite any bucket")
+    // reads apply the fence: table t empty, table u untouched
+    assert(ChangelogStream.readState(spark, stateDir, Seq("table", "id", "v"))
+      .orderBy("id").as[(String, Long, String)].collect().toSeq === Seq(("u", 9L, "x")))
+    assert(ChangelogStream.readKey(spark, stateDir, 1L).isEmpty)
+    assert(ChangelogStream.readKey(spark, stateDir, 9L).isDefined)
+    // post-truncate events rebuild the table through the normal merge
+    ChangelogStream.upsertBatch(mk((2L, 6L, "UPDATE", "t", "b2")), stateDir)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq === Seq((2L, "b2"), (9L, "x")))
+    // end-to-end stream equals the batch truncate apply
+    val streamed = ChangelogStream.qApplyStreamingTruncate(spark, sfDir)
+    val batch = Apply.truncateApply(
+      Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
