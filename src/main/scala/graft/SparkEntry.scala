@@ -45,6 +45,15 @@ object SparkEntry {
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
     "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
+    // ── the COMPOSED pipeline: ONE DSv2 source→sink pass maintains the
+    // keyed state + per-status MV + join-MV + secondary index together
+    // (the reference consumer's store+index loop, consumer.go:15-55) —
+    // these four queries are views over that one shared pass, each checked
+    // against its own independent oracle (graft.cdc.Pipeline)
+    "cdc_pipeline_full" -> (graft.cdc.Pipeline.qState _),
+    "cdc_mv_agg" -> (graft.cdc.Pipeline.qMv _),
+    "cdc_mv_join" -> (graft.cdc.Pipeline.qMvJoin _),
+    "cdc_secondary_index" -> (graft.cdc.Pipeline.qIndex _),
     "cdc_apply_truncate" -> ((s, d) =>
       // table-wide TRUNCATE applied (the reference drops it,
       // producer.go:161-166): events at-or-before the truncate seq erased,
@@ -53,11 +62,14 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     "cdc_apply_truncate_stream" -> ((s, d) =>
       ChangelogStream.qApplyStreamingTruncate(s, d)),
-    "cdc_mv_agg" -> (graft.cdc.Materialize.qMvAgg _),
-    "cdc_secondary_index" -> (graft.cdc.Index.qSecondaryIndex _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
-    "cdc_apply_sink_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingSinkDsv2(s, d)),
+    // the end-to-end connector rendering (DSv2 source → DSv2 sink); since
+    // round 8 it executes as the composed pipeline pass above — same source,
+    // same sink, same state, with the derived-table maintainers riding the
+    // one merge (the standalone single-sink path stays spec-covered in
+    // ChangelogStateSinkSpec)
+    "cdc_apply_sink_dsv2" -> (graft.cdc.Pipeline.qState _),
     "cdc_apply_dsv2" -> { (s, d) =>
       // the changelog round-tripped through the DSv2 connector: staged as
       // JSON-line DatabaseEvent envelopes (the reference's wire format),
@@ -469,6 +481,18 @@ object SparkEntry {
     "cdc_apply_stream" -> cdcApplySql,
     "cdc_apply_stream_dsv2" -> cdcApplySql,
     "cdc_apply_sink_dsv2" -> cdcApplySql,
+    "cdc_pipeline_full" -> cdcApplySql,
+    "cdc_mv_join" ->
+      // delta-join IVM guarantee: the incrementally-maintained join-MV
+      // equals the re-aggregation of the applied state joined to customer
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT c_mktsegment, count(*) AS n, ${dsum("o_totalprice", "sum_value")}
+         |FROM state JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
     "cdc_apply_truncate" -> truncateOracle,

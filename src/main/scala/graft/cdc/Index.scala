@@ -32,6 +32,34 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Index {
 
+  /** Commit one batch's index delta from the touched buckets' previous and
+    * merged rows — the composable beforeCommit body ([[Pipeline]] chains it
+    * with the MV deltas behind ONE state merge). A key whose indexed value
+    * changed emits DELETE(old value) + INSERT(new value); a deleted key
+    * emits only the DELETE; the events merge into the index's own keyed
+    * state (bucketed by value). */
+  private[cdc] def commitIndexDelta(prev: DataFrame, merged: DataFrame,
+                                    batchId: Long, idxDir: String,
+                                    valueCol: String,
+                                    keyCols: Seq[String] = Seq("id")): Unit = {
+    def live(rows: DataFrame, as: String) = rows
+      .filter(col("op") =!= "DELETE")
+      .select(keyCols.map(col) :+ col(valueCol).as(as): _*)
+    val changed = live(prev, "v_old")
+      .join(live(merged, "v_new"), keyCols, "full_outer")
+      .filter(!(col("v_old") <=> col("v_new")))
+    val dels = changed.filter(col("v_old").isNotNull)
+      .select(col("v_old").as("v") +: keyCols.map(col) :+
+        lit(batchId).as("seq") :+ lit("DELETE").as("op"): _*)
+    val ins = changed.filter(col("v_new").isNotNull)
+      .select(col("v_new").as("v") +: keyCols.map(col) :+
+        lit(batchId).as("seq") :+ lit("INSERT").as("op"): _*)
+    val idxEvents = dels.unionByName(ins)
+    // the index is itself a keyed state: key (v, id...), bucketed by v
+    ChangelogStream.upsertBatch(idxEvents, idxDir,
+      keyCols = "v" +: keyCols, bucketCols = Seq("v"))
+  }
+
   /** Merge one micro-batch into the primary state AND its secondary index
     * on `valueCol`. Index rows: (v, id, seq, op). */
   def maintainIndexBatch(batch: DataFrame, batchId: Long,
@@ -39,24 +67,8 @@ object Index {
                          valueCol: String,
                          keyCols: Seq[String] = Seq("id")): Unit = {
     ChangelogStream.upsertBatch(batch, stateDir, keyCols,
-      beforeCommit = (prev, merged) => {
-        def live(rows: DataFrame, as: String) = rows
-          .filter(col("op") =!= "DELETE")
-          .select(keyCols.map(col) :+ col(valueCol).as(as): _*)
-        val changed = live(prev, "v_old")
-          .join(live(merged, "v_new"), keyCols, "full_outer")
-          .filter(!(col("v_old") <=> col("v_new")))
-        val dels = changed.filter(col("v_old").isNotNull)
-          .select(col("v_old").as("v") +: keyCols.map(col) :+
-            lit(batchId).as("seq") :+ lit("DELETE").as("op"): _*)
-        val ins = changed.filter(col("v_new").isNotNull)
-          .select(col("v_new").as("v") +: keyCols.map(col) :+
-            lit(batchId).as("seq") :+ lit("INSERT").as("op"): _*)
-        val idxEvents = dels.unionByName(ins)
-        // the index is itself a keyed state: key (v, id...), bucketed by v
-        ChangelogStream.upsertBatch(idxEvents, idxDir,
-          keyCols = "v" +: keyCols, bucketCols = Seq("v"))
-      })
+      beforeCommit = (prev, merged) =>
+        commitIndexDelta(prev, merged, batchId, idxDir, valueCol, keyCols))
   }
 
   /** All keys currently holding `value` — served from ONE index bucket

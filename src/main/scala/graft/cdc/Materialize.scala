@@ -52,67 +52,93 @@ object Materialize {
     spark.read.parquet(s"$mvDir/v=$v")
   }
 
-  /** Merge one micro-batch: commit the MV delta (fenced on batchId) at the
-    * sink's beforeCommit point, then let the state promote proceed — ONE
-    * shared merge for both the MV and the state ([[ChangelogStream
-    * .upsertBatch]] hands this callback the touched buckets' previous and
-    * merged rows, already computed for the state write). The delta needs
-    * no key restriction: untouched keys of a touched bucket appear
-    * identically in `prev` and `merged`, and their contributions cancel
-    * exactly (long counts, exact decimal sums). `groupCol`/`valueCol` name
-    * payload columns of the changelog rows. */
+  /** The standard signed-contribution shape: merged rows credit (+1),
+    * previous rows debit (-1); a live row contributes (groupCol, ±1,
+    * ±value) with the value routed through exact decimals. */
+  private[cdc] def aggContrib(groupCol: String, valueCol: String)
+                             (rows: DataFrame, sign: Int): DataFrame = rows
+    .filter(col("op") =!= "DELETE")
+    .select(col(groupCol), lit(sign.toLong).as("n"),
+      (col(valueCol).cast(DecimalType(18, 4)) * sign).cast(SType).as("s"))
+
+  /** Commit ONE batch's MV delta at the state sink's beforeCommit point —
+    * the composable core every maintained aggregate shares ([[graft.cdc
+    * .Pipeline]] chains several of these behind one state merge). `prev`/
+    * `merged` are the touched buckets' rows the sink already computed; the
+    * delta needs no key restriction because untouched keys of a touched
+    * bucket appear identically on both sides and their contributions
+    * cancel exactly (long counts, exact decimal sums). Fenced on batchId —
+    * a replayed batch whose delta already committed skips it (a delta is
+    * NOT idempotent) while the state merge re-runs through its own
+    * idempotent path. `contrib(rows, sign)` maps rows to signed
+    * (groupCols..., n, s) contributions — the join-free case is
+    * [[aggContrib]]; delta-JOIN maintenance (ΔO⋈dim) passes a contrib
+    * that broadcast-joins the dimension. */
+  private[cdc] def commitDelta(spark: SparkSession, mvDir: String, batchId: Long,
+                               prev: DataFrame, merged: DataFrame,
+                               groupCols: Seq[String],
+                               contrib: (DataFrame, Int) => DataFrame): Unit = {
+    if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) return
+    // merged rows credit, previous rows debit, the prior MV carries over as
+    // pre-aggregated rows — ONE union + ONE shuffle per batch (a per-side
+    // aggregate pair would cost three shuffle stages for the same result)
+    val carry = lastMvBatch(spark, mvDir)
+      .map(v => spark.read.parquet(s"$mvDir/v=$v"))
+      .getOrElse(contrib(merged, 1).limit(0))
+    val next = contrib(merged, 1)
+      .unionByName(contrib(prev, -1))
+      .unionByName(carry)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
+      .filter(col("n") =!= 0)
+    // commit v=<batchId>: write to a temp sibling, rename, then fence.
+    // INVARIANT behind the coalesce(1): the MV is a per-group aggregate,
+    // so `next` has |groups| rows — tiny by construction. An MV over a
+    // high-cardinality group key would serialize this write through one
+    // task; shard the version dir (write partitioned by group-hash)
+    // before maintaining such a view.
+    val f = fs(spark, mvDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
+    f.delete(tmp, true)
+    next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val to = new org.apache.hadoop.fs.Path(s"$mvDir/v=$batchId")
+    if (f.exists(to)) f.delete(to, true) // uncommitted leftover of a crash
+    if (!f.rename(tmp, to))
+      throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
+    f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+    // retention: the new version + one predecessor
+    ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
+      .dropRight(1)
+      .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
+
+  }
+
+  /** Merge one micro-batch into the keyed state AND its per-group MV — the
+    * delta rides the ONE merge the state sink already computes. */
   def maintainAggBatch(batch: DataFrame, batchId: Long,
                        stateDir: String, mvDir: String,
                        groupCol: String, valueCol: String,
                        keyCols: Seq[String] = Seq("id")): Unit = {
     val spark = batch.sparkSession
-    if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) {
-      // replay of a batch whose delta already committed (crash between MV
-      // commit and checkpoint advance): skip the delta, re-run the
-      // idempotent state merge
-      ChangelogStream.upsertBatch(batch, stateDir, keyCols)
-      return
-    }
-    // per-row signed contributions — merged rows credit, previous rows
-    // debit, the prior MV carries over as pre-aggregated rows — so the
-    // whole fold is ONE union + ONE shuffle (a per-side aggregate pair
-    // would cost three shuffle stages per batch for the same result)
-    def contrib(rows: DataFrame, sign: Int) = rows
-      .filter(col("op") =!= "DELETE")
-      .select(col(groupCol), lit(sign.toLong).as("n"),
-        (col(valueCol).cast(DecimalType(18, 4)) * sign).cast(SType).as("s"))
     ChangelogStream.upsertBatch(batch, stateDir, keyCols,
-      beforeCommit = (prev, merged) => {
-        val carry = lastMvBatch(spark, mvDir)
-          .map(v => spark.read.parquet(s"$mvDir/v=$v"))
-          .getOrElse(contrib(merged, 1).limit(0))
-        val next = contrib(merged, 1)
-          .unionByName(contrib(prev, -1))
-          .unionByName(carry)
-          .groupBy(col(groupCol))
-          .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
-          .filter(col("n") =!= 0)
-        // commit v=<batchId>: write to a temp sibling, rename, then fence.
-        // INVARIANT behind the coalesce(1): the MV is a per-group aggregate,
-        // so `next` has |groups| rows — tiny by construction. An MV over a
-        // high-cardinality group key would serialize this write through one
-        // task; shard the version dir (write partitioned by group-hash)
-        // before maintaining such a view.
-        val f = fs(spark, mvDir)
-        val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/.mv-tmp-$batchId")
-        f.delete(tmp, true)
-        next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val to = new org.apache.hadoop.fs.Path(s"$mvDir/v=$batchId")
-        if (f.exists(to)) f.delete(to, true) // uncommitted leftover of a crash
-        if (!f.rename(tmp, to))
-          throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
-        f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
-        // retention: the new version + one predecessor
-        ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
-          .dropRight(1)
-          .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
-      })
+      beforeCommit = (prev, merged) =>
+        commitDelta(spark, mvDir, batchId, prev, merged,
+          Seq(groupCol), aggContrib(groupCol, valueCol)))
   }
+
+  /** The delta-JOIN contribution: each live orders row joins the broadcast
+    * customer dimension to pick up its group (ΔO⋈C per batch — the
+    * incremental-view rung above single-table aggregates: the join runs
+    * over TOUCHED-BUCKET rows only, never re-joining the full state). The
+    * dimension is static here; a changing dimension needs the symmetric
+    * ΔC⋈O term as a second contrib over the dimension's own state sink. */
+  private[cdc] def joinAggContrib(dim: DataFrame, factKey: String, dimKey: String,
+                                  groupCol: String, valueCol: String)
+                                 (rows: DataFrame, sign: Int): DataFrame = rows
+    .filter(col("op") =!= "DELETE")
+    .join(broadcast(dim), col(factKey) === col(dimKey))
+    .select(col(groupCol), lit(sign.toLong).as("n"),
+      (col(valueCol).cast(DecimalType(18, 4)) * sign).cast(SType).as("s"))
 
   /** Oracle-checked query: the orders changelog streamed in micro-batches,
     * maintaining (n orders, sum totalprice) per order status incrementally;

@@ -49,6 +49,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * because a keyed-state sink has no files to infer from before first write
   * — the create-on-first-write contract (`es.go:13-32`).
   */
+/** Driver-side maintainer registry: `.option("maintainer", key)` attaches
+  * derived-table maintenance (incremental MVs, secondary indexes — see
+  * [[graft.cdc.Pipeline]]) to the sink's epoch commit. The hook receives
+  * (previous touched-bucket rows, merged touched-bucket rows, epochId) at
+  * [[graft.cdc.ChangelogStream.upsertBatch]]'s beforeCommit fence point —
+  * i.e. BEFORE any state bucket version becomes visible, the ordering
+  * non-idempotent deltas need. A registry (not an option value) because
+  * the hook is driver-side code: the sink's commit already runs on the
+  * driver, so nothing here is shipped to executors. */
+object ChangelogStateSink {
+  import org.apache.spark.sql.DataFrame
+  val maintainers = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Long) => Unit]()
+}
+
 class ChangelogStateSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "changelog-state"
@@ -84,20 +99,23 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     }
     val keyCols = Option(info.options.get("keyCols")).getOrElse("id")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val maintainer = Option(info.options.get("maintainer"))
     new WriteBuilder {
       override def build(): Write =
-        new ChangelogStateWrite(path, info.schema(), keyCols, confMap, info.queryId())
+        new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
+          info.queryId(), maintainer)
     }
   }
 }
 
 class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[String],
-                          confMap: Map[String, String], queryId: String) extends Write {
+                          confMap: Map[String, String], queryId: String,
+                          maintainer: Option[String] = None) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
-    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId)
+    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId, maintainer)
   override def toStreaming: StreamingWrite =
-    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId)
+    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId, maintainer)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -108,7 +126,8 @@ case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
   * caller re-runs deliberately, there is no replay machinery to fence
   * against). */
 class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq[String],
-                              confMap: Map[String, String], queryId: String)
+                              confMap: Map[String, String], queryId: String,
+                              maintainer: Option[String] = None)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -152,7 +171,7 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       throw new IllegalStateException(s"epoch fence write failed: $tmp -> $fencePath")
   }
 
-  private def merge(messages: Array[WriterCommitMessage]): Unit = {
+  private def merge(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
       case m: ChangelogStateCommitMessage if m.files.nonEmpty => m.files
     }.flatten.toSeq
@@ -161,7 +180,17 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException("no active SparkSession on commit"))
     val batch = spark.read.schema(schema).json(files: _*)
-    graft.cdc.ChangelogStream.upsertBatch(batch, stateDir, keyCols)
+    // a registered maintainer chains derived-table deltas at the merge's
+    // beforeCommit point (missing key = fail loudly, not silently skip)
+    val hook = maintainer.map { k =>
+      val m = ChangelogStateSink.maintainers.get(k)
+      if (m == null) throw new IllegalStateException(
+        s"changelog-state sink: no maintainer registered under '$k'")
+      m
+    }
+    graft.cdc.ChangelogStream.upsertBatch(batch, stateDir, keyCols,
+      beforeCommit = hook.map(h => (prev: org.apache.spark.sql.DataFrame,
+        merged: org.apache.spark.sql.DataFrame) => h(prev, merged, epochId)).orNull)
   }
 
   private def dropStaging(epochId: Long): Unit =
@@ -169,7 +198,7 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (epochId <= committedEpoch()) { dropStaging(epochId); return } // replayed epoch
-    merge(messages)
+    merge(epochId, messages)
     writeFence(epochId)
     dropStaging(epochId)
   }
@@ -177,7 +206,7 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
     dropStaging(epochId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    merge(messages)
+    merge(-1L, messages)
     dropStaging(-1L)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
