@@ -100,7 +100,11 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     val keyCols = Option(info.options.get("keyCols")).getOrElse("id")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
-    new WriteBuilder {
+    // SupportsStreamingUpdateAsAppend (the same marker Kafka/foreach sinks
+    // use): Update-mode emissions are just rows to upsert — precisely this
+    // sink's per-key max_by(seq) merge — so update IS append here
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
           info.queryId(), maintainer)

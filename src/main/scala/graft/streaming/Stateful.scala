@@ -53,10 +53,12 @@ object Stateful {
   /** Oracle-checked query: the changelog applied through the
     * `flatMapGroupsWithState` state machine — the faithful per-key rendering
     * of the reference's consumer loop, streamed in multiple micro-batches so
-    * state genuinely carries across batches. The memory sink (Update mode)
-    * receives one emission per touched key per batch; the final
-    * latest-per-key projection over those emissions is the same
-    * [[graft.cdc.Apply.latestState]] shape, so the query shares cdc_apply's
+    * state genuinely carries across batches. Each batch's emissions (one row
+    * per touched key) flow into the engine's own `changelog-state` DSv2 sink
+    * — executor-staged, driver-merged, NOTHING accumulates on the driver
+    * (the round-7 memory-sink rendering collected one row per touched key
+    * per batch driver-side: an OOM at 100× scale) — and the final state read
+    * is the same latest-per-key shape, so the query shares cdc_apply's
     * oracle. State store count follows shuffle partitions (see
     * stream_interval_join note). */
   def qApplyStateful(spark: SparkSession, dir: String): DataFrame = {
@@ -68,7 +70,6 @@ object Stateful {
     val clDir = graft.cdc.Changelog.stageParquet(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
-    val name = "st_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
     // state-store count = shuffle partitions at first checkpoint (see
@@ -79,21 +80,26 @@ object Stateful {
     val stream = spark.readStream.schema(clSchema)
       .option("maxFilesPerTrigger", 2).parquet(clDir)
       .as[OrdersEvent]
-    val q = stream.groupByKey(_.id)
+    val updates = stream.groupByKey(_.id)
       .flatMapGroupsWithState[OrdersEvent, OrdersEvent](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: Long, batch: Iterator[OrdersEvent], state: GroupState[OrdersEvent]) =>
           val latest = (state.getOption.iterator ++ batch).maxBy(_.seq)
           state.update(latest)
           Iterator.single(latest)
-      }
+      }.toDF()
+    val q = updates
       .writeStream.outputMode("update")
-      .format("memory").queryName(name)
+      .format("changelog-state")
+      .option("path", s"$work/state")
+      .option("schema", updates.schema.toDDL)
+      .option("keyCols", "id")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.cdc.Apply.latestState(spark.table(name), graft.cdc.Changelog.payloadCols)
+    graft.cdc.ChangelogStream.readState(spark, s"$work/state",
+        graft.cdc.Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -191,7 +197,6 @@ object Stateful {
     val clDir = graft.cdc.Changelog.stageParquetTxnPhased(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString
-    val name = "st_txn_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
     // state-store count sized to the 50-txn key space (see qApplyStateful)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -200,14 +205,22 @@ object Stateful {
       val stream = spark.readStream.schema(clSchema)
         .option("maxFilesPerTrigger", 1).parquet(clDir)
         .as[TxnEvent]
-      val q = txnGate(stream)
+      // released events land in the engine's own keyed-state sink (no
+      // driver-side accumulation — see qApplyStateful); its per-key
+      // max_by(seq) merge + tombstone filter IS the latest-state apply
+      val released = txnGate(stream).toDF()
+      val q = released
         .writeStream.outputMode("append")
-        .format("memory").queryName(name)
+        .format("changelog-state")
+        .option("path", s"$work/state")
+        .option("schema", released.schema.toDDL)
+        .option("keyCols", "id")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      graft.cdc.Apply.latestState(spark.table(name), graft.cdc.Changelog.payloadCols)
+      graft.cdc.ChangelogStream.readState(spark, s"$work/state",
+          graft.cdc.Changelog.payloadCols)
         .orderBy(col("o_orderkey"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
