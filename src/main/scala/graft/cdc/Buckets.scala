@@ -1,0 +1,180 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned bucket-layout MANIFEST of a keyed state — the piece that lets
+  * the state RESCALE: `NumBuckets` stops being a constant the moment one
+  * bucket outgrows its target size.
+  *
+  * The layout is extendible hashing: each bucket `b` carries a depth `d`
+  * and owns every key with `hash mod 2^d == b`; splitting an oversized
+  * bucket moves it to depth d+1 and rewrites ONLY that bucket's rows into
+  * children `b` and `b + 2^d` — IO ∝ one bucket, never ∝ state. The
+  * manifest (`_layout/v=N/layout.txt`, `_SUCCESS`-fenced versions) records,
+  * atomically per batch:
+  *
+  *   - `bucketCols` — which columns the layout hashes (so a point read on a
+  *     bucketCols-narrowed state, e.g. the value-bucketed secondary index,
+  *     hashes the right subset instead of silently missing);
+  *   - per bucket: its depth AND the committed version pointer its readers
+  *     must open.
+  *
+  * The version POINTERS make the manifest the single commit point: a batch
+  * writes its touched buckets' next version dirs, then flips one manifest
+  * version — a crash anywhere before the flip leaves every reader on the
+  * previous consistent set (no torn multi-bucket reads, which the
+  * per-bucket `_SUCCESS` fences alone allowed), and mid-split states are
+  * simply invisible until their manifest commits. This is the same
+  * manifest-pointer protocol production table formats use for exactly this
+  * reason. States written before manifests existed read through the legacy
+  * latest-`_SUCCESS` path and adopt a manifest on their next merge.
+  *
+  * A SAVEPOINT is a retained copy of one manifest version
+  * (`_savepoints/<name>.txt`): it pins a consistent (bucket → version) set,
+  * retention skips pinned versions, and a diff between two savepoints (or a
+  * savepoint and the live state) reads both version sets directly — no
+  * changelog re-apply. At 100 TB the manifest is a few KB per thousand
+  * buckets; everything else is unchanged bucket IO.
+  */
+object Buckets {
+
+  /** One state's layout: the bucket-hash columns and, per bucket, (depth,
+    * committed version pointer; -1 = bucket allocated but never written). */
+  case class Layout(bucketCols: Seq[String], entries: Map[Int, (Int, Long)]) {
+    def version(b: Int): Long = entries(b)._2
+    def depth(b: Int): Int = entries(b)._1
+    /** Committed data paths, optionally restricted to one bucket. */
+    def paths(stateDir: String, onlyBucket: Option[Int] = None): Seq[String] =
+      entries.toSeq.sortBy(_._1)
+        .filter { case (b, (_, v)) => v >= 0 && onlyBucket.forall(_ == b) }
+        .map { case (b, (_, v)) => s"$stateDir/bucket=$b/v=$v" }
+  }
+
+  /** The default layout of a fresh state: NumBuckets uniform buckets (a
+    * power of two — depth log2(NumBuckets)), nothing written yet. */
+  def initial(bucketCols: Seq[String]): Layout = {
+    val d = Integer.numberOfTrailingZeros(ChangelogStream.NumBuckets)
+    Layout(bucketCols, (0 until ChangelogStream.NumBuckets).map(_ -> (d, -1L)).toMap)
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def parse(txt: String): Layout = {
+    val lines = txt.split('\n').filter(_.nonEmpty)
+    val cols = lines.head.split('\t') match {
+      case Array("cols", cs) => cs.split(',').toSeq
+      case other => throw new IllegalStateException(s"bad layout header: ${other.toSeq}")
+    }
+    Layout(cols, lines.tail.map { l =>
+      val Array(b, d, v) = l.split('\t')
+      b.toInt -> (d.toInt, v.toLong)
+    }.toMap)
+  }
+
+  private def render(l: Layout): String =
+    (s"cols\t${l.bucketCols.mkString(",")}" +:
+      l.entries.toSeq.sortBy(_._1).map { case (b, (d, v)) => s"$b\t$d\t$v" })
+      .mkString("\n")
+
+  private def readManifestFile(spark: SparkSession, path: String): Layout = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try parse(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** The state's current layout, if it has adopted a manifest. */
+  def read(spark: SparkSession, stateDir: String): Option[Layout] =
+    ChangelogStream.committedVersions(spark, s"$stateDir/_layout").lastOption
+      .map(v => readManifestFile(spark, s"$stateDir/_layout/v=$v/layout.txt"))
+
+  /** Commit the next manifest version (the batch's atomic flip point).
+    * Retention keeps the new version + one predecessor. */
+  def commit(spark: SparkSession, stateDir: String, layout: Layout): Unit = {
+    val dir = s"$stateDir/_layout"
+    val f = fs(spark, dir)
+    val next = ChangelogStream.committedVersions(spark, dir).lastOption.getOrElse(-1L) + 1
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
+    if (f.exists(vDir)) f.delete(vDir, true) // uncommitted crash leftover
+    f.mkdirs(vDir)
+    val out = f.create(new org.apache.hadoop.fs.Path(vDir, "layout.txt"))
+    out.write(render(layout).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    f.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")).close()
+    ChangelogStream.committedVersions(spark, dir).filter(_ < next - 1)
+      .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+  }
+
+  /** The bucket a row hashes to under `layout` — deepest buckets checked
+    * first (the extendible-hashing partition invariant makes the first
+    * depth whose bucket set contains the candidate the owner). A uniform
+    * layout compiles to the single `pmod(hash, n)` of the pre-manifest
+    * code; every term stays inside whole-stage codegen. */
+  def bucketExpr(layout: Layout, cols: Seq[String]): Column = {
+    val h = hash(cols.map(col): _*)
+    val byDepth = layout.entries.toSeq.groupBy(_._2._1).toSeq.sortBy(-_._1)
+      .map { case (d, es) => (d, es.map(_._1)) }
+    byDepth.init.foldRight(pmod(h, lit(1 << byDepth.last._1))) {
+      case ((d, bs), els) =>
+        val cand = pmod(h, lit(1 << d))
+        when(cand.isin(bs: _*), cand).otherwise(els)
+    }
+  }
+
+  /** Driver-side twin of [[bucketExpr]] for point reads: fold the same
+    * Murmur3(seed 42) the planner uses, then walk depths deepest-first.
+    * `values` must be the layout's bucketCols values, in order, with their
+    * exact runtime types. */
+  def bucketOfValues(layout: Layout, values: Seq[Any]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(values.map(Literal(_))).eval(null).asInstanceOf[Int]
+    val depths = layout.entries.values.map(_._1).toSeq.distinct.sortBy(-_.toInt)
+    depths.collectFirst {
+      case d if layout.entries.get(Math.floorMod(h, 1 << d)).exists(_._1 == d) =>
+        Math.floorMod(h, 1 << d)
+    }.getOrElse(throw new IllegalStateException(
+      s"layout does not cover hash $h — corrupt manifest"))
+  }
+
+  // ── savepoints ────────────────────────────────────────────────────────
+
+  private def savepointPath(stateDir: String, name: String) =
+    s"$stateDir/_savepoints/$name.txt"
+
+  /** Pin the CURRENT manifest under a name: a consistent (bucket → version)
+    * set that retention will preserve and [[readAt]] can open later. */
+  def savepoint(spark: SparkSession, stateDir: String, name: String): Unit = {
+    val layout = read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"no manifest to savepoint at $stateDir"))
+    val p = new org.apache.hadoop.fs.Path(savepointPath(stateDir, name))
+    val f = fs(spark, stateDir)
+    f.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${name}.tmp")
+    val out = f.create(tmp, true)
+    out.write(render(layout).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (f.exists(p)) f.delete(p, false) // idempotent re-pin (batch replay)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"savepoint commit failed: $name")
+  }
+
+  /** The layout a savepoint pinned. */
+  def readAt(spark: SparkSession, stateDir: String, name: String): Layout =
+    readManifestFile(spark, savepointPath(stateDir, name))
+
+  /** Every (bucket, version) any savepoint still pins — retention must not
+    * delete these. One small-file read per savepoint per batch. */
+  def pinnedVersions(spark: SparkSession, stateDir: String): Map[Int, Set[Long]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_savepoints")
+    val f = fs(spark, stateDir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".txt"))
+      .map(s => readManifestFile(spark, s.getPath.toString))
+      .flatMap(_.entries.toSeq.collect { case (b, (_, v)) if v >= 0 => b -> v })
+      .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).toSet }
+  }
+}

@@ -80,8 +80,11 @@ object Index {
     * writer's hash of the stored `v` column. */
   def lookupByValue(spark: SparkSession, idxDir: String, value: Any,
                     keyCols: Seq[String] = Seq("id")): DataFrame = {
+    val bucket = Buckets.read(spark, idxDir)
+      .map(l => Buckets.bucketOfValues(l, Seq(value)))
+      .getOrElse(ChangelogStream.bucketOfValues(Seq(value)))
     ChangelogStream.readState(spark, idxDir, "v" +: keyCols,
-      onlyBucket = Some(ChangelogStream.bucketOfValues(Seq(value))))
+      onlyBucket = Some(bucket))
       .filter(col("v") === value)
       .select(keyCols.map(col): _*)
   }

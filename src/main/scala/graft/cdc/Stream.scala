@@ -34,9 +34,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ChangelogStream {
 
-  /** Buckets in the keyed state snapshot. Sized so sf-test states stay
-    * multi-file without drowning tiny batches in task overhead; a real
-    * deployment sizes this to `total_state / target_bucket_bytes`. */
+  /** INITIAL bucket count of a fresh keyed state (a power of two — it is
+    * extendible hashing's starting depth). Sized so sf-test states stay
+    * multi-file without drowning tiny batches in task overhead. The count
+    * is NOT a ceiling: arm `upsertBatch(maxBucketBytes = …)` and any bucket
+    * that outgrows the target splits in place (depth+1, rewriting only
+    * itself — [[Buckets]]), so the layout follows the data instead of
+    * degrading point reads and merge granularity as state grows. */
   val NumBuckets = 16
 
   /** Committed (`_SUCCESS`-marked) version directories under `stateDir`,
@@ -159,20 +163,36 @@ object ChangelogStream {
     * are laid out by; they must be a prefix-functional subset of `keyCols`
     * so every merge group lands in exactly one bucket. A narrower bucket
     * key (e.g. bucket a (value, id)-keyed secondary index by `value`
-    * alone) is what makes value-addressed point reads single-bucket. */
+    * alone) is what makes value-addressed point reads single-bucket. The
+    * chosen columns are recorded in the state's manifest ([[Buckets]]), so
+    * point reads hash the right subset without the caller re-stating it. */
+  /** `maxBucketBytes` arms RESCALING: after its merge, a touched bucket
+    * larger than this splits (extendible hashing, depth+1) — rewriting
+    * ONLY itself — until within bounds. Default off: a bounded test corpus
+    * should produce a deterministic layout; a real deployment sets it to
+    * target_bucket_bytes and the bucket count follows the data. */
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id"),
                   beforeCommit: (DataFrame, DataFrame) => Unit = null,
-                  bucketCols: Seq[String] = null): Unit = {
+                  bucketCols: Seq[String] = null,
+                  maxBucketBytes: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bCols = Option(bucketCols).getOrElse(keyCols)
     require(bCols.forall(keyCols.contains),
       s"bucketCols $bCols must be a subset of keyCols $keyCols")
+    // adopt the stored manifest; a pre-manifest state synthesizes its
+    // uniform layout from the committed dirs (one-time listing), a fresh
+    // state starts at the initial uniform layout — either way THIS batch
+    // commits a manifest
+    val layout = Buckets.read(spark, stateDir)
+      .getOrElse(legacyLayout(spark, stateDir, bCols))
+    require(layout.bucketCols == bCols,
+      s"state at $stateDir is bucketed by ${layout.bucketCols}, not $bCols")
     val others = batch.columns.toSeq.filterNot(keyCols.contains)
     val hasOp = batch.columns.contains("op")
-    val withB = batch.withColumn("__bucket", bucketOf(bCols))
+    val withB = batch.withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
     withB.persist()
     try {
       // ONE job over the cached batch: the touched buckets of the DATA rows
@@ -191,17 +211,13 @@ object ChangelogStream {
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
       if (truncs.nonEmpty) commitTruncateFence(spark, stateDir, truncs)
       if (touched.isEmpty) return
-      // one listing per touched bucket: prev snapshot paths + next versions
-      val bucketVersions = touched.map { b =>
-        b -> committedVersions(spark, s"$stateDir/bucket=$b")
-      }.toMap
-      val prevPaths = bucketVersions.toSeq.sortBy(_._1).flatMap { case (b, vs) =>
-        vs.lastOption.map(v => s"$stateDir/bucket=$b/v=$v")
-      }
+      val prevPaths = touched.filter(layout.version(_) >= 0)
+        .map(b => s"$stateDir/bucket=$b/v=${layout.version(b)}")
       // prev rows carry no bucket column on disk; recompute it (cheap hash)
       val prev =
         if (prevPaths.nonEmpty)
-          spark.read.parquet(prevPaths: _*).withColumn("__bucket", bucketOf(bCols))
+          spark.read.parquet(prevPaths: _*)
+            .withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withB.schema)
       // max_by hash aggregation (map-side combined) — see Apply.latestState;
@@ -216,58 +232,139 @@ object ChangelogStream {
           others.map(c => col(s"last.$c").as(c)): _*)
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
       if (beforeCommit != null) beforeCommit(prev, spark.read.parquet(tmp))
-      // promote each touched bucket dir to its next version; the _SUCCESS
-      // fence is created only after the rename, so a crash anywhere leaves
-      // every bucket on its previous committed version and the batch replay
-      // (checkpointed offsets) re-merges idempotently
+      // write each touched bucket's NEXT version dir. The per-dir _SUCCESS
+      // still marks a complete write, but visibility is now the manifest
+      // flip below: a crash anywhere before it leaves every reader on the
+      // previous consistent (bucket → version) set — no torn multi-bucket
+      // reads — and the batch replay (checkpointed offsets) re-merges
+      // idempotently onto the same version numbers
+      var entries = layout.entries
       touched.foreach { b =>
         val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
-        val next = bucketVersions(b).lastOption.getOrElse(-1L) + 1
+        val next = layout.version(b) + 1
         val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
         fs.mkdirs(bDir)
         val to = new org.apache.hadoop.fs.Path(bDir, s"v=$next")
-        // a crash between last replay's rename and its _SUCCESS create can
-        // leave a POPULATED uncommitted v=next; renaming onto it would nest
-        // (Hadoop's local rename falls back to copy-into), so clear it first
+        // a replayed batch can leave a POPULATED uncommitted v=next;
+        // renaming onto it would nest (Hadoop's local rename falls back to
+        // copy-into), so clear it first
         if (fs.exists(to)) fs.delete(to, true)
         if (!fs.rename(from, to))
           throw new IllegalStateException(s"state promote failed: $from -> $to")
         fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
-        // retention: keep the new snapshot + one predecessor (for readers
-        // that resolved the previous version before this write); older
-        // versions are dead weight
-        bucketVersions(b).filter(_ < next - 1)
+        entries = entries.updated(b, (layout.depth(b), next))
+      }
+      // rescale: split any touched bucket that outgrew the target — depth+1
+      // per round, rewriting ONLY that bucket's rows into children b and
+      // b + 2^d; children become visible with the manifest flip, so a crash
+      // mid-split is invisible and the replay overwrites cleanly
+      if (maxBucketBytes < Long.MaxValue) {
+        var work = touched.toList
+        while (work.nonEmpty) {
+          val b = work.head; work = work.tail
+          val (d, v) = entries(b)
+          val size = fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b/v=$v")).getLength
+          if (size > maxBucketBytes && d < MaxDepth) {
+            val sibling = b + (1 << d)
+            val rows = spark.read.parquet(s"$stateDir/bucket=$b/v=$v")
+            val owner = pmod(hash(bCols.map(col): _*), lit(1 << (d + 1)))
+            def writeHalf(target: Int, version: Long): Unit = {
+              val to = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$target/v=$version")
+              if (fs.exists(to)) fs.delete(to, true)
+              rows.filter(owner === target)
+                .write.mode(SaveMode.Overwrite).parquet(to.toString)
+            }
+            writeHalf(b, v + 1)
+            writeHalf(sibling, 0L)
+            entries = entries
+              .updated(b, (d + 1, v + 1))
+              .updated(sibling, (d + 1, 0L))
+            // both halves re-check: a skewed hash may need further rounds
+            work = b :: sibling :: work
+          }
+        }
+      }
+      // THE commit point: one manifest version flips the whole batch live
+      Buckets.commit(spark, stateDir, Buckets.Layout(bCols, entries))
+      // retention: keep each bucket's versions from the PREVIOUS manifest's
+      // pointer up (readers that resolved that manifest must still find
+      // their dirs), plus anything a savepoint pins
+      val pinned = Buckets.pinnedVersions(spark, stateDir)
+      touched.foreach { b =>
+        val keepFrom = math.max(layout.version(b), 0L)
+        val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
+        committedVersions(spark, bDir.toString)
+          .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
           .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     } finally withB.unpersist()
   }
 
-  /** Read the materialized table: per-bucket latest snapshots minus
-    * tombstones. `onlyBucket` restricts the read to a single bucket's
-    * latest version — the bucket-pruned path value/key point reads use. */
-  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String],
-                onlyBucket: Option[Int] = None): DataFrame = {
+  /** Extendible-split depth ceiling: 2^24 buckets ≈ 16M dirs is far past
+    * any sane layout; the guard only stops a pathological hash pile-up
+    * from splitting forever. */
+  private val MaxDepth = 24
+
+  /** The uniform layout of a state written before manifests existed (or of
+    * a fresh state): NumBuckets buckets at depth log2(NumBuckets), pointing
+    * at their latest `_SUCCESS`-committed versions. */
+  private def legacyLayout(spark: SparkSession, stateDir: String,
+                           bCols: Seq[String]): Buckets.Layout = {
+    val init = Buckets.initial(bCols)
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .filter(s => onlyBucket.forall(b => s.getPath.getName == s"bucket=$b"))
-        .flatMap(b => latestVersion(spark, b.getPath.toString)
-          .map(v => s"${b.getPath}/v=$v"))
+    if (!fs.exists(root)) init
+    else init.copy(entries = init.entries.map { case (b, (d, _)) =>
+      b -> (d, latestVersion(spark, s"$stateDir/bucket=$b").getOrElse(-1L))
+    })
+  }
+
+  /** Read the materialized table: the manifest's pointed snapshot set minus
+    * tombstones (legacy states without a manifest fall back to per-bucket
+    * latest-`_SUCCESS` resolution). `onlyBucket` restricts the read to a
+    * single bucket — the bucket-pruned path value/key point reads use. */
+  def readState(spark: SparkSession, stateDir: String, payloadCols: Seq[String],
+                onlyBucket: Option[Int] = None): DataFrame =
+    readResolved(spark, stateDir,
+      resolvePaths(spark, stateDir, onlyBucket), onlyBucket, payloadCols)
+
+  /** As [[readState]], but through the consistent (bucket → version) set a
+    * [[Buckets.savepoint]] pinned — version-addressed time travel over the
+    * state itself, no changelog re-apply. */
+  def readStateAt(spark: SparkSession, stateDir: String, savepointName: String,
+                  payloadCols: Seq[String]): DataFrame =
+    readResolved(spark, stateDir,
+      Buckets.readAt(spark, stateDir, savepointName).paths(stateDir),
+      None, payloadCols)
+
+  /** The committed data paths of a state: manifest pointers when present,
+    * legacy latest-`_SUCCESS` listing otherwise. */
+  private def resolvePaths(spark: SparkSession, stateDir: String,
+                           onlyBucket: Option[Int]): Seq[String] =
+    Buckets.read(spark, stateDir) match {
+      case Some(layout) => layout.paths(stateDir, onlyBucket)
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .filter(s => onlyBucket.forall(b => s.getPath.getName == s"bucket=$b"))
+          .flatMap(b => latestVersion(spark, b.getPath.toString)
+            .map(v => s"${b.getPath}/v=$v"))
+    }
+
+  private def readResolved(spark: SparkSession, stateDir: String,
+                           latest: Seq[String], onlyBucket: Option[Int],
+                           payloadCols: Seq[String]): DataFrame = {
     if (latest.isEmpty) {
       // a pruned read of a bucket no write has touched is legitimately
       // empty (nothing ever hashed there) — answer with an empty frame in
       // the state's schema, taken from any committed bucket
-      val any = onlyBucket.flatMap { _ =>
-        if (!fs.exists(root)) None
-        else fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-          .flatMap(b => latestVersion(spark, b.getPath.toString)
-            .map(v => s"${b.getPath}/v=$v")).headOption
-      }
+      val any = onlyBucket.flatMap(_ =>
+        resolvePaths(spark, stateDir, None).headOption)
       any match {
         case Some(path) => return spark.read.parquet(path).limit(0)
           .filter(col("op") =!= "DELETE")
@@ -292,18 +389,31 @@ object ChangelogStream {
     * listing and one bucket scan. Returns None for absent or tombstoned
     * keys.
     *
-    * `key` pairs each key column with its value, in the SAME order and
-    * runtime types the state was written with (`upsertBatch`'s `keyCols`)
-    * — e.g. `Seq("table" -> "orders", "id" -> 42L)` for the multi-table
-    * state. A mismatched tuple would hash to the wrong bucket and
-    * silently miss, which is why the layout's key columns are part of the
-    * call, not assumed. */
+    * `key` pairs each key column with its value, with the exact runtime
+    * types the state was written with (`upsertBatch`'s `keyCols`) — e.g.
+    * `Seq("table" -> "orders", "id" -> 42L)` for the multi-table state. A
+    * mismatched type would hash to the wrong bucket and silently miss,
+    * which is why the key columns are part of the call. WHICH of them the
+    * layout hashes comes from the state's manifest — so a point read on a
+    * bucketCols-narrowed state (the value-bucketed secondary index)
+    * automatically hashes the right subset. */
   def readKey(spark: SparkSession, stateDir: String,
               key: Seq[(String, Any)]): Option[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
-    val b = bucketOfValues(key.map(_._2))
-    val latest = latestVersion(spark, s"$stateDir/bucket=$b")
-      .map(v => s"$stateDir/bucket=$b/v=$v")
+    val byName = key.toMap
+    val latest = Buckets.read(spark, stateDir) match {
+      case Some(layout) =>
+        val vals = layout.bucketCols.map(c => byName.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"key ${key.map(_._1)} lacks the layout's bucket column '$c'")))
+        val b = Buckets.bucketOfValues(layout, vals)
+        if (layout.version(b) >= 0) Some(s"$stateDir/bucket=$b/v=${layout.version(b)}")
+        else None
+      case None => // pre-manifest state: uniform full-key hash
+        val b = bucketOfValues(key.map(_._2))
+        latestVersion(spark, s"$stateDir/bucket=$b")
+          .map(v => s"$stateDir/bucket=$b/v=$v")
+    }
     latest.flatMap { dir =>
       val df = spark.read.parquet(dir)
       df.filter(key.map { case (c, v) => col(c) === lit(v) }

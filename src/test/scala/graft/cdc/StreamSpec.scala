@@ -72,6 +72,55 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("an oversized bucket splits in place; untouched buckets stay byte-identical") {
+    val work = Files.createTempDirectory("graft-rescale-").toString
+    val stateDir = s"$work/state"
+    def mk(n: Int, offset: Long) = spark.range(n)
+      .select(($"id" + offset).as("id"))
+      .select($"id", $"id".as("seq"),
+        lit("INSERT").as("op"), concat(lit("payload-"), $"id").as("v"))
+    // batch 1: small state across all 16 buckets, no splits
+    ChangelogStream.upsertBatch(mk(200, 0L), stateDir, maxBucketBytes = 1L << 20)
+    val layout1 = Buckets.read(spark, stateDir).get
+    assert(layout1.entries.keySet === (0 until 16).toSet)
+    def files(dir: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).map(f => f.getPath -> f.lastModified).toMap
+    }
+    // batch 2: bulk rows aimed at ONE bucket's key space; a tiny
+    // threshold forces that bucket (and only touched buckets) to split
+    val bulk = mk(3000, 1000L)
+      .withColumn("b", pmod(hash($"id"), lit(16))).filter($"b" === 3).drop("b")
+    val untouchedBefore = (0 until 16).filter(_ != 3).map { b =>
+      b -> files(new java.io.File(s"$stateDir/bucket=$b"))
+    }.toMap
+    ChangelogStream.upsertBatch(bulk, stateDir, maxBucketBytes = 4096L)
+    val layout2 = Buckets.read(spark, stateDir).get
+    val splitBuckets = layout2.entries.filter(_._2._1 > 4)
+    assert(splitBuckets.nonEmpty, "bucket 3 should have split past depth 4")
+    assert(splitBuckets.keySet.forall(b => Math.floorMod(b, 16) == 3),
+      s"only bucket 3's lineage may split, got ${splitBuckets.keySet}")
+    // untouched buckets: same files, same mtimes
+    (0 until 16).filter(_ != 3).foreach { b =>
+      assert(files(new java.io.File(s"$stateDir/bucket=$b")) === untouchedBefore(b))
+    }
+    // the split state still answers correctly: full scan + point reads
+    val expected = 200 + bulk.count()
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === expected)
+    val probeIds = bulk.select("id").as[Long].take(5) :+ 5L
+    probeIds.foreach { id =>
+      val row = ChangelogStream.readKey(spark, stateDir, id)
+      assert(row.isDefined && row.get.getAs[String]("v") === s"payload-$id")
+    }
+    // a third batch merges correctly into the deepened layout
+    ChangelogStream.upsertBatch(
+      mk(1, 0L).select($"id", ($"seq" + 100000L).as("seq"), $"op",
+        lit("updated").as("v")), stateDir, maxBucketBytes = 4096L)
+    assert(ChangelogStream.readKey(spark, stateDir, 0L).get.getAs[String]("v") === "updated")
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === expected)
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
