@@ -223,6 +223,11 @@ object SparkEntry {
       Apply.stateDiff(Changelog.fromOrders(s, d), payload, "o_orderkey",
         asOfOld = 500000L, asOfNew = Long.MaxValue, diffCols = Seq("o_totalprice"))
         .orderBy(col("o_orderkey"))),
+    "cdc_state_diff_versions" -> ((s, d) =>
+      // the same diff served from committed bucket VERSIONS: a savepoint
+      // pins the state at the batch boundary, the diff reads pinned vs
+      // live — no changelog re-apply (shares cdc_state_diff's oracle)
+      ChangelogStream.qStateDiffVersions(s, d)),
     "q_semijoin" -> (Relational.qSemiJoin _),
     "q_correlated_subquery" -> (Relational.qCorrelatedSubquery _),
     "q_window_lead" -> (Relational.qWindowLead _),
@@ -469,6 +474,30 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // whole-payload null-safe compare, mirroring Spark's struct <=> — only
+  // o_totalprice can differ in the fixture, but the predicate states the
+  // real semantics. Shared by the changelog-axis diff (cdc_state_diff) and
+  // the committed-versions/savepoint diff (cdc_state_diff_versions).
+  private val stateDiffOracle: String = {
+    val changed = Changelog.payloadCols
+      .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString(" OR ")
+    s"""WITH ${Changelog.oracleCte},
+       |s1 AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog WHERE seq <= 500000) WHERE rn = 1 AND op <> 'DELETE'),
+       |s2 AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog) WHERE rn = 1 AND op <> 'DELETE'),
+       |d AS (SELECT coalesce(s2.id, s1.id) AS o_orderkey,
+       |  CASE WHEN s1.id IS NULL THEN 'ADDED'
+       |       WHEN s2.id IS NULL THEN 'REMOVED'
+       |       WHEN $changed THEN 'UPDATED' END AS change,
+       |  s1.o_totalprice AS old_o_totalprice, s2.o_totalprice AS new_o_totalprice
+       |  FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id)
+       |SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice
+       |FROM d WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the approx sketch
     * (driver records rows-only). */
@@ -520,28 +549,9 @@ object SparkEntry {
       s"""WITH ${Changelog.oracleCte}
          |SELECT "table", op, count(*) AS "count" FROM changelog
          |GROUP BY "table", op ORDER BY "table", op""".stripMargin,
-    "cdc_state_diff" -> {
-      // whole-payload null-safe compare, mirroring Spark's struct <=> —
-      // only o_totalprice can differ in the fixture, but the predicate
-      // states the real semantics
-      val changed = Changelog.payloadCols
-        .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString(" OR ")
-      s"""WITH ${Changelog.oracleCte},
-         |s1 AS (SELECT * FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
-         |  FROM changelog WHERE seq <= 500000) WHERE rn = 1 AND op <> 'DELETE'),
-         |s2 AS (SELECT * FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
-         |  FROM changelog) WHERE rn = 1 AND op <> 'DELETE'),
-         |d AS (SELECT coalesce(s2.id, s1.id) AS o_orderkey,
-         |  CASE WHEN s1.id IS NULL THEN 'ADDED'
-         |       WHEN s2.id IS NULL THEN 'REMOVED'
-         |       WHEN $changed THEN 'UPDATED' END AS change,
-         |  s1.o_totalprice AS old_o_totalprice, s2.o_totalprice AS new_o_totalprice
-         |  FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id)
-         |SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice
-         |FROM d WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin
-    },
+    "cdc_state_diff" -> stateDiffOracle,
+    "cdc_state_diff_versions" -> stateDiffOracle,
+
     "stream_static_join" ->
       s"""SELECT c_mktsegment, event_type, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events JOIN customer ON user_id = c_custkey

@@ -173,17 +173,38 @@ object Apply {
       .filter(col("last.op") =!= "DELETE")
       .select(col("id"),
         struct(payloadCols.map(c => col(s"last.$c").as(c)): _*).as(alias))
-    snap(asOfOld, "o").join(snap(asOfNew, "n"), Seq("id"), "full_outer")
+    classifyDiff(snap(asOfOld, "o"), snap(asOfNew, "n"),
+      key, changelog.schema(key).dataType, diffCols)
+  }
+
+  /** Version-addressed diff: the same ADDED/REMOVED/UPDATED classification
+    * over two MATERIALIZED state frames — e.g. a [[Buckets.savepoint]]'s
+    * pinned snapshot vs the live state ([[ChangelogStream.readStateAt]] /
+    * `readState`). No changelog re-apply: each side is a direct read of
+    * committed bucket versions (co-bucketed by construction, so at scale
+    * the join reuses the layout instead of re-shuffling history). */
+  def stateDiffVersions(oldState: DataFrame, newState: DataFrame,
+                        payloadCols: Seq[String], key: String,
+                        diffCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, alias: String) = df
+      .select(col("id"), struct(payloadCols.map(col): _*).as(alias))
+    classifyDiff(side(oldState, "o"), side(newState, "n"),
+      key, oldState.schema(key).dataType, diffCols)
+  }
+
+  private def classifyDiff(o: DataFrame, n: DataFrame, key: String,
+                           keyType: org.apache.spark.sql.types.DataType,
+                           diffCols: Seq[String]): DataFrame =
+    o.join(n, Seq("id"), "full_outer")
       .withColumn("change",
         when(col("o").isNull, "ADDED")
           .when(col("n").isNull, "REMOVED")
           .when(!(col("o") <=> col("n")), "UPDATED"))
       .filter(col("change").isNotNull)
-      .select(Seq(col("id").cast(changelog.schema(key).dataType).as(key),
+      .select(Seq(col("id").cast(keyType).as(key),
         col("change")) ++
         diffCols.flatMap(c => Seq(
           col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
-  }
 
   /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):
     * event counts per operation — the consumer-side "routing table". */

@@ -146,6 +146,22 @@ object Changelog {
         cl.filter(col("op").isin("UPDATE", "DELETE")), dir, "f3", 3000000L)
     }
 
+  /** The orders changelog staged as two mtime-ordered files split on the
+    * seq axis — everything at-or-before `splitSeq`, then the rest — so a
+    * streaming consumer's FIRST micro-batch materializes exactly the as-of
+    * snapshot (the batch boundary a [[Buckets.savepoint]] pins for
+    * version-addressed diffs). */
+  def stageParquetSeqPhased(spark: SparkSession, sfDir: String,
+                            splitSeq: Long): String =
+    stage(fromOrders(spark, sfDir), sfDir, s"parquet-seq$splitSeq",
+        Seq("orders.parquet")) { (cl, dir) =>
+      new java.io.File(dir).mkdirs()
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("seq") <= splitSeq), dir, "f1", 1000000L)
+      graft.model.Staging.stageOrderedFile(
+        cl.filter(col("seq") > splitSeq), dir, "f2", 2000000L)
+    }
+
   /** Second table for multi-table fan-out (the reference handles all tables
     * of the publication through one stream, dispatching per `tableName` —
     * `producer.go:42` FOR ALL TABLES, `utils.go:105-112`): customer

@@ -529,6 +529,40 @@ object ChangelogStream {
     readState(spark, stateDir, Changelog.payloadCols).orderBy(col("o_orderkey"))
   }
 
+  /** Version-addressed state diff: the changelog streams in TWO
+    * micro-batches split on the seq axis; a [[Buckets.savepoint]] pins the
+    * state's (bucket → version) set at the batch boundary, and the diff
+    * reads that pinned snapshot against the live state directly — NO
+    * changelog re-apply (cdc_state_diff recomputes both snapshots from
+    * history; this is the committed-versions rendering of the same answer,
+    * which is why the two queries share one oracle). Retention keeps the
+    * pinned versions alive however many batches later the diff runs. */
+  def qStateDiffVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    val splitSeq = 500000L
+    val clDir = Changelog.stageParquetSeqPhased(spark, sfDir, splitSeq)
+    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString
+    val stateDir = s"$work/state"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, stateDir)
+        if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cols = Seq("id") ++ Changelog.payloadCols
+    Apply.stateDiffVersions(
+      readStateAt(spark, stateDir, "asof", cols),
+      readState(spark, stateDir, cols),
+      Changelog.payloadCols, "o_orderkey", diffCols = Seq("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Streaming apply fed by the engine's OWN DSv2 connector
     * ([[graft.sources.ChangelogMicroBatchStream]]): JSON-line DatabaseEvent
     * envelopes tailed as a MicroBatchStream (file-offset resume, bounded

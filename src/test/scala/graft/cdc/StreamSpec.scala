@@ -121,6 +121,30 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === expected)
   }
 
+  test("a savepoint pins its versions through later batches and retention") {
+    val work = Files.createTempDirectory("graft-savepoint-").toString
+    val stateDir = s"$work/state"
+    def mk(seq: Long, tag: String) = spark.range(50)
+      .select($"id", lit(seq).as("seq"), lit("INSERT").as("op"),
+        concat(lit(tag), $"id").as("v"))
+    ChangelogStream.upsertBatch(mk(1L, "old-"), stateDir)
+    Buckets.savepoint(spark, stateDir, "base")
+    // several later batches rewrite every bucket; retention alone keeps
+    // only pointer-1, so the pinned versions survive ONLY via the pin
+    (2L to 5L).foreach(s => ChangelogStream.upsertBatch(mk(s, s"new$s-"), stateDir))
+    val pinned = ChangelogStream.readStateAt(spark, stateDir, "base", Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(pinned.length === 50 && pinned.forall { case (i, v) => v == s"old-$i" })
+    // version-addressed diff: every key UPDATED, old/new values correct
+    val diff = Apply.stateDiffVersions(
+      ChangelogStream.readStateAt(spark, stateDir, "base", Seq("id", "v")),
+      ChangelogStream.readState(spark, stateDir, Seq("id", "v")),
+      Seq("v"), "id", diffCols = Seq("v"))
+      .orderBy("id").as[(Long, String, String, String)].collect()
+    assert(diff.length === 50)
+    assert(diff.forall { case (i, c, o, n) => c == "UPDATED" && o == s"old-$i" && n == s"new5-$i" })
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
