@@ -21,10 +21,28 @@ object Bench {
     }
     // stable (sorted) execution order so per-query timings are comparable
     // across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOne(fn)
+    }
+    // noise control: same-code totals have varied ~35% run-to-run on this
+    // box, dominated by jitter in the many sub-second queries (GC, codegen
+    // compiles landing mid-query). The fast tier re-runs twice more and
+    // reports the per-query MEDIAN of 3; long queries (streaming pipelines,
+    // multi-batch by construction) stay single-rep — rerunning them would
+    // double the wall time for little variance gain.
+    val repTier = 2.0 // seconds: below this a query gets 3 reps
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 >= repTier) name -> t1
+      else {
+        val fn = SparkEntry.queries(name)
+        val ts = Seq(t1, timeOne(fn), timeOne(fn)).sorted
+        name -> ts(1)
+      }
     }
     val total = results.map(_._2).sum
 
