@@ -451,17 +451,20 @@ object SparkEntry {
 
   /** Mirrors Similarity.qAnnKmeans: the round-`iters` k-means scoring
     * (s$iters — every vector vs the trained centroids) ranked per vector
-    * gives cells (crk=1) and the queries' probe set (crk<=2); then the
-    * exact rerank of emb_ann_centroid over the probed cells. */
+    * gives cells (crk=1) and the queries' ADAPTIVE probe set — nearest
+    * cell always, further cells (≤4) only within 0.15 of the best score —
+    * then the exact rerank of emb_ann_centroid over the probed cells. */
   private def annKmeansOracle(iters: Int): String =
     s"""WITH $embX,
        |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
        |${kmeansRounds(iters)},
        |asg AS (SELECT vec_id, cl, score,
-       |               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk,
+       |               max(score) OVER (PARTITION BY vec_id) AS best
        |        FROM s$iters),
        |cells AS (SELECT vec_id, cl AS cell FROM asg WHERE crk = 1),
-       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asg WHERE vec_id < 10 AND crk <= 2),
+       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asg
+       |           WHERE vec_id < 10 AND (crk = 1 OR (crk <= 4 AND score >= best - 0.15))),
        |cand AS (SELECT p.q_id, c.vec_id FROM probed p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
        |dots AS (SELECT cd2.q_id, cd2.vec_id, sum(xq.e * xv.e) AS dot
        |         FROM cand cd2
