@@ -213,12 +213,18 @@ object ChangelogStream {
       if (touched.isEmpty) return
       val prevPaths = touched.filter(layout.version(_) >= 0)
         .map(b => s"$stateDir/bucket=$b/v=${layout.version(b)}")
-      // prev rows carry no bucket column on disk; recompute it (cheap hash)
+      // prev rows carry no bucket column on disk; recompute it (cheap hash).
+      // Truncate-fenced rows are dropped here — they can never be visible
+      // again (the fence is monotone), so each merge physically purges its
+      // touched buckets' dead rows; readers filter the rest until their
+      // bucket is next touched or compacted ([[compactState]]).
+      val fences = truncateFences(spark, stateDir)
       val prev =
-        if (prevPaths.nonEmpty)
-          spark.read.parquet(prevPaths: _*)
+        if (prevPaths.nonEmpty) {
+          val raw = spark.read.parquet(prevPaths: _*)
+          raw.filter(fenceCondition(raw.columns, fences))
             .withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
-        else spark.createDataFrame(
+        } else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withB.schema)
       // max_by hash aggregation (map-side combined) — see Apply.latestState;
       // grouping by (bucket, keys) keeps the bucket for the partitioned write
@@ -306,6 +312,67 @@ object ChangelogStream {
     * any sane layout; the guard only stops a pathological hash pile-up
     * from splitting forever. */
   private val MaxDepth = 24
+
+  /** State OPTIMIZE: rewrite every bucket's pointed version in ONE Spark
+    * job — dropping truncate-fenced rows (physically purging what readers
+    * were filtering) and collapsing the per-merge file accretion to one
+    * file per bucket (`repartition` on the bucket column puts each
+    * bucket's rows in exactly one task) — then flip one manifest version.
+    * Logical content is unchanged; bytes, file counts, and per-read open
+    * costs drop. Tombstones are RETAINED — they still fence late replays.
+    * Crash protocol identical to a merge: new version dirs are invisible
+    * until the manifest flip, and a re-run overwrites them. This is the
+    * maintenance pass a deployment schedules off-peak, the keyed-state
+    * analog of [[graft.ops.Layout.compactPartitioned]]. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val layout = Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest at $stateDir — compact a state written by upsertBatch"))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = layout.paths(stateDir)
+    if (paths.isEmpty) return
+    val fences = truncateFences(spark, stateDir)
+    val tmp = s"$stateDir/.compact-tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val raw = spark.read.parquet(paths: _*)
+    raw.filter(fenceCondition(raw.columns, fences))
+      .withColumn("__bucket", Buckets.bucketExpr(layout, layout.bucketCols))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(tmp)
+    var entries = layout.entries
+    layout.entries.toSeq.sortBy(_._1).foreach { case (b, (d, v)) =>
+      if (v >= 0) {
+        val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
+        val to = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b/v=${v + 1}")
+        if (fs.exists(to)) fs.delete(to, true)
+        if (fs.exists(from)) {
+          if (!fs.rename(from, to))
+            throw new IllegalStateException(s"compact promote failed: $from -> $to")
+        } else {
+          // every row of this bucket died (all fenced): materialize a real
+          // empty version (schema-carrying parquet) so the pointer still
+          // advances and the dead bytes age out through retention
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw.schema)
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(to.toString)
+        }
+        fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+        entries = entries.updated(b, (d, v + 1))
+      }
+    }
+    Buckets.commit(spark, stateDir, layout.copy(entries = entries))
+    val pinned = Buckets.pinnedVersions(spark, stateDir)
+    entries.toSeq.sortBy(_._1).foreach { case (b, (_, _)) =>
+      val keepFrom = math.max(layout.version(b), 0L)
+      val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
+      if (fs.exists(bDir))
+        committedVersions(spark, bDir.toString)
+          .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 
   /** The uniform layout of a state written before manifests existed (or of
     * a fresh state): NumBuckets buckets at depth log2(NumBuckets), pointing

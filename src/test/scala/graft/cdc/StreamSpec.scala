@@ -64,6 +64,27 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     ChangelogStream.upsertBatch(mk((2L, 6L, "UPDATE", "t", "b2")), stateDir)
     assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
       .orderBy("id").as[(Long, String)].collect().toSeq === Seq((2L, "b2"), (9L, "x")))
+    // that merge PHYSICALLY purged the fenced row from its touched bucket
+    // (readers were already filtering it; the bytes go on next touch)
+    def rawPointed() = {
+      val paths = Buckets.read(spark, stateDir).get.paths(stateDir)
+      spark.read.parquet(paths: _*)
+    }
+    assert(rawPointed().filter($"table" === "t" && $"id" === 2L && $"seq" <= 5L)
+      .count() === 0)
+    // compactState purges the REST (untouched buckets' fenced rows) in one
+    // pass and collapses each bucket to one data file; content unchanged
+    assert(rawPointed().filter($"table" === "t" && $"seq" <= 5L).count() > 0)
+    ChangelogStream.compactState(spark, stateDir)
+    assert(rawPointed().filter($"table" === "t" && $"seq" <= 5L).count() === 0)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq === Seq((2L, "b2"), (9L, "x")))
+    Buckets.read(spark, stateDir).get.paths(stateDir).foreach { p =>
+      val dataFiles = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+      assert(dataFiles.length === 1, s"$p should hold one compacted file")
+    }
+    assert(ChangelogStream.readKey(spark, stateDir, 2L).isDefined)
     // end-to-end stream equals the batch truncate apply
     val streamed = ChangelogStream.qApplyStreamingTruncate(spark, sfDir)
     val batch = Apply.truncateApply(
