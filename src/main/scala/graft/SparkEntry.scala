@@ -54,6 +54,11 @@ object SparkEntry {
     "cdc_mv_agg" -> (graft.cdc.Pipeline.qMv _),
     "cdc_mv_join" -> (graft.cdc.Pipeline.qMvJoin _),
     "cdc_secondary_index" -> (graft.cdc.Pipeline.qIndex _),
+    "cdc_mv_join_bidi" -> ((s, d) =>
+      // the join-MV with BOTH sides changing: segment moves re-attribute a
+      // customer's whole order history, deletes retract it — per-key
+      // replace over a maintained per-customer aggregate state (JoinMv)
+      graft.cdc.JoinMv.qMvJoinBidi(s, d)),
     "cdc_apply_truncate" -> ((s, d) =>
       // table-wide TRUNCATE applied (the reference drops it,
       // producer.go:161-166): events at-or-before the truncate seq erased,
@@ -527,6 +532,22 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
+    "cdc_mv_join_bidi" ->
+      // bidirectional IVM guarantee: the maintained MV equals revenue per
+      // segment over BOTH fully-applied states joined
+      s"""WITH ${Changelog.oracleCte},
+         |${Changelog.customerSegMoveOracleCte},
+         |oranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |ostate AS (SELECT * FROM oranked WHERE rn = 1 AND op <> 'DELETE'),
+         |cranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM c_changelog),
+         |cstate AS (SELECT * FROM cranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT c.c_mktsegment, count(*) AS n, ${dsum("o.o_totalprice", "sum_value")}
+         |FROM ostate o JOIN cstate c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_truncate" -> truncateOracle,
     "cdc_apply_truncate_stream" -> truncateOracle,
     "cdc_mv_agg" ->

@@ -264,6 +264,62 @@ object Changelog {
       cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** Customer changelog whose UPDATEs MOVE the customer's market segment
+    * (to the fixed 'MOVED' segment) as well as bumping c_acctbal — the
+    * dimension-churn fixture for bidirectional join-MV maintenance
+    * ([[JoinMv]]): a segment move must re-attribute ALL the customer's
+    * order revenue, and a customer DELETE must retract it. Same %3/%11
+    * update/delete rules as [[fromCustomer]]. */
+  def fromCustomerSegMove(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val inserts = c.select(Seq(
+      col("c_custkey").as("id"),
+      col("c_custkey").as("seq"),
+      lit("INSERT").as("op"),
+      lit("customer").as("table")) ++ customerPayloadCols.map(col): _*)
+    val updates = c.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("id"),
+      (col("c_custkey") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("customer").as("table"),
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      (col("c_acctbal") + 1d).as("c_acctbal"),
+      lit("MOVED").as("c_mktsegment"))
+    val deletes = c.filter(col("c_custkey") % 11 === 0).select(Seq(
+      col("c_custkey").as("id"),
+      (col("c_custkey") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("customer").as("table")) ++ customerPayloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** Orders ∪ segment-moving customer events, one interleaved multi-table
+    * parquet changelog (superset envelope). */
+  def stageParquetMultiTableSegMove(spark: SparkSession, sfDir: String): String =
+    stage(
+      fromOrders(spark, sfDir)
+        .unionByName(fromCustomerSegMove(spark, sfDir), allowMissingColumns = true),
+      sfDir, "parquet-multi-segmove", Seq("orders.parquet", "customer.parquet")) { (cl, dir) =>
+      cl.repartition(8).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  /** DuckDB CTE of [[fromCustomerSegMove]] (CTE name `c_changelog` so it
+    * composes with [[oracleCte]]'s `changelog`). */
+  val customerSegMoveOracleCte: String =
+    """c_changelog AS (
+      |  SELECT c_custkey AS id, c_custkey AS seq, 'INSERT' AS op,
+      |         c_custkey, c_mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey + 1000000, 'UPDATE',
+      |         c_custkey, 'MOVED'
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey + 2000000, 'DELETE',
+      |         c_custkey, c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |)""".stripMargin
+
   /** The typed payload schema, derived from the changelog itself — the one
     * place the column set is defined. */
   def payloadSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType =

@@ -34,7 +34,7 @@ object Materialize {
 
   /** Stored sum type: wide enough that per-group decimal partial sums never
     * overflow mid-maintenance (DecimalType sums widen to precision 28). */
-  private val SType = DecimalType(28, 4)
+  private[cdc] val SType = DecimalType(28, 4)
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -77,16 +77,26 @@ object Materialize {
   private[cdc] def commitDelta(spark: SparkSession, mvDir: String, batchId: Long,
                                prev: DataFrame, merged: DataFrame,
                                groupCols: Seq[String],
-                               contrib: (DataFrame, Int) => DataFrame): Unit = {
+                               contrib: (DataFrame, Int) => DataFrame): Unit =
+    // merged rows credit, previous rows debit — ONE union + ONE shuffle per
+    // batch (a per-side aggregate pair would cost three shuffle stages for
+    // the same result)
+    commitDeltaRows(spark, mvDir, batchId,
+      contrib(merged, 1).unionByName(contrib(prev, -1)), groupCols)
+
+  /** The fenced fold-and-commit shared by every maintained aggregate:
+    * signed (groupCols..., n, s) delta rows + the prior MV carry-over →
+    * next `v=<batchId>` version. Callers with non-standard delta algebra
+    * (the bidirectional join-MV's per-key replace) build the rows
+    * themselves. */
+  private[cdc] def commitDeltaRows(spark: SparkSession, mvDir: String,
+                                   batchId: Long, deltaRows: DataFrame,
+                                   groupCols: Seq[String]): Unit = {
     if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) return
-    // merged rows credit, previous rows debit, the prior MV carries over as
-    // pre-aggregated rows — ONE union + ONE shuffle per batch (a per-side
-    // aggregate pair would cost three shuffle stages for the same result)
     val carry = lastMvBatch(spark, mvDir)
       .map(v => spark.read.parquet(s"$mvDir/v=$v"))
-      .getOrElse(contrib(merged, 1).limit(0))
-    val next = contrib(merged, 1)
-      .unionByName(contrib(prev, -1))
+      .getOrElse(deltaRows.limit(0))
+    val next = deltaRows
       .unionByName(carry)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("s")).cast(SType).as("s"))
