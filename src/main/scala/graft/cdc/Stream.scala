@@ -190,7 +190,6 @@ object ChangelogStream {
       .getOrElse(legacyLayout(spark, stateDir, bCols))
     require(layout.bucketCols == bCols,
       s"state at $stateDir is bucketed by ${layout.bucketCols}, not $bCols")
-    val others = batch.columns.toSeq.filterNot(keyCols.contains)
     val hasOp = batch.columns.contains("op")
     val withB = batch.withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
     withB.persist()
@@ -221,7 +220,9 @@ object ChangelogStream {
       val fences = truncateFences(spark, stateDir)
       val prev =
         if (prevPaths.nonEmpty) {
-          val raw = spark.read.parquet(prevPaths: _*)
+          // mergeSchema: buckets written before a schema change lack the
+          // newer columns; the union view must carry them all
+          val raw = spark.read.option("mergeSchema", "true").parquet(prevPaths: _*)
           raw.filter(fenceCondition(raw.columns, fences))
             .withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
         } else spark.createDataFrame(
@@ -231,7 +232,14 @@ object ChangelogStream {
       // (bucket is key-functional, so groups are identical to groupBy(keys))
       val tmp = s"$stateDir/.merge-tmp"
       val data = if (hasOp) withB.filter(col("op") =!= "TRUNCATE") else withB
-      prev.unionByName(data)
+      // SCHEMA EVOLUTION (the reference's RelationMessage re-announcement,
+      // O3): the merge runs over the UNION of the batch's and the stored
+      // rows' columns — a column added mid-stream null-pads history, a
+      // dropped one null-pads the new rows — so the state follows the
+      // changelog's schema without a rewrite
+      val others = (data.columns ++ prev.columns).distinct.toSeq
+        .filterNot(keyCols.contains).filterNot(_ == "__bucket")
+      prev.unionByName(data, allowMissingColumns = true)
         .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
         .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
         .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
@@ -335,7 +343,7 @@ object ChangelogStream {
     val fences = truncateFences(spark, stateDir)
     val tmp = s"$stateDir/.compact-tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val raw = spark.read.parquet(paths: _*)
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     raw.filter(fenceCondition(raw.columns, fences))
       .withColumn("__bucket", Buckets.bucketExpr(layout, layout.bucketCols))
       .repartition(col("__bucket"))
@@ -439,7 +447,7 @@ object ChangelogStream {
         case None => throw new IllegalStateException(s"no state at $stateDir")
       }
     }
-    val df = spark.read.parquet(latest: _*)
+    val df = spark.read.option("mergeSchema", "true").parquet(latest: _*)
     df.filter(col("op") =!= "DELETE" &&
         fenceCondition(df.columns, truncateFences(spark, stateDir)))
       .select(payloadCols.map(col): _*)
@@ -583,16 +591,22 @@ object ChangelogStream {
     val clDir = Changelog.stageParquetTruncatePhased(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString
     val stateDir = s"$work/state"
-    val stream = spark.readStream
-      .schema(spark.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(clDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-batch merges run over touched-bucket-sized data; 8 shuffle
+    // partitions fit that (restored after — the qMvAgg sizing note)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     readState(spark, stateDir, Changelog.payloadCols).orderBy(col("o_orderkey"))
   }
 
@@ -609,19 +623,24 @@ object ChangelogStream {
     val clDir = Changelog.stageParquetSeqPhased(spark, sfDir, splitSeq)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString
     val stateDir = s"$work/state"
-    val stream = spark.readStream
-      .schema(spark.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(clDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, stateDir)
-        if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
-      }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // touched-bucket-sized per-batch stages (see qApplyStreamingTruncate)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertBatch(batch, stateDir)
+          if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val cols = Seq("id") ++ Changelog.payloadCols
     Apply.stateDiffVersions(
       readStateAt(spark, stateDir, "asof", cols),

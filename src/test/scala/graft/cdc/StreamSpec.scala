@@ -166,6 +166,33 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(diff.forall { case (i, c, o, n) => c == "UPDATED" && o == s"old-$i" && n == s"new5-$i" })
   }
 
+  test("a column added (or dropped) mid-stream evolves the state schema") {
+    val work = Files.createTempDirectory("graft-evolve-").toString
+    val stateDir = s"$work/state"
+    // v1 events lack column "b"
+    ChangelogStream.upsertBatch(
+      Seq((1L, 1L, "INSERT", "a1"), (2L, 2L, "INSERT", "a2"))
+        .toDF("id", "seq", "op", "a"), stateDir)
+    // v2 events carry "b" (RelationMessage re-announcement, O3): history
+    // null-pads, the updated key carries both fields
+    ChangelogStream.upsertBatch(
+      Seq((1L, 3L, "UPDATE", "a1b", "b1"))
+        .toDF("id", "seq", "op", "a", "b"), stateDir)
+    val out = ChangelogStream.readState(spark, stateDir, Seq("id", "a", "b"))
+      .orderBy("id").as[(Long, String, Option[String])].collect()
+    assert(out.toSeq === Seq((1L, "a1b", Some("b1")), (2L, "a2", None)))
+    // a later batch WITHOUT "b" must not erase the stored column for
+    // untouched keys (the union keeps the stored side's schema)
+    ChangelogStream.upsertBatch(
+      Seq((3L, 4L, "INSERT", "a3")).toDF("id", "seq", "op", "a"), stateDir)
+    val out2 = ChangelogStream.readState(spark, stateDir, Seq("id", "a", "b"))
+      .orderBy("id").as[(Long, String, Option[String])].collect()
+    assert(out2.toSeq === Seq(
+      (1L, "a1b", Some("b1")), (2L, "a2", None), (3L, "a3", None)))
+    assert(ChangelogStream.readKey(spark, stateDir, 1L)
+      .get.getAs[String]("b") === "b1")
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
