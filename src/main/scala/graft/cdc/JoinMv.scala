@@ -35,19 +35,23 @@ import org.apache.spark.sql.types.DecimalType
   *   1. MV delta commits FIRST, fenced on batchId ([[Materialize
   *      .commitDeltaRows]]) — it reads A_before, so it must run while A is
   *      still pre-batch;
-  *   2. A's upsert runs second behind its own batchId high-water fence;
+  *   2. A's and the segment dim state's upserts run second, behind ONE
+  *      batchId high-water fence;
   *   3. the primary state merge promotes last (idempotent).
-  * A replay after (1) skips the MV (fenced) and still sees clean A_before
-  * unreachable — A only advances after (1) commits. A replay after (2)
-  * skips both. Every window recomputes from identical (prev, merged).
+  * A replay after (1) skips the MV (fenced) and still sees clean
+  * pre-batch A and segments — both only advance after (1) commits. A
+  * replay after (2) skips both. Every window recomputes from identical
+  * (prev, merged).
   */
 object JoinMv {
 
   /** Merge one multi-table micro-batch into the shared keyed state AND
-    * maintain (a) the per-customer orders aggregate state at `aggDir` and
-    * (b) the per-segment join-MV at `mvDir`. */
+    * maintain (a) the per-customer orders aggregate state at `aggDir`,
+    * (b) the customer→segment dimension state at `segDir` (so the segment
+    * view is a DIM-SIZED read each batch, never a scan of the shared
+    * multi-table state), and (c) the per-segment join-MV at `mvDir`. */
   def maintainBatch(batch: DataFrame, batchId: Long, stateDir: String,
-                    aggDir: String, mvDir: String): Unit = {
+                    aggDir: String, segDir: String, mvDir: String): Unit = {
     val spark = batch.sparkSession
     ChangelogStream.upsertBatch(batch, stateDir, keyCols = Seq("table", "id"),
       beforeCommit = (prev, merged) => {
@@ -73,12 +77,11 @@ object JoinMv {
           .select(col("custkey"))
         // every customer key whose contribution to M must be replaced
         val keys = dO.select(col("custkey")).unionByName(dC).distinct()
-        // segment views: before = the dim state as of BEFORE this batch
-        // (the hook runs pre-commit, so readState IS the before view);
+        // segment views: before = the maintained dim state (pre-batch by
+        // the ordering contract — it only advances after the MV commit);
         // after = merged live rows ∪ before outside the touched customers
-        val segBefore = readStateOrEmpty(spark, stateDir,
-            Seq("table", "id", "op", "c_mktsegment"))
-          .filter(col("table") === "customer")
+        val segBefore = readStateOrEmpty(spark, segDir,
+            Seq("id", "c_mktsegment"))
           .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
         val touchedCust = prev.unionByName(merged)
           .filter(col("table") === "customer")
@@ -116,13 +119,19 @@ object JoinMv {
               col("n_a").as("n"), col("s_a").as("s"))
           Materialize.commitDeltaRows(spark, mvDir, batchId,
             credits.unionByName(debits), Seq("c_mktsegment"))
-          // 2. A: absolute new per-customer totals for keys with order
-          // churn, high-water-fenced so a replay can't re-add
+          // 2. behind ONE high-water fence (they advance together): A's
+          // absolute new per-customer totals, and the dim state's customer
+          // events — both strictly AFTER the MV commit, so any replay that
+          // recomputes the MV delta still reads pre-batch A and segments
           if (committedAggBatch(spark, aggDir) < batchId) {
             val newA = k.filter(col("in_do"))
               .select(col("custkey").as("id"), lit(batchId).as("seq"),
                 lit("INSERT").as("op"), col("n_a").as("n"), col("s_a").as("s"))
             ChangelogStream.upsertBatch(newA, aggDir)
+            val custEvents = batch
+              .filter(col("table") === "customer")
+              .select(col("id"), col("seq"), col("op"), col("c_mktsegment"))
+            ChangelogStream.upsertBatch(custEvents, segDir)
             writeAggFence(spark, aggDir, batchId)
           }
         } finally k.unpersist()
@@ -194,7 +203,8 @@ object JoinMv {
         .parquet(clDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainBatch(batch, batchId, s"$work/state", s"$work/agg", s"$work/mv")
+          maintainBatch(batch, batchId, s"$work/state",
+            s"$work/agg", s"$work/seg", s"$work/mv")
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
