@@ -193,6 +193,32 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       .get.getAs[String]("b") === "b1")
   }
 
+  test("a crash before the manifest flip leaves readers on the previous batch") {
+    val work = Files.createTempDirectory("graft-torn-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    val b2 = mk((1L, 3L, "UPDATE", "a2"), (2L, 4L, "INSERT", "b"))
+    ChangelogStream.upsertBatch(mk((1L, 1L, "INSERT", "a")), stateDir)
+    ChangelogStream.upsertBatch(b2, stateDir)
+    // simulate the crash window: batch 2's bucket version dirs are written
+    // (with their _SUCCESS) but the manifest flip "never happened"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = ChangelogStream.committedVersions(spark, s"$stateDir/_layout")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_layout/v=${manifests.last}"), true)
+    // readers resolve the PREVIOUS manifest: batch-1 content only, even
+    // though batch-2 dirs sit committed on disk (no torn multi-bucket read)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    assert(ChangelogStream.readKey(spark, stateDir, 2L).isEmpty)
+    // the checkpointed replay of batch 2 re-merges onto the same version
+    // numbers and re-flips — final state correct, nothing double-applied
+    ChangelogStream.upsertBatch(b2, stateDir)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
