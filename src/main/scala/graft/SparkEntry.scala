@@ -50,10 +50,16 @@ object SparkEntry {
     // (the reference consumer's store+index loop, consumer.go:15-55) —
     // these four queries are views over that one shared pass, each checked
     // against its own independent oracle (graft.cdc.Pipeline)
-    "cdc_pipeline_full" -> (graft.cdc.Pipeline.qState _),
+    "cdc_pipeline_full" -> (graft.cdc.Pipeline.qStateIndexCoherent _),
     "cdc_mv_agg" -> (graft.cdc.Pipeline.qMv _),
     "cdc_mv_join" -> (graft.cdc.Pipeline.qMvJoin _),
     "cdc_secondary_index" -> (graft.cdc.Pipeline.qIndex _),
+    "cdc_scd2" -> ((s, d) =>
+      // SCD Type-2 history: one row per (key, version) with its validity
+      // interval on the seq axis — the warehouse companion of the SCD-1
+      // overwrite store the reference keeps
+      Apply.scd2(Changelog.fromOrders(s, d), payload)
+        .orderBy(col("o_orderkey"), col("valid_from"))),
     "cdc_mv_join_bidi" -> ((s, d) =>
       // the join-MV with BOTH sides changing: segment moves re-attribute a
       // customer's whole order history, deletes retract it — per-key
@@ -532,6 +538,13 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
+    "cdc_scd2" ->
+      s"""WITH ${Changelog.oracleCte},
+         |v AS (
+         |  SELECT *, lead(seq) OVER (PARTITION BY id ORDER BY seq) AS valid_to
+         |  FROM changelog)
+         |SELECT $payloadList, seq AS valid_from, valid_to
+         |FROM v WHERE op <> 'DELETE' ORDER BY o_orderkey, valid_from""".stripMargin,
     "cdc_mv_join_bidi" ->
       // bidirectional IVM guarantee: the maintained MV equals revenue per
       // segment over BOTH fully-applied states joined

@@ -206,6 +206,27 @@ object Apply {
         diffCols.flatMap(c => Seq(
           col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
 
+  /** SCD TYPE-2 history from the changelog: where the reference's store
+    * (and [[latestState]]) keeps only the current row per key (SCD-1
+    * overwrite), this derives the full slowly-changing-dimension table —
+    * one row per (key, version) with its validity interval on the seq/LSN
+    * axis. Each INSERT/UPDATE opens an interval at its seq; the next event
+    * on the key (including a DELETE) closes it; the live version carries a
+    * null `valid_to`. One `lead` window over (id) — a single shuffle on
+    * the key, the same minimum as the apply; a DELETE closes the prior
+    * interval but opens none. Snapshot-as-of-S is then a filter
+    * (`valid_from <= S < coalesce(valid_to, ∞)`) instead of a re-apply —
+    * the warehouse-side complement of [[stateDiff]]/cdc_time_travel. */
+  def scd2(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq"))
+    changelog
+      .filter(col("op").isin(handledOps: _*))
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "DELETE")
+      .select(payloadCols.map(col) :+
+        col("seq").as("valid_from") :+ col("valid_to"): _*)
+  }
+
   /** Op-type dispatch (reference consumer switch, `utils.go:103-113`):
     * event counts per operation — the consumer-side "routing table". */
   def opCounts(changelog: DataFrame): DataFrame =

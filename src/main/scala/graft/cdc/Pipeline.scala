@@ -104,6 +104,23 @@ object Pipeline {
     ChangelogStream.readState(spark, runFull(spark, sfDir).state, Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
 
+  /** The composed pass's cross-output COHERENCE gate: the state SEMI-JOINED
+    * to the secondary index on (status, key). The two tables are maintained
+    * by independent mechanisms off the one merge; if they ever disagreed —
+    * an index entry pointing at a moved/retired value, a state row the
+    * index missed — rows would drop here and the hash check would fail.
+    * When coherent the result IS the state, so the query shares the
+    * cdc_apply oracle: equality is the assertion. */
+  def qStateIndexCoherent(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirs = runFull(spark, sfDir)
+    val state = ChangelogStream.readState(spark, dirs.state, Changelog.payloadCols)
+    val idx = ChangelogStream.readState(spark, dirs.idx, Seq("v", "id"))
+      .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
+    state.join(idx, Seq("o_orderstatus", "o_orderkey"), "left_semi")
+      .select(Changelog.payloadCols.map(col): _*)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The per-status MV of the composed pass (shares cdc_mv_agg's oracle). */
   def qMv(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.readMv(spark, runFull(spark, sfDir).mv)

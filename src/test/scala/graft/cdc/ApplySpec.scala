@@ -219,6 +219,31 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
       .orderBy("id").as[(Long, String)].collect().toSeq === Seq((9L, "x")))
   }
 
+  test("scd2 derives validity intervals; a delete closes without opening") {
+    val events = cl(
+      (1L, 1L, "INSERT", "t", "a"), (1L, 3L, "UPDATE", "t", "b"),
+      (1L, 5L, "DELETE", "t", "b"),
+      (2L, 2L, "INSERT", "t", "x"),
+      (3L, 4L, "INSERT", "t", "c"), (3L, 6L, "DELETE", "t", "c"),
+      (3L, 7L, "INSERT", "t", "c2"))
+    val out = Apply.scd2(events, Seq("id", "v"))
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Long, Option[Long])].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 1L, Some(3L)), (1L, "b", 3L, Some(5L)),
+      (2L, "x", 2L, None),
+      (3L, "c", 4L, Some(6L)), (3L, "c2", 7L, None)))
+    // snapshot-as-of is a FILTER over the history, equal to the re-apply
+    val asOf = 4L
+    val viaScd2 = Apply.scd2(events, Seq("id", "v"))
+      .filter($"valid_from" <= asOf &&
+        ($"valid_to".isNull || $"valid_to" > asOf))
+      .select("id", "v")
+    val viaApply = Apply.latestState(events.filter($"seq" <= asOf), Seq("id", "v"))
+    assert(viaScd2.exceptAll(viaApply).count() === 0)
+    assert(viaApply.exceptAll(viaScd2).count() === 0)
+  }
+
   test("corrupt envelope JSON decodes to null and is skipped (O9 semantics)") {
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
     val df = Seq("""{"k": 5}""", "not json at all", """{"k": "oops"}""").toDF("props")
