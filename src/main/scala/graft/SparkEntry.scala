@@ -60,6 +60,7 @@ object SparkEntry {
       // overwrite store the reference keeps
       Apply.scd2(Changelog.fromOrders(s, d), payload)
         .orderBy(col("o_orderkey"), col("valid_from"))),
+    "cdc_scd2_stream" -> (graft.streaming.Stateful.qScd2Stream _),
     "cdc_mv_join_bidi" -> ((s, d) =>
       // the join-MV with BOTH sides changing: segment moves re-attribute a
       // customer's whole order history, deletes retract it — per-key
@@ -361,6 +362,17 @@ object SparkEntry {
        |SELECT $payloadList FROM ranked
        |WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey""".stripMargin
 
+  // SCD2 history: each version's interval closes at the key's next event
+  // (deletes close without opening). Shared by the batch window rendering
+  // and the streaming open-interval state machine.
+  private val scd2Oracle =
+    s"""WITH ${Changelog.oracleCte},
+       |v AS (
+       |  SELECT *, lead(seq) OVER (PARTITION BY id ORDER BY seq) AS valid_to
+       |  FROM changelog)
+       |SELECT $payloadList, seq AS valid_from, valid_to
+       |FROM v WHERE op <> 'DELETE' ORDER BY o_orderkey, valid_from""".stripMargin
+
   // TRUNCATE at seq 1,000,000 erases everything at-or-before it; the state
   // is rebuilt from the surviving updates (full rows) minus later deletes.
   // Shared by the batch fence-join and the streaming fence-metadata
@@ -538,13 +550,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
-    "cdc_scd2" ->
-      s"""WITH ${Changelog.oracleCte},
-         |v AS (
-         |  SELECT *, lead(seq) OVER (PARTITION BY id ORDER BY seq) AS valid_to
-         |  FROM changelog)
-         |SELECT $payloadList, seq AS valid_from, valid_to
-         |FROM v WHERE op <> 'DELETE' ORDER BY o_orderkey, valid_from""".stripMargin,
+    "cdc_scd2" -> scd2Oracle,
+    "cdc_scd2_stream" -> scd2Oracle,
     "cdc_mv_join_bidi" ->
       // bidirectional IVM guarantee: the maintained MV equals revenue per
       // segment over BOTH fully-applied states joined

@@ -153,13 +153,25 @@ object Changelog {
     * version-addressed diffs). */
   def stageParquetSeqPhased(spark: SparkSession, sfDir: String,
                             splitSeq: Long): String =
-    stage(fromOrders(spark, sfDir), sfDir, s"parquet-seq$splitSeq",
-        Seq("orders.parquet")) { (cl, dir) =>
+    stageParquetSeqRanges(spark, sfDir, Seq(splitSeq))
+
+  /** The orders changelog staged as mtime-ordered files cut at the given
+    * seq split points — a SEQ-ORDERED replay across micro-batches. This is
+    * the transport contract a real CDC tail provides (the WAL is LSN-
+    * ordered; Kafka delivers per-key in order): order-SENSITIVE streaming
+    * consumers (the SCD2 interval machine) consume this staging, while the
+    * order-free LWW applies deliberately consume the shuffled one. */
+  def stageParquetSeqRanges(spark: SparkSession, sfDir: String,
+                            splits: Seq[Long]): String =
+    stage(fromOrders(spark, sfDir), sfDir,
+        s"parquet-seq${splits.mkString("_")}", Seq("orders.parquet")) { (cl, dir) =>
       new java.io.File(dir).mkdirs()
-      graft.model.Staging.stageOrderedFile(
-        cl.filter(col("seq") <= splitSeq), dir, "f1", 1000000L)
-      graft.model.Staging.stageOrderedFile(
-        cl.filter(col("seq") > splitSeq), dir, "f2", 2000000L)
+      val bounds = (Long.MinValue +: splits) :+ Long.MaxValue
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.model.Staging.stageOrderedFile(
+          cl.filter(col("seq") > lo && col("seq") <= hi),
+          dir, s"f$i", 1000000L * (i + 1))
+      }
     }
 
   /** Second table for multi-table fan-out (the reference handles all tables

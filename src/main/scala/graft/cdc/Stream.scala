@@ -331,8 +331,18 @@ object ChangelogStream {
     * Crash protocol identical to a merge: new version dirs are invisible
     * until the manifest flip, and a re-run overwrites them. This is the
     * maintenance pass a deployment schedules off-peak, the keyed-state
-    * analog of [[graft.ops.Layout.compactPartitioned]]. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    * analog of [[graft.ops.Layout.compactPartitioned]].
+    *
+    * `tombstoneHorizon`: tombstones exist to stop late replays from
+    * resurrecting deleted keys, so by default they are retained forever —
+    * which means a delete-heavy stream's state grows with deletions, not
+    * live keys. A deployment that bounds its replay window (checkpointed
+    * offsets + source retention give one) can pass the horizon seq:
+    * tombstones with `seq < tombstoneHorizon` are dropped during
+    * compaction, safe because no replayable event can predate them — the
+    * same contract a watermark gives streaming aggregations. */
+  def compactState(spark: SparkSession, stateDir: String,
+                   tombstoneHorizon: Option[Long] = None): Unit = {
     val layout = Buckets.read(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"no manifest at $stateDir — compact a state written by upsertBatch"))
@@ -344,7 +354,12 @@ object ChangelogStream {
     val tmp = s"$stateDir/.compact-tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    raw.filter(fenceCondition(raw.columns, fences))
+    val keepTombstone = tombstoneHorizon match {
+      case Some(h) if raw.columns.contains("op") =>
+        col("op") =!= "DELETE" || col("seq") >= h
+      case _ => lit(true)
+    }
+    raw.filter(fenceCondition(raw.columns, fences) && keepTombstone)
       .withColumn("__bucket", Buckets.bucketExpr(layout, layout.bucketCols))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(tmp)

@@ -225,6 +225,89 @@ object Stateful {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming SCD TYPE-2 maintenance: the per-key state machine holds each
+    * key's OPEN interval; every arriving event closes it (emitting the
+    * closed version with `valid_to` = the event's seq) and — unless it is a
+    * DELETE — opens a new one. Emissions land in the `changelog-state` sink
+    * KEYED BY (id, valid_from): the open row emitted at seq=valid_from is
+    * later OVERWRITTEN by its closed form (same key, higher seq — the
+    * sink's max_by merge is exactly the interval-close update), so the
+    * drained state IS the SCD2 history and shares cdc_scd2's batch oracle.
+    * State per key is one interval — O(keys), no history held in the store.
+    *
+    * Interval maintenance is order-SENSITIVE (unlike the order-free LWW
+    * applies), so it consumes the seq-ordered staging — the per-key
+    * ordering a WAL/Kafka CDC transport actually guarantees. Events within
+    * a batch sort per key; across batches the staging's seq cut points
+    * (inserts | updates | deletes) preserve order. */
+  def qScd2Stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clDir = graft.cdc.Changelog.stageParquetSeqRanges(spark, dir,
+      splits = Seq(1000000L, 2000000L))
+    val work = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-scd2-").toString
+    val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream.schema(clSchema)
+        .option("maxFilesPerTrigger", 2).parquet(clDir)
+        .as[OrdersEvent]
+      implicit val openEnc = Encoders.product[OrdersEvent]
+      val versions = stream.groupByKey(_.id)
+        .flatMapGroupsWithState[OrdersEvent, Scd2Row](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (_: Long, batch: Iterator[OrdersEvent], state: GroupState[OrdersEvent]) =>
+            // events must apply in seq order within the batch
+            val ordered = batch.toSeq.sortBy(_.seq)
+            var open = state.getOption
+            val out = Seq.newBuilder[Scd2Row]
+            ordered.foreach { e =>
+              open.foreach(o => out += Scd2Row.closed(o, e.seq))
+              if (e.op == "DELETE") {
+                open = None
+                state.remove()
+              } else {
+                open = Some(e)
+                state.update(e)
+              }
+            }
+            open.foreach(o => out += Scd2Row.open(o))
+            out.result().iterator
+        }.toDF()
+      val q = versions
+        .writeStream.outputMode("update")
+        .format("changelog-state")
+        .option("path", s"$work/state")
+        .option("schema", versions.schema.toDDL)
+        .option("keyCols", "id,valid_from")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.cdc.ChangelogStream.readState(spark, s"$work/state",
+          graft.cdc.Changelog.payloadCols ++ Seq("valid_from", "valid_to"))
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** One emitted SCD2 version row: the payload plus its validity interval;
+    * `seq` drives the sink's overwrite of an open row by its closed form. */
+  case class Scd2Row(id: Long, valid_from: Long, seq: Long, op: String,
+      o_orderkey: Option[Long], o_custkey: Option[Long],
+      o_orderstatus: Option[String], o_totalprice: Option[Double],
+      o_orderdate: Option[java.sql.Timestamp], o_orderpriority: Option[String],
+      valid_to: Option[Long])
+
+  object Scd2Row {
+    private def of(e: OrdersEvent, seq: Long, vTo: Option[Long]) =
+      Scd2Row(e.id, e.seq, seq, "INSERT", e.o_orderkey, e.o_custkey,
+        e.o_orderstatus, e.o_totalprice, e.o_orderdate, e.o_orderpriority, vTo)
+    def open(e: OrdersEvent): Scd2Row = of(e, e.seq, None)
+    def closed(e: OrdersEvent, at: Long): Scd2Row = of(e, at, Some(at))
+  }
+
   /** Running per-user aggregate with explicit keyed state (count + sum) —
     * `mapGroupsWithState` flavor. */
   case class UserAgg(n: Long, sum: Double)

@@ -219,6 +219,30 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("compactState GCs tombstones behind the horizon; recent ones survive") {
+    val work = Files.createTempDirectory("graft-tsgc-").toString
+    val stateDir = s"$work/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(mk(
+      (1L, 1L, "INSERT", "a"), (2L, 2L, "INSERT", "b"), (3L, 3L, "INSERT", "c")), stateDir)
+    ChangelogStream.upsertBatch(mk(
+      (1L, 4L, "DELETE", "a"), (2L, 9L, "DELETE", "b")), stateDir)
+    def tombstones() = {
+      val paths = Buckets.read(spark, stateDir).get.paths(stateDir)
+      spark.read.parquet(paths: _*).filter($"op" === "DELETE")
+        .select($"id").as[Long].collect().toSet
+    }
+    assert(tombstones() === Set(1L, 2L))
+    // horizon 5: key 1's tombstone (seq 4) is past the replay window, key
+    // 2's (seq 9) is not
+    ChangelogStream.compactState(spark, stateDir, tombstoneHorizon = Some(5L))
+    assert(tombstones() === Set(2L))
+    // a replay WITHIN the window still can't resurrect key 2; key 3 lives
+    ChangelogStream.upsertBatch(mk((2L, 5L, "INSERT", "late")), stateDir)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+  }
+
   test("point lookup touches exactly one bucket and honors tombstones") {
     val work = Files.createTempDirectory("graft-lookup-").toString
     val stateDir = s"$work/state"
