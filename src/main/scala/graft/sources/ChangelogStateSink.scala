@@ -100,6 +100,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     val keyCols = Option(info.options.get("keyCols")).getOrElse("id")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
+    val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
     // SupportsStreamingUpdateAsAppend (the same marker Kafka/foreach sinks
     // use): Update-mode emissions are just rows to upsert — precisely this
     // sink's per-key max_by(seq) merge — so update IS append here
@@ -107,19 +108,22 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
-          info.queryId(), maintainer)
+          info.queryId(), maintainer, maxBucketBytes)
     }
   }
 }
 
 class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[String],
                           confMap: Map[String, String], queryId: String,
-                          maintainer: Option[String] = None) extends Write {
+                          maintainer: Option[String] = None,
+                          maxBucketBytes: Option[Long] = None) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
-    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId, maintainer)
+    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
+      maintainer, maxBucketBytes)
   override def toStreaming: StreamingWrite =
-    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId, maintainer)
+    new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
+      maintainer, maxBucketBytes)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -131,7 +135,8 @@ case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
   * against). */
 class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq[String],
                               confMap: Map[String, String], queryId: String,
-                              maintainer: Option[String] = None)
+                              maintainer: Option[String] = None,
+                              maxBucketBytes: Option[Long] = None)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -194,7 +199,10 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
     }
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir, keyCols,
       beforeCommit = hook.map(h => (prev: org.apache.spark.sql.DataFrame,
-        merged: org.apache.spark.sql.DataFrame) => h(prev, merged, epochId)).orNull)
+        merged: org.apache.spark.sql.DataFrame) => h(prev, merged, epochId)).orNull,
+      // .option("maxBucketBytes", n) arms in-place extendible splitting of
+      // buckets the stream outgrows (graft.cdc.Buckets)
+      maxBucketBytes = maxBucketBytes.getOrElse(Long.MaxValue))
   }
 
   private def dropStaging(epochId: Long): Unit =

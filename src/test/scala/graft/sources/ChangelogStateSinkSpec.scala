@@ -57,6 +57,39 @@ class ChangelogStateSinkSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("the sink's maxBucketBytes option rescales the state mid-stream") {
+    val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
+    val work = Files.createTempDirectory("graft-sinkrescale-").toString
+    val stateDir = s"$work/state"
+    val pSchema = Changelog.payloadSchema(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, from_json}
+    val decoded = spark.readStream.format("changelog")
+      .option("maxFilesPerTrigger", 2).load(clDir)
+      .filter(col("table") === "orders")
+      .select(Seq(col("id"), col("seq"), col("op")) :+
+        from_json(col("payload"), pSchema).as("p"): _*)
+      .select(Seq(col("id"), col("seq"), col("op")) ++
+        Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+    val q = decoded.writeStream.format("changelog-state")
+      .option("path", stateDir)
+      .option("schema", decoded.schema.toDDL)
+      .option("keyCols", "id")
+      .option("maxBucketBytes", "4096") // tiny target: every bucket splits
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val layout = graft.cdc.Buckets.read(spark, stateDir).get
+    assert(layout.entries.values.exists(_._1 > 4),
+      "the tiny target should have split buckets past the initial depth")
+    // the deepened layout still answers exactly like the batch apply
+    val got = ChangelogStream.readState(spark, stateDir, Changelog.payloadCols)
+    val want = Apply.latestState(Changelog.fromOrders(spark, sfDir), Changelog.payloadCols)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    val k = want.select("o_orderkey").as[Long].head
+    assert(ChangelogStream.readKey(spark, stateDir, k).isDefined)
+  }
+
   test("a replayed epoch is fenced: commit(epoch<=latest) merges nothing") {
     val work = Files.createTempDirectory("graft-fence-").toString
     val stateDir = s"$work/state"
