@@ -40,45 +40,79 @@ object StreamQueries {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Shared skeleton of the bounded complete-mode event streams: staged
-    * events file stream → ts conversion → caller-shaped count/decimal-sum
-    * aggregation → complete-mode memory sink drained under AvailableNow.
-    * Each query differs only in its grouping (window flavor / enrichment
-    * join), so the sink plumbing and the exact-sum arithmetic live once. */
-  private def completeEventAgg(spark: SparkSession, dir: String, prefix: String)
-                              (shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+  /** Stage the event corpus for APPEND-MODE window streams (shared across
+    * runs/JVMs like the other stagings): f1 = the whole corpus, f2 = one
+    * far-future sentinel event. Replayed at maxFilesPerTrigger=1 under a
+    * small watermark delay, the sentinel batch advances the watermark past
+    * every real window, so append mode finalizes and emits them all — the
+    * same flush mechanism stream_late_data's phase-4 sentinel pins. The
+    * sentinel's own windows end after the final watermark and never emit,
+    * so no output filtering is needed. */
+  private def stageSentinelFiles(spark: SparkSession, dir: String): String = {
+    val work = s"/tmp/graft-stage-sentinel-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
+      graft.model.Staging.fingerprint(dir, Seq("events.parquet"))
+    graft.model.Staging.ensure(work) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      val ev = graft.model.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val sentinel = ev.limit(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(new java.sql.Timestamp(mx.getTime + 10L * 3600 * 1000)).as("ts"),
+        lit(0.0d).as("value"))
+      graft.model.Staging.stageOrderedFile(ev, tmp, "f1", 1000000L)
+      graft.model.Staging.stageOrderedFile(sentinel, tmp, "f2", 2000000L)
+    }
+  }
+
+  /** Shared skeleton of the bounded APPEND-MODE window streams: sentinel
+    * staging → watermark → caller-shaped count/decimal-sum window
+    * aggregation → parquet file sink, read back after drain. Windows emit
+    * exactly once, when the watermark finalizes them — output flows through
+    * an executor-written file sink, never a driver-accumulated table, so
+    * the shape survives windows-cardinality at any scale (the round-8
+    * complete-mode memory sink did not). Each query differs only in its
+    * window flavor, so the sink plumbing and exact-sum arithmetic live
+    * once. */
+  private def appendWindowAgg(spark: SparkSession, dir: String, prefix: String)
+                             (shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     withStateStores(spark, 8) {
-      val (raw, _) = stagedStream(spark, dir, "events")
-      val name = uniq(prefix)
-      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val work = stageSentinelFiles(spark, dir)
+      val out = Files.createTempDirectory(Paths.get("/tmp"), prefix).toString
+      val schema = spark.read.parquet(s"$work/f1.parquet").schema
+      val ev = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(work)
+        .withWatermark("ts", "1 second")
       val q = shape(ev)
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$out/windows")
+        .option("checkpointLocation", s"$out/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(name)
+      spark.read.parquet(s"$out/windows")
     }
 
   /** Streaming tumbling-window aggregation over events — same result (and
-    * oracle) as the batch q_tumbling_window; complete output mode because
-    * the bounded run must emit every window, finalized or not. */
+    * oracle) as the batch q_tumbling_window: the sentinel advances the
+    * watermark past every real window, so the append-mode run emits each
+    * exactly once into the file sink. */
   def qStreamingTumbling(spark: SparkSession, dir: String): DataFrame =
-    completeEventAgg(spark, dir, "st_tumbling_")(
+    appendWindowAgg(spark, dir, "st_tumbling_")(
       _.groupBy(window(col("ts"), "10 minutes"), col("event_type")))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Streaming sliding-window aggregation (10-minute windows every 5
-    * minutes) — same result (and oracle) as the batch q_sliding_window;
-    * complete output mode like its tumbling/session siblings: the bounded
-    * run must emit every window, finalized or not. Each event lands in
-    * window/slide = 2 windows, so the state store holds 2× the window
-    * count of the tumbling twin — still ∝ distinct windows, not events. */
+    * minutes) — same result (and oracle) as the batch q_sliding_window,
+    * through the same sentinel-flushed append path as its tumbling twin.
+    * Each event lands in window/slide = 2 windows, so the state store holds
+    * 2× the window count — still ∝ distinct windows, not events. */
   def qStreamingSliding(spark: SparkSession, dir: String): DataFrame =
-    completeEventAgg(spark, dir, "st_sliding_")(
+    appendWindowAgg(spark, dir, "st_sliding_")(
       _.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type")))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
@@ -112,28 +146,34 @@ object StreamQueries {
     val s = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("signup_event"), col("ts").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
+    val out = Files.createTempDirectory(Paths.get("/tmp"), name).toString
     val q = p.join(s,
         col("user_id") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
         col("p_ts") < col("s_ts") + expr("INTERVAL 1 DAY"))
       .select(col("user_id"), col("purchase_event"), col("signup_event"))
       .writeStream.outputMode("append")
-      .format("memory").queryName(name)
+      .format("parquet").option("path", s"$out/pairs")
+      .option("checkpointLocation", s"$out/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // joined pairs land in an executor-written file sink (output ∝ matches,
+    // a driver-OOM class in a memory sink at scale) and are read back only
+    // for the bounded result
+    spark.read.parquet(s"$out/pairs")
       .orderBy(col("user_id"), col("purchase_event"), col("signup_event"))
   }
 
   /** Streaming session windows per user (30-minute gap) — same result (and
-    * oracle) as the batch q_session_window. Complete output mode: the
-    * bounded run must emit every session, including ones a watermark never
-    * finalizes (append-mode finalization semantics are covered by
-    * StreamSpec's sentinel test; this query is the result-parity
-    * rendering). */
+    * oracle) as the batch q_session_window, through the sentinel-flushed
+    * append path: sessions merge in the state store while open and append
+    * to the file sink exactly once, when the watermark closes them — the
+    * only rendering where a later event can never contradict an emitted
+    * row (complete mode would re-emit merged sessions; update mode cannot
+    * retract the partial sessions a merge absorbed). */
   def qStreamingSessionWindow(spark: SparkSession, dir: String): DataFrame =
-    completeEventAgg(spark, dir, "st_session_")(
+    appendWindowAgg(spark, dir, "st_session_")(
       _.groupBy(session_window(col("ts"), "30 minutes"), col("user_id")))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
@@ -162,7 +202,7 @@ object StreamQueries {
     * window_end > max(on-time ts) - delay. */
   def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val work = stageLateFiles(spark, dir)
-    val name = uniq("st_late_")
+    val out = Files.createTempDirectory(Paths.get("/tmp"), "st_late_").toString
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(work)
@@ -171,11 +211,12 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
       .writeStream.outputMode("append")
-      .format("memory").queryName(name)
+      .format("parquet").option("path", s"$out/windows")
+      .option("checkpointLocation", s"$out/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(s"$out/windows")
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
   }
@@ -235,18 +276,21 @@ object StreamQueries {
       graft.model.Staging.stageOrderedFile(ev, tmp, "f1", 1000000L)
       graft.model.Staging.stageOrderedFile(ev, tmp, "f2", 2000000L)
     }
-    val name = uniq("st_dedupwm_")
+    val out = Files.createTempDirectory(Paths.get("/tmp"), "st_dedupwm_").toString
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(work)
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append")
-      .format("memory").queryName(name)
+      .format("parquet").option("path", s"$out/deduped")
+      .option("checkpointLocation", s"$out/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // survivors append to an executor-written file sink (output ∝ deduped
+    // events — the qStreamingDedup pattern), never a driver memory table
+    spark.read.parquet(s"$out/deduped")
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
@@ -257,16 +301,40 @@ object StreamQueries {
     * per micro-batch; no join state store exists at all (only the
     * aggregation keeps state), which is why stream-static enrichment
     * scales to any stream volume: the join is map-side against a
-    * broadcast, exactly like q5's star join. Complete-mode AvailableNow
-    * like the other bounded result-parity streams; shares a plain-SQL
-    * join+group oracle. */
-  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast, exactly like q5's star join.
+    *
+    * An UNWINDOWED aggregation has no watermark to finalize against, so
+    * append mode can never emit it; the scale shape is UPDATE mode into a
+    * keyed upsert sink — each batch emits only the changed groups, and the
+    * engine's own `changelog-state` DSv2 sink merges them per key (the
+    * compacted-topic pattern). The merge orders on `seq` = the group's
+    * count, which strictly increases whenever the group changes, so the
+    * latest emission always wins. Shares the plain-SQL join+group
+    * oracle. */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
     val dim = graft.model.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    completeEventAgg(spark, dir, "st_stjoin_")(
-      _.join(broadcast(dim), col("user_id") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("event_type")))
-      .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"))
+    val (raw, work) = stagedStream(spark, dir, "events")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val updates = ev
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sum_value"))
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"),
+        col("n").as("seq"), lit("INSERT").as("op"))
+    val stateDir = s"$work/state"
+    val q = updates.writeStream.outputMode("update")
+      .format("changelog-state")
+      .option("path", stateDir)
+      .option("schema", updates.schema.toDDL)
+      .option("keyCols", "c_mktsegment,event_type")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.cdc.ChangelogStream.readState(spark, stateDir,
+        Seq("c_mktsegment", "event_type", "n", "sum_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
