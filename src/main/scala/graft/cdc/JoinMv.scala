@@ -26,126 +26,217 @@ import org.apache.spark.sql.types.DecimalType
   * A(k) with no segment; the later insert credits A(k) into its cell).
   *
   * Per-batch cost: the one shared multi-table state merge, a changed-keys-
-  * sized join against A's touched rows, a dim-state segment read, and a
-  * groups-sized MV write. At 100 TB: A is customer-cardinality (a keyed
-  * state like any other — bucketed, incrementally merged); the segment
-  * read is the dim side (broadcastable); nothing scans the orders fact.
+  * sized join against A's TOUCHED BUCKETS (the per-batch A/segment reads
+  * are bucket-pruned through the layout — IO ∝ touched buckets, not dim
+  * cardinality), and a groups-sized MV write. At 100 TB: A is
+  * customer-cardinality (a keyed state like any other — bucketed,
+  * incrementally merged); the segment read opens only the changed keys'
+  * buckets; nothing scans the orders fact.
   *
   * Crash protocol (ordering is load-bearing):
-  *   1. MV delta commits FIRST, fenced on batchId ([[Materialize
-  *      .commitDeltaRows]]) — it reads A_before, so it must run while A is
-  *      still pre-batch;
-  *   2. A's and the segment dim state's upserts run second, behind ONE
-  *      batchId high-water fence;
-  *   3. the primary state merge promotes last (idempotent).
-  * A replay after (1) skips the MV (fenced) and still sees clean
-  * pre-batch A and segments — both only advance after (1) commits. A
-  * replay after (2) skips both. Every window recomputes from identical
-  * (prev, merged).
+  *   1. the computed per-key frame `k` PERSISTS first, `_SUCCESS`-fenced
+  *      under `aggDir/_pending/v=<batchId>` — a replay loads it instead of
+  *      recomputing, so the debit/credit values are pinned to the PRE-batch
+  *      A and segments no matter how far the states advanced before the
+  *      crash (recomputing from an already-advanced A would double-apply
+  *      the batch's order deltas — the divergence this step closes);
+  *   2. the MV delta commits, fenced on batchId ([[Materialize
+  *      .commitDeltaRows]]);
+  *   3. A's and the segment dim state's upserts run behind ONE batchId
+  *      high-water fence (their row values come from the pinned `k`, so a
+  *      partial advance replays idempotently);
+  *   4. the pending frame is swept once the fence covers it.
+  * Every crash point therefore replays to the same MV and states: before
+  * (1) everything recomputes from clean pre-batch reads; between (1) and
+  * (4) the pinned `k` supplies identical values; after (4) the fences skip
+  * all of it.
   */
 object JoinMv {
+
+  // ── pending per-key frame (the crash-consistency pin) ─────────────────
+
+  private def pendingDir(aggDir: String, batchId: Long) =
+    s"$aggDir/_pending/v=$batchId"
+
+  private def hasSuccess(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Load the batch's pinned per-key frame, or compute it from the
+    * PRE-batch A/segment states and persist it (`_SUCCESS` via the normal
+    * parquet commit). Columns: custkey, n_b, s_b, n_a, s_a, seg_b, seg_a,
+    * in_do. */
+  private[cdc] def ensurePendingK(prev: DataFrame, merged: DataFrame,
+                                  batchId: Long, aggDir: String,
+                                  segDir: String): DataFrame = {
+    val spark = prev.sparkSession
+    val dir = pendingDir(aggDir, batchId)
+    if (hasSuccess(spark, dir)) return spark.read.parquet(dir)
+    // ΔO: per-customer signed orders contributions from the one merge's
+    // touched rows (untouched keys cancel exactly)
+    def ordersLive(df: DataFrame, sign: Int) = df
+      .filter(col("table") === "orders" && col("op") =!= "DELETE")
+      .select(col("o_custkey").as("custkey"), lit(sign.toLong).as("dn"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * sign)
+          .cast(Materialize.SType).as("ds"))
+    val dO = ordersLive(merged, 1).unionByName(ordersLive(prev, -1))
+      .groupBy(col("custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"))
+      .filter(col("dn") =!= 0 || col("ds") =!= lit(0).cast(Materialize.SType))
+    // ΔC: customers whose live row changed (segment move, insert, delete)
+    // — prev/merged cover exactly their touched buckets
+    def custLive(df: DataFrame, as: String) = df
+      .filter(col("table") === "customer" && col("op") =!= "DELETE")
+      .select(col("id").as("custkey"), col("c_mktsegment").as(as))
+    val dC = custLive(prev, "pseg").join(custLive(merged, "mseg"),
+        Seq("custkey"), "full_outer")
+      .filter(!(col("pseg") <=> col("mseg")))
+      .select(col("custkey"))
+    // every customer key whose contribution to M must be replaced
+    val keys = dO.select(col("custkey")).unionByName(dC).distinct()
+    keys.persist()
+    try {
+      // A_before and the segment dim view, BUCKET-PRUNED: the touched keys
+      // hash to a handful of buckets (collected driver-side — ≤ the bucket
+      // count, never ∝ keys); only those buckets are read. Both states are
+      // pre-batch by the ordering contract — they only advance after the
+      // pending frame and MV commit.
+      val segBefore = readTouchedBuckets(spark, segDir, keys,
+          Seq("id", "c_mktsegment"))
+        .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
+      val touchedCust = prev.unionByName(merged)
+        .filter(col("table") === "customer")
+        .select(col("id").as("custkey")).distinct()
+      val segAfter = custLive(merged, "seg_a")
+        .unionByName(segBefore.withColumnRenamed("seg_b", "seg_a")
+          .join(touchedCust, Seq("custkey"), "left_anti"))
+      val aBefore = readTouchedBuckets(spark, aggDir, keys, Seq("id", "n", "s"))
+        .select(col("id").as("custkey"), col("n").as("n_b"), col("s").as("s_b"))
+      val zero = lit(0L)
+      val zeroS = lit(0).cast(Materialize.SType)
+      val k = keys
+        .join(dO, Seq("custkey"), "left_outer")
+        .join(aBefore, Seq("custkey"), "left_outer")
+        .join(segBefore, Seq("custkey"), "left_outer")
+        .join(segAfter, Seq("custkey"), "left_outer")
+        .select(col("custkey"),
+          coalesce(col("n_b"), zero).as("n_b"),
+          coalesce(col("s_b"), zeroS).as("s_b"),
+          (coalesce(col("n_b"), zero) + coalesce(col("dn"), zero)).as("n_a"),
+          (coalesce(col("s_b"), zeroS) + coalesce(col("ds"), zeroS))
+            .cast(Materialize.SType).as("s_a"),
+          col("seg_b"), col("seg_a"),
+          col("dn").isNotNull.as("in_do"))
+      // parquet's job-level _SUCCESS is the pin's commit marker; a crash
+      // mid-write leaves no marker and the replay recomputes cleanly
+      k.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    } finally keys.unpersist()
+    spark.read.parquet(dir)
+  }
+
+  /** Step 2: the MV per-key replace — debit each changed key's before cell,
+    * credit its after cell. Fenced on batchId inside commitDeltaRows. */
+  private[cdc] def commitMvFromK(spark: SparkSession, k: DataFrame,
+                                 batchId: Long, mvDir: String): Unit = {
+    val debits = k.filter(col("seg_b").isNotNull && col("n_b") =!= 0)
+      .select(col("seg_b").as("c_mktsegment"),
+        (-col("n_b")).as("n"), (-col("s_b")).cast(Materialize.SType).as("s"))
+    val credits = k.filter(col("seg_a").isNotNull && col("n_a") =!= 0)
+      .select(col("seg_a").as("c_mktsegment"),
+        col("n_a").as("n"), col("s_a").as("s"))
+    Materialize.commitDeltaRows(spark, mvDir, batchId,
+      credits.unionByName(debits), Seq("c_mktsegment"))
+  }
+
+  /** A's absolute new per-customer totals, straight from the pinned frame —
+    * shared by [[advanceStates]] and the crash-replay spec. */
+  private[cdc] def newARows(k: DataFrame, batchId: Long): DataFrame =
+    k.filter(col("in_do"))
+      .select(col("custkey").as("id"), lit(batchId).as("seq"),
+        lit("INSERT").as("op"), col("n_a").as("n"), col("s_a").as("s"))
+
+  /** Step 3: advance A and the segment dim state behind ONE batchId fence.
+    * Values come from the pinned `k` / the merge's own rows, so a partial
+    * advance replays idempotently. Customer rows (including tombstones)
+    * come from `merged` — the post-merge latest-per-key of the touched
+    * buckets — which upserts to the identical dim state as the raw batch
+    * events would. */
+  private[cdc] def advanceStates(spark: SparkSession, k: DataFrame,
+                                 merged: DataFrame, batchId: Long,
+                                 aggDir: String, segDir: String): Unit =
+    if (committedAggBatch(spark, aggDir) < batchId) {
+      ChangelogStream.upsertBatch(newARows(k, batchId), aggDir)
+      val custEvents = merged
+        .filter(col("table") === "customer")
+        .select(col("id"), col("seq"), col("op"), col("c_mktsegment"))
+      ChangelogStream.upsertBatch(custEvents, segDir)
+      writeAggFence(spark, aggDir, batchId)
+    }
+
+  /** The composable maintenance body: runs at a state merge's beforeCommit
+    * point — the standalone stream below and [[Pipeline]]'s DSv2-sink
+    * maintainer hook both call exactly this. */
+  def maintain(prev: DataFrame, merged: DataFrame, batchId: Long,
+               aggDir: String, segDir: String, mvDir: String): Unit = {
+    val spark = prev.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(aggDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committedAggBatch(spark, aggDir) >= batchId) {
+      // fully-committed batch replayed (fence covers the MV too — it
+      // commits before the fence): just sweep the pending pin
+      fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
+      return
+    }
+    val k = ensurePendingK(prev, merged, batchId, aggDir, segDir)
+    commitMvFromK(spark, k, batchId, mvDir)
+    advanceStates(spark, k, merged, batchId, aggDir, segDir)
+    fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
+  }
 
   /** Merge one multi-table micro-batch into the shared keyed state AND
     * maintain (a) the per-customer orders aggregate state at `aggDir`,
     * (b) the customer→segment dimension state at `segDir` (so the segment
-    * view is a DIM-SIZED read each batch, never a scan of the shared
+    * view is a bucket-pruned read each batch, never a scan of the shared
     * multi-table state), and (c) the per-segment join-MV at `mvDir`. */
   def maintainBatch(batch: DataFrame, batchId: Long, stateDir: String,
-                    aggDir: String, segDir: String, mvDir: String): Unit = {
-    val spark = batch.sparkSession
+                    aggDir: String, segDir: String, mvDir: String): Unit =
     ChangelogStream.upsertBatch(batch, stateDir, keyCols = Seq("table", "id"),
-      beforeCommit = (prev, merged) => {
-        // ΔO: per-customer signed orders contributions from the one merge's
-        // touched rows (untouched keys cancel exactly)
-        def ordersLive(df: DataFrame, sign: Int) = df
-          .filter(col("table") === "orders" && col("op") =!= "DELETE")
-          .select(col("o_custkey").as("custkey"), lit(sign.toLong).as("dn"),
-            (col("o_totalprice").cast(DecimalType(18, 4)) * sign)
-              .cast(Materialize.SType).as("ds"))
-        val dO = ordersLive(merged, 1).unionByName(ordersLive(prev, -1))
-          .groupBy(col("custkey"))
-          .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"))
-          .filter(col("dn") =!= 0 || col("ds") =!= lit(0).cast(Materialize.SType))
-        // ΔC: customers whose live row changed (segment move, insert,
-        // delete) — prev/merged cover exactly their touched buckets
-        def custLive(df: DataFrame, as: String) = df
-          .filter(col("table") === "customer" && col("op") =!= "DELETE")
-          .select(col("id").as("custkey"), col("c_mktsegment").as(as))
-        val dC = custLive(prev, "pseg").join(custLive(merged, "mseg"),
-            Seq("custkey"), "full_outer")
-          .filter(!(col("pseg") <=> col("mseg")))
-          .select(col("custkey"))
-        // every customer key whose contribution to M must be replaced
-        val keys = dO.select(col("custkey")).unionByName(dC).distinct()
-        // segment views: before = the maintained dim state (pre-batch by
-        // the ordering contract — it only advances after the MV commit);
-        // after = merged live rows ∪ before outside the touched customers
-        val segBefore = readStateOrEmpty(spark, segDir,
-            Seq("id", "c_mktsegment"))
-          .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
-        val touchedCust = prev.unionByName(merged)
-          .filter(col("table") === "customer")
-          .select(col("id").as("custkey")).distinct()
-        val segAfter = custLive(merged, "seg_a")
-          .unionByName(segBefore.withColumnRenamed("seg_b", "seg_a")
-            .join(touchedCust, Seq("custkey"), "left_anti"))
-        // A_before: the per-customer aggregate state, pre-batch by the
-        // ordering contract above
-        val aBefore = readStateOrEmpty(spark, aggDir, Seq("id", "n", "s"))
-          .select(col("id").as("custkey"), col("n").as("n_b"), col("s").as("s_b"))
-        val zero = lit(0L)
-        val zeroS = lit(0).cast(Materialize.SType)
-        val k = keys
-          .join(dO, Seq("custkey"), "left_outer")
-          .join(aBefore, Seq("custkey"), "left_outer")
-          .join(segBefore, Seq("custkey"), "left_outer")
-          .join(segAfter, Seq("custkey"), "left_outer")
-          .select(col("custkey"),
-            coalesce(col("n_b"), zero).as("n_b"),
-            coalesce(col("s_b"), zeroS).as("s_b"),
-            (coalesce(col("n_b"), zero) + coalesce(col("dn"), zero)).as("n_a"),
-            (coalesce(col("s_b"), zeroS) + coalesce(col("ds"), zeroS))
-              .cast(Materialize.SType).as("s_a"),
-            col("seg_b"), col("seg_a"),
-            col("dn").isNotNull.as("in_do"))
-        k.persist()
-        try {
-          // 1. MV: per-key replace — debit the before cell, credit the after
-          val debits = k.filter(col("seg_b").isNotNull && col("n_b") =!= 0)
-            .select(col("seg_b").as("c_mktsegment"),
-              (-col("n_b")).as("n"), (-col("s_b")).cast(Materialize.SType).as("s"))
-          val credits = k.filter(col("seg_a").isNotNull && col("n_a") =!= 0)
-            .select(col("seg_a").as("c_mktsegment"),
-              col("n_a").as("n"), col("s_a").as("s"))
-          Materialize.commitDeltaRows(spark, mvDir, batchId,
-            credits.unionByName(debits), Seq("c_mktsegment"))
-          // 2. behind ONE high-water fence (they advance together): A's
-          // absolute new per-customer totals, and the dim state's customer
-          // events — both strictly AFTER the MV commit, so any replay that
-          // recomputes the MV delta still reads pre-batch A and segments
-          if (committedAggBatch(spark, aggDir) < batchId) {
-            val newA = k.filter(col("in_do"))
-              .select(col("custkey").as("id"), lit(batchId).as("seq"),
-                lit("INSERT").as("op"), col("n_a").as("n"), col("s_a").as("s"))
-            ChangelogStream.upsertBatch(newA, aggDir)
-            val custEvents = batch
-              .filter(col("table") === "customer")
-              .select(col("id"), col("seq"), col("op"), col("c_mktsegment"))
-            ChangelogStream.upsertBatch(custEvents, segDir)
-            writeAggFence(spark, aggDir, batchId)
-          }
-        } finally k.unpersist()
-      })
-  }
+      beforeCommit = (prev, merged) =>
+        maintain(prev, merged, batchId, aggDir, segDir, mvDir))
 
-  /** readState, but an unwritten state reads as empty (first batch). */
+  /** Read ONLY the buckets the given keys hash into — the layout names
+    * them; the distinct bucket ids collect driver-side (≤ bucket count,
+    * the [[Buckets]] invariant, never ∝ keys). An unwritten state reads as
+    * empty (first batch). */
+  private[cdc] def readTouchedBuckets(spark: SparkSession, stateDir: String,
+                                      keys: DataFrame,
+                                      cols: Seq[String]): DataFrame =
+    Buckets.read(spark, stateDir) match {
+      case None => emptyFrame(spark, cols)
+      case Some(layout) =>
+        val bs = keys
+          .select(Buckets.bucketExpr(layout,
+            Seq(keys.columns.head)).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        bs.map(b => readStateOrEmpty(spark, stateDir, cols, Some(b)))
+          .reduceOption(_.unionByName(_))
+          .getOrElse(emptyFrame(spark, cols))
+    }
+
+  private def emptyFrame(spark: SparkSession, cols: Seq[String]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, schemaOf(c)))))
+
+  /** readState, but an unwritten state (or never-touched bucket) reads as
+    * empty. */
   private def readStateOrEmpty(spark: SparkSession, stateDir: String,
-                               cols: Seq[String]): DataFrame =
-    try ChangelogStream.readState(spark, stateDir, cols)
+                               cols: Seq[String],
+                               onlyBucket: Option[Int] = None): DataFrame =
+    try ChangelogStream.readState(spark, stateDir, cols, onlyBucket)
     catch { case e: IllegalStateException if e.getMessage.startsWith("no state") =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(cols.map(c =>
-          org.apache.spark.sql.types.StructField(c, schemaOf(c)))))
+      emptyFrame(spark, cols)
     }
 
   private def schemaOf(c: String): org.apache.spark.sql.types.DataType = c match {
@@ -211,9 +302,14 @@ object JoinMv {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    Materialize.readMv(spark, s"$work/mv")
+    readMvView(spark, s"$work/mv")
+  }
+
+  /** The (segment, n, sum_value) presentation shared by the standalone
+    * query and [[Pipeline]]'s view over the composed pass. */
+  private[cdc] def readMvView(spark: SparkSession, mvDir: String): DataFrame =
+    Materialize.readMv(spark, mvDir)
       .select(col("c_mktsegment"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))
       .orderBy(col("c_mktsegment"))
-  }
 }

@@ -218,6 +218,13 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
     dropStaging(epochId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // a batch write has no monotone epoch ids: a maintainer's batchId fence
+    // would pin at -1 and silently skip every later delta while the state
+    // kept merging (MV divergence), so the combination is rejected outright
+    if (maintainer.isDefined) throw new IllegalArgumentException(
+      "changelog-state sink: .option(\"maintainer\", ...) requires the " +
+        "streaming write path (epoch-fenced commits); a batch write has no " +
+        "monotone commit id for the derived-table fence to order on")
     merge(-1L, messages)
     dropStaging(-1L)
   }

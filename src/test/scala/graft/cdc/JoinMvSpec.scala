@@ -10,16 +10,19 @@ import graft.SparkSpec
 class JoinMvSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  private def mk(rows: (Long, Long, String, String, Option[Long], Option[Double], Option[String])*) =
+    rows.toDF("id", "seq", "op", "table", "o_custkey", "o_totalprice", "c_mktsegment")
+
+  private def readMvAt(mv: String) = Materialize.readMv(spark, mv)
+    .select($"c_mktsegment", $"n", $"s".cast("double"))
+    .orderBy($"c_mktsegment")
+    .as[(String, Long, Double)].collect().toSeq
+
   test("segment moves re-attribute, deletes retract, early orders park") {
     val work = Files.createTempDirectory("graft-joinmv-").toString
     val (st, agg, seg, mv) =
       (s"$work/state", s"$work/agg", s"$work/seg", s"$work/mv")
-    def mk(rows: (Long, Long, String, String, Option[Long], Option[Double], Option[String])*) =
-      rows.toDF("id", "seq", "op", "table", "o_custkey", "o_totalprice", "c_mktsegment")
-    def readMv() = Materialize.readMv(spark, mv)
-      .select($"c_mktsegment", $"n", $"s".cast("double"))
-      .orderBy($"c_mktsegment")
-      .as[(String, Long, Double)].collect().toSeq
+    def readMv() = readMvAt(mv)
 
     // b0: two orders for customer 7 BEFORE it exists; customer 8 + an order
     JoinMv.maintainBatch(mk(
@@ -75,5 +78,58 @@ class JoinMvSpec extends AnyFunSuite with SparkSpec {
           .cast("double").as("sum_value"))
     assert(streamed.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(streamed).count() === 0)
+  }
+
+  test("a crash between the A-state advance and the agg fence replays clean") {
+    val work = Files.createTempDirectory("graft-joinmv-crash-").toString
+    val (st, agg, seg, mv) =
+      (s"$work/state", s"$work/agg", s"$work/seg", s"$work/mv")
+    // b0: customer 1 in segment A with one 100.0 order
+    JoinMv.maintainBatch(mk(
+      (1L, 1L, "INSERT", "customer", None, None, Some("A")),
+      (201L, 2L, "INSERT", "orders", Some(1L), Some(100.0), None)),
+      0L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("A", 1L, 100.0)))
+    // b1 crashes at the advisor's exact hole: pending pinned, MV committed,
+    // A advanced — but the fence never written
+    val b1 = mk((202L, 11L, "INSERT", "orders", Some(1L), Some(10.0), None))
+    intercept[RuntimeException] {
+      ChangelogStream.upsertBatch(b1, st, keyCols = Seq("table", "id"),
+        beforeCommit = (prev, merged) => {
+          val k = JoinMv.ensurePendingK(prev, merged, 1L, agg, seg)
+          JoinMv.commitMvFromK(spark, k, 1L, mv)
+          ChangelogStream.upsertBatch(JoinMv.newARows(k, 1L), agg)
+          throw new RuntimeException("simulated crash before the agg fence")
+        })
+    }
+    // full replay of b1: the pinned per-key frame supplies PRE-batch A
+    // values, so the advanced A is not read back and re-credited
+    JoinMv.maintainBatch(b1, 1L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("A", 2L, 110.0)))
+    // the state A(1) itself must hold the single-application totals —
+    // a double-apply would surface at the NEXT per-key replace
+    JoinMv.maintainBatch(mk(
+      (1L, 12L, "UPDATE", "customer", None, None, Some("B"))),
+      2L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("B", 2L, 110.0)))
+  }
+
+  test("per-batch A/segment reads open ONLY the touched keys' buckets") {
+    val work = Files.createTempDirectory("graft-joinmv-prune-").toString
+    val dir = s"$work/agg"
+    val rows = (1L to 64L).map(i => (i, 1L, "INSERT", i, BigDecimal(i)))
+      .toDF("id", "seq", "op", "n", "s")
+      .select($"id", $"seq", $"op", $"n",
+        $"s".cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("s"))
+    ChangelogStream.upsertBatch(rows, dir)
+    val layout = Buckets.read(spark, dir).get
+    val keys = Seq(5L).toDF("custkey")
+    val pruned = JoinMv.readTouchedBuckets(spark, dir, keys, Seq("id", "n", "s"))
+    val b = Buckets.bucketOfValues(layout, Seq(5L))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty, "pruned read resolved no files")
+    assert(files.forall(_.contains(s"bucket=$b/")),
+      s"read escaped the touched bucket: ${files.toSeq.filterNot(_.contains(s"bucket=$b/"))}")
+    assert(pruned.filter($"id" === 5L).count() === 1)
   }
 }

@@ -145,4 +145,29 @@ class ChangelogStateSinkSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(s"$stateDir/_staging").listFiles().forall(
         _.listFiles().isEmpty), "batch staging must be swept after commit")
   }
+
+  test("batch write REJECTS a maintainer (no epoch id to fence deltas on)") {
+    // the batch path commits at the -1 sentinel; a registered maintainer's
+    // batchId fence would pin there and silently skip all later deltas
+    // while the state kept merging — fail loudly instead
+    val work = Files.createTempDirectory("graft-batchmaint-").toString
+    ChangelogStateSink.maintainers.put("batch-reject-test", (_, _, _) => ())
+    try {
+      val df = Seq((1L, 1L, "INSERT", "a")).toDF("id", "seq", "op", "v")
+      val e = intercept[Exception] {
+        df.write.format("changelog-state")
+          .option("path", s"$work/state")
+          .option("schema", df.schema.toDDL)
+          .option("keyCols", "id")
+          .option("maintainer", "batch-reject-test")
+          .mode("append")
+          .save()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => Option(c.getMessage).exists(_.contains("streaming write path"))),
+        s"unexpected error: $e")
+    } finally ChangelogStateSink.maintainers.remove("batch-reject-test")
+  }
 }
