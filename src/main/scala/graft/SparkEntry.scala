@@ -74,6 +74,12 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     "cdc_apply_truncate_stream" -> ((s, d) =>
       ChangelogStream.qApplyStreamingTruncate(s, d)),
+    // TRUNCATE through the COMPOSED pipeline: the fence-only micro-batch
+    // surfaces its killed rows to the maintainer hook, so the MV debits and
+    // the index retracts in the same batch that commits the O(1) fence —
+    // two views over one shared pass (graft.cdc.Pipeline.runTruncate)
+    "cdc_pipeline_truncate" -> (graft.cdc.Pipeline.qTruncateCoherent _),
+    "cdc_pipeline_truncate_mv" -> (graft.cdc.Pipeline.qTruncateMv _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     // the end-to-end connector rendering (DSv2 source → DSv2 sink); since
@@ -570,6 +576,18 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply_truncate" -> truncateOracle,
     "cdc_apply_truncate_stream" -> truncateOracle,
+    "cdc_pipeline_truncate" -> truncateOracle,
+    "cdc_pipeline_truncate_mv" ->
+      // truncate-aware IVM: after the fence batch debits every killed
+      // row's contribution, the maintained MV equals the aggregate over
+      // the post-truncate state
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog WHERE seq > 1000000)
+         |SELECT o_orderstatus, count(*) AS n, ${dsum("o_totalprice", "sum_value")}
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_mv_agg" ->
       // the IVM guarantee: the incrementally-maintained MV equals the
       // aggregate recomputed over the fully-applied state

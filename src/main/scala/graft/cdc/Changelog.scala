@@ -118,16 +118,15 @@ object Changelog {
     * [[Apply.truncateApply]] (batch) and the keyed-state sink's fence
     * (streaming). */
   def fromOrdersTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = fromOrders(spark, sfDir)
+    // null payload typed off the changelog itself: a mismatched null type
+    // (e.g. TIMESTAMP where orders carries TIMESTAMP_NTZ) would silently
+    // coerce the whole union's column and break JSON round-trips
     val marker = spark.range(1).select(
-      lit(-1L).as("id"), lit(1000000L).as("seq"),
-      lit("TRUNCATE").as("op"), lit("orders").as("table"),
-      lit(null).cast("bigint").as("o_orderkey"),
-      lit(null).cast("bigint").as("o_custkey"),
-      lit(null).cast("string").as("o_orderstatus"),
-      lit(null).cast("double").as("o_totalprice"),
-      lit(null).cast("timestamp").as("o_orderdate"),
-      lit(null).cast("string").as("o_orderpriority"))
-    fromOrders(spark, sfDir).unionByName(marker)
+      Seq(lit(-1L).as("id"), lit(1000000L).as("seq"),
+        lit("TRUNCATE").as("op"), lit("orders").as("table")) ++
+      payloadCols.map(c => lit(null).cast(base.schema(c).dataType).as(c)): _*)
+    base.unionByName(marker)
   }
 
   /** The truncate changelog ([[fromOrdersTruncate]]) staged as three
@@ -239,6 +238,26 @@ object Changelog {
       cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
           struct(payload: _*).as("payload"))).as("value"))
         .repartition(4).write.mode(SaveMode.Overwrite).text(dir)
+    }
+
+  /** The truncate changelog ([[fromOrdersTruncate]]) as THREE name-ordered
+    * JSON-envelope files — INSERTs, the TRUNCATE marker alone, then
+    * UPDATEs+DELETEs — so the engine's DSv2 source (which admits files in
+    * path order) delivers the truncate as a fence-only micro-batch with
+    * live state on both sides, the composed-pipeline truncate fixture. */
+  def stageEnvelopeJsonTruncatePhased(spark: SparkSession, sfDir: String): String =
+    stage(fromOrdersTruncate(spark, sfDir), sfDir, "envjson-trunc",
+        Seq("orders.parquet")) { (cl, dir) =>
+      new java.io.File(dir).mkdirs()
+      def env(df: DataFrame) = df.select(to_json(struct(
+        col("id"), col("seq"), col("op"), col("table"),
+        struct(payloadCols.map(col): _*).as("payload"))).as("value"))
+      graft.model.Staging.stageNamedTextFile(
+        env(cl.filter(col("op") === "INSERT")), dir, "p0")
+      graft.model.Staging.stageNamedTextFile(
+        env(cl.filter(col("op") === "TRUNCATE")), dir, "p1")
+      graft.model.Staging.stageNamedTextFile(
+        env(cl.filter(col("op").isin("UPDATE", "DELETE"))), dir, "p2")
     }
 
   /** The orders changelog as parquet files (multi-file, for bounded

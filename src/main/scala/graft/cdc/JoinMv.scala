@@ -105,7 +105,8 @@ object JoinMv {
       val segBefore = readTouchedBuckets(spark, segDir, keys,
           Seq("id", "c_mktsegment"))
         .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
-      val touchedCust = prev.unionByName(merged)
+      val touchedCust = prev.select(col("table"), col("id"))
+        .unionByName(merged.select(col("table"), col("id")))
         .filter(col("table") === "customer")
         .select(col("id").as("custkey")).distinct()
       val segAfter = custLive(merged, "seg_a")
@@ -161,16 +162,27 @@ object JoinMv {
     * advance replays idempotently. Customer rows (including tombstones)
     * come from `merged` — the post-merge latest-per-key of the touched
     * buckets — which upserts to the identical dim state as the raw batch
-    * events would. */
+    * events would; their dim-state seq is the BATCH id (monotone across
+    * batches, one row per key within one), which also orders the
+    * tombstones synthesized for VANISHED customers — rows a truncate fence
+    * erased outright, present in `prev` but absent (not even tombstoned)
+    * from `merged` — so a truncated dim never leaves stale segments
+    * behind. */
   private[cdc] def advanceStates(spark: SparkSession, k: DataFrame,
-                                 merged: DataFrame, batchId: Long,
+                                 prev: DataFrame, merged: DataFrame,
+                                 batchId: Long,
                                  aggDir: String, segDir: String): Unit =
     if (committedAggBatch(spark, aggDir) < batchId) {
       ChangelogStream.upsertBatch(newARows(k, batchId), aggDir)
-      val custEvents = merged
-        .filter(col("table") === "customer")
-        .select(col("id"), col("seq"), col("op"), col("c_mktsegment"))
-      ChangelogStream.upsertBatch(custEvents, segDir)
+      val mergedCust = merged.filter(col("table") === "customer")
+      val custEvents = mergedCust
+        .select(col("id"), lit(batchId).as("seq"), col("op"), col("c_mktsegment"))
+      val vanished = prev.filter(col("table") === "customer")
+        .select(col("id"), col("c_mktsegment"))
+        .join(mergedCust.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(batchId).as("seq"),
+          lit("DELETE").as("op"), col("c_mktsegment"))
+      ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir)
       writeAggFence(spark, aggDir, batchId)
     }
 
@@ -190,7 +202,7 @@ object JoinMv {
     }
     val k = ensurePendingK(prev, merged, batchId, aggDir, segDir)
     commitMvFromK(spark, k, batchId, mvDir)
-    advanceStates(spark, k, merged, batchId, aggDir, segDir)
+    advanceStates(spark, k, prev, merged, batchId, aggDir, segDir)
     fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
   }
 

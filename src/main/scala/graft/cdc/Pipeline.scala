@@ -104,21 +104,32 @@ object Pipeline {
     ChangelogStream.readState(spark, runFull(spark, sfDir).state, Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
 
-  /** The composed pass's cross-output COHERENCE gate: the state SEMI-JOINED
-    * to the secondary index on (status, key). The two tables are maintained
-    * by independent mechanisms off the one merge; if they ever disagreed —
-    * an index entry pointing at a moved/retired value, a state row the
-    * index missed — rows would drop here and the hash check would fail.
-    * When coherent the result IS the state, so the query shares the
-    * cdc_apply oracle: equality is the assertion. */
+  /** The composed pass's cross-output COHERENCE gate, BIDIRECTIONAL: the
+    * state semi-joined to the secondary index on (status, key) — dropping
+    * any state row the index missed — UNIONED with every index entry that
+    * points at no live state row (null-padded to the payload shape). The
+    * two tables are maintained by independent mechanisms off the one
+    * merge; a missing index entry drops a row here, a STALE one (e.g. an
+    * entry a TRUNCATE should have retracted) injects an alien row — either
+    * way the hash check fails. When coherent the result IS the state, so
+    * the query shares the state oracle: equality is the assertion. */
+  private def stateIndexCoherent(spark: SparkSession, stateDir: String,
+                                 idxDir: String): DataFrame = {
+    val state = ChangelogStream.readState(spark, stateDir, Changelog.payloadCols)
+    val idx = ChangelogStream.readState(spark, idxDir, Seq("v", "id"))
+      .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
+    val present = state.join(idx, Seq("o_orderstatus", "o_orderkey"), "left_semi")
+      .select(Changelog.payloadCols.map(col): _*)
+    val stale = idx.join(state, Seq("o_orderstatus", "o_orderkey"), "left_anti")
+      .select(Changelog.payloadCols.map(c =>
+        if (c == "o_orderstatus" || c == "o_orderkey") col(c)
+        else lit(null).cast(state.schema(c).dataType).as(c)): _*)
+    present.unionByName(stale).orderBy(col("o_orderkey"))
+  }
+
   def qStateIndexCoherent(spark: SparkSession, sfDir: String): DataFrame = {
     val dirs = runFull(spark, sfDir)
-    val state = ChangelogStream.readState(spark, dirs.state, Changelog.payloadCols)
-    val idx = ChangelogStream.readState(spark, dirs.idx, Seq("v", "id"))
-      .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
-    state.join(idx, Seq("o_orderstatus", "o_orderkey"), "left_semi")
-      .select(Changelog.payloadCols.map(col): _*)
-      .orderBy(col("o_orderkey"))
+    stateIndexCoherent(spark, dirs.state, dirs.idx)
   }
 
   /** The per-status MV of the composed pass (shares cdc_mv_agg's oracle). */
@@ -143,4 +154,73 @@ object Pipeline {
     ChangelogStream.readState(spark, runFull(spark, sfDir).idx, Seq("v", "id"))
       .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
+
+  // ── TRUNCATE through the composed pipeline ────────────────────────────
+
+  private val truncRuns = new java.util.concurrent.ConcurrentHashMap[String, Dirs]()
+
+  /** The composed pass over a TRUNCATE-bearing changelog: the fence-only
+    * micro-batch flows through the same maintainer hook — the state merge
+    * surfaces the fence-killed rows as the hook's `prev` frame
+    * ([[ChangelogStream.upsertBatch]]), so the per-status MV debits every
+    * truncated row's contribution and the secondary index retracts its
+    * entries in the SAME batch that commits the O(1) fence. Round-8's gap:
+    * the fence erased state in untouched buckets without the maintainers
+    * ever seeing a delta, leaving stale MV cells and index entries. */
+  def runTruncate(spark: SparkSession, sfDir: String): Dirs =
+    truncRuns.computeIfAbsent(sfDir, _ => {
+      val clDir = Changelog.stageEnvelopeJsonTruncatePhased(spark, sfDir)
+      val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-trunc-").toString
+      val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx")
+      val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
+      ChangelogStateSink.maintainers.put(hookKey,
+        (prev: DataFrame, merged: DataFrame, epochId: Long) => {
+          Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+            prev, merged, Seq("o_orderstatus"),
+            Materialize.aggContrib("o_orderstatus", "o_totalprice"))
+          Index.commitIndexDelta(prev, merged, epochId, dirs.idx, "o_orderstatus")
+        })
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val pSchema = Changelog.payloadSchema(spark, sfDir)
+        val decoded = spark.readStream.format("changelog")
+          .option("maxFilesPerTrigger", 1) // p0 / p1 (fence alone) / p2
+          .load(clDir)
+          .select(Seq(col("id"), col("seq"), col("op")) :+
+            from_json(col("payload"), pSchema).as("p"): _*)
+          .select(Seq(col("id"), col("seq"), col("op")) ++
+            Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+        val q = decoded.writeStream.format("changelog-state")
+          .option("path", dirs.state)
+          .option("schema", decoded.schema.toDDL)
+          .option("keyCols", "id")
+          .option("maintainer", hookKey)
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        ChangelogStateSink.maintainers.remove(hookKey)
+      }
+      dirs
+    })
+
+  /** Post-truncate state behind the bidirectional state/index coherence
+    * gate — a stale (unretracted) index entry or a missing one breaks the
+    * hash. Shares cdc_apply_truncate's oracle. */
+  def qTruncateCoherent(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirs = runTruncate(spark, sfDir)
+    stateIndexCoherent(spark, dirs.state, dirs.idx)
+  }
+
+  /** The per-status MV after the truncate-bearing run: every truncated
+    * row's contribution debited, equal to the aggregate over the
+    * post-truncate state. */
+  def qTruncateMv(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.readMv(spark, runTruncate(spark, sfDir).mv)
+      .select(col("o_orderstatus"), col("n"),
+        round(col("s"), 2).cast("double").as("sum_value"))
+      .orderBy(col("o_orderstatus"))
 }

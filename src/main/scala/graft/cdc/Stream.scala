@@ -208,8 +208,35 @@ object ChangelogStream {
       val truncs = probe.getSeq[org.apache.spark.sql.Row](1)
         .map(r => r.getString(0) -> r.getLong(1))
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      // fences BEFORE this batch's markers commit — the view derived tables
+      // were maintained against
+      val oldFences = truncateFences(spark, stateDir)
       if (truncs.nonEmpty) commitTruncateFence(spark, stateDir, truncs)
-      if (touched.isEmpty) return
+      val newFences =
+        if (truncs.nonEmpty) truncateFences(spark, stateDir) else oldFences
+      // rows the NEW fence kills that the old fence still showed, drawn
+      // from the given committed paths — the retraction set a registered
+      // derived-table maintainer must see in `prev` (they vanish from the
+      // state without ever being a touched-bucket delta, ADVICE r8 #2)
+      def killedRows(paths: Seq[String]): Option[DataFrame] =
+        if (paths.isEmpty) None
+        else {
+          val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          Some(raw
+            .filter(fenceCondition(raw.columns, oldFences) &&
+              !fenceCondition(raw.columns, newFences))
+            .withColumn("__bucket", Buckets.bucketExpr(layout, bCols)))
+        }
+      if (touched.isEmpty) {
+        // a truncate-only batch still drives the maintainer hook: the fence
+        // delta is (killed rows, nothing) — MVs debit, indexes retract
+        if (beforeCommit != null && truncs.nonEmpty)
+          killedRows(layout.paths(stateDir)).foreach { killed =>
+            killed.persist()
+            try beforeCommit(killed, killed.limit(0)) finally killed.unpersist()
+          }
+        return
+      }
       val prevPaths = touched.filter(layout.version(_) >= 0)
         .map(b => s"$stateDir/bucket=$b/v=${layout.version(b)}")
       // prev rows carry no bucket column on disk; recompute it (cheap hash).
@@ -217,13 +244,12 @@ object ChangelogStream {
       // again (the fence is monotone), so each merge physically purges its
       // touched buckets' dead rows; readers filter the rest until their
       // bucket is next touched or compacted ([[compactState]]).
-      val fences = truncateFences(spark, stateDir)
       val prev =
         if (prevPaths.nonEmpty) {
           // mergeSchema: buckets written before a schema change lack the
           // newer columns; the union view must carry them all
           val raw = spark.read.option("mergeSchema", "true").parquet(prevPaths: _*)
-          raw.filter(fenceCondition(raw.columns, fences))
+          raw.filter(fenceCondition(raw.columns, newFences))
             .withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
         } else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withB.schema)
@@ -245,7 +271,33 @@ object ChangelogStream {
         .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
           others.map(c => col(s"last.$c").as(c)): _*)
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
-      if (beforeCommit != null) beforeCommit(prev, spark.read.parquet(tmp))
+      if (beforeCommit != null) {
+        val merged = spark.read.parquet(tmp)
+        val hookPrev =
+          if (truncs.isEmpty) prev
+          else {
+            // the hook's "before" view when this batch carries TRUNCATEs:
+            // touched buckets under the OLD fence (rows the new fence just
+            // killed still appear, and are absent from `merged` — the
+            // retraction the maintainer needs) plus the UNTOUCHED buckets'
+            // killed rows, which no merge would otherwise surface
+            val touchedOld = prevPaths match {
+              case Seq() => prev
+              case ps =>
+                val raw = spark.read.option("mergeSchema", "true").parquet(ps: _*)
+                raw.filter(fenceCondition(raw.columns, oldFences))
+                  .withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
+            }
+            val untouchedPaths = layout.entries.toSeq
+              .collect { case (b, (_, v)) if v >= 0 && !touched.contains(b) =>
+                s"$stateDir/bucket=$b/v=$v" }
+            killedRows(untouchedPaths) match {
+              case Some(k) => touchedOld.unionByName(k, allowMissingColumns = true)
+              case None => touchedOld
+            }
+          }
+        beforeCommit(hookPrev, merged)
+      }
       // write each touched bucket's NEXT version dir. The per-dir _SUCCESS
       // still marks a complete write, but visibility is now the manifest
       // flip below: a crash anywhere before it leaves every reader on the

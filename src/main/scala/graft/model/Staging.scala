@@ -42,6 +42,21 @@ object Staging {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
   }
 
+  /** Write `df` (a single string column) as ONE text file `dir/name.json` —
+    * the name-ordered building block for JSON-envelope replay stagings: the
+    * DSv2 changelog source admits fresh files sorted by path, so
+    * lexicographic names fix the micro-batch order. */
+  def stageNamedTextFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                         name: String): Unit = {
+    val part = s"$dir/.write-$name"
+    df.coalesce(1).write.text(part)
+    val file = new java.io.File(part).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt")).get
+    val dst = new java.io.File(s"$dir/$name.json")
+    assert(file.renameTo(dst), s"stage failed: $name")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+  }
+
   /** Ensure `dir` is staged: reuse a committed dir, else run `write` into a
     * temp sibling and atomically promote it. A dir present WITHOUT the
     * marker is a stale artifact (older protocol, or a crash before its

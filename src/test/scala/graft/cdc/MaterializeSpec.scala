@@ -58,6 +58,38 @@ class MaterializeSpec extends AnyFunSuite with SparkSpec {
     assert(state === Seq((1L, "A", 15.0), (2L, "B", 20.0)))
   }
 
+  test("a TRUNCATE fence batch debits the MV and retracts the index") {
+    val work = Files.createTempDirectory("graft-mvtrunc-").toString
+    val (st, mvd, idx) = (s"$work/state", s"$work/mv", s"$work/idx")
+    def hook(batchId: Long)(prev: org.apache.spark.sql.DataFrame,
+                            merged: org.apache.spark.sql.DataFrame): Unit = {
+      Materialize.commitDelta(spark, mvd, batchId, prev, merged,
+        Seq("g"), Materialize.aggContrib("g", "v"))
+      Index.commitIndexDelta(prev, merged, batchId, idx, "g")
+    }
+    ChangelogStream.upsertBatch(
+      mk((1L, 1L, "INSERT", "A", 10.0), (2L, 2L, "INSERT", "B", 20.0)),
+      st, beforeCommit = hook(0L))
+    assert(mv(mvd) === Seq(("A", 1L, 10.0), ("B", 1L, 20.0)))
+    assert(ChangelogStream.readState(spark, idx, Seq("v", "id")).count() === 2)
+    // a FENCE-ONLY batch: the killed rows surface as the hook's prev frame
+    // (across every bucket), so the MV debits and the index retracts even
+    // though no bucket was merged
+    val marker = Seq((-1L, 100L, "TRUNCATE")).toDF("id", "seq", "op")
+      .select(col("id"), col("seq"), col("op"),
+        lit(null).cast("string").as("g"), lit(null).cast("double").as("v"))
+    ChangelogStream.upsertBatch(marker, st, beforeCommit = hook(1L))
+    assert(mv(mvd).isEmpty, "truncated contributions must be debited")
+    assert(ChangelogStream.readState(spark, idx, Seq("v", "id")).count() === 0,
+      "truncated index entries must be retracted")
+    // life continues past the fence: a later insert rebuilds both
+    ChangelogStream.upsertBatch(mk((3L, 200L, "INSERT", "B", 7.0)),
+      st, beforeCommit = hook(2L))
+    assert(mv(mvd) === Seq(("B", 1L, 7.0)))
+    assert(ChangelogStream.readState(spark, st, Seq("id", "g", "v"))
+      .as[(Long, String, Double)].collect().toSeq === Seq((3L, "B", 7.0)))
+  }
+
   test("the maintained MV equals a full re-aggregation of the applied state") {
     val out = Materialize.qMvAgg(spark, sfDir)
       .as[(String, Long, Double)].collect().toSeq
