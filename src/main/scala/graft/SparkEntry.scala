@@ -64,8 +64,13 @@ object SparkEntry {
     "cdc_mv_join_bidi" -> ((s, d) =>
       // the join-MV with BOTH sides changing: segment moves re-attribute a
       // customer's whole order history, deletes retract it — per-key
-      // replace over a maintained per-customer aggregate state (JoinMv)
-      graft.cdc.JoinMv.qMvJoinBidi(s, d)),
+      // replace over a maintained per-customer aggregate state (JoinMv),
+      // riding the composed pass's maintainer hook since round 9
+      graft.cdc.Pipeline.qMvJoinBidi(s, d)),
+    // the CUSTOMER table's view of the same shared multi-table pass — the
+    // reference's per-table dispatch (utils.go:105-112) as a filter over
+    // the (table, id)-keyed state
+    "cdc_pipeline_customer" -> (graft.cdc.Pipeline.qCustomerState _),
     "cdc_apply_truncate" -> ((s, d) =>
       // table-wide TRUNCATE applied (the reference drops it,
       // producer.go:161-166): events at-or-before the truncate seq erased,
@@ -478,14 +483,16 @@ object SparkEntry {
        |${kmeansRounds(iters)}
        |SELECT vec_id, cl AS cluster, score FROM a$iters ORDER BY vec_id""".stripMargin
 
-  /** Mirrors Similarity.qAnnKmeans: the round-`iters` k-means scoring
-    * (s$iters — every vector vs the trained centroids) ranked per vector
-    * gives cells (crk=1) and the queries' ADAPTIVE probe set — nearest
-    * cell always, further cells (≤4) only within 0.15 of the best score —
-    * then the exact rerank of emb_ann_centroid over the probed cells. */
+  /** Mirrors Similarity.qAnnKmeans: each label's seed SPLIT in two (cl =
+    * label·2 + vec_id mod 2 → 20 trained cells), the round-`iters` k-means
+    * scoring (s$iters — every vector vs the trained centroids) ranked per
+    * vector gives cells (crk=1) and the queries' ADAPTIVE probe set —
+    * nearest cell always, further cells (≤8) only within 0.20 of the best
+    * score — then the exact rerank of emb_ann_centroid over the probed
+    * cells. */
   private def annKmeansOracle(iters: Int): String =
     s"""WITH $embX,
-       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
        |${kmeansRounds(iters)},
        |asg AS (SELECT vec_id, cl, score,
        |               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk,
@@ -493,7 +500,7 @@ object SparkEntry {
        |        FROM s$iters),
        |cells AS (SELECT vec_id, cl AS cell FROM asg WHERE crk = 1),
        |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asg
-       |           WHERE vec_id < 10 AND (crk = 1 OR (crk <= 4 AND score >= best - 0.15))),
+       |           WHERE vec_id < 10 AND (crk = 1 OR (crk <= 8 AND score >= best - 0.20))),
        |cand AS (SELECT p.q_id, c.vec_id FROM probed p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
        |dots AS (SELECT cd2.q_id, cd2.vec_id, sum(xq.e * xv.e) AS dot
        |         FROM cand cd2
@@ -627,6 +634,16 @@ object SparkEntry {
     "cdc_delete_antijoin" ->
       s"SELECT $payloadList FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "cdc_apply_customer" -> cdcApplyCustomerSql,
+    "cdc_pipeline_customer" ->
+      // the customer view of the composed multi-table pass: the
+      // segment-moving customer changelog applied (latest per key, deletes
+      // out), dispatched from the ONE shared stream
+      s"""WITH ${Changelog.customerSegMoveOracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM c_changelog)
+         |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin,
     "cdc_apply_customer_dsv2" -> cdcApplyCustomerSql,
     "cdc_decode_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -216,6 +216,22 @@ object Changelog {
     graft.model.Staging.ensure(dir)(tmp => write(cl, tmp))
   }
 
+  /** Orders ∪ SEGMENT-MOVING customer events as JSON-line DatabaseEvent
+    * envelopes (superset payload; `to_json` omits null fields) — the
+    * composed pipeline's multi-table wire fixture: one topic carrying every
+    * table, with dimension churn that exercises the bidirectional join-MV
+    * (`utils.go:31` — the reference's single CDC topic). */
+  def stageEnvelopeJsonMultiTableSegMove(spark: SparkSession, sfDir: String): String =
+    stage(
+      fromOrders(spark, sfDir)
+        .unionByName(fromCustomerSegMove(spark, sfDir), allowMissingColumns = true),
+      sfDir, "envjson-multi-segmove", Seq("orders.parquet", "customer.parquet")) { (cl, dir) =>
+      val payload = (payloadCols ++ customerPayloadCols).map(col)
+      cl.select(to_json(struct(col("id"), col("seq"), col("op"), col("table"),
+          struct(payload: _*).as("payload"))).as("value"))
+        .repartition(4).write.mode(SaveMode.Overwrite).text(dir)
+    }
+
   /** The orders changelog as JSON-line DatabaseEvent envelopes (the wire
     * format [[graft.sources.ChangelogSource]] reads). */
   def stageEnvelopeJson(spark: SparkSession, sfDir: String): String =
@@ -335,19 +351,21 @@ object Changelog {
     }
 
   /** DuckDB CTE of [[fromCustomerSegMove]] (CTE name `c_changelog` so it
-    * composes with [[oracleCte]]'s `changelog`). */
+    * composes with [[oracleCte]]'s `changelog`); full payload columns so
+    * both the bidi join-MV oracle and the composed pass's customer-state
+    * oracle derive from the ONE rendering. */
   val customerSegMoveOracleCte: String =
     """c_changelog AS (
       |  SELECT c_custkey AS id, c_custkey AS seq, 'INSERT' AS op,
-      |         c_custkey, c_mktsegment
+      |         c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey, c_custkey + 1000000, 'UPDATE',
-      |         c_custkey, 'MOVED'
+      |         c_custkey, c_name, c_nationkey, c_acctbal + 1, 'MOVED'
       |  FROM customer WHERE c_custkey % 3 = 0
       |  UNION ALL
       |  SELECT c_custkey, c_custkey + 2000000, 'DELETE',
-      |         c_custkey, c_mktsegment
+      |         c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |  FROM customer WHERE c_custkey % 11 = 0
       |)""".stripMargin
 

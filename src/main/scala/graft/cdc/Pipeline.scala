@@ -6,66 +6,93 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.ChangelogStateSink
 
-/** The COMPOSED pipeline: one pass over the changelog maintains the keyed
-  * state AND every derived table — exactly the reference consumer's loop,
-  * which keeps the document store and its search index current together
-  * (`consumer.go:15-55`, `es.go:88-144`), generalized to N derived tables.
+/** The COMPOSED pipeline: one pass over the MULTI-TABLE changelog maintains
+  * the keyed state of EVERY table AND every derived table — exactly the
+  * reference consumer's loop, which dispatches one stream's events per
+  * table and keeps each table's store and its search index current together
+  * (`consumer.go:15-55`, `utils.go:105-112`, `es.go:88-144`), generalized
+  * to N derived tables.
   *
-  * Topology: the engine's DSv2 SOURCE tails the envelope files, the engine's
-  * DSv2 SINK merges the keyed state, and a `maintainer` hook registered with
-  * the sink ([[graft.sources.ChangelogStateSink.maintainers]]) chains the
+  * Topology: the engine's DSv2 SOURCE tails ONE envelope stream carrying
+  * orders AND (segment-moving) customer events — the reference's single CDC
+  * topic — the engine's DSv2 SINK merges the (table, id)-keyed superset
+  * state, and a `maintainer` hook registered with the sink
+  * ([[graft.sources.ChangelogStateSink.maintainers]]) chains the
   * derived-table deltas at the merge's beforeCommit fence point:
   *
-  *   - per-status MV ([[Materialize.commitDelta]] with [[Materialize
-  *     .aggContrib]]) — fenced on epoch id (deltas are not idempotent);
-  *   - revenue-per-segment MV over orders⋈customer ([[Materialize
-  *     .joinAggContrib]]) — delta-JOIN maintenance: each epoch joins only
-  *     the TOUCHED-BUCKET rows to the broadcast dimension, never the full
-  *     state;
-  *   - secondary index on status ([[Index.commitIndexDelta]]) — unfenced
-  *     (its own max_by merge absorbs replays).
+  *   - per-status MV over orders ([[Materialize.commitDelta]] with
+  *     [[Materialize.aggContrib]] on the orders rows) — fenced on epoch id
+  *     (deltas are not idempotent);
+  *   - revenue-per-segment MV over orders⋈static-customer ([[Materialize
+  *     .joinAggContrib]]) — delta-JOIN maintenance against the broadcast
+  *     base dimension, never re-joining the full state;
+  *   - the BIDIRECTIONAL revenue-per-segment MV ([[JoinMv.maintain]]) —
+  *     both join sides live in this same stream, so segment moves
+  *     re-attribute and customer deletes retract, off the same
+  *     (prev, merged) frames;
+  *   - secondary index on status ([[Index.commitIndexDelta]] on the orders
+  *     rows) — unfenced (its own max_by merge absorbs replays).
   *
   * Every maintainer consumes the (prev, merged) frames the state merge
   * ALREADY computed, so the changelog is read once and the state merged
-  * once per epoch no matter how many derived tables ride along — versus one
-  * full re-stream per table when each runs standalone (the round-7 shape:
-  * three streams × ~8 s collapse into one). Crash protocol is unchanged
-  * from the standalone operators: MV deltas fence first, index and state
-  * replay idempotently, so every crash point recovers.
+  * once per epoch no matter how many tables and derived views ride along —
+  * round 8 ran the bidirectional MV as its own full re-stream (18 s at
+  * sf0.1) and filtered the composed pass to one table; both now share this
+  * single pass. Crash protocol is unchanged from the standalone operators:
+  * MV deltas fence first, the bidirectional maintainer pins its per-key
+  * frame before advancing its states ([[JoinMv]]), index and state replay
+  * idempotently, so every crash point recovers.
   *
   * The run is memoized per (JVM, fixture): the declared queries
-  * cdc_pipeline_full / cdc_apply_sink_dsv2 / cdc_mv_agg / cdc_mv_join /
-  * cdc_secondary_index are VIEWS over one shared pass, each hash-checked
-  * against its own independent oracle.
+  * cdc_pipeline_full / cdc_pipeline_customer / cdc_apply_sink_dsv2 /
+  * cdc_mv_agg / cdc_mv_join / cdc_mv_join_bidi / cdc_secondary_index are
+  * VIEWS over one shared pass, each hash-checked against its own
+  * independent oracle.
   */
 object Pipeline {
 
   /** Output directories of one composed run. */
-  case class Dirs(state: String, mv: String, mvJoin: String, idx: String)
+  case class Dirs(state: String, mv: String, mvJoin: String, idx: String,
+                  agg: String = "", seg: String = "", mvBidi: String = "")
 
   private val runs = new java.util.concurrent.ConcurrentHashMap[String, Dirs]()
 
-  /** Run (or reuse) the composed pass for a fixture dir. */
+  private val allPayloadCols: Seq[String] =
+    Changelog.payloadCols ++ Changelog.customerPayloadCols
+
+  /** Run (or reuse) the composed multi-table pass for a fixture dir. */
   def runFull(spark: SparkSession, sfDir: String): Dirs =
     runs.computeIfAbsent(sfDir, _ => {
-      val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
+      val clDir = Changelog.stageEnvelopeJsonMultiTableSegMove(spark, sfDir)
       val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-").toString
-      val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx")
+      val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx",
+        s"$work/agg", s"$work/seg", s"$work/mv_bidi")
       val dim = graft.model.Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_mktsegment"))
+      // the single-table maintainers see only the orders rows, WITHOUT the
+      // superset envelope's customer columns — those are all-null here and
+      // would collide with the broadcast dimension's names in the delta
+      // join
+      def orders(rows: DataFrame) = rows.filter(col("table") === "orders")
+        .drop(Changelog.customerPayloadCols: _*)
       val hookKey = s"pipeline-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-          // MV deltas first (fenced, non-idempotent), index second
-          // (idempotent), then the caller promotes the state buckets
+          // MV deltas first (fenced, non-idempotent), index next
+          // (idempotent), the bidirectional maintainer last (internally
+          // ordered: pin → MV fence → state advance), then the caller
+          // promotes the state buckets. The single-table maintainers see
+          // only the orders rows of the shared frames.
           Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
-            prev, merged, Seq("o_orderstatus"),
+            orders(prev), orders(merged), Seq("o_orderstatus"),
             Materialize.aggContrib("o_orderstatus", "o_totalprice"))
           Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
-            prev, merged, Seq("c_mktsegment"),
+            orders(prev), orders(merged), Seq("c_mktsegment"),
             Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
               "c_mktsegment", "o_totalprice"))
-          Index.commitIndexDelta(prev, merged, epochId, dirs.idx, "o_orderstatus")
+          Index.commitIndexDelta(orders(prev), orders(merged), epochId,
+            dirs.idx, "o_orderstatus")
+          JoinMv.maintain(prev, merged, epochId, dirs.agg, dirs.seg, dirs.mvBidi)
         })
       // per-epoch merges + deltas run over touched-bucket-sized data; 8
       // shuffle partitions fit that (restored after — same sizing note as
@@ -73,19 +100,24 @@ object Pipeline {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val pSchema = Changelog.payloadSchema(spark, sfDir)
+        // superset payload schema: each row's JSON carries only its own
+        // table's fields; from_json null-pads the rest (the same superset
+        // envelope the multi-table parquet staging uses)
+        val pSchema = org.apache.spark.sql.types.StructType(
+          Changelog.payloadSchema(spark, sfDir).fields ++
+            Changelog.fromCustomer(spark, sfDir)
+              .select(Changelog.customerPayloadCols.map(col): _*).schema.fields)
         val decoded = spark.readStream.format("changelog")
           .option("maxFilesPerTrigger", 2)
           .load(clDir)
-          .filter(col("table") === "orders")
-          .select(Seq(col("id"), col("seq"), col("op")) :+
+          .select(Seq(col("table"), col("id"), col("seq"), col("op")) :+
             from_json(col("payload"), pSchema).as("p"): _*)
-          .select(Seq(col("id"), col("seq"), col("op")) ++
-            Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+          .select(Seq(col("table"), col("id"), col("seq"), col("op")) ++
+            allPayloadCols.map(c => col(s"p.$c").as(c)): _*)
         val q = decoded.writeStream.format("changelog-state")
           .option("path", dirs.state)
           .option("schema", decoded.schema.toDDL)
-          .option("keyCols", "id")
+          .option("keyCols", "table,id")
           .option("maintainer", hookKey)
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow())
@@ -98,11 +130,26 @@ object Pipeline {
       dirs
     })
 
-  /** The materialized state of the composed pass — identical to every other
-    * cdc_apply rendering (shares their oracle). */
+  /** One table's view of the shared multi-table state — the reference's
+    * per-table dispatch (`utils.go:105-112`) as a filter. */
+  private def tableState(spark: SparkSession, stateDir: String,
+                         table: String, cols: Seq[String]): DataFrame =
+    ChangelogStream.readState(spark, stateDir, "table" +: cols)
+      .filter(col("table") === table)
+      .select(cols.map(col): _*)
+
+  /** The materialized orders state of the composed pass — identical to
+    * every other cdc_apply rendering (shares their oracle). */
   def qState(spark: SparkSession, sfDir: String): DataFrame =
-    ChangelogStream.readState(spark, runFull(spark, sfDir).state, Changelog.payloadCols)
+    tableState(spark, runFull(spark, sfDir).state, "orders", Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
+
+  /** The materialized CUSTOMER state of the same pass — the segment-moving
+    * customer changelog applied; its own oracle re-derives it in SQL. */
+  def qCustomerState(spark: SparkSession, sfDir: String): DataFrame =
+    tableState(spark, runFull(spark, sfDir).state, "customer",
+        Changelog.customerPayloadCols)
+      .orderBy(col("c_custkey"))
 
   /** The composed pass's cross-output COHERENCE gate, BIDIRECTIONAL: the
     * state semi-joined to the secondary index on (status, key) — dropping
@@ -113,9 +160,8 @@ object Pipeline {
     * entry a TRUNCATE should have retracted) injects an alien row — either
     * way the hash check fails. When coherent the result IS the state, so
     * the query shares the state oracle: equality is the assertion. */
-  private def stateIndexCoherent(spark: SparkSession, stateDir: String,
+  private def stateIndexCoherent(spark: SparkSession, state: DataFrame,
                                  idxDir: String): DataFrame = {
-    val state = ChangelogStream.readState(spark, stateDir, Changelog.payloadCols)
     val idx = ChangelogStream.readState(spark, idxDir, Seq("v", "id"))
       .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
     val present = state.join(idx, Seq("o_orderstatus", "o_orderkey"), "left_semi")
@@ -129,7 +175,8 @@ object Pipeline {
 
   def qStateIndexCoherent(spark: SparkSession, sfDir: String): DataFrame = {
     val dirs = runFull(spark, sfDir)
-    stateIndexCoherent(spark, dirs.state, dirs.idx)
+    stateIndexCoherent(spark,
+      tableState(spark, dirs.state, "orders", Changelog.payloadCols), dirs.idx)
   }
 
   /** The per-status MV of the composed pass (shares cdc_mv_agg's oracle). */
@@ -147,6 +194,13 @@ object Pipeline {
       .select(col("c_mktsegment"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))
       .orderBy(col("c_mktsegment"))
+
+  /** The BIDIRECTIONAL join-MV of the same pass ([[JoinMv]] riding the
+    * shared maintainer hook): revenue per segment with both join sides
+    * changing — segment moves re-attribute, customer deletes retract.
+    * Round 8 paid a full standalone re-stream for this view. */
+  def qMvJoinBidi(spark: SparkSession, sfDir: String): DataFrame =
+    JoinMv.readMvView(spark, runFull(spark, sfDir).mvBidi)
 
   /** The secondary index of the composed pass (shares cdc_secondary_index's
     * oracle): the (status → key) table of the live state. */
@@ -212,7 +266,9 @@ object Pipeline {
     * hash. Shares cdc_apply_truncate's oracle. */
   def qTruncateCoherent(spark: SparkSession, sfDir: String): DataFrame = {
     val dirs = runTruncate(spark, sfDir)
-    stateIndexCoherent(spark, dirs.state, dirs.idx)
+    stateIndexCoherent(spark,
+      ChangelogStream.readState(spark, dirs.state, Changelog.payloadCols),
+      dirs.idx)
   }
 
   /** The per-status MV after the truncate-bearing run: every truncated

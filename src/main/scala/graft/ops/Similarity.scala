@@ -215,11 +215,17 @@ object Similarity {
     * best score carried for the adaptive probe rule. Shared by
     * [[qAnnKmeans]] and its recall evaluation. */
   private[graft] def trainedCellScores(spark: SparkSession, dir: String,
-                                       iters: Int): DataFrame = {
+                                       iters: Int, seedSplit: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
-    var asg = e.select(col("vec_id"), col("label").cast("long").as("cl"))
+    // seedSplit > 1 shards each label into that many seed cells (cl =
+    // label·split + vec_id mod split) — a deterministic way to train MORE
+    // centroids than the fixture's 10 labels: finer cells concentrate true
+    // neighbors, so equal probed FRACTION buys higher recall
+    var asg = e.select(col("vec_id"),
+      (col("label").cast("long") * seedSplit +
+        pmod(col("vec_id"), lit(seedSplit))).as("cl"))
     for (_ <- 1 until iters) {
       val cent = centroidArrays(e, asg).localCheckpoint()
       val scored = e.join(broadcast(cent))
@@ -240,10 +246,18 @@ object Similarity {
       .withColumn("best", max(col("cscore")).over(Window.partitionBy(col("vec_id"))))
   }
 
+  /** Defaults (measured at sf0.001 against brute-force truth, all at the
+    * SAME ~0.20 probed fraction): label-seeded fixed-2 over 10 cells 0.40;
+    * trained adaptive over 10 cells (r8: margin .15, ≤4) 0.46; trained
+    * adaptive over 20 split-seeded cells (margin .20, ≤8) **0.60** —
+    * finer cells concentrate true neighbors, so the same probed fraction
+    * covers more of them; 30 cells at ≤12 probes reaches 0.70 at ~equal
+    * fraction for callers who want the next rung. */
   def qAnnKmeans(spark: SparkSession, dir: String, iters: Int = 3,
                  nQueries: Int = 10, k: Int = 5,
-                 probeMargin: Double = 0.15, maxProbes: Int = 4): DataFrame = {
-    val assigned = trainedCellScores(spark, dir, iters)
+                 probeMargin: Double = 0.20, maxProbes: Int = 8,
+                 seedSplit: Int = 2): DataFrame = {
+    val assigned = trainedCellScores(spark, dir, iters, seedSplit)
     val cells = assigned.filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cl").as("cell"))
     val probed = assigned.filter(col("vec_id") < nQueries &&

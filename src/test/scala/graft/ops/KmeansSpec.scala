@@ -54,14 +54,15 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the trained quantizer beats the label-seeded one end-to-end (ANN recall)") {
-    // equal average probed fraction (≈2 cells of 10), same rerank — the
-    // quantizer AND the probe policy differ: label-seeded fixed-2 0.40 vs
-    // Lloyd-trained adaptive (margin 0.15, ≤4) 0.46 at sf0.001, both far
-    // above the 1-probe 0.32 candidate-recall baseline. The adaptive rule
-    // also beats the trained FIXED-2 (0.44) at the same 2.0 avg probes.
+    // equal average probed FRACTION (~0.20 of the corpus), same rerank —
+    // quantizer granularity AND probe policy differ: label-seeded fixed-2
+    // over 10 cells 0.40 vs Lloyd-trained adaptive over 20 SPLIT-SEEDED
+    // cells (margin 0.20, ≤8 probes ≈ 4.0 avg of 20) 0.60 at sf0.001.
+    // Finer cells concentrate true neighbors, so the same probed fraction
+    // covers more of them (round-8's 10-cell adaptive sat at 0.46).
     val seeded = resultRecall(Similarity.qAnnCentroid(spark, sfDir))
     val trained = resultRecall(Similarity.qAnnKmeans(spark, sfDir))
     assert(trained > seeded, s"training did not help: seeded=$seeded trained=$trained")
-    assert(trained > 0.40, s"trained adaptive recall regressed: $trained")
+    assert(trained > 0.55, s"trained adaptive recall regressed: $trained")
   }
 }
