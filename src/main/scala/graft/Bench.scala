@@ -19,6 +19,14 @@ object Bench {
         else graft.model.Tables.load(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
     }
+    // …and one throwaway parquet WRITE: committer + output-codec init cost
+    // ~3-4s once per JVM and was being charged to whichever query wrote
+    // first (round-8 noise audit)
+    try {
+      val wdir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-bench-warm-").toString
+      spark.range(8).write.mode("overwrite").parquet(s"$wdir/warm")
+    } catch { case _: Throwable => () }
     // stable (sorted) execution order so per-query timings are comparable
     // across rounds
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -49,9 +57,21 @@ object Bench {
     // Full-precision per-query map goes to a file (the harness that captures
     // stdout keeps only a short tail, so the printed line must stay small);
     // sorted by name for stable diffs across rounds.
+    // accounting disclosure (round-8 advice): the composed-pipeline passes
+    // are memoized per JVM, so the first view to run in sort order CARRIES
+    // the whole shared streaming cost and the rest time as near-free reads;
+    // cross-round per-query comparisons must read these together. Sub-2s
+    // queries report the median of 3 runs; the rest are single-rep.
+    val carriers = Seq("cdc_apply_sink_dsv2", "cdc_pipeline_truncate")
+    val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
+      "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
+      "cdc_pipeline_truncate_mv")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
+      s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
-      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$accounting,"queries":{""", ",", "}}")
     java.nio.file.Files.write(detailPath.toPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

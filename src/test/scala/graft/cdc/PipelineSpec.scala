@@ -45,10 +45,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assertSame(Pipeline.qIndex(spark, sfDir),
       state.select($"o_orderstatus", $"o_orderkey"))
 
+    // customer view of the SAME multi-table pass = the seg-move changelog
+    // applied (the reference's per-table dispatch as a filter)
+    val cstate = Apply.latestState(Changelog.fromCustomerSegMove(spark, sfDir),
+      Changelog.customerPayloadCols)
+    assertSame(Pipeline.qCustomerState(spark, sfDir),
+      cstate.orderBy($"c_custkey"))
+
+    // bidirectional join-MV of the same pass = BOTH applied states joined
+    // and re-aggregated (segment moves re-attributed, deletes retracted)
+    assertSame(Pipeline.qMvJoinBidi(spark, sfDir),
+      state.join(cstate, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value")))
+
     // and the pass really was shared: a second view does not re-stream
     // (memoized run handed back the same directories)
     val d1 = Pipeline.runFull(spark, sfDir)
     val d2 = Pipeline.runFull(spark, sfDir)
     assert(d1 eq d2)
+  }
+
+  test("TRUNCATE through the composed pass keeps the MV and index coherent") {
+    val truncState = Apply.truncateApply(
+      Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
+    // the coherence gate passes (and therefore equals the truncated state):
+    // a stale index entry would inject a null-padded row, a missing one
+    // would drop a state row
+    assertSame(Pipeline.qTruncateCoherent(spark, sfDir),
+      truncState.orderBy($"o_orderkey"))
+    // the maintained MV debited every truncated contribution
+    assertSame(Pipeline.qTruncateMv(spark, sfDir),
+      truncState.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value")))
   }
 }
