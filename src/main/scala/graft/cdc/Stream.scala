@@ -272,6 +272,9 @@ object ChangelogStream {
           others.map(c => col(s"last.$c").as(c)): _*)
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
       if (beforeCommit != null) {
+        // touched-bucket-sized frames, re-read by EVERY maintainer a hook
+        // chains (the composed pass reads each side ~10×/epoch) — cache
+        // them for the hook's duration
         val merged = spark.read.parquet(tmp)
         val hookPrev =
           if (truncs.isEmpty) prev
@@ -296,7 +299,10 @@ object ChangelogStream {
               case None => touchedOld
             }
           }
-        beforeCommit(hookPrev, merged)
+        hookPrev.persist()
+        merged.persist()
+        try beforeCommit(hookPrev, merged)
+        finally { hookPrev.unpersist(); merged.unpersist() }
       }
       // write each touched bucket's NEXT version dir. The per-dir _SUCCESS
       // still marks a complete write, but visibility is now the manifest
