@@ -60,6 +60,54 @@ object Pipeline {
   private val allPayloadCols: Seq[String] =
     Changelog.payloadCols ++ Changelog.customerPayloadCols
 
+  /** The full maintainer chain of the multi-table pass: MV deltas first
+    * (fenced, non-idempotent), index next (idempotent), the bidirectional
+    * maintainer last (internally ordered: pin → MV fence → state advance),
+    * then the sink promotes the state buckets. The single-table
+    * maintainers see only the orders rows of the shared frames, WITHOUT
+    * the superset envelope's customer columns — those are all-null there
+    * and would collide with the broadcast dimension's names in the delta
+    * join. */
+  private[cdc] def fullMaintainer(spark: SparkSession, sfDir: String,
+                                  dirs: Dirs): (DataFrame, DataFrame, Long) => Unit = {
+    val dim = graft.model.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def orders(rows: DataFrame) = rows.filter(col("table") === "orders")
+      .drop(Changelog.customerPayloadCols: _*)
+    (prev: DataFrame, merged: DataFrame, epochId: Long) => {
+      Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+        orders(prev), orders(merged), Seq("o_orderstatus"),
+        Materialize.aggContrib("o_orderstatus", "o_totalprice"))
+      Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
+        orders(prev), orders(merged), Seq("c_mktsegment"),
+        Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
+          "c_mktsegment", "o_totalprice"))
+      Index.commitIndexDelta(orders(prev), orders(merged), epochId,
+        dirs.idx, "o_orderstatus")
+      JoinMv.maintain(prev, merged, epochId, dirs.agg, dirs.seg, dirs.mvBidi)
+    }
+  }
+
+  /** The decoded multi-table envelope stream: superset payload schema —
+    * each row's JSON carries only its own table's fields; from_json
+    * null-pads the rest (the same superset envelope the multi-table
+    * parquet staging uses). */
+  private[cdc] def decodedMultiTableStream(spark: SparkSession, sfDir: String,
+                                           clDir: String,
+                                           maxFilesPerTrigger: Int): DataFrame = {
+    val pSchema = org.apache.spark.sql.types.StructType(
+      Changelog.payloadSchema(spark, sfDir).fields ++
+        Changelog.fromCustomer(spark, sfDir)
+          .select(Changelog.customerPayloadCols.map(col): _*).schema.fields)
+    spark.readStream.format("changelog")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(clDir)
+      .select(Seq(col("table"), col("id"), col("seq"), col("op")) :+
+        from_json(col("payload"), pSchema).as("p"): _*)
+      .select(Seq(col("table"), col("id"), col("seq"), col("op")) ++
+        allPayloadCols.map(c => col(s"p.$c").as(c)): _*)
+  }
+
   /** Run (or reuse) the composed multi-table pass for a fixture dir. */
   def runFull(spark: SparkSession, sfDir: String): Dirs =
     runs.computeIfAbsent(sfDir, _ => {
@@ -67,53 +115,16 @@ object Pipeline {
       val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-").toString
       val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx",
         s"$work/agg", s"$work/seg", s"$work/mv_bidi")
-      val dim = graft.model.Tables.customer(spark, sfDir)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      // the single-table maintainers see only the orders rows, WITHOUT the
-      // superset envelope's customer columns — those are all-null here and
-      // would collide with the broadcast dimension's names in the delta
-      // join
-      def orders(rows: DataFrame) = rows.filter(col("table") === "orders")
-        .drop(Changelog.customerPayloadCols: _*)
       val hookKey = s"pipeline-${java.util.UUID.randomUUID()}"
-      ChangelogStateSink.maintainers.put(hookKey,
-        (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-          // MV deltas first (fenced, non-idempotent), index next
-          // (idempotent), the bidirectional maintainer last (internally
-          // ordered: pin → MV fence → state advance), then the caller
-          // promotes the state buckets. The single-table maintainers see
-          // only the orders rows of the shared frames.
-          Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
-            orders(prev), orders(merged), Seq("o_orderstatus"),
-            Materialize.aggContrib("o_orderstatus", "o_totalprice"))
-          Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
-            orders(prev), orders(merged), Seq("c_mktsegment"),
-            Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
-              "c_mktsegment", "o_totalprice"))
-          Index.commitIndexDelta(orders(prev), orders(merged), epochId,
-            dirs.idx, "o_orderstatus")
-          JoinMv.maintain(prev, merged, epochId, dirs.agg, dirs.seg, dirs.mvBidi)
-        })
+      ChangelogStateSink.maintainers.put(hookKey, fullMaintainer(spark, sfDir, dirs))
       // per-epoch merges + deltas run over touched-bucket-sized data; 8
       // shuffle partitions fit that (restored after — same sizing note as
       // the standalone MV stream)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        // superset payload schema: each row's JSON carries only its own
-        // table's fields; from_json null-pads the rest (the same superset
-        // envelope the multi-table parquet staging uses)
-        val pSchema = org.apache.spark.sql.types.StructType(
-          Changelog.payloadSchema(spark, sfDir).fields ++
-            Changelog.fromCustomer(spark, sfDir)
-              .select(Changelog.customerPayloadCols.map(col): _*).schema.fields)
-        val decoded = spark.readStream.format("changelog")
-          .option("maxFilesPerTrigger", 2)
-          .load(clDir)
-          .select(Seq(col("table"), col("id"), col("seq"), col("op")) :+
-            from_json(col("payload"), pSchema).as("p"): _*)
-          .select(Seq(col("table"), col("id"), col("seq"), col("op")) ++
-            allPayloadCols.map(c => col(s"p.$c").as(c)): _*)
+        val decoded = decodedMultiTableStream(spark, sfDir, clDir,
+          maxFilesPerTrigger = 2)
         val q = decoded.writeStream.format("changelog-state")
           .option("path", dirs.state)
           .option("schema", decoded.schema.toDDL)

@@ -68,6 +68,70 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(d1 eq d2)
   }
 
+  test("killing the composed pass mid-run and resuming recovers every view") {
+    // the crash-protocol claim, end-to-end: stop the pass at an ARBITRARY
+    // point (whatever epochs the first run managed to commit — zero, some,
+    // or all are equally valid stop points), then resume from the same
+    // checkpoint and require every derived table to converge exactly
+    val clDir = Changelog.stageEnvelopeJsonMultiTableSegMove(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("graft-pipe-kill-").toString
+    val dirs = Pipeline.Dirs(s"$work/state", s"$work/mv", s"$work/mv_join",
+      s"$work/idx", s"$work/agg", s"$work/seg", s"$work/mv_bidi")
+    val hookKey = s"pipeline-kill-${java.util.UUID.randomUUID()}"
+    graft.sources.ChangelogStateSink.maintainers.put(hookKey,
+      Pipeline.fullMaintainer(spark, sfDir, dirs))
+    def start() = {
+      val decoded = Pipeline.decodedMultiTableStream(spark, sfDir, clDir,
+        maxFilesPerTrigger = 1)
+      decoded.writeStream.format("changelog-state")
+        .option("path", dirs.state)
+        .option("schema", decoded.schema.toDDL)
+        .option("keyCols", "table,id")
+        .option("maintainer", hookKey)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try {
+      val q1 = start()
+      q1.awaitTermination(2500) // kill mid-drain (4 files, 1 per epoch)
+      q1.stop()
+      val q2 = start() // resume from the same checkpoint + fences
+      q2.awaitTermination()
+    } finally graft.sources.ChangelogStateSink.maintainers.remove(hookKey)
+
+    val ostate = Apply.latestState(Changelog.fromOrders(spark, sfDir),
+      Changelog.payloadCols)
+    val cstate = Apply.latestState(Changelog.fromCustomerSegMove(spark, sfDir),
+      Changelog.customerPayloadCols)
+    assertSame(
+      ChangelogStream.readState(spark, dirs.state, "table" +: Changelog.payloadCols)
+        .filter($"table" === "orders").select(Changelog.payloadCols.map(col): _*),
+      ostate)
+    assertSame(
+      ChangelogStream.readState(spark, dirs.state,
+          "table" +: Changelog.customerPayloadCols)
+        .filter($"table" === "customer")
+        .select(Changelog.customerPayloadCols.map(col): _*),
+      cstate)
+    assertSame(
+      Materialize.readMv(spark, dirs.mv)
+        .select($"o_orderstatus", $"n", $"s".cast("double").as("s")),
+      ostate.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(Materialize.SType)).cast("double").as("s")))
+    assertSame(
+      ChangelogStream.readState(spark, dirs.idx, Seq("v", "id")),
+      ostate.select($"o_orderstatus".as("v"), $"o_orderkey".as("id")))
+    assertSame(
+      Materialize.readMv(spark, dirs.mvBidi)
+        .select($"c_mktsegment", $"n", $"s".cast("double").as("s")),
+      ostate.join(cstate, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(Materialize.SType)).cast("double").as("s")))
+  }
+
   test("TRUNCATE through the composed pass keeps the MV and index coherent") {
     val truncState = Apply.truncateApply(
       Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
