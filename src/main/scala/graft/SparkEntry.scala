@@ -41,6 +41,26 @@ object SparkEntry {
       // putAll merge — final state must equal the full-row apply
       Apply.mergeApply(Changelog.fromOrdersPartial(s, d), payload, keyField = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
+    "cdc_compact" -> ((s, d) =>
+      // Kafka-style log compaction: one event per key — latest payload as
+      // an UPSERT, or a before-image TOMBSTONE when the last event is a
+      // DELETE (tombstones must survive so resuming consumers still see
+      // deletions; the reference's topic has no retention story at all)
+      Apply.compact(Changelog.fromOrders(s, d), payload).orderBy(col("id"))),
+    "cdc_compact_apply" -> ((s, d) =>
+      // the compaction CONTRACT: applying the compacted log yields the
+      // same state as applying the full log — shares cdc_apply's oracle
+      Apply.latestState(Apply.compact(Changelog.fromOrders(s, d), payload), payload)
+        .orderBy(col("o_orderkey"))),
+    "cdc_bootstrap" -> { (s, d) =>
+      // snapshot + tail initial load: the orders table seeds the state as
+      // synthetic INSERTs at seq 0, then only the changelog tail (updates
+      // and deletes, seq > 1e6) applies on top — result identical to
+      // replaying the full history, without reading it
+      val tail = Changelog.fromOrders(s, d).filter(col("seq") > 1000000L)
+      Apply.bootstrap(Tables.orders(s, d), "o_orderkey", tail, payload)
+        .orderBy(col("o_orderkey"))
+    },
     "cdc_apply_txn" -> ((s, d) =>
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
@@ -561,6 +581,19 @@ object SparkEntry {
          |SELECT c_mktsegment, count(*) AS n, ${dsum("o_totalprice", "sum_value")}
          |FROM state JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_compact" ->
+      // latest event per key, op folded to UPSERT/DELETE; tombstones keep
+      // the before-image payload — the compacted changelog itself
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT id, seq,
+         |  CASE WHEN op = 'DELETE' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+         |  $payloadList
+         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+    "cdc_compact_apply" -> cdcApplySql,
+    "cdc_bootstrap" -> cdcApplySql,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
     "cdc_scd2" -> scd2Oracle,

@@ -41,8 +41,11 @@ object Apply {
     * remains in [[windowedLatestState]] as the reference formulation.) */
   /** The op kinds the pipeline applies; anything else (the reference drops
     * Truncate/Begin/Commit/Type/Origin messages, `producer.go:161-166`) is
-    * filtered out before the merge. */
-  val handledOps: Seq[String] = Seq("INSERT", "UPDATE", "DELETE")
+    * filtered out before the merge. UPSERT is the engine's own kind: it is
+    * what [[compact]] emits for a live key (a compacted event has no
+    * insert-vs-update history left to preserve), and the merge treats it
+    * exactly like the other non-delete ops. */
+  val handledOps: Seq[String] = Seq("INSERT", "UPDATE", "DELETE", "UPSERT")
 
   def latestState(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
     val rowStruct = struct(col("op") +: payloadCols.map(col): _*)
@@ -104,6 +107,65 @@ object Apply {
           else v
         out.as(c)
       }: _*)
+  }
+
+  /** Changelog COMPACTION (Kafka compacted-topic semantics): collapse a
+    * changelog to ONE event per key — the latest payload as an UPSERT, or
+    * a TOMBSTONE (op = DELETE, carrying the deleted row's before-image the
+    * way a Debezium delete event does) when the key's last event is a
+    * DELETE. The reference produces to topic "CDC" with no retention
+    * story at all (`utils.go:79-89`) and its consumer always re-reads from
+    * `OffsetOldest` (`utils.go:49`) — so the topic, and every restart's
+    * replay, grow with HISTORY. Compaction bounds both with STATE: unlike
+    * [[latestState]] the tombstones survive, so a downstream consumer that
+    * already holds pre-compaction state still learns about deletions —
+    * apply(compact(log)) == apply(log) for a fresh consumer (the two
+    * declared queries share one oracle) and merging a compacted tail into
+    * existing keyed state stays correct for a resuming one.
+    *
+    * Same one-shuffle map-side-combined `max_by` merge as the apply (one
+    * aggregation carries both the winning row and its seq). At 100 TB this
+    * is how log retention is bounded: compact closed segments periodically
+    * — output ∝ live keys + tombstones, not events — and bootstrap new
+    * consumers from the compacted prefix plus the live tail
+    * ([[bootstrap]]). `payloadCols` must not shadow the envelope columns
+    * (`id`/`seq`/`op`) — the output carries both. */
+  def compact(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val rowStruct = struct(col("op") +: payloadCols.map(col): _*)
+    changelog
+      .filter(col("op").isin(handledOps: _*))
+      .groupBy(col("id"))
+      .agg(max(col("seq")).as("seq"), max_by(rowStruct, col("seq")).as("last"))
+      .select(Seq(col("id"), col("seq"),
+        when(col("last.op") === "DELETE", lit("DELETE"))
+          .otherwise(lit("UPSERT")).as("op")) ++
+        payloadCols.map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** Snapshot + tail BOOTSTRAP (initial load): the reference creates a
+    * TEMPORARY replication slot at the server's current LSN
+    * (`producer.go:55-60`) — a consumer that starts late, or loses its
+    * slot, silently misses every earlier row and there is no way to
+    * recover them from the stream. The standard fix: seed from a
+    * consistent table snapshot and apply only the changelog TAIL past the
+    * snapshot's LSN. Snapshot rows become synthetic INSERTs at
+    * `snapshotSeq` (strictly below every tail seq), and the ordinary
+    * latest-state merge resolves the rest — updates/deletes in the tail
+    * supersede their snapshot row by seq.
+    *
+    * At 100 TB the snapshot is ONE table scan (bucketed, no shuffle when
+    * the snapshot layout matches the state's) and the tail is bounded by
+    * retention — no replay of unbounded history; the merge is the apply's
+    * single key-shuffle. */
+  def bootstrap(snapshot: DataFrame, keyCol: String, tail: DataFrame,
+                payloadCols: Seq[String], snapshotSeq: Long = 0L): DataFrame = {
+    val snapEvents = snapshot.select(
+      Seq(col(keyCol).cast("long").as("id"),
+        lit(snapshotSeq).as("seq"), lit("INSERT").as("op")) ++
+        payloadCols.map(col): _*)
+    latestState(
+      snapEvents.unionByName(tail.select(snapEvents.columns.map(col): _*)),
+      payloadCols)
   }
 
   /** TRUNCATE as an APPLIED operation — the second documented upgrade over

@@ -71,6 +71,53 @@ class ApplySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, "b")))
   }
 
+  test("compact collapses each key to one event and keeps tombstones") {
+    val out = Apply.compact(cl(
+      (1L, 1L, "INSERT", "t", "a"),
+      (1L, 3L, "UPDATE", "t", "c"),   // live key: latest payload, UPSERT
+      (1L, 2L, "UPDATE", "t", "b"),
+      (2L, 1L, "INSERT", "t", "x"),
+      (2L, 2L, "DELETE", "t", "x")),  // deleted key: before-image tombstone
+      Seq("v"))
+      .orderBy("id")
+      .as[(Long, Long, String, Option[String])].collect()
+    assert(out.toSeq === Seq(
+      (1L, 3L, "UPSERT", Some("c")),
+      (2L, 2L, "DELETE", Some("x"))))
+  }
+
+  test("a compacted tail still deletes from a resuming consumer's state") {
+    // consumer already applied seq <= 1; the tail (seq > 1) compacts to a
+    // tombstone for key 1 — merging it must drop the key, which is exactly
+    // why compact keeps tombstones where latestState drops them
+    val stateEvents = cl((1L, 1L, "INSERT", "t", "a"), (2L, 1L, "INSERT", "t", "x"))
+    val tail = cl((1L, 2L, "UPDATE", "t", "b"), (1L, 3L, "DELETE", "t", "b"))
+    val compactedTail = Apply.compact(tail, Seq("v"))
+      .withColumn("table", lit("t"))
+    val out = Apply.latestState(
+      stateEvents.select(compactedTail.columns.map(col): _*)
+        .unionByName(compactedTail), Seq("id", "v"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((2L, "x")))
+  }
+
+  test("apply(compact(log)) equals apply(log) on the orders fixture") {
+    val base = Changelog.fromOrders(spark, sfDir)
+    val a = Apply.latestState(base, Changelog.payloadCols)
+    val b = Apply.latestState(
+      Apply.compact(base, Changelog.payloadCols), Changelog.payloadCols)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("snapshot + tail bootstrap equals replaying the full changelog") {
+    val base = Changelog.fromOrders(spark, sfDir)
+    val full = Apply.latestState(base, Changelog.payloadCols)
+    val boot = Apply.bootstrap(
+      graft.model.Tables.orders(spark, sfDir), "o_orderkey",
+      base.filter(col("seq") > 1000000L), Changelog.payloadCols)
+    assert(full.exceptAll(boot).count() === 0 && boot.exceptAll(full).count() === 0)
+  }
+
   test("max_by apply equals the window formulation") {
     val base = Changelog.fromOrders(spark, sfDir)
     val a = Apply.latestState(base, Changelog.payloadCols)
