@@ -1,7 +1,7 @@
 package graft.cdc
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -66,13 +66,22 @@ object JoinMv {
   /** Load the batch's pinned per-key frame, or compute it from the
     * PRE-batch A/segment states and persist it (`_SUCCESS` via the normal
     * parquet commit). Columns: custkey, n_b, s_b, n_a, s_a, seg_b, seg_a,
-    * in_do. */
+    * in_do.
+    *
+    * Shape: every input is keyed by custkey and each key has AT MOST ONE
+    * row per source, so instead of chaining four joins (each its own
+    * shuffle/broadcast job — at local micro-batch sizes the per-job driver
+    * latency dominates, and at cluster scale each is a separate stage
+    * barrier) the frame folds as ONE union of tagged legs + ONE
+    * aggregation on custkey: two jobs per batch total (the keys/bucket-id
+    * job, then the fold that writes the pin). */
   private[cdc] def ensurePendingK(prev: DataFrame, merged: DataFrame,
                                   batchId: Long, aggDir: String,
                                   segDir: String): DataFrame = {
     val spark = prev.sparkSession
     val dir = pendingDir(aggDir, batchId)
     if (hasSuccess(spark, dir)) return spark.read.parquet(dir)
+    val zeroS = lit(0).cast(Materialize.SType)
     // ΔO: per-customer signed orders contributions from the one merge's
     // touched rows (untouched keys cancel exactly)
     def ordersLive(df: DataFrame, sign: Int) = df
@@ -83,7 +92,7 @@ object JoinMv {
     val dO = ordersLive(merged, 1).unionByName(ordersLive(prev, -1))
       .groupBy(col("custkey"))
       .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"))
-      .filter(col("dn") =!= 0 || col("ds") =!= lit(0).cast(Materialize.SType))
+      .filter(col("dn") =!= 0 || col("ds") =!= zeroS)
     // ΔC: customers whose live row changed (segment move, insert, delete)
     // — prev/merged cover exactly their touched buckets
     def custLive(df: DataFrame, as: String) = df
@@ -93,48 +102,74 @@ object JoinMv {
         Seq("custkey"), "full_outer")
       .filter(!(col("pseg") <=> col("mseg")))
       .select(col("custkey"))
-    // every customer key whose contribution to M must be replaced
-    val keys = dO.select(col("custkey")).unionByName(dC).distinct()
-    keys.persist()
+    // every customer key whose contribution to M must be replaced; dO is
+    // a leg of the fold below too, so keep both off one computation
+    val dOp = dO.persist()
+    val keys = dOp.select(col("custkey")).unionByName(dC).distinct().persist()
     try {
+      // one row per (custkey, source), folded by a single groupBy: nulls
+      // everywhere except the leg's own columns, max() picks the value
+      def leg(src: DataFrame, cols: Map[String, Column]): DataFrame = {
+        val all = Seq("dn" -> LongType_, "ds" -> Materialize.SType,
+          "n_b" -> LongType_, "s_b" -> Materialize.SType,
+          "seg_b" -> StringType_, "seg_m" -> StringType_,
+          "touched" -> LongType_, "is_key" -> LongType_, "in_do" -> LongType_)
+        src.select(col("custkey") +: all.map { case (c, t) =>
+          cols.getOrElse(c, lit(null).cast(t)).as(c) }: _*)
+      }
       // A_before and the segment dim view, BUCKET-PRUNED: the touched keys
       // hash to a handful of buckets (collected driver-side — ≤ the bucket
       // count, never ∝ keys); only those buckets are read. Both states are
       // pre-batch by the ordering contract — they only advance after the
-      // pending frame and MV commit.
+      // pending frame and MV commit. Bucket rows for keys OUTSIDE the key
+      // set ride the fold and drop at the is_key filter — the same rows a
+      // join would have read and discarded.
       val segBefore = readTouchedBuckets(spark, segDir, keys,
           Seq("id", "c_mktsegment"))
         .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
+      val aBefore = readTouchedBuckets(spark, aggDir, keys, Seq("id", "n", "s"))
+        .select(col("id").as("custkey"), col("n").as("n_b"), col("s").as("s_b"))
       val touchedCust = prev.select(col("table"), col("id"))
         .unionByName(merged.select(col("table"), col("id")))
         .filter(col("table") === "customer")
         .select(col("id").as("custkey")).distinct()
-      val segAfter = custLive(merged, "seg_a")
-        .unionByName(segBefore.withColumnRenamed("seg_b", "seg_a")
-          .join(touchedCust, Seq("custkey"), "left_anti"))
-      val aBefore = readTouchedBuckets(spark, aggDir, keys, Seq("id", "n", "s"))
-        .select(col("id").as("custkey"), col("n").as("n_b"), col("s").as("s_b"))
+      val one = lit(1L)
+      val folded = Seq(
+          leg(dOp, Map("dn" -> col("dn"), "ds" -> col("ds"), "in_do" -> one)),
+          leg(keys, Map("is_key" -> one)),
+          leg(aBefore, Map("n_b" -> col("n_b"), "s_b" -> col("s_b"))),
+          leg(segBefore, Map("seg_b" -> col("seg_b"))),
+          leg(custLive(merged, "seg_m"), Map("seg_m" -> col("seg_m"))),
+          leg(touchedCust, Map("touched" -> one)))
+        .reduce(_.unionByName(_))
+        .groupBy(col("custkey"))
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"),
+          max(col("n_b")).as("n_b"), max(col("s_b")).as("s_b"),
+          max(col("seg_b")).as("seg_b"), max(col("seg_m")).as("seg_m"),
+          max(col("touched")).as("touched"), max(col("is_key")).as("is_key"),
+          max(col("in_do")).as("in_do"))
+        .filter(col("is_key") === 1L)
       val zero = lit(0L)
-      val zeroS = lit(0).cast(Materialize.SType)
-      val k = keys
-        .join(dO, Seq("custkey"), "left_outer")
-        .join(aBefore, Seq("custkey"), "left_outer")
-        .join(segBefore, Seq("custkey"), "left_outer")
-        .join(segAfter, Seq("custkey"), "left_outer")
-        .select(col("custkey"),
-          coalesce(col("n_b"), zero).as("n_b"),
-          coalesce(col("s_b"), zeroS).as("s_b"),
-          (coalesce(col("n_b"), zero) + coalesce(col("dn"), zero)).as("n_a"),
-          (coalesce(col("s_b"), zeroS) + coalesce(col("ds"), zeroS))
-            .cast(Materialize.SType).as("s_a"),
-          col("seg_b"), col("seg_a"),
-          col("dn").isNotNull.as("in_do"))
+      val k = folded.select(col("custkey"),
+        coalesce(col("n_b"), zero).as("n_b"),
+        coalesce(col("s_b"), zeroS).as("s_b"),
+        (coalesce(col("n_b"), zero) + coalesce(col("dn"), zero)).as("n_a"),
+        (coalesce(col("s_b"), zeroS) + coalesce(col("ds"), zeroS))
+          .cast(Materialize.SType).as("s_a"),
+        col("seg_b"),
+        // the batch's word on a touched customer (null = deleted/vanished)
+        // supersedes the pre-batch segment; untouched keeps seg_b
+        when(col("touched") === 1L, col("seg_m")).otherwise(col("seg_b")).as("seg_a"),
+        (col("in_do") === 1L).as("in_do"))
       // parquet's job-level _SUCCESS is the pin's commit marker; a crash
       // mid-write leaves no marker and the replay recomputes cleanly
       k.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-    } finally keys.unpersist()
+    } finally { keys.unpersist(); dOp.unpersist() }
     spark.read.parquet(dir)
   }
+
+  private val LongType_ = org.apache.spark.sql.types.LongType
+  private val StringType_ = org.apache.spark.sql.types.StringType
 
   /** Step 2: the MV per-key replace — debit each changed key's before cell,
     * credit its after cell. Fenced on batchId inside commitDeltaRows. */
@@ -173,7 +208,6 @@ object JoinMv {
                                  batchId: Long,
                                  aggDir: String, segDir: String): Unit =
     if (committedAggBatch(spark, aggDir) < batchId) {
-      ChangelogStream.upsertBatch(newARows(k, batchId), aggDir)
       val mergedCust = merged.filter(col("table") === "customer")
       val custEvents = mergedCust
         .select(col("id"), lit(batchId).as("seq"), col("op"), col("c_mktsegment"))
@@ -182,7 +216,12 @@ object JoinMv {
         .join(mergedCust.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(batchId).as("seq"),
           lit("DELETE").as("op"), col("c_mktsegment"))
-      ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir)
+      // A and the segment dim are independent states (own dirs, own
+      // manifests) with values pinned by `k`/`merged` — advance them
+      // concurrently; the fence writes only after BOTH commit
+      Materialize.runConcurrent(
+        () => ChangelogStream.upsertBatch(newARows(k, batchId), aggDir),
+        () => ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir))
       writeAggFence(spark, aggDir, batchId)
     }
 

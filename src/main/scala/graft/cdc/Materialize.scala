@@ -36,6 +36,30 @@ object Materialize {
     * overflow mid-maintenance (DecimalType sums widen to precision 28). */
   private[cdc] val SType = DecimalType(28, 4)
 
+  /** One bounded pool for concurrent maintenance tasks (daemon threads;
+    * Spark actions are thread-safe driver-side). */
+  private lazy val maintEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-maintainer"); t.setDaemon(true); t
+        }))
+
+  /** Run independent maintenance tasks CONCURRENTLY and wait for every one
+    * before returning. Only safe for MUTUALLY INDEPENDENT tasks — each
+    * writing its own directory behind its own fence, so a crash that
+    * commits any SUBSET replays correctly. Serially, N tasks cost the sum
+    * of N driver-latency-bound job chains; concurrently the caller pays
+    * only the slowest — and on a real cluster the tasks' shuffles overlap.
+    * Every task is awaited even when one fails (nothing is still writing
+    * when the caller aborts); the first failure then propagates. */
+  private[cdc] def runConcurrent(tasks: (() => Unit)*): Unit = {
+    val fs = tasks.map(body => scala.concurrent.Future(body())(maintEc))
+    val results = fs.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

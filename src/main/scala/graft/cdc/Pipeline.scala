@@ -60,10 +60,15 @@ object Pipeline {
   private val allPayloadCols: Seq[String] =
     Changelog.payloadCols ++ Changelog.customerPayloadCols
 
-  /** The full maintainer chain of the multi-table pass: MV deltas first
-    * (fenced, non-idempotent), index next (idempotent), the bidirectional
-    * maintainer last (internally ordered: pin → MV fence → state advance),
-    * then the sink promotes the state buckets. The single-table
+  /** The full maintainer chain of the multi-table pass — two MV deltas
+    * (fenced, non-idempotent), the index delta (idempotent), and the
+    * bidirectional maintainer (internally ordered: pin → MV fence → state
+    * advance) — all CONCURRENT ([[Materialize.runConcurrent]]): the
+    * maintainers are mutually independent (each writes its own directory
+    * behind its own batchId fence, any committed SUBSET replays
+    * correctly), and the sink promotes the state buckets only after every
+    * one returns, preserving the MV-fences-before-state-promotion crash
+    * ordering. The single-table
     * maintainers see only the orders rows of the shared frames, WITHOUT
     * the superset envelope's customer columns — those are all-null there
     * and would collide with the broadcast dimension's names in the delta
@@ -75,16 +80,21 @@ object Pipeline {
     def orders(rows: DataFrame) = rows.filter(col("table") === "orders")
       .drop(Changelog.customerPayloadCols: _*)
     (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-      Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
-        orders(prev), orders(merged), Seq("o_orderstatus"),
-        Materialize.aggContrib("o_orderstatus", "o_totalprice"))
-      Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
-        orders(prev), orders(merged), Seq("c_mktsegment"),
-        Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
-          "c_mktsegment", "o_totalprice"))
-      Index.commitIndexDelta(orders(prev), orders(merged), epochId,
-        dirs.idx, "o_orderstatus")
-      JoinMv.maintain(prev, merged, epochId, dirs.agg, dirs.seg, dirs.mvBidi)
+      // warm the hook-shared cache once so concurrent maintainers read it
+      // instead of racing to compute it
+      prev.count(); merged.count()
+      Materialize.runConcurrent(
+        () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+          orders(prev), orders(merged), Seq("o_orderstatus"),
+          Materialize.aggContrib("o_orderstatus", "o_totalprice")),
+        () => Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
+          orders(prev), orders(merged), Seq("c_mktsegment"),
+          Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
+            "c_mktsegment", "o_totalprice")),
+        () => Index.commitIndexDelta(orders(prev), orders(merged), epochId,
+          dirs.idx, "o_orderstatus"),
+        () => JoinMv.maintain(prev, merged, epochId,
+          dirs.agg, dirs.seg, dirs.mvBidi))
     }
   }
 
@@ -240,10 +250,13 @@ object Pipeline {
       val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-          Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
-            prev, merged, Seq("o_orderstatus"),
-            Materialize.aggContrib("o_orderstatus", "o_totalprice"))
-          Index.commitIndexDelta(prev, merged, epochId, dirs.idx, "o_orderstatus")
+          prev.count(); merged.count()
+          Materialize.runConcurrent(
+            () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+              prev, merged, Seq("o_orderstatus"),
+              Materialize.aggContrib("o_orderstatus", "o_totalprice")),
+            () => Index.commitIndexDelta(prev, merged, epochId,
+              dirs.idx, "o_orderstatus"))
         })
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
