@@ -119,15 +119,17 @@ object JoinMv {
       }
       // A_before and the segment dim view, BUCKET-PRUNED: the touched keys
       // hash to a handful of buckets (collected driver-side — ≤ the bucket
-      // count, never ∝ keys); only those buckets are read. Both states are
-      // pre-batch by the ordering contract — they only advance after the
-      // pending frame and MV commit. Bucket rows for keys OUTSIDE the key
-      // set ride the fold and drop at the is_key filter — the same rows a
-      // join would have read and discarded.
-      val segBefore = readTouchedBuckets(spark, segDir, keys,
+      // count, never ∝ keys); only those buckets are read, and both
+      // states' bucket ids come out of ONE job over the cached keys. Both
+      // states are pre-batch by the ordering contract — they only advance
+      // after the pending frame and MV commit. Bucket rows for keys
+      // OUTSIDE the key set ride the fold and drop at the is_key filter —
+      // the same rows a join would have read and discarded.
+      val (segBuckets, aggBuckets) = touchedBucketIds(keys, segDir, aggDir)
+      val segBefore = readBuckets(spark, segDir, segBuckets,
           Seq("id", "c_mktsegment"))
         .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
-      val aBefore = readTouchedBuckets(spark, aggDir, keys, Seq("id", "n", "s"))
+      val aBefore = readBuckets(spark, aggDir, aggBuckets, Seq("id", "n", "s"))
         .select(col("id").as("custkey"), col("n").as("n_b"), col("s").as("s_b"))
       val touchedCust = prev.select(col("table"), col("id"))
         .unionByName(merged.select(col("table"), col("id")))
@@ -256,10 +258,36 @@ object JoinMv {
       beforeCommit = (prev, merged) =>
         maintain(prev, merged, batchId, aggDir, segDir, mvDir))
 
-  /** Read ONLY the buckets the given keys hash into — the layout names
-    * them; the distinct bucket ids collect driver-side (≤ bucket count,
-    * the [[Buckets]] invariant, never ∝ keys). An unwritten state reads as
-    * empty (first batch). */
+  /** Both states' touched bucket ids from ONE job over the (cached) keys:
+    * each layout names the buckets its keys hash into; the distinct pairs
+    * collect driver-side (≤ the product of the two bucket counts, the
+    * [[Buckets]] invariant, never ∝ keys). An unwritten state contributes
+    * no buckets (first batch). */
+  private[cdc] def touchedBucketIds(keys: DataFrame, segDir: String,
+                                    aggDir: String): (Seq[Int], Seq[Int]) = {
+    val spark = keys.sparkSession
+    def expr(dir: String) = Buckets.read(spark, dir)
+      .map(l => Buckets.bucketExpr(l, Seq(keys.columns.head)))
+      .getOrElse(lit(-1))
+    val pairs = keys.select(expr(segDir).as("sb"), expr(aggDir).as("ab"))
+      .distinct().collect()
+    def side(f: org.apache.spark.sql.Row => Int, dir: String) =
+      if (Buckets.read(spark, dir).isEmpty) Seq.empty[Int]
+      else pairs.map(f).distinct.toSeq.sorted
+    (side(_.getInt(0), segDir), side(_.getInt(1), aggDir))
+  }
+
+  /** Read ONLY the named buckets of a state ([[touchedBucketIds]] names
+    * them); no buckets (unwritten state) reads as empty. */
+  private[cdc] def readBuckets(spark: SparkSession, stateDir: String,
+                               buckets: Seq[Int],
+                               cols: Seq[String]): DataFrame =
+    buckets.map(b => readStateOrEmpty(spark, stateDir, cols, Some(b)))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(emptyFrame(spark, cols))
+
+  /** [[readBuckets]] over the keys' own touched buckets of one state —
+    * kept as the single-state entry point (spec-exercised). */
   private[cdc] def readTouchedBuckets(spark: SparkSession, stateDir: String,
                                       keys: DataFrame,
                                       cols: Seq[String]): DataFrame =
@@ -270,9 +298,7 @@ object JoinMv {
           .select(Buckets.bucketExpr(layout,
             Seq(keys.columns.head)).as("b")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
-        bs.map(b => readStateOrEmpty(spark, stateDir, cols, Some(b)))
-          .reduceOption(_.unionByName(_))
-          .getOrElse(emptyFrame(spark, cols))
+        readBuckets(spark, stateDir, bs, cols)
     }
 
   private def emptyFrame(spark: SparkSession, cols: Seq[String]): DataFrame =

@@ -82,7 +82,7 @@ object Pipeline {
     (prev: DataFrame, merged: DataFrame, epochId: Long) => {
       // warm the hook-shared cache once so concurrent maintainers read it
       // instead of racing to compute it
-      prev.count(); merged.count()
+      Materialize.runConcurrent(() => prev.count(), () => merged.count())
       Materialize.runConcurrent(
         () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
           orders(prev), orders(merged), Seq("o_orderstatus"),
@@ -250,7 +250,7 @@ object Pipeline {
       val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-          prev.count(); merged.count()
+          Materialize.runConcurrent(() => prev.count(), () => merged.count())
           Materialize.runConcurrent(
             () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
               prev, merged, Seq("o_orderstatus"),
