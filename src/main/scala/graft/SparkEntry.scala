@@ -280,6 +280,7 @@ object SparkEntry {
     "doc_token_count" -> (Text.qTokenCount _),
     "doc_lang_id" -> (Text.qLangId _),
     "doc_quality" -> (Text.qQualityScore _),
+    "doc_repetition" -> (Text.qRepetition _),
     "doc_exact_dedup" -> (Text.qExactDedup _),
     "doc_dedup_stats" -> (Text.qDedupStats _),
     "doc_rolling_fp" -> (Text.qRollingFingerprint _),
@@ -935,6 +936,31 @@ object SparkEntry {
          |      + least(CAST($stops AS DOUBLE) / 10, 1.0) * 5, 2) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "doc_repetition" ->
+      // relational re-derivation of the per-row array expressions: word
+      // counts → mode fraction; lead() windows → n-grams → distinct/total
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |topw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+        |  FROM wc GROUP BY 1),
+        |g2 AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM words),
+        |d2 AS (SELECT doc_id, round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g), 6) AS dup_2gram_frac
+        |  FROM g2 WHERE g IS NOT NULL GROUP BY 1),
+        |g3 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+        |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |d3 AS (SELECT doc_id, round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g), 6) AS dup_3gram_frac
+        |  FROM g3 WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT doc_id, n_words, top_word_frac,
+        |  coalesce(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+        |  coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+        |  CAST(top_word_frac > 0.12 OR coalesce(dup_2gram_frac, 0.0) > 0.05 AS BIGINT) AS repetitive
+        |FROM topw LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_exact_dedup" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

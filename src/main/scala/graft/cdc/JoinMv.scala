@@ -82,30 +82,40 @@ object JoinMv {
     val dir = pendingDir(aggDir, batchId)
     if (hasSuccess(spark, dir)) return spark.read.parquet(dir)
     val zeroS = lit(0).cast(Materialize.SType)
-    // ΔO: per-customer signed orders contributions from the one merge's
-    // touched rows (untouched keys cancel exactly)
-    def ordersLive(df: DataFrame, sign: Int) = df
-      .filter(col("table") === "orders" && col("op") =!= "DELETE")
-      .select(col("o_custkey").as("custkey"), lit(sign.toLong).as("dn"),
-        (col("o_totalprice").cast(DecimalType(18, 4)) * sign)
-          .cast(Materialize.SType).as("ds"))
-    val dO = ordersLive(merged, 1).unionByName(ordersLive(prev, -1))
-      .groupBy(col("custkey"))
-      .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"))
-      .filter(col("dn") =!= 0 || col("ds") =!= zeroS)
-    // ΔC: customers whose live row changed (segment move, insert, delete)
-    // — prev/merged cover exactly their touched buckets
     def custLive(df: DataFrame, as: String) = df
       .filter(col("table") === "customer" && col("op") =!= "DELETE")
       .select(col("id").as("custkey"), col("c_mktsegment").as(as))
-    val dC = custLive(prev, "pseg").join(custLive(merged, "mseg"),
-        Seq("custkey"), "full_outer")
-      .filter(!(col("pseg") <=> col("mseg")))
-      .select(col("custkey"))
-    // every customer key whose contribution to M must be replaced; dO is
-    // a leg of the fold below too, so keep both off one computation
-    val dOp = dO.persist()
-    val keys = dOp.select(col("custkey")).unionByName(dC).distinct().persist()
+    // The batch's per-customer DELTA — ΔO (signed orders contributions;
+    // untouched keys cancel exactly) AND ΔC (customers whose live row
+    // changed: segment move, insert, delete) — as ONE union of four tagged
+    // legs folded by ONE custkey aggregation: the previous rendering
+    // (groupBy + full_outer join + union-distinct) cost four shuffles per
+    // micro-batch where this costs one; at micro-batch cardinalities the
+    // per-stage overhead dominated the whole maintainer.
+    def ordersLeg(df: DataFrame, sign: Int) = df
+      .filter(col("table") === "orders" && col("op") =!= "DELETE")
+      .select(col("o_custkey").as("custkey"), lit(sign.toLong).as("dn"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * sign)
+          .cast(Materialize.SType).as("ds"),
+        lit(null).cast(StringType_).as("pseg"),
+        lit(null).cast(StringType_).as("mseg"))
+    def custLeg(df: DataFrame, isPrev: Boolean) =
+      custLive(df, if (isPrev) "pseg" else "mseg")
+        .select(col("custkey"), lit(null).cast(LongType_).as("dn"),
+          lit(null).cast(Materialize.SType).as("ds"),
+          (if (isPrev) col("pseg") else lit(null).cast(StringType_)).as("pseg"),
+          (if (isPrev) lit(null).cast(StringType_) else col("mseg")).as("mseg"))
+    val delta = ordersLeg(merged, 1).unionByName(ordersLeg(prev, -1))
+      .unionByName(custLeg(prev, isPrev = true))
+      .unionByName(custLeg(merged, isPrev = false))
+      .groupBy(col("custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Materialize.SType).as("ds"),
+        max(col("pseg")).as("pseg"), max(col("mseg")).as("mseg"))
+      .withColumn("in_do",
+        col("dn").isNotNull && (col("dn") =!= 0 || col("ds") =!= zeroS))
+      // replace this key's contribution iff its A or its segment moved
+      .filter(col("in_do") || !(col("pseg") <=> col("mseg")))
+      .persist()
     try {
       // one row per (custkey, source), folded by a single groupBy: nulls
       // everywhere except the leg's own columns, max() picks the value
@@ -125,7 +135,8 @@ object JoinMv {
       // after the pending frame and MV commit. Bucket rows for keys
       // OUTSIDE the key set ride the fold and drop at the is_key filter —
       // the same rows a join would have read and discarded.
-      val (segBuckets, aggBuckets) = touchedBucketIds(keys, segDir, aggDir)
+      val (segBuckets, aggBuckets) = Materialize.timed("bidi: bucket ids")(
+        touchedBucketIds(delta.select(col("custkey")), segDir, aggDir))
       val segBefore = readBuckets(spark, segDir, segBuckets,
           Seq("id", "c_mktsegment"))
         .select(col("id").as("custkey"), col("c_mktsegment").as("seg_b"))
@@ -137,8 +148,9 @@ object JoinMv {
         .select(col("id").as("custkey")).distinct()
       val one = lit(1L)
       val folded = Seq(
-          leg(dOp, Map("dn" -> col("dn"), "ds" -> col("ds"), "in_do" -> one)),
-          leg(keys, Map("is_key" -> one)),
+          leg(delta.filter(col("in_do")),
+            Map("dn" -> col("dn"), "ds" -> col("ds"), "in_do" -> one)),
+          leg(delta, Map("is_key" -> one)),
           leg(aBefore, Map("n_b" -> col("n_b"), "s_b" -> col("s_b"))),
           leg(segBefore, Map("seg_b" -> col("seg_b"))),
           leg(custLive(merged, "seg_m"), Map("seg_m" -> col("seg_m"))),
@@ -165,8 +177,9 @@ object JoinMv {
         (col("in_do") === 1L).as("in_do"))
       // parquet's job-level _SUCCESS is the pin's commit marker; a crash
       // mid-write leaves no marker and the replay recomputes cleanly
-      k.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-    } finally { keys.unpersist(); dOp.unpersist() }
+      Materialize.timed("bidi: fold write")(
+        k.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir))
+    } finally delta.unpersist()
     spark.read.parquet(dir)
   }
 
@@ -241,9 +254,12 @@ object JoinMv {
       fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
       return
     }
-    val k = ensurePendingK(prev, merged, batchId, aggDir, segDir)
-    commitMvFromK(spark, k, batchId, mvDir)
-    advanceStates(spark, k, prev, merged, batchId, aggDir, segDir)
+    val k = Materialize.timed("bidi: pending k")(
+      ensurePendingK(prev, merged, batchId, aggDir, segDir))
+    Materialize.timed("bidi: mv commit")(
+      commitMvFromK(spark, k, batchId, mvDir))
+    Materialize.timed("bidi: advance states")(
+      advanceStates(spark, k, prev, merged, batchId, aggDir, segDir))
     fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
   }
 
@@ -278,13 +294,18 @@ object JoinMv {
   }
 
   /** Read ONLY the named buckets of a state ([[touchedBucketIds]] names
-    * them); no buckets (unwritten state) reads as empty. */
+    * them) as ONE parquet relation — one driver-side listing per state per
+    * batch, not per bucket; no buckets (unwritten state) reads as empty. */
   private[cdc] def readBuckets(spark: SparkSession, stateDir: String,
                                buckets: Seq[Int],
                                cols: Seq[String]): DataFrame =
-    buckets.map(b => readStateOrEmpty(spark, stateDir, cols, Some(b)))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(emptyFrame(spark, cols))
+    if (buckets.isEmpty) emptyFrame(spark, cols)
+    else
+      try ChangelogStream.readStateBuckets(spark, stateDir, cols, buckets)
+      catch {
+        case e: IllegalStateException if e.getMessage.startsWith("no state") =>
+          emptyFrame(spark, cols)
+      }
 
   /** [[readBuckets]] over the keys' own touched buckets of one state —
     * kept as the single-state entry point (spec-exercised). */

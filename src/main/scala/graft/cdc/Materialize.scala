@@ -54,11 +54,26 @@ object Materialize {
     * Every task is awaited even when one fails (nothing is still writing
     * when the caller aborts); the first failure then propagates. */
   private[cdc] def runConcurrent(tasks: (() => Unit)*): Unit = {
+    val t0 = System.nanoTime()
     val fs = tasks.map(body => scala.concurrent.Future(body())(maintEc))
     val results = fs.map(f => scala.util.Try(
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    if (sys.env.contains("GRAFT_TIMING"))
+      Console.err.println(f"[graft-timing] runConcurrent(${tasks.size}) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     results.collectFirst { case scala.util.Failure(e) => throw e }
   }
+
+  /** Dev-only phase timer: active only under GRAFT_TIMING=1 (bench and the
+    * driver never set it), so the hot path carries a no-op otherwise. */
+  private[cdc] def timed[T](label: String)(body: => T): T =
+    if (!sys.env.contains("GRAFT_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally Console.err.println(
+        f"[graft-timing] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)

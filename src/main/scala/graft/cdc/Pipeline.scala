@@ -82,19 +82,24 @@ object Pipeline {
     (prev: DataFrame, merged: DataFrame, epochId: Long) => {
       // warm the hook-shared cache once so concurrent maintainers read it
       // instead of racing to compute it
-      Materialize.runConcurrent(() => prev.count(), () => merged.count())
+      Materialize.timed("hook: cache warm")(
+        Materialize.runConcurrent(() => prev.count(), () => merged.count()))
       Materialize.runConcurrent(
-        () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
-          orders(prev), orders(merged), Seq("o_orderstatus"),
-          Materialize.aggContrib("o_orderstatus", "o_totalprice")),
-        () => Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
-          orders(prev), orders(merged), Seq("c_mktsegment"),
-          Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
-            "c_mktsegment", "o_totalprice")),
-        () => Index.commitIndexDelta(orders(prev), orders(merged), epochId,
-          dirs.idx, "o_orderstatus"),
-        () => JoinMv.maintain(prev, merged, epochId,
-          dirs.agg, dirs.seg, dirs.mvBidi))
+        () => Materialize.timed("hook: mv delta")(
+          Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+            orders(prev), orders(merged), Seq("o_orderstatus"),
+            Materialize.aggContrib("o_orderstatus", "o_totalprice"))),
+        () => Materialize.timed("hook: join-mv delta")(
+          Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
+            orders(prev), orders(merged), Seq("c_mktsegment"),
+            Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
+              "c_mktsegment", "o_totalprice"))),
+        () => Materialize.timed("hook: index delta")(
+          Index.commitIndexDelta(orders(prev), orders(merged), epochId,
+            dirs.idx, "o_orderstatus")),
+        () => Materialize.timed("hook: bidi join-mv")(
+          JoinMv.maintain(prev, merged, epochId,
+            dirs.agg, dirs.seg, dirs.mvBidi)))
     }
   }
 

@@ -200,10 +200,10 @@ object ChangelogStream {
       val tableCol =
         if (batch.columns.contains("table")) col("table") else lit("")
       val isTrunc = if (hasOp) col("op") === "TRUNCATE" else lit(false)
-      val probe = withB.agg(
+      val probe = Materialize.timed(s"probe $stateDir")(withB.agg(
         collect_set(when(!isTrunc, col("__bucket"))).as("bs"),
         collect_set(when(isTrunc,
-          struct(tableCol.as("t"), col("seq").as("s")))).as("ts")).head()
+          struct(tableCol.as("t"), col("seq").as("s")))).as("ts")).head())
       val touched = probe.getSeq[Int](0).sorted
       val truncs = probe.getSeq[org.apache.spark.sql.Row](1)
         .map(r => r.getString(0) -> r.getLong(1))
@@ -265,12 +265,13 @@ object ChangelogStream {
       // changelog's schema without a rewrite
       val others = (data.columns ++ prev.columns).distinct.toSeq
         .filterNot(keyCols.contains).filterNot(_ == "__bucket")
-      prev.unionByName(data, allowMissingColumns = true)
-        .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
-        .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
-        .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
-          others.map(c => col(s"last.$c").as(c)): _*)
-        .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      Materialize.timed(s"merge write $stateDir")(
+        prev.unionByName(data, allowMissingColumns = true)
+          .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
+          .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+          .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
+            others.map(c => col(s"last.$c").as(c)): _*)
+          .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp))
       if (beforeCommit != null) {
         // touched-bucket-sized frames, re-read by EVERY maintainer a hook
         // chains (the composed pass reads each side ~10×/epoch) — cache
@@ -301,7 +302,7 @@ object ChangelogStream {
           }
         hookPrev.persist()
         merged.persist()
-        try beforeCommit(hookPrev, merged)
+        try Materialize.timed("hook total")(beforeCommit(hookPrev, merged))
         finally { hookPrev.unpersist(); merged.unpersist() }
       }
       // write each touched bucket's NEXT version dir. The per-dir _SUCCESS
@@ -477,6 +478,24 @@ object ChangelogStream {
                 onlyBucket: Option[Int] = None): DataFrame =
     readResolved(spark, stateDir,
       resolvePaths(spark, stateDir, onlyBucket), onlyBucket, payloadCols)
+
+  /** As [[readState]], but restricted to a SET of buckets, resolved and
+    * read as ONE parquet relation: a maintainer pruning to N touched
+    * buckets pays one driver-side listing, not N (the per-bucket
+    * `spark.read` calls dominated [[JoinMv]]'s per-batch wall clock —
+    * ~100 ms of driver work per bucket × two states × every micro-batch). */
+  def readStateBuckets(spark: SparkSession, stateDir: String,
+                       payloadCols: Seq[String], buckets: Seq[Int]): DataFrame = {
+    val paths = Buckets.read(spark, stateDir) match {
+      case Some(layout) =>
+        val wanted = buckets.toSet
+        layout.entries.toSeq.sortBy(_._1)
+          .collect { case (b, (_, v)) if v >= 0 && wanted.contains(b) =>
+            s"$stateDir/bucket=$b/v=$v" }
+      case None => buckets.flatMap(b => resolvePaths(spark, stateDir, Some(b)))
+    }
+    readResolved(spark, stateDir, paths, buckets.headOption, payloadCols)
+  }
 
   /** As [[readState]], but through the consistent (bucket → version) set a
     * [[Buckets.savepoint]] pinned — version-addressed time travel over the

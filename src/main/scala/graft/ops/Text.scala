@@ -158,6 +158,59 @@ object Text {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Gopher-style REPETITION signals — the duplicate-n-gram family of
+    * quality filters (top-word fraction, duplicate 2-gram / 3-gram
+    * fractions) used by production pre-training pipelines to drop
+    * boilerplate and degenerate pages. Distinct from [[qQualityScore]]
+    * (length/alpha/stopword shape): a page can look "high quality" by
+    * those and still be one sentence repeated 40×.
+    *
+    * Shape: every metric is a per-row array expression over the token
+    * array — the top-word fraction folds a sorted copy with
+    * `aggregate` (longest equal-adjacent run = mode count), the dup
+    * fractions compare `array_distinct` size to gram count — so the
+    * query is a pure scan: NO shuffle, no explode, work ∝ corpus bytes,
+    * embarrassingly parallel at 100 TB. The threshold flag compares the
+    * ROUNDED fractions (6 dp, same rounding as the oracle) so the
+    * boundary can never drift between engines. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    // longest run of equal adjacent elements in the sorted token array =
+    // the most frequent word's count, in one O(n log n) fold
+    val topCount = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // the n-grams of the token array as one transform over positions;
+    // shorter-than-n docs contribute an empty gram list
+    def grams(n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        round(topCount.cast("double") / size(ws), 6).as("top_word_frac"),
+        dupFrac(grams(2)).as("dup_2gram_frac"),
+        dupFrac(grams(3)).as("dup_3gram_frac"))
+      .withColumn("repetitive",
+        (col("top_word_frac") > 0.12 || col("dup_2gram_frac") > 0.05)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling (polynomial) hash fingerprint over the token stream — a
     * content-defined fingerprint that, unlike md5-of-whole-text, is
     * incrementally computable over chunks. Pure integer arithmetic so it is

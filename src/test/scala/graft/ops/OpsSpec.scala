@@ -76,6 +76,38 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     val groups = Text.qExactDedup(spark, sfDir).collect()
     assert(groups.map(_.getLong(2)).sum === n)
   }
+
+  test("repetition query plans as a pure scan: no exchange before the sort") {
+    // every metric is a per-row array expression — the only exchange in the
+    // plan may be the final presentation orderBy's range partitioning; a
+    // hash exchange would mean an accidental aggregation/join crept in
+    val plan = Text.qRepetition(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repetition metrics must not shuffle:\n$plan")
+  }
+
+  test("repetition signals: fractions in range, mode fold matches explode") {
+    val rows = Text.qRepetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(top, d2, d3) = Seq(2, 3, 4).map(r.getDouble)
+      assert(top > 0.0 && top <= 1.0)
+      assert(d2 >= 0.0 && d2 < 1.0 && d3 >= 0.0 && d3 < 1.0)
+      // a doc with duplicate 3-grams necessarily has duplicate 2-grams
+      if (d3 > 0.0) assert(d2 > 0.0)
+    }
+    assert(rows.exists(_.getLong(5) == 1L), "no doc flagged repetitive")
+    assert(rows.exists(_.getLong(5) == 0L), "every doc flagged repetitive")
+    // cross-check the aggregate() mode fold against a relational recount
+    import org.apache.spark.sql.functions._
+    val relational = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("m"), sum("count").as("n"))
+      .select(col("doc_id"), round(col("m").cast("double") / col("n"), 6).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(2) === relational(r.getLong(0))))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkSpec {
