@@ -80,6 +80,55 @@ class JoinMvSpec extends AnyFunSuite with SparkSpec {
     assert(expected.exceptAll(streamed).count() === 0)
   }
 
+  test("a customer TRUNCATE retracts every segment cell; re-inserts re-credit") {
+    // the untested-combination class: the dimension side of the
+    // bidirectional MV is ERASED by a truncate fence (rows vanish from the
+    // state without ever being a touched-bucket delta) in the same batch
+    // that carries order churn — the maintainer must retract every cell,
+    // park the orders, and re-credit parked history when customers return
+    val work = Files.createTempDirectory("graft-joinmv-trunc-").toString
+    val (st, agg, seg, mv) =
+      (s"$work/state", s"$work/agg", s"$work/seg", s"$work/mv")
+
+    // b0: two customers, three orders
+    JoinMv.maintainBatch(mk(
+      (1L, 1L, "INSERT", "customer", None, None, Some("A")),
+      (2L, 2L, "INSERT", "customer", None, None, Some("B")),
+      (101L, 3L, "INSERT", "orders", Some(1L), Some(100.0), None),
+      (102L, 4L, "INSERT", "orders", Some(1L), Some(50.0), None),
+      (201L, 5L, "INSERT", "orders", Some(2L), Some(30.0), None)),
+      0L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("A", 2L, 150.0), ("B", 1L, 30.0)))
+
+    // b1: TRUNCATE customer + one more order for customer 2 in ONE batch —
+    // every cell retracts (the dim is gone), all orders park in A(k)
+    JoinMv.maintainBatch(mk(
+      (0L, 10L, "TRUNCATE", "customer", None, None, None),
+      (202L, 11L, "INSERT", "orders", Some(2L), Some(20.0), None)),
+      1L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq.empty, "truncated dim must empty the MV")
+
+    // b2: customer 2 returns in a NEW segment — its parked history (pre-
+    // truncate orders + the in-flight one) credits the new cell; customer
+    // 1 stays parked
+    JoinMv.maintainBatch(mk(
+      (2L, 12L, "INSERT", "customer", None, None, Some("C"))),
+      2L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("C", 2L, 50.0)))
+
+    // replaying the truncate batch after completion changes nothing
+    JoinMv.maintainBatch(mk(
+      (0L, 10L, "TRUNCATE", "customer", None, None, None),
+      (202L, 11L, "INSERT", "orders", Some(2L), Some(20.0), None)),
+      1L, st, agg, seg, mv)
+    assert(readMvAt(mv) === Seq(("C", 2L, 50.0)))
+
+    // the segment dim state holds exactly the live (re-inserted) customer
+    val liveSeg = ChangelogStream.readState(spark, seg, Seq("id", "c_mktsegment"))
+      .as[(Long, String)].collect().toSeq
+    assert(liveSeg === Seq((2L, "C")))
+  }
+
   test("a crash between the A-state advance and the agg fence replays clean") {
     val work = Files.createTempDirectory("graft-joinmv-crash-").toString
     val (st, agg, seg, mv) =
