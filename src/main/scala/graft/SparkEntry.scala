@@ -299,6 +299,7 @@ object SparkEntry {
     "emb_ann_centroid" -> ((s, d) => Similarity.qAnnCentroid(s, d)),
     "emb_kmeans" -> ((s, d) => Similarity.qKmeans(s, d)),
     "emb_ann_kmeans" -> ((s, d) => Similarity.qAnnKmeans(s, d)),
+    "emb_pq_topk" -> ((s, d) => Similarity.qPqTopK(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
@@ -497,6 +498,55 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rk FROM s$k)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+
+  /** Mirrors Similarity.qPqTopK: px splits x into m subspaces (j, local
+    * index li); pa0 stripes the seed codes; each round recomputes the
+    * per-(j, cl) codebook with the decimal-exact mean arithmetic and
+    * reassigns by the Euclidean key round(x·c − ‖c‖²/2, 6); the final
+    * round's codebook and codes drive the ADC: a query's round-6 dot per
+    * (j, cl) summed along each vector's codes, ranked per query. */
+  private def pqRounds(iters: Int, sub: Int): String =
+    (1 to iters).map { r =>
+      s"""pc$r AS (SELECT a.j, a.cl, px.li,
+         |  round(CAST(sum(CAST(round(px.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |  FROM px JOIN pa${r - 1} a ON a.vec_id = px.vec_id AND a.j = px.j GROUP BY 1, 2, 3),
+         |pn$r AS (SELECT j, cl, sum(c*c) AS csq FROM pc$r GROUP BY 1, 2),
+         |pd$r AS (SELECT px.vec_id, px.j, c.cl, sum(px.e * c.c) AS d
+         |  FROM px JOIN pc$r c ON c.j = px.j AND c.li = px.li GROUP BY 1, 2, 3),
+         |ps$r AS (SELECT d.vec_id, d.j, d.cl, round(d.d - n.csq / 2, 6) AS key
+         |  FROM pd$r d JOIN pn$r n ON n.j = d.j AND n.cl = d.cl),
+         |pa$r AS (SELECT vec_id, j, cl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY key DESC, cl) AS rk FROM ps$r)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def pqOracle(iters: Int, m: Int, k: Int, nQueries: Int, topK: Int,
+                       shortlist: Int): String = {
+    val sub = 64 / m
+    s"""WITH $embX,
+       |px AS (SELECT vec_id, (i - 1) // $sub AS j, i - ((i - 1) // $sub) * $sub AS li, e FROM x),
+       |pa0 AS (SELECT DISTINCT vec_id, j, CAST((vec_id + j) % $k AS BIGINT) AS cl FROM px),
+       |${pqRounds(iters, sub)},
+       |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
+       |  FROM px JOIN pc$iters c ON c.j = px.j AND c.li = px.li
+       |  WHERE px.vec_id < $nQueries GROUP BY 1, 2, 3),
+       |adc AS (SELECT q.q_id, a.vec_id, round(sum(q.qd), 6) AS ascore
+       |  FROM pa$iters a JOIN qd q ON q.j = a.j AND q.cl = a.cl AND a.vec_id <> q.q_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS ark
+       |    FROM adc) WHERE ark <= $shortlist),
+       |rr AS (SELECT s.q_id, s.vec_id, round(sum(xq.e * xv.e), 6) AS score
+       |  FROM short s
+       |  JOIN x xq ON xq.vec_id = s.q_id
+       |  JOIN x xv ON xv.vec_id = s.vec_id AND xv.i = xq.i
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id, score,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM pr WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   private def kmeansOracle(iters: Int): String =
     s"""WITH $embX,
@@ -1118,6 +1168,8 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansOracle(3),
     "emb_ann_kmeans" -> annKmeansOracle(3),
+    "emb_pq_topk" -> pqOracle(iters = 2, m = 8, k = 32, nQueries = 10, topK = 5,
+      shortlist = 20),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

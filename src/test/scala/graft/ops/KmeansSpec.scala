@@ -65,4 +65,31 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(trained > seeded, s"training did not help: seeded=$seeded trained=$trained")
     assert(trained > 0.55, s"trained adaptive recall regressed: $trained")
   }
+
+  test("PQ-ADC search from 64x-compressed codes recovers most exact-dot top-5") {
+    // ground truth for MIPS (PQ approximates the raw dot, not cosine):
+    // exact dot-product top-5 per query over the full vectors
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").desc, col("vec_id"))
+    val truth = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.dot(col("qe"), col("embedding")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val pq = Similarity.qPqTopK(spark, sfDir)
+    val rec = pq.select(col("q_id"), col("vec_id"))
+      .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
+    println(s"[pq] reranked recall=$rec")
+    // the scan phase reads 5 code bytes/vector instead of 256 raw float
+    // bytes; the ADC shortlist + exact rerank must still recover most
+    // true neighbors (ADC-only top-5 sat at 0.32 in the same setup)
+    assert(rec > 0.5, s"PQ recall vs exact dot top-5 regressed: $rec")
+    // deterministic: a re-run reproduces the result exactly
+    val again = Similarity.qPqTopK(spark, sfDir).collect().map(_.toSeq)
+    assert(pq.collect().map(_.toSeq).sameElements(again))
+  }
 }
