@@ -399,13 +399,15 @@ object Similarity {
     var book: DataFrame = null
     for (_ <- 1 to iters) {
       book = codebook(asg).localCheckpoint()
-      val w = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("key").desc, col("cl"))
+      // argmax by (key desc, cl asc) as a max_by aggregation — map-side
+      // combined, so the n·m·k scored rows reduce before the exchange
+      // (a rank window would shuffle them all); ties on the rounded key
+      // break to the LOWest code id via the negated tiebreak column
       asg = subs.join(broadcast(book), Seq("j"))
         .select(col("vec_id"), col("j"), col("cl"),
           round(foldDot(col("sv"), col("cvec")) - col("csq") / 2, 6).as("key"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("j"), col("cl"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(max_by(col("cl"), struct(col("key"), (-col("cl")).as("nc"))).as("cl"))
     }
     // ADC: the queries' m × k dot table against the final codebook …
     val qdots = subs.filter(col("vec_id") < nQueries)
