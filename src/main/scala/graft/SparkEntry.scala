@@ -335,7 +335,9 @@ object SparkEntry {
     "doc_incr_dedup" -> ((s, d) => graft.ops.Curate.qIncrementalDedup(s, d)),
     "doc_decontam" -> ((s, d) => graft.ops.Curate.qDecontaminate(s, d)),
     "doc_stratified_sample" -> ((s, d) => graft.ops.Curate.qStratifiedSample(s, d)),
-    "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d))
+    "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d)),
+    "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
+    "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d))
   )
 
   // ════════ oracle SQL (DuckDB) ════════
@@ -1315,6 +1317,30 @@ object SparkEntry {
         |      FROM tf JOIN df USING (tok) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "doc_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        |t AS (SELECT sum(freq) AS t_total FROM f),
+        |w AS (SELECT doc_id,
+        |        CAST(round(CAST(t_total AS DOUBLE) / freq, 6) AS DECIMAL(18,8)) AS w
+        |      FROM toks JOIN f USING (tok) CROSS JOIN t),
+        |s AS (SELECT doc_id, count(*) AS n_toks,
+        |        CAST(sum(w) AS DOUBLE) / count(*) AS surprisal
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_toks, surprisal,
+        |  CAST(surprisal <= 31.0 AS BIGINT) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_mix_weights" ->
+      """WITH p AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS t_total, count(*) AS n_sources FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / t_total, 6) AS share,
+        |  round(CAST(t_total AS DOUBLE) / (n_sources * n_tokens), 6) AS weight,
+        |  CAST(least(n_tokens, CAST(floor(10000.0 / n_sources) AS BIGINT)) AS BIGINT)
+        |    AS alloc_tokens
+        |FROM p CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

@@ -208,6 +208,36 @@ object Curate {
       .orderBy(col("lang"))
   }
 
+  /** Source MIXING-WEIGHT report — the data-mixing stage of a pre-training
+    * pipeline: given a target mix (uniform across sources here, the
+    * Pile-style static recipe) and a token budget, compute each source's
+    * actual token share, the over/under-sampling weight that would hit the
+    * target (weight = target_share / actual_share = T / (n_sources ·
+    * src_tokens)), and the budgeted allocation capped at what the source
+    * actually has. Downstream, `weight` feeds [[qStratifiedSample]]'s
+    * per-stratum rates and `alloc_tokens` drives packing.
+    *
+    * All arithmetic is ratios of exact counts rounded once (6 dp) — no
+    * transcendentals, bit-identical cross-engine. One aggregation over the
+    * corpus (map-side combinable sums), then a scalar broadcast: the
+    * report is sources-sized however big the corpus is. */
+  def qMixWeights(spark: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t_total"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t_total"), 6).as("share"),
+        round(col("t_total").cast("double") /
+          (col("n_sources") * col("n_tokens")), 6).as("weight"),
+        least(col("n_tokens"), floor(lit(budget).cast("double") / col("n_sources"))
+          .cast("long")).as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -211,6 +211,43 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram SURPRISAL gate — the perplexity-filter stage of a curation
+    * pipeline (CCNet-style: score each document against a corpus language
+    * model, drop the tail) rendered log-free so it is bit-identical
+    * cross-engine: instead of mean −log p(tok) we score the mean INVERSE
+    * unigram probability, mean(T / freq(tok)) — the same rational-weight
+    * discipline as [[qTfIdf]]'s N/df idf (ln differs in ulps across libm
+    * builds; a ratio of counts does not). Monotone in token rarity, so it
+    * ranks documents exactly like the unigram perplexity it stands in for.
+    *
+    * Determinism: each token's weight is rounded to 6 dp THEN cast to
+    * decimal, so the per-doc sum is exact in any engine regardless of
+    * addition order; the mean is the exact-decimal sum cast to double and
+    * divided by the count — one IEEE operation, bit-identical everywhere
+    * (a final round(x, 6) is NOT applied: rounding a raw double half-way
+    * case is engine-dependent and flipped a value in testing). The kept
+    * flag's threshold 31.0 sits in an empty band of the fixture
+    * distribution — no boundary drift.
+    *
+    * Scale: the unigram table is vocabulary-sized (broadcast), the total a
+    * scalar; the only corpus-sized shuffle is the map-side-combinable
+    * per-doc aggregation — word-count shape, linear in corpus bytes. */
+  def qSurprisal(spark: SparkSession, dir: String, threshold: Double = 31.0): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("t_total"))
+    toks.join(broadcast(freqs), Seq("tok")).crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(col("t_total").cast("double") / col("freq"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           (sum(col("w")).cast("double") / count(lit(1))).as("surprisal"))
+      .withColumn("kept", (col("surprisal") <= threshold).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling (polynomial) hash fingerprint over the token stream — a
     * content-defined fingerprint that, unlike md5-of-whole-text, is
     * incrementally computable over chunks. Pure integer arithmetic so it is

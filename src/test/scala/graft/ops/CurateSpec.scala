@@ -29,6 +29,19 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r.getLong(2) >= 30 && r.getLong(3) >= 2))
   }
 
+  test("mix weights: shares sum to 1, weights invert the shares, allocs capped") {
+    val rows = Curate.qMixWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      // weight = target_share / actual_share, so weight * share * n == 1
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) * n - 1.0) < 1e-4)
+      assert(r.getLong(5) <= r.getLong(2), "allocation exceeds the source's tokens")
+      assert(r.getLong(5) <= 10000L / n)
+    }
+  }
+
   test("incremental dedup flags exactly the batch docs with matching signatures") {
     val out = Curate.qIncrementalDedup(spark, sfDir).collect()
     assert(out.nonEmpty, "fixture should contain cross-split signature collisions")

@@ -77,6 +77,30 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(groups.map(_.getLong(2)).sum === n)
   }
 
+  test("surprisal matches a driver-side recount and the gate flags the rare tail") {
+    val rows = Text.qSurprisal(spark, sfDir).collect()
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(rows.length === docs.size)
+    val freq = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum.toDouble
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getLong(1) === toks.length.toLong)
+      // same arithmetic: per-token round-6 weights, exact decimal sum,
+      // one IEEE division at the end (no final round — see qSurprisal doc)
+      val sum = toks.map(t => BigDecimal(total / freq(t)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expect = sum.toDouble / toks.length
+      // tolerance allows a last-ulp rounding flip on one token weight; the
+      // engine-vs-DuckDB equality is enforced exactly by the verify gate
+      assert(math.abs(r.getDouble(2) - expect) < 2e-6, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) === (if (r.getDouble(2) <= 31.0) 1L else 0L))
+    }
+    assert(rows.exists(_.getLong(3) == 0L), "no doc dropped by the gate")
+    assert(rows.count(_.getLong(3) == 1L) > rows.length / 2, "gate dropped the bulk")
+  }
+
   test("repetition query plans as a pure scan: no exchange before the sort") {
     // every metric is a per-row array expression — the only exchange in the
     // plan may be the final presentation orderBy's range partitioning; a
