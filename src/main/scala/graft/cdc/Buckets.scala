@@ -166,6 +166,21 @@ object Buckets {
   def readAt(spark: SparkSession, stateDir: String, name: String): Layout =
     readManifestFile(spark, savepointPath(stateDir, name))
 
+  /** RELEASE a savepoint: drop the pin so the versions it held become
+    * collectible at the next merge/compaction's retention sweep (the pin
+    * file is the only thing keeping them — without a release, every
+    * savepoint holds its version set forever and a long-lived state's
+    * storage grows with every pin). Deleting the single pin file is atomic;
+    * the versions themselves are swept lazily by the next retention pass,
+    * so a crash between the two just defers the reclaim. Idempotent:
+    * releasing a missing savepoint is a no-op (a replayed batch may
+    * release twice). */
+  def releaseSavepoint(spark: SparkSession, stateDir: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(savepointPath(stateDir, name))
+    val f = fs(spark, stateDir)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
   /** Every (bucket, version) any savepoint still pins — retention must not
     * delete these. One small-file read per savepoint per batch. */
   def pinnedVersions(spark: SparkSession, stateDir: String): Map[Int, Set[Long]] = {

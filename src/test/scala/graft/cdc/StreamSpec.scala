@@ -166,6 +166,32 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(diff.forall { case (i, c, o, n) => c == "UPDATED" && o == s"old-$i" && n == s"new5-$i" })
   }
 
+  test("a released savepoint's versions are reclaimed by the next retention sweep") {
+    val work = Files.createTempDirectory("graft-release-").toString
+    val stateDir = s"$work/state"
+    def mk(seq: Long, tag: String) = spark.range(50)
+      .select($"id", lit(seq).as("seq"), lit("INSERT").as("op"),
+        concat(lit(tag), $"id").as("v"))
+    ChangelogStream.upsertBatch(mk(1L, "old-"), stateDir)
+    Buckets.savepoint(spark, stateDir, "base")
+    val held = Buckets.readAt(spark, stateDir, "base").paths(stateDir)
+    (2L to 4L).foreach(s => ChangelogStream.upsertBatch(mk(s, s"new$s-"), stateDir))
+    // pinned: the savepoint's version dirs survive the sweeps above
+    assert(held.forall(p => Files.exists(java.nio.file.Paths.get(p))))
+    Buckets.releaseSavepoint(spark, stateDir, "base")
+    Buckets.releaseSavepoint(spark, stateDir, "base") // idempotent
+    // the release alone deletes nothing — reclaim is the NEXT sweep's job
+    assert(held.forall(p => Files.exists(java.nio.file.Paths.get(p))))
+    ChangelogStream.upsertBatch(mk(5L, "new5-"), stateDir)
+    assert(held.forall(p => !Files.exists(java.nio.file.Paths.get(p))),
+      s"released versions not reclaimed: ${held.mkString(", ")}")
+    // the live state is untouched; the released name no longer resolves
+    val live = ChangelogStream.readState(spark, stateDir, Seq("id", "v"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(live.length === 50 && live.forall { case (i, v) => v == s"new5-$i" })
+    intercept[Exception](Buckets.readAt(spark, stateDir, "base"))
+  }
+
   test("a column added (or dropped) mid-stream evolves the state schema") {
     val work = Files.createTempDirectory("graft-evolve-").toString
     val stateDir = s"$work/state"
