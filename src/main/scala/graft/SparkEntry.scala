@@ -337,7 +337,8 @@ object SparkEntry {
     "doc_stratified_sample" -> ((s, d) => graft.ops.Curate.qStratifiedSample(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
-    "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d))
+    "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
+    "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
   )
 
   // ════════ oracle SQL (DuckDB) ════════
@@ -1341,6 +1342,21 @@ object SparkEntry {
         |  round(CAST(t_total AS DOUBLE) / (n_sources * n_tokens), 6) AS weight,
         |  CAST(least(n_tokens, CAST(floor(10000.0 / n_sources) AS BIGINT)) AS BIGINT)
         |    AS alloc_tokens
-        |FROM p CROSS JOIN t ORDER BY source""".stripMargin
+        |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+    "doc_budget_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        |      FROM documents),
+        |t AS (SELECT count(DISTINCT source) AS n_sources FROM d),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c CROSS JOIN t
+        |WHERE cum_tokens <= CAST(floor(10000.0 / n_sources) AS BIGINT)
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin
   )
 }

@@ -238,6 +238,38 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** Budgeted SUBSAMPLE: realize [[qMixWeights]]'s per-source allocation as
+    * an actual document selection — within each source, docs order by a
+    * deterministic content hash (stable under corpus growth, like every
+    * sample here) and the greedy prefix whose cumulative token count fits
+    * the allocation is kept. `cum_tokens <= alloc` never overshoots the
+    * budget; the hash order makes the kept set reproducible across
+    * runs/engines and indifferent to ingestion order.
+    *
+    * Scale: the window partitions by source — sources fill their budgets
+    * independently in parallel, over a SKINNY projection (id, hash, token
+    * count; never the text). A pathologically dominant source serializes
+    * its own cumsum — for that shape, [[qStratifiedSample]]'s hash-rate
+    * threshold is the constant-time approximation and this operator is the
+    * exact realization run per shard. */
+  def qBudgetSample(spark: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val nSrc = d.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(nSrc))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <=
+        floor(lit(budget).cast("double") / col("n_sources")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
   /** Token-count histogram per language: decade-wide buckets — the corpus
     * length profile that drives truncation/packing decisions. */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -42,6 +42,35 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("budget sample: per-source prefixes fit the allocation, maximal, hash-stable") {
+    val rows = Curate.qBudgetSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nSources = graft.model.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    val alloc = 10000L / nSources
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      // cum_tokens is the running sum in selection order and fits the budget
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail.sameElements(sorted.map(_._4)), src)
+      assert(sorted.last._4 <= alloc, src)
+    }
+    // maximality: re-deriving the greedy prefix from the raw table keeps
+    // exactly the same docs (nothing that fits was left out)
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "cast(size(split(text, ' ')) as long) n",
+        "md5(cast(doc_id as string)) h")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      var cum = 0L
+      val expect = ds.sortBy(d => (d._4, d._1)).takeWhile { d =>
+        cum += d._3; cum <= alloc
+      }.map(_._1).toSet
+      assert(bySrc.get(src).map(_.map(_._1).toSet).getOrElse(Set.empty) === expect, src)
+    }
+  }
+
   test("incremental dedup flags exactly the batch docs with matching signatures") {
     val out = Curate.qIncrementalDedup(spark, sfDir).collect()
     assert(out.nonEmpty, "fixture should contain cross-split signature collisions")
