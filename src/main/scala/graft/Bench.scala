@@ -5,6 +5,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // box load at run start (1-min loadavg): a contended reading — the
+    // round-9 driver bench read 6× the idle-box number purely from
+    // co-tenant load — is self-diagnosing when the loadavg rides along
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,7 +76,8 @@ object Bench {
       "cdc_pipeline_truncate_mv")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
-      s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier}"""
+      s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$accounting,"queries":{""", ",", "}}")
@@ -81,7 +90,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true

@@ -95,23 +95,21 @@ object Index {
   def qSecondaryIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageParquet(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-idx-").toString
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 3)
-        .parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainIndexBatch(batch, batchId, s"$work/state", s"$work/idx",
-            valueCol = "o_orderstatus")
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // query-local 8-partition sibling session (Materialize.sessionWithParts)
+    val s2 = Materialize.sessionWithParts(spark, 8)
+    val stream = s2.readStream
+      .schema(s2.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainIndexBatch(batch, batchId, s"$work/state", s"$work/idx",
+          valueCol = "o_orderstatus")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     ChangelogStream.readState(spark, s"$work/idx", Seq("v", "id"))
       .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
       .orderBy(col("o_orderstatus"), col("o_orderkey"))

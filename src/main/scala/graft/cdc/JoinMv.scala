@@ -383,23 +383,21 @@ object JoinMv {
   def qMvJoinBidi(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageParquetMultiTableSegMove(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-bidi-").toString
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 3)
-        .parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainBatch(batch, batchId, s"$work/state",
-            s"$work/agg", s"$work/seg", s"$work/mv")
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // query-local 8-partition sibling session (Materialize.sessionWithParts)
+    val s2 = Materialize.sessionWithParts(spark, 8)
+    val stream = s2.readStream
+      .schema(s2.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainBatch(batch, batchId, s"$work/state",
+          s"$work/agg", s"$work/seg", s"$work/mv")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     readMvView(spark, s"$work/mv")
   }
 

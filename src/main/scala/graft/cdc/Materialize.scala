@@ -52,16 +52,55 @@ object Materialize {
     * of N driver-latency-bound job chains; concurrently the caller pays
     * only the slowest — and on a real cluster the tasks' shuffles overlap.
     * Every task is awaited even when one fails (nothing is still writing
-    * when the caller aborts); the first failure then propagates. */
+    * when the caller aborts); the first failure then propagates.
+    *
+    * Interruption (a streaming query being STOPPED mid-commit — the kill/
+    * resume crash drill): `Await` rethrows the interrupt immediately, and
+    * without cleanup the still-running futures become ZOMBIE maintainers
+    * whose Spark jobs race the resumed query's replay of the SAME epoch on
+    * shared tmp dirs (observed: the zombie's end-of-merge tmp delete
+    * yanking `.merge-tmp` from under the replay's bucket promote). Each
+    * task therefore runs under a per-call job GROUP; on interrupt the
+    * group's jobs are cancelled and every future is joined (bounded)
+    * before the interrupt propagates — nothing is still writing when the
+    * stream unwinds. */
   private[cdc] def runConcurrent(tasks: (() => Unit)*): Unit = {
     val t0 = System.nanoTime()
-    val fs = tasks.map(body => scala.concurrent.Future(body())(maintEc))
-    val results = fs.map(f => scala.util.Try(
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    val sc = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val group = s"graft-maint-${java.util.UUID.randomUUID()}"
+    val fs = tasks.map(body => scala.concurrent.Future {
+      sc.foreach(_.setJobGroup(group, "graft maintainer", interruptOnCancel = true))
+      try body() finally sc.foreach(_.clearJobGroup())
+    }(maintEc))
+    val results =
+      try fs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      catch {
+        case e: InterruptedException =>
+          sc.foreach(_.cancelJobGroup(group))
+          fs.foreach(f => scala.util.Try(scala.concurrent.Await.ready(
+            f, scala.concurrent.duration.Duration(30, "s"))))
+          throw e
+      }
     if (sys.env.contains("GRAFT_TIMING"))
       Console.err.println(f"[graft-timing] runConcurrent(${tasks.size}) " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     results.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
+  /** A sibling session (same SparkContext, own SQLConf) pinned to `parts`
+    * shuffle partitions. Per-batch merge/delta stages run over
+    * touched-bucket-sized data, so the session default (32) would charge
+    * every tiny stage 4× the tasks; mutating the SHARED session's conf
+    * around the stream (the previous rendering) was racy the moment two
+    * queries ran concurrently in one session. `newSession` isolates the
+    * override completely: the streaming query clones ITS conf from this
+    * session at start, and the caller's session never observes it. */
+  private[graft] def sessionWithParts(spark: SparkSession, parts: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
   }
 
   /** Dev-only phase timer: active only under GRAFT_TIMING=1 (bench and the
@@ -199,26 +238,23 @@ object Materialize {
     val stateDir = s"$work/state"
     val mvDir = s"$work/mv"
     // per-batch merges + MV delta stages run over touched-bucket-sized
-    // data; 8 shuffle partitions fit that (the batch-default 32 charges
-    // every tiny stage 4× the tasks) — restored after, like the stateful
-    // streams' state-store sizing
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 3)
-        .parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainAggBatch(batch, batchId, stateDir, mvDir,
-            groupCol = "o_orderstatus", valueCol = "o_totalprice")
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // data; a query-local 8-partition sibling session fits that (the
+    // batch-default 32 charges every tiny stage 4× the tasks) without
+    // mutating the shared session's conf
+    val s2 = sessionWithParts(spark, 8)
+    val stream = s2.readStream
+      .schema(s2.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainAggBatch(batch, batchId, stateDir, mvDir,
+          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     readMv(spark, mvDir)
       .select(col("o_orderstatus"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))

@@ -80,10 +80,9 @@ object Pipeline {
     def orders(rows: DataFrame) = rows.filter(col("table") === "orders")
       .drop(Changelog.customerPayloadCols: _*)
     (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-      // warm the hook-shared cache once so concurrent maintainers read it
-      // instead of racing to compute it
-      Materialize.timed("hook: cache warm")(
-        Materialize.runConcurrent(() => prev.count(), () => merged.count()))
+      // prev/merged arrive persisted (upsertBatch); concurrent first
+      // accesses materialize the cache under the block manager's
+      // per-partition locks — no separate warm-up pass (round-9 ask #1)
       Materialize.runConcurrent(
         () => Materialize.timed("hook: mv delta")(
           Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
@@ -132,14 +131,20 @@ object Pipeline {
         s"$work/agg", s"$work/seg", s"$work/mv_bidi")
       val hookKey = s"pipeline-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey, fullMaintainer(spark, sfDir, dirs))
-      // per-epoch merges + deltas run over touched-bucket-sized data; 8
-      // shuffle partitions fit that (restored after — same sizing note as
-      // the standalone MV stream)
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // per-epoch merges + deltas run over touched-bucket-sized data; a
+      // QUERY-LOCAL sibling session pins 8 shuffle partitions for them
+      // without mutating the shared session's conf (round-9 ask #6).
+      // maxFilesPerTrigger admits the whole staged changelog in one epoch:
+      // the maintainer chain's cost is dominated by per-epoch fixed
+      // overhead (the bidi pin/fold/advance job chain), so the declared
+      // query drains in one large batch; cross-batch replay semantics are
+      // pinned elsewhere — PipelineSpec's kill-resume stream runs this
+      // exact pass at maxFilesPerTrigger=1, and the seven other streaming
+      // applies drain multi-batch by construction.
+      val s2 = Materialize.sessionWithParts(spark, 8)
       try {
-        val decoded = decodedMultiTableStream(spark, sfDir, clDir,
-          maxFilesPerTrigger = 2)
+        val decoded = decodedMultiTableStream(s2, sfDir, clDir,
+          maxFilesPerTrigger = 8)
         val q = decoded.writeStream.format("changelog-state")
           .option("path", dirs.state)
           .option("schema", decoded.schema.toDDL)
@@ -149,10 +154,7 @@ object Pipeline {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        ChangelogStateSink.maintainers.remove(hookKey)
-      }
+      } finally ChangelogStateSink.maintainers.remove(hookKey)
       dirs
     })
 
@@ -255,7 +257,6 @@ object Pipeline {
       val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
-          Materialize.runConcurrent(() => prev.count(), () => merged.count())
           Materialize.runConcurrent(
             () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
               prev, merged, Seq("o_orderstatus"),
@@ -263,11 +264,14 @@ object Pipeline {
             () => Index.commitIndexDelta(prev, merged, epochId,
               dirs.idx, "o_orderstatus"))
         })
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // query-local 8-partition session (see runFull); maxFilesPerTrigger
+      // STAYS 1 — the TRUNCATE fence must arrive as its own fence-only
+      // micro-batch with live state on both sides, the semantics this
+      // fixture exists to exercise
+      val s2 = Materialize.sessionWithParts(spark, 8)
       try {
         val pSchema = Changelog.payloadSchema(spark, sfDir)
-        val decoded = spark.readStream.format("changelog")
+        val decoded = s2.readStream.format("changelog")
           .option("maxFilesPerTrigger", 1) // p0 / p1 (fence alone) / p2
           .load(clDir)
           .select(Seq(col("id"), col("seq"), col("op")) :+
@@ -283,10 +287,7 @@ object Pipeline {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        ChangelogStateSink.maintainers.remove(hookKey)
-      }
+      } finally ChangelogStateSink.maintainers.remove(hookKey)
       dirs
     })
 

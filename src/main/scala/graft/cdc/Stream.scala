@@ -683,22 +683,20 @@ object ChangelogStream {
     val clDir = Changelog.stageParquetTruncatePhased(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString
     val stateDir = s"$work/state"
-    // per-batch merges run over touched-bucket-sized data; 8 shuffle
-    // partitions fit that (restored after — the qMvAgg sizing note)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // per-batch merges run over touched-bucket-sized data; a query-local
+    // 8-partition sibling session fits that without touching the shared
+    // session's conf (the Materialize.sessionWithParts note)
+    val s2 = Materialize.sessionWithParts(spark, 8)
+    val stream = s2.readStream
+      .schema(s2.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     readState(spark, stateDir, Changelog.payloadCols).orderBy(col("o_orderkey"))
   }
 
@@ -716,23 +714,20 @@ object ChangelogStream {
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString
     val stateDir = s"$work/state"
     // touched-bucket-sized per-batch stages (see qApplyStreamingTruncate)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          upsertBatch(batch, stateDir)
-          if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val s2 = Materialize.sessionWithParts(spark, 8)
+    val stream = s2.readStream
+      .schema(s2.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(clDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, stateDir)
+        if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     val cols = Seq("id") ++ Changelog.payloadCols
     Apply.stateDiffVersions(
       readStateAt(spark, stateDir, "asof", cols),

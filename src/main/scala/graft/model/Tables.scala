@@ -26,20 +26,32 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy nanosAsLong) and convert to a microsecond timestamp with
-    * integer `div` (a double division would lose precision above 2^53 ns).
-    * The fixture data is µs-exact (verified: zero rows with sub-µs nanos at
-    * any SF), so this is lossless — and even if sub-µs data ever appeared,
-    * integer `div` truncates toward zero exactly like DuckDB's ns→µs read,
-    * so the two engines would still agree. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * builds and TIMESTAMP(MICROS) in others, so the loader normalizes BY
+    * INFERRED TYPE rather than assuming either:
+    *   - NANOS: Spark 4's vectorized reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); read as raw nanos (legacy nanosAsLong)
+    *     and convert with integer `div` (a double division would lose
+    *     precision above 2^53 ns; `div` truncates toward zero exactly like
+    *     DuckDB's ns→µs read, so the engines agree even on sub-µs data);
+    *   - MICROS (isAdjustedToUTC=false → TIMESTAMP_NTZ): reinterpret the
+    *     wall-clock value as a UTC instant — the whole engine and the
+    *     oracle both run pinned to UTC, so the value is identical to what
+    *     the NANOS path produces for the same data.
+    * Either way callers see one shape: `ts` as a µs-precision
+    * TimestampType column. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -416,15 +416,26 @@ object Similarity {
       .select(col("q_id"), col("j"), col("cl"),
         round(foldDot(col("sv"), col("cvec")), 6).as("qd"))
     // … summed along each corpus vector's codes — the SCAN is codes ⨝
-    // broadcast table, no raw vectors — keeping a per-query shortlist
-    val w2 = Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("vec_id"))
+    // broadcast table, no raw vectors — keeping a per-query shortlist via
+    // the bounded-heap [[TopKAggregator]]: the partial aggregate carries at
+    // most `shortlist` entries per query, so the per-query cut happens
+    // map-side and the exchange moves shortlist·queries tuples — a
+    // row_number window here would instead pull EVERY corpus vector's ADC
+    // score through one reducer per query to be ranked (the full-corpus
+    // sort this replaces). Ordering matches the window it replaced:
+    // ascore desc, vec_id asc on ties.
+    import spark.implicits._
     val shortlisted = asg.join(broadcast(qdots), Seq("j", "cl"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("qd")), 6).as("ascore"))
-      .withColumn("ark", row_number().over(w2))
-      .filter(col("ark") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(shortlist).toColumn.name("sl"))
+      .toDF("q_id", "sl")
+      .select(col("q_id"), explode(col("sl")).as("e"))
+      .select(col("q_id"), col("e._2").as("vec_id"))
     // exact rerank of the shortlist from the raw vectors (shortlist × m
     // queries rows — a broadcast-sized frame at any corpus scale)
     val qe = e.filter(col("vec_id") < nQueries)

@@ -229,21 +229,34 @@ object Text {
     * flag's threshold 31.0 sits in an empty band of the fixture
     * distribution — no boundary drift.
     *
-    * Scale: the unigram table is vocabulary-sized (broadcast), the total a
-    * scalar; the only corpus-sized shuffle is the map-side-combinable
-    * per-doc aggregation — word-count shape, linear in corpus bytes. */
+    * Scale: at 100 TB the vocabulary is 10⁷–10⁸ terms — far too large to
+    * broadcast (a driver-built vocabulary-sized hash map is the
+    * scale-killer), so the LM join is a plain SHUFFLE join on `tok`. Both
+    * sides are first collapsed to distinct (doc, tok) / (tok) keys by
+    * map-side-combinable aggregations, so the join and every shuffle carry
+    * per-doc DISTINCT tokens (Zipf-bounded), not token instances; the only
+    * instance-sized pass is the initial per-(doc, tok) count — word-count
+    * shape, linear in corpus bytes. The grand total stays a broadcast
+    * scalar. (The alternative faithful-CCNet rendering — top-K vocab
+    * broadcast + a default tail weight — changes scores; this one is
+    * value-identical to the full LM at any scale.) */
   def qSurprisal(spark: SparkSession, dir: String, threshold: Double = 31.0): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val docTok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val freqs = docTok.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
     val total = freqs.agg(sum(col("freq")).as("t_total"))
-    toks.join(broadcast(freqs), Seq("tok")).crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        round(col("t_total").cast("double") / col("freq"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("w"))
+    // per-(doc, tok) weight = c · round6(T/freq) as exact decimals: the
+    // integer-scaled product keeps the per-doc sum order-free and equal to
+    // the per-instance sum the oracle computes
+    docTok.join(freqs, Seq("tok")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("c"),
+        (round(col("t_total").cast("double") / col("freq"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)) *
+          col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-           (sum(col("w")).cast("double") / count(lit(1))).as("surprisal"))
+      .agg(sum(col("c")).as("n_toks"),
+           (sum(col("w")).cast("double") / sum(col("c"))).as("surprisal"))
       .withColumn("kept", (col("surprisal") <= threshold).cast("long"))
       .orderBy(col("doc_id"))
   }

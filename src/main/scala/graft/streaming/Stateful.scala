@@ -61,7 +61,11 @@ object Stateful {
     * is the same latest-per-key shape, so the query shares cdc_apply's
     * oracle. State store count follows shuffle partitions (see
     * stream_interval_join note). */
-  def qApplyStateful(spark: SparkSession, dir: String): DataFrame = {
+  def qApplyStateful(spark0: SparkSession, dir: String): DataFrame = {
+    // state-store count = shuffle partitions at first checkpoint (see
+    // stream_interval_join) — sized to the stream on a query-local sibling
+    // session, so the shared session's conf is never mutated
+    val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     // changelog staged once per fixture dir (reused across runs); the
@@ -72,11 +76,6 @@ object Stateful {
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
-    // state-store count = shuffle partitions at first checkpoint (see
-    // stream_interval_join) — size to the stream, restore after
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
     val stream = spark.readStream.schema(clSchema)
       .option("maxFilesPerTrigger", 2).parquet(clDir)
       .as[OrdersEvent]
@@ -101,7 +100,6 @@ object Stateful {
     graft.cdc.ChangelogStream.readState(spark, s"$work/state",
         graft.cdc.Changelog.payloadCols)
       .orderBy(col("o_orderkey"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Txn-enveloped changelog event ([[graft.cdc.Changelog.fromOrdersTxn]]'s
@@ -191,17 +189,17 @@ object Stateful {
     * standard latest-state merge over the released events. Shares
     * cdc_apply_txn's oracle: the released set IS the committed-txn
     * semi-join. */
-  def qApplyTxnStream(spark: SparkSession, dir: String): DataFrame = {
+  def qApplyTxnStream(spark0: SparkSession, dir: String): DataFrame = {
+    // state-store count sized to the 50-txn key space on a query-local
+    // sibling session (see qApplyStateful)
+    val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val clDir = graft.cdc.Changelog.stageParquetTxnPhased(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString
     val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
-    // state-store count sized to the 50-txn key space (see qApplyStateful)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       val stream = spark.readStream.schema(clSchema)
         .option("maxFilesPerTrigger", 1).parquet(clDir)
         .as[TxnEvent]
@@ -222,7 +220,7 @@ object Stateful {
       graft.cdc.ChangelogStream.readState(spark, s"$work/state",
           graft.cdc.Changelog.payloadCols)
         .orderBy(col("o_orderkey"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Streaming SCD TYPE-2 maintenance: the per-key state machine holds each
@@ -240,7 +238,9 @@ object Stateful {
     * ordering a WAL/Kafka CDC transport actually guarantees. Events within
     * a batch sort per key; across batches the staging's seq cut points
     * (inserts | updates | deletes) preserve order. */
-  def qScd2Stream(spark: SparkSession, dir: String): DataFrame = {
+  def qScd2Stream(spark0: SparkSession, dir: String): DataFrame = {
+    // query-local 8-store sibling session (see qApplyStateful)
+    val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val clDir = graft.cdc.Changelog.stageParquetSeqRanges(spark, dir,
@@ -248,9 +248,7 @@ object Stateful {
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-scd2-").toString
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       val stream = spark.readStream.schema(clSchema)
         .option("maxFilesPerTrigger", 2).parquet(clDir)
         .as[OrdersEvent]
@@ -289,7 +287,7 @@ object Stateful {
       graft.cdc.ChangelogStream.readState(spark, s"$work/state",
           graft.cdc.Changelog.payloadCols ++ Seq("valid_from", "valid_to"))
         .orderBy(col("o_orderkey"), col("valid_from"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** One emitted SCD2 version row: the payload plus its validity interval;

@@ -33,12 +33,12 @@ object StreamQueries {
     * partition, so an aggregation over a handful of keys paying 32 store
     * commits per batch is pure overhead — late_data pays it ×4 batches.
     * The store count freezes into the checkpoint at first use, which is
-    * why this is set before the query starts and restored after. */
-  private def withStateStores[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+    * why the override must be in force before the query starts. The body
+    * runs on a QUERY-LOCAL sibling session (own SQLConf, shared
+    * SparkContext) so concurrent queries on the caller's session never
+    * observe the override. */
+  private def withStateStores[A](spark: SparkSession, n: Int)(body: SparkSession => A): A =
+    body(graft.cdc.Materialize.sessionWithParts(spark, n))
 
   /** Stage the event corpus for APPEND-MODE window streams (shared across
     * runs/JVMs like the other stagings): f1 = the whole corpus, f2 = one
@@ -77,7 +77,7 @@ object StreamQueries {
     * once. */
   private def appendWindowAgg(spark: SparkSession, dir: String, prefix: String)
                              (shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
-    withStateStores(spark, 8) {
+    withStateStores(spark, 8) { spark =>
       val work = stageSentinelFiles(spark, dir)
       val out = Files.createTempDirectory(Paths.get("/tmp"), prefix).toString
       val schema = spark.read.parquet(s"$work/f1.parquet").schema
@@ -134,12 +134,12 @@ object StreamQueries {
     * event-time-late rows; to go multi-batch, stage event-time-ordered
     * files or widen the watermarks to the fixture's full time range (the
     * late-data CONTRACT itself is oracle-checked by stream_late_data). */
-  def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+  def qStreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) { spark =>
     val (raw, _) = stagedStream(spark, dir, "events")
     val name = uniq("st_ivjoin_")
     // a stream-stream join allocates one state store per shuffle partition
     // PER SIDE — 8 stores ≫ suffices for this key space
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.model.Tables.normalizeTs(raw)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -200,7 +200,7 @@ object StreamQueries {
     *             own window stays unfinalized and never appears).
     * The oracle states the same cutoff in SQL: keep late rows only where
     * window_end > max(on-time ts) - delay. */
-  def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+  def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) { spark =>
     val work = stageLateFiles(spark, dir)
     val out = Files.createTempDirectory(Paths.get("/tmp"), "st_late_").toString
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
@@ -266,7 +266,7 @@ object StreamQueries {
     * events (the shared oracle). Eviction itself (state rows dropping once
     * the watermark passes) is pinned by StreamSpec via the state-operator
     * metrics. */
-  def qStreamingDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+  def qStreamingDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) { spark =>
     val work = s"/tmp/graft-stage-dedupwm-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
       graft.model.Staging.fingerprint(dir, Seq("events.parquet"))
     graft.model.Staging.ensure(work) { tmp =>
@@ -311,11 +311,11 @@ object StreamQueries {
     * count, which strictly increases whenever the group changes, so the
     * latest emission always wins. Shares the plain-SQL join+group
     * oracle. */
-  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) {
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) { spark =>
     val dim = graft.model.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val (raw, work) = stagedStream(spark, dir, "events")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.model.Tables.normalizeTs(raw)
     val updates = ev
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
