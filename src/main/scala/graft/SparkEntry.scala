@@ -105,6 +105,11 @@ object SparkEntry {
     // two views over one shared pass (graft.cdc.Pipeline.runTruncate)
     "cdc_pipeline_truncate" -> (graft.cdc.Pipeline.qTruncateCoherent _),
     "cdc_pipeline_truncate_mv" -> (graft.cdc.Pipeline.qTruncateMv _),
+    // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
+    // announce schemas in-stream (the pgoutput RelationMessage), each table
+    // gets its own store on first write, and nation enters the changelog at
+    // micro-batch 3 (graft.cdc.DynamicPipeline)
+    "cdc_pipeline_dynamic" -> (graft.cdc.DynamicPipeline.qNationState _),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     // the end-to-end connector rendering (DSv2 source → DSv2 sink); since
@@ -648,6 +653,25 @@ object SparkEntry {
          |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
     "cdc_compact_apply" -> cdcApplySql,
     "cdc_bootstrap" -> cdcApplySql,
+    // the mid-stream-onboarded nation table's final state, re-derived from
+    // the nation fixture under fromNation's deterministic rules
+    "cdc_pipeline_dynamic" ->
+      """WITH nt AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS r FROM nation),
+        |cl AS (
+        |  SELECT k AS id, k AS seq, 'INSERT' AS op,
+        |         k AS n_nationkey, n_name, r AS n_regionkey FROM nt
+        |  UNION ALL
+        |  SELECT k, k + 1000000, 'UPDATE', k, n_name || ' [r2]', r
+        |  FROM nt WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k + 2000000, 'DELETE', k, n_name, r
+        |  FROM nt WHERE k % 5 = 4),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+        |       FROM cl)
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM rk WHERE rn = 1 AND op <> 'DELETE' ORDER BY n_nationkey""".stripMargin,
     "cdc_apply_txn" -> txnOracle,
     "cdc_apply_txn_stream" -> txnOracle,
     "cdc_scd2" -> scd2Oracle,

@@ -276,6 +276,78 @@ object Changelog {
         env(cl.filter(col("op").isin("UPDATE", "DELETE"))), dir, "p2")
     }
 
+  /** NATION changelog — the THIRD table of the dynamic-onboarding fixture
+    * ([[stageEnvelopeJsonDynamic]]): nation's own (id, seq, op, payload)
+    * events under the same deterministic-rules family as [[fromOrders]]
+    * (%3 → UPDATE renaming the nation, %5==4 → DELETE; seq = key / +1e6 /
+    * +2e6). Integer fixture columns cast to long up front so the JSON
+    * envelope round-trip re-decodes identically in both engines. */
+  val nationPayloadCols: Seq[String] = Seq("n_nationkey", "n_name", "n_regionkey")
+
+  def fromNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val nt = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").cast("long").as("n_nationkey"),
+      col("n_name"),
+      col("n_regionkey").cast("long").as("n_regionkey"))
+    val inserts = nt.select(Seq(
+      col("n_nationkey").as("id"),
+      col("n_nationkey").as("seq"),
+      lit("INSERT").as("op"),
+      lit("nation").as("table")) ++ nationPayloadCols.map(col): _*)
+    val updates = nt.filter(col("n_nationkey") % 3 === 0).select(
+      col("n_nationkey").as("id"),
+      (col("n_nationkey") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("nation").as("table"),
+      col("n_nationkey"),
+      concat(col("n_name"), lit(" [r2]")).as("n_name"),
+      col("n_regionkey"))
+    val deletes = nt.filter(col("n_nationkey") % 5 === 4).select(Seq(
+      col("n_nationkey").as("id"),
+      (col("n_nationkey") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("nation").as("table")) ++ nationPayloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** The DYNAMIC-ONBOARDING wire fixture: four name-ordered JSON-envelope
+    * files where a table's first appearance is announced by an in-stream
+    * RELATION event carrying its schema DDL as the payload — the pgoutput
+    * RelationMessage (`producer.go:121-122`) on the engine's wire. The
+    * nation table enters at file d2, AFTER the orders pipeline has been
+    * draining for two micro-batches; nothing about the table set is
+    * declared at plan time ([[DynamicPipeline]] decodes per table from the
+    * registry these RELATION events populate). */
+  def stageEnvelopeJsonDynamic(spark: SparkSession, sfDir: String): String =
+    stage(fromOrders(spark, sfDir), sfDir, "envjson-dynamic",
+        Seq("orders.parquet", "nation.parquet")) { (ordersCl, dir) =>
+      new java.io.File(dir).mkdirs()
+      def env(df: DataFrame, cols: Seq[String]) = df.select(to_json(struct(
+        col("id"), col("seq"), col("op"), col("table"),
+        struct(cols.map(col): _*).as("payload"))).as("value"))
+      // RELATION announcement: payload = the table's schema DDL (a scalar
+      // string payload; the DSv2 source passes it through verbatim)
+      def relation(table: String, ddl: String) =
+        spark.range(1).select(to_json(struct(
+          lit(-1L).as("id"), lit(0L).as("seq"), lit("RELATION").as("op"),
+          lit(table).as("table"), lit(ddl).as("payload"))).as("value"))
+      val oDdl = ordersCl.select(payloadCols.map(col): _*).schema.toDDL
+      val nationCl = fromNation(spark, sfDir)
+      val nDdl = nationCl.select(nationPayloadCols.map(col): _*).schema.toDDL
+      graft.model.Staging.stageNamedTextFile(
+        relation("orders", oDdl)
+          .unionByName(env(ordersCl.filter(col("op") === "INSERT"), payloadCols)),
+        dir, "d0")
+      graft.model.Staging.stageNamedTextFile(
+        env(ordersCl.filter(col("op") =!= "INSERT"), payloadCols), dir, "d1")
+      graft.model.Staging.stageNamedTextFile(
+        relation("nation", nDdl)
+          .unionByName(env(nationCl.filter(col("op") === "INSERT"), nationPayloadCols)),
+        dir, "d2")
+      graft.model.Staging.stageNamedTextFile(
+        env(nationCl.filter(col("op") =!= "INSERT"), nationPayloadCols), dir, "d3")
+    }
+
   /** The orders changelog as parquet files (multi-file, for bounded
     * micro-batch streaming sources). */
   def stageParquet(spark: SparkSession, sfDir: String): String =

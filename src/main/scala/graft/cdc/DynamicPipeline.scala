@@ -1,0 +1,161 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** DYNAMIC TABLE ONBOARDING — the reference is schema-on-write for ANY
+  * table: the publication is `FOR ALL TABLES` (`producer.go:42`), relation
+  * schemas are discovered IN-STREAM (`RelationMessage` cache,
+  * `producer.go:121-122`), an event for an unannounced relation is a fatal
+  * error (`producer.go:126-127`), and the consumer creates a store for a
+  * table name the first time it appears (`utils.go:105-108`,
+  * `es.go:28-45`). The round-9 composed pass instead baked a compile-time
+  * two-table superset schema into the stream plan — a third table appearing
+  * mid-changelog had no path in. This pipeline closes that last
+  * reference-fidelity gap:
+  *
+  *  - the STREAM is the raw envelope (table, id, seq, op, payload-json) —
+  *    Structured Streaming's fixed-schema constraint is satisfied by the
+  *    WIRE schema, not by any table schema, so the table set is open;
+  *  - RELATION events carry each table's DDL in-stream; the registry
+  *    persists them under `root/_schemas/<table>.ddl` (temp + rename,
+  *    idempotent) — the DURABLE relation cache, so a checkpoint-resumed
+  *    stream decodes tables whose announcements arrived in long-committed
+  *    batches (the reference loses exactly this on restart: its temporary
+  *    slot forces a fresh start, SURVEY §4.3);
+  *  - each micro-batch dispatches per table name actually present (ONE
+  *    probe job; the driver-side list is bounded by the table count, never
+  *    row count — the consumer's switch, `utils.go:103-113`), decodes that
+  *    table's rows against the registry schema, and upserts into the
+  *    table's OWN bucketed keyed state — created on first write exactly
+  *    like the ES index (`es.go:28-45`), maintained CONCURRENTLY across
+  *    tables (independent state dirs, each behind its own idempotent
+  *    merge);
+  *  - an event for an unannounced table fails loudly, matching the
+  *    reference's fatal (`producer.go:126-127`) — a silent skip would
+  *    drop data.
+  *
+  * Scale: per epoch the work is one probe over the batch plus, per present
+  * table, a touched-bucket merge of that table's rows — identical shape to
+  * the single-table sink at any table count; the registry is O(tables)
+  * tiny files read lazily per batch. Schema EVOLUTION composes: a
+  * re-announced RELATION with new columns overwrites the registry entry,
+  * and the state merge itself null-pads history (upsertBatch's
+  * union-by-name evolution).
+  */
+object DynamicPipeline {
+
+  private val runs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // ── durable schema registry (the RelationMessage cache, on disk) ───────
+
+  private def schemaFile(root: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_schemas/$table.ddl")
+
+  private[cdc] def putSchema(spark: SparkSession, root: String,
+                             table: String, ddl: String): Unit = {
+    val p = schemaFile(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".$table.ddl.tmp")
+    val out = fs.create(tmp, true)
+    out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (fs.exists(p)) fs.delete(p, false) // re-announcement (schema change)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"schema registry write failed: $p")
+  }
+
+  private[cdc] def getSchema(spark: SparkSession, root: String,
+                             table: String): Option[StructType] = {
+    val p = schemaFile(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val ddl = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(StructType.fromDDL(ddl))
+    }
+  }
+
+  // ── per-batch apply (the consumer loop, schema-on-write) ───────────────
+
+  /** Apply one raw-envelope micro-batch: registry updates from RELATION
+    * events, then per-table decode + keyed upsert. Public-in-package so the
+    * spec can drive single batches (incl. the unannounced-table fatal). */
+  private[cdc] def applyBatch(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      // ONE probe job over the cached batch: the announcements and the
+      // set of table names present (both bounded by table count)
+      val probe = batch.agg(
+        collect_set(when(col("op") === "RELATION",
+          struct(col("table").as("t"), col("payload").as("ddl")))).as("rels"),
+        collect_set(when(col("op") =!= "RELATION", col("table"))).as("ts")).head()
+      probe.getSeq[org.apache.spark.sql.Row](0)
+        .sortBy(_.getString(0))
+        .foreach(r => putSchema(spark, root, r.getString(0), r.getString(1)))
+      val tables = probe.getSeq[String](1).sorted
+      val jobs = tables.map { t => () => {
+        val schema = getSchema(spark, root, t).getOrElse(
+          throw new IllegalStateException(
+            s"changelog event for unannounced table '$t' — no RELATION " +
+              "message precedes it (the reference fatals identically, " +
+              "producer.go:126-127)"))
+        val rows = batch.filter(col("table") === t && col("op") =!= "RELATION")
+          .select(Seq(col("id"), col("seq"), col("op")) :+
+            from_json(col("payload"), schema).as("p"): _*)
+          .select(Seq(col("id"), col("seq"), col("op")) ++
+            schema.fieldNames.toSeq.map(c => col(s"p.$c").as(c)): _*)
+        ChangelogStream.upsertBatch(rows, s"$root/state/$t")
+      }}
+      // per-table stores are independent (own dirs, idempotent merges) —
+      // maintain them concurrently, the runConcurrent contract
+      if (jobs.nonEmpty) Materialize.runConcurrent(jobs: _*)
+    } finally batch.unpersist()
+  }
+
+  /** Run (or reuse) the dynamic pass: the raw envelope stream drained at
+    * one file per micro-batch, so nation's RELATION + first rows genuinely
+    * arrive BATCHES after the stream started. Returns the run's root dir. */
+  def run(spark: SparkSession, sfDir: String): String =
+    runs.computeIfAbsent(sfDir, _ => {
+      val clDir = Changelog.stageEnvelopeJsonDynamic(spark, sfDir)
+      val root = Files.createTempDirectory(Paths.get("/tmp"), "graft-dynpipe-").toString
+      val s2 = Materialize.sessionWithParts(spark, 8)
+      val stream = s2.readStream.format("changelog")
+        .option("maxFilesPerTrigger", 1)
+        .load(clDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch, root) }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      root
+    })
+
+  /** One onboarded table's materialized state (tombstones and fences
+    * filtered by the shared state reader), columns per its own announced
+    * schema — no superset anywhere. */
+  def tableView(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val root = run(spark, sfDir)
+    val schema = getSchema(spark, root, table).getOrElse(
+      throw new IllegalStateException(s"table '$table' was never announced"))
+    ChangelogStream.readState(spark, s"$root/state/$table",
+      schema.fieldNames.toSeq)
+  }
+
+  /** Oracle-checked query: the state of the table that onboarded
+    * MID-STREAM (nation, first seen at micro-batch 3) — hash-matches its
+    * own batch-apply oracle, proving the runtime registry + per-table
+    * dispatch path end-to-end. */
+  def qNationState(spark: SparkSession, sfDir: String): DataFrame =
+    tableView(spark, sfDir, "nation").orderBy(col("n_nationkey"))
+}

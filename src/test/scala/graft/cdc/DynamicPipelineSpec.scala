@@ -1,0 +1,60 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Dynamic table onboarding: the RELATION-announced, schema-on-write
+  * pipeline ([[DynamicPipeline]]) — no compile-time table set. */
+class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.count() === b.count())
+  }
+
+  test("a table first seen mid-stream materializes correctly, and so do the tables before it") {
+    // nation (announced + first rows at micro-batch 3) equals its batch apply
+    assertSame(
+      DynamicPipeline.qNationState(spark, sfDir),
+      Apply.latestState(Changelog.fromNation(spark, sfDir),
+        Changelog.nationPayloadCols).orderBy($"n_nationkey"))
+    // ...and the orders state of the SAME pass equals the standard apply —
+    // onboarding a new table disturbed nothing
+    assertSame(
+      DynamicPipeline.tableView(spark, sfDir, "orders").orderBy($"o_orderkey"),
+      Apply.latestState(Changelog.fromOrders(spark, sfDir),
+        Changelog.payloadCols).orderBy($"o_orderkey"))
+    // the run is memoized (one shared pass per fixture)
+    assert(DynamicPipeline.run(spark, sfDir) eq DynamicPipeline.run(spark, sfDir))
+  }
+
+  test("an event for an unannounced table fails loudly (producer.go:126-127 semantics)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dyn-fatal-").toString
+    val batch = Seq((1L, 1L, "INSERT", "ghost", """{"x":1}"""))
+      .toDF("id", "seq", "op", "table", "payload")
+    val e = intercept[Exception] {
+      DynamicPipeline.applyBatch(batch, root)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("unannounced"))))
+  }
+
+  test("the schema registry is durable: a fresh reader decodes from disk, not driver memory") {
+    val root = DynamicPipeline.run(spark, sfDir)
+    // read the registry file directly — the RelationMessage cache survives
+    // the stream (a checkpoint-resumed query would decode from this)
+    val s = DynamicPipeline.getSchema(spark, root, "nation")
+    assert(s.isDefined)
+    assert(s.get.fieldNames.toSeq === Changelog.nationPayloadCols)
+    // a RELATION re-announcement overwrites (schema evolution path)
+    DynamicPipeline.putSchema(spark, root, "ghost2", "a BIGINT")
+    DynamicPipeline.putSchema(spark, root, "ghost2", "a BIGINT, b STRING")
+    assert(DynamicPipeline.getSchema(spark, root, "ghost2").get.fieldNames.length === 2)
+  }
+}
