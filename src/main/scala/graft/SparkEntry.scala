@@ -529,10 +529,16 @@ object SparkEntry {
     }.mkString(",\n")
 
   private def pqOracle(iters: Int, m: Int, k: Int, nQueries: Int, topK: Int,
-                       shortlist: Int): String = {
+                       shortlist: Int, interleave: Boolean = false): String = {
     val sub = 64 / m
+    // (vec_id, dim i, value) → (subspace j, local index li): contiguous
+    // blocks, or the OPQ-lite interleaved permutation (subspace j = dims
+    // {j, j+m, j+2m, …}) mirroring qPqTopK's gather
+    val px =
+      if (interleave) s"SELECT vec_id, (i - 1) % $m AS j, (i - 1) // $m + 1 AS li, e FROM x"
+      else s"SELECT vec_id, (i - 1) // $sub AS j, i - ((i - 1) // $sub) * $sub AS li, e FROM x"
     s"""WITH $embX,
-       |px AS (SELECT vec_id, (i - 1) // $sub AS j, i - ((i - 1) // $sub) * $sub AS li, e FROM x),
+       |px AS ($px),
        |pa0 AS (SELECT DISTINCT vec_id, j, CAST((vec_id + j) % $k AS BIGINT) AS cl FROM px),
        |${pqRounds(iters, sub)},
        |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
@@ -1195,8 +1201,8 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansOracle(3),
     "emb_ann_kmeans" -> annKmeansOracle(3),
-    "emb_pq_topk" -> pqOracle(iters = 2, m = 8, k = 32, nQueries = 10, topK = 5,
-      shortlist = 20),
+    "emb_pq_topk" -> pqOracle(iters = 3, m = 16, k = 32, nQueries = 10, topK = 5,
+      shortlist = 20, interleave = true),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

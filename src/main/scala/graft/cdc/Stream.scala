@@ -668,7 +668,9 @@ object ChangelogStream {
     * workdir (state + checkpoint) per run. */
   def qApplyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString
-    applyStreaming(spark, sfDir, work,
+    // per-batch merges are touched-bucket-sized: query-local 8-partition
+    // session (Materialize.sessionWithParts)
+    applyStreaming(Materialize.sessionWithParts(spark, 8), sfDir, work,
       stagedClDir = Some(Changelog.stageParquet(spark, sfDir)))
       .orderBy(col("o_orderkey"))
   }
@@ -775,8 +777,9 @@ object ChangelogStream {
   def qApplyStreamingDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString
-    applyStreamingDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir),
-      maxFilesPerTrigger = 2)
+    // query-local 8-partition session for the per-batch merges
+    applyStreamingDsv2(Materialize.sessionWithParts(spark, 8), clDir, work,
+      Changelog.payloadSchema(spark, sfDir), maxFilesPerTrigger = 2)
       .orderBy(col("o_orderkey"))
   }
 
@@ -828,7 +831,9 @@ object ChangelogStream {
     * and the customer view materializes through the same bucketed upsert —
     * shares cdc_apply_customer's oracle. (Dispatch filters stay in the
     * query in streaming — StreamAlignmentSpec pins that contract.) */
-  def qApplyStreamingCustomerDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+  def qApplyStreamingCustomerDsv2(spark0: SparkSession, sfDir: String): DataFrame = {
+    // query-local 8-partition session for the per-batch merges
+    val spark = Materialize.sessionWithParts(spark0, 8)
     val clDir = Changelog.stageEnvelopeJsonMultiTable(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-mdsv2-").toString
     val stateDir = s"$work/state"

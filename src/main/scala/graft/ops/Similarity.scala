@@ -352,16 +352,30 @@ object Similarity {
     * `m × k` table, and a corpus vector's approximate score is the sum of
     * its m codes' table entries. The ADC pass only SHORTLISTS
     * (`shortlist` per query); the exact dot reranks the shortlist from
-    * the raw vectors — the standard two-stage deployment (recall at
-    * sf0.001: ADC-only top-5 0.32, reranked 0.62, KmeansSpec).
+    * the raw vectors — the standard two-stage deployment.
+    *
+    * Defaults (measured at sf0.001 vs exact dot top-5, same shortlist=20;
+    * KmeansSpec asserts the bound): round-8's m=8/k=32/contiguous sat at
+    * 0.62 reranked recall and 51× compression; the round-10 default —
+    * m=16 subspaces (4 dims each), 3 Lloyd rounds, INTERLEAVED subspace
+    * grouping (the OPQ-lite fixed pre-rotation: subspace j = dims
+    * {j, j+m, j+2m, …}, spreading adjacent-dim correlation across
+    * subspaces; exactly expressible in the SQL oracle where OPQ's learned
+    * rotation is not) — reaches **0.80** at 25.6× compression. More
+    * iterations beyond 3 OVERFIT the Euclidean objective at this corpus
+    * size (recall drops to 0.52 at iters=4, m=8) — the documented reason
+    * iters stays small.
     *
     * The IVF/k-means family above shrinks how MUCH of the corpus a query
     * touches; PQ shrinks the BYTES per touched vector — at 100 TB of raw
-    * floats the codes are (m·log₂k)/(dims·32) of the input (~51× here),
-    * the scan phase never reads raw vectors (the rerank opens
-    * `shortlist` of them per query), and training/encoding is per-round
-    * one corpus pass + a broadcast of m·k tiny centroids (same shape as
-    * [[qKmeans]]).
+    * floats the codes are (m·log₂k)/(dims·32) of the input (25.6× at the
+    * defaults; m=8 trades recall 0.62 for 51× when bytes dominate), the
+    * scan phase never reads raw vectors (the rerank opens `shortlist` of
+    * them per query), and training/encoding is per-round one corpus pass
+    * + a broadcast of m·k tiny centroids (same shape as [[qKmeans]]). At
+    * 100 TB the codebooks would train on a driver-side hash-sample (the
+    * standard faiss deployment); the in-plan Lloyd here keeps training
+    * oracle-checkable end-to-end.
     *
     * Determinism (cross-engine, hash-checked): centroid elements are
     * decimal-exact rounded-6 means; assignment keys, the per-(query,
@@ -369,13 +383,28 @@ object Similarity {
     * rerank scores are all rounded to 6 before every rank; ties break on
     * code id / vec_id — the [[qKmeans]] discipline applied per
     * subspace. */
-  def qPqTopK(spark: SparkSession, dir: String, m: Int = 8, k: Int = 32,
-              iters: Int = 2, nQueries: Int = 10, topK: Int = 5,
-              shortlist: Int = 20): DataFrame = {
+  def qPqTopK(spark: SparkSession, dir: String, m: Int = 16, k: Int = 32,
+              iters: Int = 3, nQueries: Int = 10, topK: Int = 5,
+              shortlist: Int = 20, interleave: Boolean = true): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val sub = 64 / m // fixture embeddings are 64-dim (TESTDATA.md)
+    // `interleave` is the OPQ-lite pre-rotation: ONE fixed dimension
+    // permutation applied up front (new position p = j·sub + li holds old
+    // dim j + li·m — i.e. subspace j gathers dims {j, j+m, j+2m, …}),
+    // spreading correlated adjacent dimensions across subspaces — a
+    // structured stand-in for OPQ's learned rotation, exactly expressible
+    // in the SQL oracle. Applied as a whole-vector transform so the
+    // subvector split below stays a plain contiguous slice (a per-j
+    // gather lambda trips attribute dedup in the training self-joins).
+    val ebase =
+      if (!interleave) e
+      else e.select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), p =>
+          element_at(col("embedding"),
+            (floor(p.cast("double") / sub).cast("int") + (p % sub) * m + 1)))
+          .as("embedding"))
     // the m subvectors of every vector: (vec_id, j, sv)
-    val subs = e.select(col("vec_id"),
+    val subs = ebase.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
       .select(col("vec_id"), col("j"),
         slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))

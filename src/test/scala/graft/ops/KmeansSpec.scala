@@ -84,10 +84,11 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     val rec = pq.select(col("q_id"), col("vec_id"))
       .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
     println(s"[pq] reranked recall=$rec")
-    // the scan phase reads 5 code bytes/vector instead of 256 raw float
-    // bytes; the ADC shortlist + exact rerank must still recover most
-    // true neighbors (ADC-only top-5 sat at 0.32 in the same setup)
-    assert(rec > 0.5, s"PQ recall vs exact dot top-5 regressed: $rec")
+    // the scan phase reads 10 code bytes/vector instead of 256 raw float
+    // bytes (25.6×); the interleaved m=16 3-round codebooks measured 0.80
+    // reranked recall here (round-8's m=8 contiguous: 0.62) — round-9
+    // ask #8's ≥0.7 rung, asserted with headroom
+    assert(rec > 0.7, s"PQ recall vs exact dot top-5 regressed: $rec")
     // deterministic: a re-run reproduces the result exactly
     val again = Similarity.qPqTopK(spark, sfDir).collect().map(_.toSeq)
     assert(pq.collect().map(_.toSeq).sameElements(again))
