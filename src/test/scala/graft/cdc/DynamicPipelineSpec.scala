@@ -45,6 +45,24 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
       causes(e).exists(c => Option(c.getMessage).exists(_.contains("unannounced"))))
   }
 
+  test("a RELATION re-announcement evolves a table's schema mid-stream") {
+    // the pgoutput path for ALTER TABLE: the relation is re-announced with
+    // the new column set; history null-pads through the state merge's
+    // union-by-name evolution — no rewrite of earlier buckets
+    val root = java.nio.file.Files.createTempDirectory("graft-dyn-evolve-").toString
+    def b(rows: Seq[(Long, Long, String, String, String)]) =
+      rows.toDF("id", "seq", "op", "table", "payload")
+    DynamicPipeline.applyBatch(b(Seq(
+      (-1L, 0L, "RELATION", "t", "a BIGINT"),
+      (1L, 1L, "INSERT", "t", """{"a":10}"""))), root)
+    DynamicPipeline.applyBatch(b(Seq(
+      (-1L, 2L, "RELATION", "t", "a BIGINT, b STRING"),
+      (2L, 3L, "INSERT", "t", """{"a":20,"b":"x"}"""))), root)
+    val st = ChangelogStream.readState(spark, s"$root/state/t", Seq("a", "b"))
+      .orderBy($"a").collect().map(_.toSeq).toSeq
+    assert(st === Seq(Seq(10L, null), Seq(20L, "x")))
+  }
+
   test("the schema registry is durable: a fresh reader decodes from disk, not driver memory") {
     val root = DynamicPipeline.run(spark, sfDir)
     // read the registry file directly — the RelationMessage cache survives

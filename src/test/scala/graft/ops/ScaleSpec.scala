@@ -401,6 +401,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq === plain.collect().map(_.toSeq).toSeq)
   }
 
+  test("doc_surprisal never FORCES a vocabulary broadcast — the LM join adapts to size") {
+    // at fixture scale Catalyst rightly size-estimates the LM under the
+    // broadcast threshold; what matters for 100 TB (vocabulary 10⁷–10⁸
+    // terms) is that the query carries no broadcast HINT on the tok join,
+    // so the planner degrades it to a shuffle join when the LM outgrows
+    // the threshold. Disabling auto-broadcast simulates exactly that — a
+    // forced broadcast(freqs) (the round-9 rendering) would override the
+    // threshold and still build the driver-side hash map.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = graft.SparkEntry.queries("doc_surprisal")(s2, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the tok-keyed LM join is force-broadcast (scale-killer):\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join on tok with broadcast disabled:\n$plan")
+    assert(df.limit(1).count() === 1)
+  }
+
+  test("emb_pq_topk shortlist is a bounded partial aggregate, not a per-query corpus rank") {
+    val df = graft.SparkEntry.queries("emb_pq_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the typed bounded-heap aggregator plans as an ObjectHashAggregate
+    // with a partial pass (the map-side per-query cut)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TopKAggregator's object hash aggregate:\n$plan")
+    // exactly one rank window survives: the topK rerank over the
+    // shortlist·queries frame; the ADC shortlist itself must not add one
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows <= 1,
+      s"ADC shortlist reintroduced a per-query corpus rank window ($windows):\n$plan")
+  }
+
   test("pack-chunks windows run partitioned, never through a single reducer") {
     val df = Curate.qPackChunks(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
