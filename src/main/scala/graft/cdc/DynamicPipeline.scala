@@ -96,11 +96,15 @@ object DynamicPipeline {
       // set of table names present (both bounded by table count)
       val probe = batch.agg(
         collect_set(when(col("op") === "RELATION",
-          struct(col("table").as("t"), col("payload").as("ddl")))).as("rels"),
+          struct(col("table").as("t"), col("payload").as("ddl"),
+            col("seq").as("seq")))).as("rels"),
         collect_set(when(col("op") =!= "RELATION", col("table"))).as("ts")).head()
+      // two announcements for one table in a batch apply in SEQ order (the
+      // WAL order pgoutput re-announces in) — only the latest registers
       probe.getSeq[org.apache.spark.sql.Row](0)
-        .sortBy(_.getString(0))
-        .foreach(r => putSchema(spark, root, r.getString(0), r.getString(1)))
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (t, anns) => t -> anns.maxBy(_.getLong(2)).getString(1) }
+        .foreach { case (t, ddl) => putSchema(spark, root, t, ddl) }
       val tables = probe.getSeq[String](1).sorted
       val jobs = tables.map { t => () => {
         val schema = getSchema(spark, root, t).getOrElse(

@@ -63,6 +63,43 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(st === Seq(Seq(10L, null), Seq(20L, "x")))
   }
 
+  test("killing the dynamic pass mid-drain and resuming converges — registry survives the restart") {
+    // the onboarding-specific crash case: if the stop lands AFTER the
+    // RELATION batch committed but BEFORE (or DURING) the announced
+    // table's data batches, the resumed query must decode them from the
+    // DURABLE registry — the reference loses exactly this (temporary
+    // slot, SURVEY §4.3). Stop point is arbitrary (any committed prefix
+    // is a valid crash point, including zero batches).
+    val clDir = Changelog.stageEnvelopeJsonDynamic(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft-dyn-kill-").toString
+    def start() = {
+      val stream = spark.readStream.format("changelog")
+        .option("maxFilesPerTrigger", 1).load(clDir)
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          DynamicPipeline.applyBatch(batch, root)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = start()
+    q1.awaitTermination(2500) // kill mid-drain (4 files, 1 per epoch)
+    q1.stop()
+    val q2 = start()
+    q2.awaitTermination()
+    assertSame(
+      ChangelogStream.readState(spark, s"$root/state/nation",
+          Changelog.nationPayloadCols),
+      Apply.latestState(Changelog.fromNation(spark, sfDir),
+        Changelog.nationPayloadCols))
+    assertSame(
+      ChangelogStream.readState(spark, s"$root/state/orders",
+          Changelog.payloadCols),
+      Apply.latestState(Changelog.fromOrders(spark, sfDir),
+        Changelog.payloadCols))
+  }
+
   test("the schema registry is durable: a fresh reader decodes from disk, not driver memory") {
     val root = DynamicPipeline.run(spark, sfDir)
     // read the registry file directly — the RelationMessage cache survives
