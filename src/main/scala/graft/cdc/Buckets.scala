@@ -51,11 +51,19 @@ object Buckets {
         .map { case (b, (_, v)) => s"$stateDir/bucket=$b/v=$v" }
   }
 
-  /** The default layout of a fresh state: NumBuckets uniform buckets (a
-    * power of two — depth log2(NumBuckets)), nothing written yet. */
-  def initial(bucketCols: Seq[String]): Layout = {
-    val d = Integer.numberOfTrailingZeros(ChangelogStream.NumBuckets)
-    Layout(bucketCols, (0 until ChangelogStream.NumBuckets).map(_ -> (d, -1L)).toMap)
+  /** The default layout of a fresh state: `numBuckets` uniform buckets (a
+    * power of two — the starting extendible-hash depth), nothing written
+    * yet. The count only matters at CREATION: it is recorded in the
+    * manifest, every reader follows it, and rescaling moves individual
+    * buckets past it — so a deployment sizes it to the expected state
+    * (thousands at 100 TB, a handful for a tiny dimension) exactly like
+    * shuffle partitions. */
+  def initial(bucketCols: Seq[String],
+              numBuckets: Int = ChangelogStream.NumBuckets): Layout = {
+    require(numBuckets >= 1 && Integer.bitCount(numBuckets) == 1,
+      s"numBuckets must be a power of two, got $numBuckets")
+    val d = Integer.numberOfTrailingZeros(numBuckets)
+    Layout(bucketCols, (0 until numBuckets).map(_ -> (d, -1L)).toMap)
   }
 
   private def fs(spark: SparkSession, dir: String) =

@@ -171,11 +171,16 @@ object ChangelogStream {
     * ONLY itself — until within bounds. Default off: a bounded test corpus
     * should produce a deterministic layout; a real deployment sets it to
     * target_bucket_bytes and the bucket count follows the data. */
+  /** `initialBuckets` sizes a FRESH state's uniform layout (power of two;
+    * recorded in the manifest, so readers and later merges follow it) — a
+    * tiny dimension state doesn't pay 16 bucket dirs per merge, a huge one
+    * starts wide. Ignored once a layout exists. */
   def upsertBatch(batch: DataFrame, stateDir: String,
                   keyCols: Seq[String] = Seq("id"),
                   beforeCommit: (DataFrame, DataFrame) => Unit = null,
                   bucketCols: Seq[String] = null,
-                  maxBucketBytes: Long = Long.MaxValue): Unit = {
+                  maxBucketBytes: Long = Long.MaxValue,
+                  initialBuckets: Int = NumBuckets): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,7 +192,7 @@ object ChangelogStream {
     // state starts at the initial uniform layout — either way THIS batch
     // commits a manifest
     val layout = Buckets.read(spark, stateDir)
-      .getOrElse(legacyLayout(spark, stateDir, bCols))
+      .getOrElse(legacyLayout(spark, stateDir, bCols, initialBuckets))
     require(layout.bucketCols == bCols,
       s"state at $stateDir is bucketed by ${layout.bucketCols}, not $bCols")
     val hasOp = batch.columns.contains("op")
@@ -460,14 +465,19 @@ object ChangelogStream {
     * a fresh state): NumBuckets buckets at depth log2(NumBuckets), pointing
     * at their latest `_SUCCESS`-committed versions. */
   private def legacyLayout(spark: SparkSession, stateDir: String,
-                           bCols: Seq[String]): Buckets.Layout = {
-    val init = Buckets.initial(bCols)
+                           bCols: Seq[String],
+                           initialBuckets: Int = NumBuckets): Buckets.Layout = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) init
-    else init.copy(entries = init.entries.map { case (b, (d, _)) =>
-      b -> (d, latestVersion(spark, s"$stateDir/bucket=$b").getOrElse(-1L))
-    })
+    if (!fs.exists(root)) Buckets.initial(bCols, initialBuckets)
+    else {
+      // an EXISTING pre-manifest state was necessarily written at the
+      // historical NumBuckets — initialBuckets only sizes fresh states
+      val init = Buckets.initial(bCols)
+      init.copy(entries = init.entries.map { case (b, (d, _)) =>
+        b -> (d, latestVersion(spark, s"$stateDir/bucket=$b").getOrElse(-1L))
+      })
+    }
   }
 
   /** Read the materialized table: the manifest's pointed snapshot set minus

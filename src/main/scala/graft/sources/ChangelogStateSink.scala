@@ -101,6 +101,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
     val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
+    val numBuckets = Option(info.options.get("numBuckets")).map(_.toInt)
     // SupportsStreamingUpdateAsAppend (the same marker Kafka/foreach sinks
     // use): Update-mode emissions are just rows to upsert — precisely this
     // sink's per-key max_by(seq) merge — so update IS append here
@@ -108,7 +109,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
-          info.queryId(), maintainer, maxBucketBytes)
+          info.queryId(), maintainer, maxBucketBytes, numBuckets)
     }
   }
 }
@@ -116,14 +117,15 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
 class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[String],
                           confMap: Map[String, String], queryId: String,
                           maintainer: Option[String] = None,
-                          maxBucketBytes: Option[Long] = None) extends Write {
+                          maxBucketBytes: Option[Long] = None,
+                          numBuckets: Option[Int] = None) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes)
+      maintainer, maxBucketBytes, numBuckets)
   override def toStreaming: StreamingWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes)
+      maintainer, maxBucketBytes, numBuckets)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -136,7 +138,8 @@ case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
 class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq[String],
                               confMap: Map[String, String], queryId: String,
                               maintainer: Option[String] = None,
-                              maxBucketBytes: Option[Long] = None)
+                              maxBucketBytes: Option[Long] = None,
+                              numBuckets: Option[Int] = None)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -202,7 +205,11 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
         merged: org.apache.spark.sql.DataFrame) => h(prev, merged, epochId)).orNull,
       // .option("maxBucketBytes", n) arms in-place extendible splitting of
       // buckets the stream outgrows (graft.cdc.Buckets)
-      maxBucketBytes = maxBucketBytes.getOrElse(Long.MaxValue))
+      maxBucketBytes = maxBucketBytes.getOrElse(Long.MaxValue),
+      // .option("numBuckets", n) sizes a FRESH state's layout (power of
+      // two, manifest-recorded) — tiny dimension states skip the 16-dir
+      // default, huge ones start wide
+      initialBuckets = numBuckets.getOrElse(graft.cdc.ChangelogStream.NumBuckets))
   }
 
   private def dropStaging(epochId: Long): Unit =

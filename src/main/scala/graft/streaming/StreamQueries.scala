@@ -329,6 +329,9 @@ object StreamQueries {
       .option("path", stateDir)
       .option("schema", updates.schema.toDDL)
       .option("keyCols", "c_mktsegment,event_type")
+      // the state is groups-sized (segments × event types ≈ 25 keys):
+      // 4 buckets, not the 16-dir default — the numBuckets sizing knob
+      .option("numBuckets", "4")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()

@@ -21,6 +21,27 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("initialBuckets sizes a fresh state; the manifest makes later merges and point reads follow it") {
+    val stateDir = Files.createTempDirectory("graft-nbuckets-").toString + "/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(mk((1L, 1L, "INSERT", "a"), (2L, 2L, "INSERT", "b")),
+      stateDir, initialBuckets = 4)
+    assert(Buckets.read(spark, stateDir).get.entries.size === 4)
+    // a later merge with the DEFAULT arg adopts the stored 4-bucket layout
+    ChangelogStream.upsertBatch(mk((3L, 3L, "INSERT", "c")), stateDir)
+    assert(Buckets.read(spark, stateDir).get.entries.size === 4)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 3)
+    // point reads hash through the manifest's 4-bucket layout
+    assert(ChangelogStream.readKey(spark, stateDir, 3L).isDefined)
+    assert(ChangelogStream.readKey(spark, stateDir, 99L).isEmpty)
+    // non-power-of-two is rejected at creation
+    intercept[IllegalArgumentException] {
+      ChangelogStream.upsertBatch(mk((9L, 9L, "INSERT", "z")),
+        Files.createTempDirectory("graft-nb-bad-").toString + "/state",
+        initialBuckets = 6)
+    }
+  }
+
   test("upsertBatch merges across batches with tombstones retained") {
     val work = Files.createTempDirectory("graft-upsert-").toString
     val stateDir = s"$work/state"
