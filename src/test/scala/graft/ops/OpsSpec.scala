@@ -237,6 +237,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.exceptAll(viaFold).count() === 0)
   }
 
+  test("HLL approx distinct lands within its declared 1% rsd of the exact count") {
+    // the one rows-only query gets its accuracy bound pinned here instead:
+    // approx_count_distinct(_, 0.01) must track countDistinct within a few
+    // standard deviations (the estimate is deterministic per input, so the
+    // bound is a regression guard, not a flaky probabilistic assert)
+    Relational.qApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) <= math.max(5.0, 0.05 * exact),
+        s"HLL estimate drifted: ${r.getString(0)} exact=$exact approx=$approx")
+    }
+  }
+
   test("topk aggregator equals the row_number window formulation") {
     val a = Relational.qTopKAggregator(spark, sfDir).collect().map(_.toSeq)
     val b = Relational.qTopKPerGroup(spark, sfDir).collect().map(_.toSeq)
