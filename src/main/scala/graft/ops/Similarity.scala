@@ -403,11 +403,18 @@ object Similarity {
           element_at(col("embedding"),
             (floor(p.cast("double") / sub).cast("int") + (p % sub) * m + 1)))
           .as("embedding"))
-    // the m subvectors of every vector: (vec_id, j, sv)
+    // the m subvectors of every vector: (vec_id, j, sv). localCheckpoint:
+    // the training loop re-reads this frame ~3× per Lloyd round (codebook
+    // join, assignment join) plus the ADC/qdots passes — materializing it
+    // once collapses those to block reads and truncates the lineage the
+    // iterations would otherwise re-plan (the centroid-table discipline,
+    // applied to the subvector table; n·m rows of sub-length arrays — the
+    // same order of bytes as the corpus itself)
     val subs = ebase.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
       .select(col("vec_id"), col("j"),
         slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
+      .localCheckpoint()
     // per-subspace codebook of the current assignment: decimal-exact
     // rounded-6 element means, plus each centroid's squared norm
     def codebook(asg: DataFrame): DataFrame =
