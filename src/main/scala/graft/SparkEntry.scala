@@ -110,6 +110,11 @@ object SparkEntry {
     // gets its own store on first write, and nation enters the changelog at
     // micro-batch 3 (graft.cdc.DynamicPipeline)
     "cdc_pipeline_dynamic" -> (graft.cdc.DynamicPipeline.qNationState _),
+    // the orders view of the SAME dynamic pass — onboarding a new table
+    // mid-stream disturbed nothing (shares the standard apply oracle)
+    "cdc_pipeline_dynamic_orders" -> ((s, d) =>
+      graft.cdc.DynamicPipeline.tableView(s, d, "orders")
+        .orderBy(col("o_orderkey"))),
     "cdc_apply_stream" -> ((s, d) => ChangelogStream.qApplyStreaming(s, d)),
     "cdc_apply_stream_dsv2" -> ((s, d) => ChangelogStream.qApplyStreamingDsv2(s, d)),
     // the end-to-end connector rendering (DSv2 source → DSv2 sink); since
@@ -659,6 +664,7 @@ object SparkEntry {
          |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
     "cdc_compact_apply" -> cdcApplySql,
     "cdc_bootstrap" -> cdcApplySql,
+    "cdc_pipeline_dynamic_orders" -> cdcApplySql,
     // the mid-stream-onboarded nation table's final state, re-derived from
     // the nation fixture under fromNation's deterministic rules
     "cdc_pipeline_dynamic" ->
