@@ -70,10 +70,11 @@ object Bench {
     // the whole shared streaming cost and the rest time as near-free reads;
     // cross-round per-query comparisons must read these together. Sub-2s
     // queries report the median of 3 runs; the rest are single-rep.
-    val carriers = Seq("cdc_apply_sink_dsv2", "cdc_pipeline_truncate")
+    val carriers = Seq("cdc_apply_sink_dsv2", "cdc_pipeline_truncate",
+      "cdc_pipeline_dynamic")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
-      "cdc_pipeline_truncate_mv")
+      "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
       s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier,""" +

@@ -58,29 +58,14 @@ object DynamicPipeline {
   private[cdc] def putSchema(spark: SparkSession, root: String,
                              table: String, ddl: String): Unit = {
     val p = schemaFile(root, table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".$table.ddl.tmp")
-    val out = fs.create(tmp, true)
-    out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (fs.exists(p)) fs.delete(p, false) // re-announcement (schema change)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"schema registry write failed: $p")
+    MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, ddl)
   }
 
   private[cdc] def getSchema(spark: SparkSession, root: String,
                              table: String): Option[StructType] = {
     val p = schemaFile(root, table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val ddl = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      Some(StructType.fromDDL(ddl))
-    }
+    MetaFile.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .map(StructType.fromDDL)
   }
 
   // ── per-batch apply (the consumer loop, schema-on-write) ───────────────

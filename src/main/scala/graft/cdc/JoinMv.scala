@@ -349,30 +349,17 @@ object JoinMv {
     new org.apache.hadoop.fs.Path(s"$aggDir/_agg_fence/latest")
 
   /** High-water batch id whose A-write committed (same single-file fence
-    * protocol as the DSv2 sink's epoch log). */
+    * protocol as the DSv2 sink's epoch log — [[MetaFile]]). */
   private def committedAggBatch(spark: SparkSession, aggDir: String): Long = {
     val p = fencePath(aggDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    MetaFile.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .map(_.trim.toLong).getOrElse(Long.MinValue)
   }
 
   private def writeAggFence(spark: SparkSession, aggDir: String, batchId: Long): Unit = {
     val p = fencePath(aggDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".latest.tmp-$batchId")
-    val out = fs.create(tmp, true)
-    out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"agg fence write failed: $tmp -> $p")
+    MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, batchId.toString)
   }
 
   /** Oracle-checked query: the interleaved orders + segment-moving customer

@@ -69,16 +69,26 @@ object Materialize {
     val sc = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext)
     val group = s"graft-maint-${java.util.UUID.randomUUID()}"
+    // cancelled closes the window cancelJobGroup can't: a task still QUEUED
+    // on the pool has no job group yet — it checks the flag when it finally
+    // starts and becomes a no-op instead of submitting fresh jobs after the
+    // cancellation
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fs = tasks.map(body => scala.concurrent.Future {
-      sc.foreach(_.setJobGroup(group, "graft maintainer", interruptOnCancel = true))
-      try body() finally sc.foreach(_.clearJobGroup())
+      if (!cancelled.get()) {
+        sc.foreach(_.setJobGroup(group, "graft maintainer", interruptOnCancel = true))
+        try body() finally sc.foreach(_.clearJobGroup())
+      }
     }(maintEc))
     val results =
       try fs.map(f => scala.util.Try(
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
       catch {
         case e: InterruptedException =>
+          cancelled.set(true)
           sc.foreach(_.cancelJobGroup(group))
+          // bounded join: cancelled Spark jobs unwind promptly; the bound
+          // only guards against a straggler stuck in a non-Spark FS call
           fs.foreach(f => scala.util.Try(scala.concurrent.Await.ready(
             f, scala.concurrent.duration.Duration(30, "s"))))
           throw e

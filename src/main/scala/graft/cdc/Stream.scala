@@ -469,7 +469,14 @@ object ChangelogStream {
                            initialBuckets: Int = NumBuckets): Buckets.Layout = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Buckets.initial(bCols, initialBuckets)
+    // "fresh" means NO bucket data yet — root existence is not the test:
+    // the DSv2 sink stages its first epoch under $stateDir/_staging/
+    // BEFORE the first merge, which would otherwise misread every
+    // sink-created state as pre-manifest and silently drop the caller's
+    // initialBuckets sizing
+    val hasBucketDirs = fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    if (!hasBucketDirs) Buckets.initial(bCols, initialBuckets)
     else {
       // an EXISTING pre-manifest state was necessarily written at the
       // historical NumBuckets — initialBuckets only sizes fresh states

@@ -158,30 +158,15 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
     new ChangelogStateWriterFactory(stagingRoot, schema, confMap)
 
   // ---- driver-side commit --------------------------------------------------
-  private def committedEpoch(): Long = {
-    val f = fs
-    if (!f.exists(fencePath)) Long.MinValue
-    else {
-      val in = f.open(fencePath)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+  // single-file fence via the shared atomic tiny-file protocol
+  // (graft.cdc.MetaFile): a crash in the delete+rename gap leaves NO
+  // fence, which only causes one redundant (idempotent) re-merge on replay
+  private def committedEpoch(): Long =
+    graft.cdc.MetaFile.read(fs, fencePath).map(_.trim.toLong)
+      .getOrElse(Long.MinValue)
 
-  private def writeFence(epochId: Long): Unit = {
-    val f = fs
-    f.mkdirs(fencePath.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(fencePath.getParent, s".latest.tmp-$epochId")
-    val out = f.create(tmp, true)
-    out.write(epochId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    // delete+rename is not atomic; a crash in the gap leaves NO fence, which
-    // only causes one redundant (idempotent) re-merge on replay
-    if (f.exists(fencePath)) f.delete(fencePath, false)
-    if (!f.rename(tmp, fencePath))
-      throw new IllegalStateException(s"epoch fence write failed: $tmp -> $fencePath")
-  }
+  private def writeFence(epochId: Long): Unit =
+    graft.cdc.MetaFile.write(fs, fencePath, epochId.toString)
 
   private def merge(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {

@@ -199,28 +199,27 @@ object Stateful {
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString
     val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
-    locally {
-      val stream = spark.readStream.schema(clSchema)
-        .option("maxFilesPerTrigger", 1).parquet(clDir)
-        .as[TxnEvent]
-      // released events land in the engine's own keyed-state sink (no
-      // driver-side accumulation — see qApplyStateful); its per-key
-      // max_by(seq) merge + tombstone filter IS the latest-state apply
-      val released = txnGate(stream).toDF()
-      val q = released
-        .writeStream.outputMode("append")
-        .format("changelog-state")
-        .option("path", s"$work/state")
-        .option("schema", released.schema.toDDL)
-        .option("keyCols", "id")
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.cdc.ChangelogStream.readState(spark, s"$work/state",
-          graft.cdc.Changelog.payloadCols)
-        .orderBy(col("o_orderkey"))
-    }
+
+    val stream = spark.readStream.schema(clSchema)
+      .option("maxFilesPerTrigger", 1).parquet(clDir)
+      .as[TxnEvent]
+    // released events land in the engine's own keyed-state sink (no
+    // driver-side accumulation — see qApplyStateful); its per-key
+    // max_by(seq) merge + tombstone filter IS the latest-state apply
+    val released = txnGate(stream).toDF()
+    val q = released
+      .writeStream.outputMode("append")
+      .format("changelog-state")
+      .option("path", s"$work/state")
+      .option("schema", released.schema.toDDL)
+      .option("keyCols", "id")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.cdc.ChangelogStream.readState(spark, s"$work/state",
+        graft.cdc.Changelog.payloadCols)
+      .orderBy(col("o_orderkey"))
   }
 
   /** Streaming SCD TYPE-2 maintenance: the per-key state machine holds each
@@ -248,46 +247,45 @@ object Stateful {
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-scd2-").toString
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
-    locally {
-      val stream = spark.readStream.schema(clSchema)
-        .option("maxFilesPerTrigger", 2).parquet(clDir)
-        .as[OrdersEvent]
-      implicit val openEnc = Encoders.product[OrdersEvent]
-      val versions = stream.groupByKey(_.id)
-        .flatMapGroupsWithState[OrdersEvent, Scd2Row](
-          OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (_: Long, batch: Iterator[OrdersEvent], state: GroupState[OrdersEvent]) =>
-            // events must apply in seq order within the batch
-            val ordered = batch.toSeq.sortBy(_.seq)
-            var open = state.getOption
-            val out = Seq.newBuilder[Scd2Row]
-            ordered.foreach { e =>
-              open.foreach(o => out += Scd2Row.closed(o, e.seq))
-              if (e.op == "DELETE") {
-                open = None
-                state.remove()
-              } else {
-                open = Some(e)
-                state.update(e)
-              }
+
+    val stream = spark.readStream.schema(clSchema)
+      .option("maxFilesPerTrigger", 2).parquet(clDir)
+      .as[OrdersEvent]
+    implicit val openEnc = Encoders.product[OrdersEvent]
+    val versions = stream.groupByKey(_.id)
+      .flatMapGroupsWithState[OrdersEvent, Scd2Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[OrdersEvent], state: GroupState[OrdersEvent]) =>
+          // events must apply in seq order within the batch
+          val ordered = batch.toSeq.sortBy(_.seq)
+          var open = state.getOption
+          val out = Seq.newBuilder[Scd2Row]
+          ordered.foreach { e =>
+            open.foreach(o => out += Scd2Row.closed(o, e.seq))
+            if (e.op == "DELETE") {
+              open = None
+              state.remove()
+            } else {
+              open = Some(e)
+              state.update(e)
             }
-            open.foreach(o => out += Scd2Row.open(o))
-            out.result().iterator
-        }.toDF()
-      val q = versions
-        .writeStream.outputMode("update")
-        .format("changelog-state")
-        .option("path", s"$work/state")
-        .option("schema", versions.schema.toDDL)
-        .option("keyCols", "id,valid_from")
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.cdc.ChangelogStream.readState(spark, s"$work/state",
-          graft.cdc.Changelog.payloadCols ++ Seq("valid_from", "valid_to"))
-        .orderBy(col("o_orderkey"), col("valid_from"))
-    }
+          }
+          open.foreach(o => out += Scd2Row.open(o))
+          out.result().iterator
+      }.toDF()
+    val q = versions
+      .writeStream.outputMode("update")
+      .format("changelog-state")
+      .option("path", s"$work/state")
+      .option("schema", versions.schema.toDDL)
+      .option("keyCols", "id,valid_from")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.cdc.ChangelogStream.readState(spark, s"$work/state",
+        graft.cdc.Changelog.payloadCols ++ Seq("valid_from", "valid_to"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
   /** One emitted SCD2 version row: the payload plus its validity interval;

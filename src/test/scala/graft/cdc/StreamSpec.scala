@@ -40,6 +40,14 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
         Files.createTempDirectory("graft-nb-bad-").toString + "/state",
         initialBuckets = 6)
     }
+    // the DSv2 sink creates $stateDir/_staging BEFORE the first merge —
+    // a state with no bucket data must still count as FRESH (root
+    // existence was the wrong test and silently dropped the sizing)
+    val viaSink = Files.createTempDirectory("graft-nb-sink-").toString + "/state"
+    assert(new java.io.File(s"$viaSink/_staging/q1").mkdirs())
+    ChangelogStream.upsertBatch(mk((1L, 1L, "INSERT", "a")), viaSink,
+      initialBuckets = 4)
+    assert(Buckets.read(spark, viaSink).get.entries.size === 4)
   }
 
   test("upsertBatch merges across batches with tombstones retained") {
