@@ -45,6 +45,17 @@ import org.apache.spark.sql.types.StructType
   * re-announced RELATION with new columns overwrites the registry entry,
   * and the state merge itself null-pads history (upsertBatch's
   * union-by-name evolution).
+  *
+  * Why `foreachBatch` rather than the `changelog-state` DSv2 sink: a DSv2
+  * streaming write binds ONE table (one path, one schema) per query at
+  * plan time — the opposite of a table set that is open by design. The
+  * multi-SINK dispatch (N independent states, N schemas, discovered at
+  * runtime) is exactly the case Spark documents `foreachBatch` for, and
+  * each per-table write here IS the sink's own bucketed idempotent merge
+  * ([[ChangelogStream.upsertBatch]]), so the delivery semantics are
+  * identical — only the epoch fence differs (Spark's checkpointed batch
+  * ids + the merge's idempotence, the same guarantee the composed pass
+  * gets from the sink's fence file).
   */
 object DynamicPipeline {
 
