@@ -12,10 +12,26 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // IO-pressure snapshot (PSI): a cold page cache or a co-tenant's IO
+    // storm shows up here, making a contended reading attributable without
+    // re-running — "some avg10" is the fraction of the last 10s any task
+    // was IO-stalled
+    def ioPressure(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/pressure/io")
+        try src.getLines().find(_.startsWith("some")).getOrElse("n/a")
+        finally src.close()
+      } catch { case _: Throwable => "n/a" }
     val loadStart = loadavg()
+    val ioStart = ioPressure()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // timezone pinned like Verify/Scratch: normalizeTs's TimestampNTZ →
+      // Timestamp cast is session-timezone-dependent, and outside sbt
+      // (spark-submit on a non-UTC box) the JVM default would silently
+      // shift every MICROS-fixture event timestamp (ADVICE r10 #5)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,8 +58,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // per-query staging-rebuild attribution: delta of the global rebuild
+    // clock around the measured call — a first-of-the-round run rebuilds
+    // fixture stagings inside whichever query hits them first, and that
+    // one-time cost must be separable from the query's steady-state time
+    val stagingRebuilt = scala.collection.mutable.LinkedHashMap[String, Double]()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOne(fn)
+      val s0 = graft.model.Staging.rebuildNanos.get()
+      val t = timeOne(fn)
+      val ds = (graft.model.Staging.rebuildNanos.get() - s0) / 1e9
+      if (ds > 0.05) stagingRebuilt(name) = ds
+      name -> t
     }
     // noise control: same-code totals have varied ~35% run-to-run on this
     // box, dominated by jitter in the many sub-second queries (GC, codegen
@@ -74,10 +99,21 @@ object Bench {
       "cdc_pipeline_dynamic")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
-      "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders")
+      "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders",
+      "cdc_pipeline_dynamic_mv")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stagingJson = stagingRebuilt
+      .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
+      .mkString("{", ",", "}")
     val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
       s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier,""" +
+      // epoch-count disclosure: cdc_pipeline_full has drained at
+      // maxFilesPerTrigger=8 (single epoch at sf0.1) since round 10 —
+      // earlier rounds ran 2 — so cross-round deltas on the composed-pass
+      // carrier are not epoch-for-epoch comparable before r10
+      s""""pipeline_full_max_files_per_trigger":8,""" +
+      s""""staging_rebuilt_sec":$stagingJson,""" +
+      s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }

@@ -77,7 +77,13 @@ object Materialize {
     val fs = tasks.map(body => scala.concurrent.Future {
       if (!cancelled.get()) {
         sc.foreach(_.setJobGroup(group, "graft maintainer", interruptOnCancel = true))
-        try body() finally sc.foreach(_.clearJobGroup())
+        // re-check AFTER joining the group: a task can pass the first check,
+        // lose the race to the interrupt handler's cancelJobGroup, then
+        // submit fresh jobs the (already-fired) cancel never saw — the
+        // second check closes that window, and the handler's post-join
+        // cancel sweeps any job registered between this check and cancel
+        try { if (!cancelled.get()) body() }
+        finally sc.foreach(_.clearJobGroup())
       }
     }(maintEc))
     val results =
@@ -91,6 +97,10 @@ object Materialize {
           // only guards against a straggler stuck in a non-Spark FS call
           fs.foreach(f => scala.util.Try(scala.concurrent.Await.ready(
             f, scala.concurrent.duration.Duration(30, "s"))))
+          // second sweep: a task that raced past the first cancel (set its
+          // job group after it fired) and outlived the bounded join would
+          // otherwise keep its late-registered jobs running as zombies
+          sc.foreach(_.cancelJobGroup(group))
           throw e
       }
     if (sys.env.contains("GRAFT_TIMING"))

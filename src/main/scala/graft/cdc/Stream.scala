@@ -189,10 +189,20 @@ object ChangelogStream {
       s"bucketCols $bCols must be a subset of keyCols $keyCols")
     // adopt the stored manifest; a pre-manifest state synthesizes its
     // uniform layout from the committed dirs (one-time listing), a fresh
-    // state starts at the initial uniform layout — either way THIS batch
-    // commits a manifest
-    val layout = Buckets.read(spark, stateDir)
-      .getOrElse(legacyLayout(spark, stateDir, bCols, initialBuckets))
+    // state starts at the initial uniform layout. The adopted layout is
+    // committed IMMEDIATELY — before any bucket data is written — so the
+    // manifest is the single source of the bucket count from batch 0: the
+    // first batch writes its v=0 bucket dirs (with _SUCCESS) before its
+    // end-of-batch manifest flip, and a crash in that gap would otherwise
+    // replay through legacyLayout's "existing dirs were written at the
+    // historical NumBuckets" assumption — false for a knob-sized fresh
+    // state (initialBuckets != NumBuckets), whose keys would rehash at
+    // the wrong depth and miss/duplicate across buckets (ADVICE r10 #1)
+    val layout = Buckets.read(spark, stateDir).getOrElse {
+      val l = legacyLayout(spark, stateDir, bCols, initialBuckets)
+      Buckets.commit(spark, stateDir, l)
+      l
+    }
     require(layout.bucketCols == bCols,
       s"state at $stateDir is bucketed by ${layout.bucketCols}, not $bCols")
     val hasOp = batch.columns.contains("op")

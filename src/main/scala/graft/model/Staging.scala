@@ -15,6 +15,13 @@ package graft.model
   */
 object Staging {
 
+  /** Nanoseconds spent actually REBUILDING stagings in this JVM (reuse
+    * hits add nothing). The bench samples the delta around each query so a
+    * cold-cache first run's one-time staging cost is attributable to the
+    * query that paid it, per query, not per run. Atomic: maintainer pool
+    * threads may stage concurrently with the driver. */
+  val rebuildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Fingerprint of source fixture files: name/size/mtime, 12 hex chars. */
   def fingerprint(sfDir: String, sources: Seq[String]): String = {
     val sig = sources.sorted.map { n =>
@@ -64,9 +71,11 @@ object Staging {
   def ensure(dir: String)(write: String => Unit): String = {
     val dirFile = new java.io.File(dir)
     if (new java.io.File(dir, "_STAGED").exists()) return dir
+    val t0 = System.nanoTime()
     val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val tmpFile = new java.io.File(tmp)
-    write(tmp)
+    try write(tmp)
+    finally rebuildNanos.addAndGet(System.nanoTime() - t0)
     new java.io.File(tmp, "_STAGED").createNewFile()
     if (!tmpFile.renameTo(dirFile)) {
       if (new java.io.File(dir, "_STAGED").exists()) {

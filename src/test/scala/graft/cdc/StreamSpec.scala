@@ -390,8 +390,11 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       .filter(p => before.get(p) != after.get(p))
       .flatMap(_.split('/').find(_.startsWith("bucket=")))
     assert(changedBuckets.size === 1, s"expected 1 touched bucket, got $changedBuckets")
-    // untouched-bucket files are byte-identical (same path, length, mtime)
-    val untouched = before.keySet.filterNot(p =>
+    // untouched-bucket DATA files are byte-identical (same path, length,
+    // mtime); the _layout manifest is excluded — it legitimately rotates
+    // every batch (atomic flip + keep-two retention), including the initial
+    // manifest a fresh state commits before its first bucket write
+    val untouched = before.keySet.filter(_.contains("/bucket=")).filterNot(p =>
       changedBuckets.exists(b => p.contains(s"/$b/")))
     untouched.foreach(p => assert(before(p) === after(p), s"rewritten: $p"))
     // and the merge is still correct
