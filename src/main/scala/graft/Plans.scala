@@ -12,7 +12,8 @@ object Plans {
         "q_bloom_semijoin", "q_range_join", "cdc_apply_dsv2", "emb_ann_centroid",
         "q_bucketed_join", "doc_pack_chunks", "cdc_apply_txn", "emb_kmeans",
         "q_skew_join", "cdc_state_diff", "emb_ann_kmeans",
-        "doc_surprisal", "emb_pq_topk", "doc_repetition", "doc_budget_sample")) {
+        "doc_surprisal", "emb_pq_topk", "emb_ann_ivfpq", "doc_repetition",
+        "doc_budget_sample")) {
       println(s"##### $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -110,6 +110,7 @@ object SparkEntry {
     // gets its own store on first write, and nation enters the changelog at
     // micro-batch 3 (graft.cdc.DynamicPipeline)
     "cdc_pipeline_dynamic" -> (graft.cdc.DynamicPipeline.qNationState _),
+    "cdc_pipeline_dynamic_mv" -> (graft.cdc.DynamicPipeline.qNationMv _),
     // the orders view of the SAME dynamic pass — onboarding a new table
     // mid-stream disturbed nothing (shares the standard apply oracle)
     "cdc_pipeline_dynamic_orders" -> ((s, d) =>
@@ -310,6 +311,7 @@ object SparkEntry {
     "emb_kmeans" -> ((s, d) => Similarity.qKmeans(s, d)),
     "emb_ann_kmeans" -> ((s, d) => Similarity.qAnnKmeans(s, d)),
     "emb_pq_topk" -> ((s, d) => Similarity.qPqTopK(s, d)),
+    "emb_ann_ivfpq" -> ((s, d) => Similarity.qAnnIvfPq(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
@@ -567,6 +569,50 @@ object SparkEntry {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Mirrors Similarity.qAnnIvfPq: the annKmeans CTE chain (seedSplit-way
+    * split seed → trained cells, adaptive probe set) provides the candidate
+    * restriction; the pq CTE chain (interleaved px, Lloyd codebooks pc/pa)
+    * provides the compressed-domain ADC — summed only over candidate
+    * (query, vector) pairs — then shortlist and exact-dot rerank. */
+  private def ivfPqOracle(iters: Int, seedSplit: Int, m: Int, k: Int,
+                          pqIters: Int, nQueries: Int, topK: Int,
+                          shortlist: Int, probeMargin: Double,
+                          maxProbes: Int): String =
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * $seedSplit + vec_id % $seedSplit AS cl FROM embeddings),
+       |${kmeansRounds(iters)},
+       |asg AS (SELECT vec_id, cl, score,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk,
+       |               max(score) OVER (PARTITION BY vec_id) AS best
+       |        FROM s$iters),
+       |cells AS (SELECT vec_id, cl AS cell FROM asg WHERE crk = 1),
+       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asg
+       |           WHERE vec_id < $nQueries AND (crk = 1 OR (crk <= $maxProbes AND score >= best - $probeMargin))),
+       |cand AS (SELECT p.q_id, c.vec_id FROM probed p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |px AS (SELECT vec_id, (i - 1) % $m AS j, (i - 1) // $m + 1 AS li, e FROM x),
+       |pa0 AS (SELECT DISTINCT vec_id, j, CAST((vec_id + j) % $k AS BIGINT) AS cl FROM px),
+       |${pqRounds(pqIters, 64 / m)},
+       |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
+       |  FROM px JOIN pc$pqIters c ON c.j = px.j AND c.li = px.li
+       |  WHERE px.vec_id < $nQueries GROUP BY 1, 2, 3),
+       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(q.qd), 6) AS ascore
+       |  FROM cand cd JOIN pa$pqIters a ON a.vec_id = cd.vec_id
+       |  JOIN qd q ON q.q_id = cd.q_id AND q.j = a.j AND q.cl = a.cl
+       |  GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS ark
+       |    FROM adc) WHERE ark <= $shortlist),
+       |rr AS (SELECT s.q_id, s.vec_id, round(sum(xq.e * xv.e), 6) AS score
+       |  FROM short s
+       |  JOIN x xq ON xq.vec_id = s.q_id
+       |  JOIN x xv ON xv.vec_id = s.vec_id AND xv.i = xq.i
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id, score,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score FROM pr WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
   private def kmeansOracle(iters: Int): String =
     s"""WITH $embX,
        |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
@@ -665,6 +711,27 @@ object SparkEntry {
     "cdc_compact_apply" -> cdcApplySql,
     "cdc_bootstrap" -> cdcApplySql,
     "cdc_pipeline_dynamic_orders" -> cdcApplySql,
+    // IVM guarantee for a runtime-onboarded table: the incrementally-
+    // maintained per-region MV equals the aggregate over nation's fully-
+    // applied state (same synthetic changelog as cdc_pipeline_dynamic)
+    "cdc_pipeline_dynamic_mv" ->
+      s"""WITH nt AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+         |         CAST(n_regionkey AS BIGINT) AS r FROM nation),
+         |cl AS (
+         |  SELECT k AS id, k AS seq, 'INSERT' AS op,
+         |         k AS n_nationkey, n_name, r AS n_regionkey FROM nt
+         |  UNION ALL
+         |  SELECT k, k + 1000000, 'UPDATE', k, n_name || ' [r2]', r
+         |  FROM nt WHERE k % 3 = 0
+         |  UNION ALL
+         |  SELECT k, k + 2000000, 'DELETE', k, n_name, r
+         |  FROM nt WHERE k % 5 = 4),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |       FROM cl)
+         |SELECT n_regionkey, count(*) AS n, ${dsum("n_nationkey", "sum_value")}
+         |FROM rk WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the mid-stream-onboarded nation table's final state, re-derived from
     // the nation fixture under fromNation's deterministic rules
     "cdc_pipeline_dynamic" ->
@@ -1209,6 +1276,9 @@ object SparkEntry {
     "emb_ann_kmeans" -> annKmeansOracle(3),
     "emb_pq_topk" -> pqOracle(iters = 3, m = 16, k = 32, nQueries = 10, topK = 5,
       shortlist = 20, interleave = true),
+    "emb_ann_ivfpq" -> ivfPqOracle(iters = 4, seedSplit = 3, m = 16, k = 32,
+      pqIters = 3, nQueries = 10, topK = 5, shortlist = 64,
+      probeMargin = 0.28, maxProbes = 13),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

@@ -246,6 +246,28 @@ object Similarity {
       .withColumn("best", max(col("cscore")).over(Window.partitionBy(col("vec_id"))))
   }
 
+  /** The trained coarse quantizer's scoring table, STAGED once per
+    * (fixture content, params): (vec_id, cl, cscore, crk, best) — the
+    * Lloyd refinement is a MODEL-BUILD like the PQ codebooks ([[pqModel]]),
+    * so queries read the staged assignment instead of re-training in-plan.
+    * The carried vectors are dropped before staging (the caller re-joins
+    * the corpus by vec_id; a 100 TB deployment would instead store the raw
+    * vectors partitioned BY CELL — the faiss IVF layout [[qAnnIvfPq]]
+    * stages for the codes). Deterministic training keeps the staged table
+    * value-identical to [[trainedCellScores]], so the from-scratch SQL
+    * oracle still hash-matches. */
+  private[graft] def ivfAssignments(spark: SparkSession, dir: String,
+                                    iters: Int, seedSplit: Int): DataFrame = {
+    val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
+    val root = graft.model.Staging.ensure(
+        s"/tmp/graft-ivf/$fp-i$iters-s$seedSplit") { tmp =>
+      trainedCellScores(spark, dir, iters, seedSplit)
+        .select(col("vec_id"), col("cl"), col("cscore"), col("crk"), col("best"))
+        .write.parquet(s"$tmp/cells")
+    }
+    spark.read.parquet(s"$root/cells")
+  }
+
   /** Defaults (measured at sf0.001 against brute-force truth, all at the
     * SAME ~0.20 probed fraction): label-seeded fixed-2 over 10 cells 0.40;
     * trained adaptive over 10 cells (r8: margin .15, ≤4) 0.46; trained
@@ -257,7 +279,11 @@ object Similarity {
                  nQueries: Int = 10, k: Int = 5,
                  probeMargin: Double = 0.20, maxProbes: Int = 8,
                  seedSplit: Int = 2): DataFrame = {
-    val assigned = trainedCellScores(spark, dir, iters, seedSplit)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val assigned = ivfAssignments(spark, dir, iters, seedSplit)
+      .join(e, Seq("vec_id"))
     val cells = assigned.filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cl").as("cell"))
     val probed = assigned.filter(col("vec_id") < nQueries &&
@@ -383,38 +409,42 @@ object Similarity {
     * rerank scores are all rounded to 6 before every rank; ties break on
     * code id / vec_id — the [[qKmeans]] discipline applied per
     * subspace. */
-  def qPqTopK(spark: SparkSession, dir: String, m: Int = 16, k: Int = 32,
-              iters: Int = 3, nQueries: Int = 10, topK: Int = 5,
-              shortlist: Int = 20, interleave: Boolean = true): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  /** The PQ base vectors: `interleave` is the OPQ-lite pre-rotation — ONE
+    * fixed dimension permutation applied up front (new position p = j·sub +
+    * li holds old dim j + li·m — i.e. subspace j gathers dims {j, j+m,
+    * j+2m, …}), spreading correlated adjacent dimensions across subspaces —
+    * a structured stand-in for OPQ's learned rotation, exactly expressible
+    * in the SQL oracle. Applied as a whole-vector transform so the
+    * subvector split stays a plain contiguous slice (a per-j gather lambda
+    * trips attribute dedup in the training self-joins). */
+  private def pqBase(e: DataFrame, m: Int, interleave: Boolean): DataFrame = {
     val sub = 64 / m // fixture embeddings are 64-dim (TESTDATA.md)
-    // `interleave` is the OPQ-lite pre-rotation: ONE fixed dimension
-    // permutation applied up front (new position p = j·sub + li holds old
-    // dim j + li·m — i.e. subspace j gathers dims {j, j+m, j+2m, …}),
-    // spreading correlated adjacent dimensions across subspaces — a
-    // structured stand-in for OPQ's learned rotation, exactly expressible
-    // in the SQL oracle. Applied as a whole-vector transform so the
-    // subvector split below stays a plain contiguous slice (a per-j
-    // gather lambda trips attribute dedup in the training self-joins).
-    val ebase =
-      if (!interleave) e
-      else e.select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)), p =>
-          element_at(col("embedding"),
-            (floor(p.cast("double") / sub).cast("int") + (p % sub) * m + 1)))
-          .as("embedding"))
-    // the m subvectors of every vector: (vec_id, j, sv). localCheckpoint:
-    // the training loop re-reads this frame ~3× per Lloyd round (codebook
-    // join, assignment join) plus the ADC/qdots passes — materializing it
-    // once collapses those to block reads and truncates the lineage the
-    // iterations would otherwise re-plan (the centroid-table discipline,
-    // applied to the subvector table; n·m rows of sub-length arrays — the
-    // same order of bytes as the corpus itself)
-    val subs = ebase.select(col("vec_id"),
+    if (!interleave) e
+    else e.select(col("vec_id"),
+      transform(sequence(lit(0), lit(63)), p =>
+        element_at(col("embedding"),
+          (floor(p.cast("double") / sub).cast("int") + (p % sub) * m + 1)))
+        .as("embedding"))
+  }
+
+  /** The m subvectors of every base vector: (vec_id, j, sv). */
+  private def pqSubs(base: DataFrame, m: Int): DataFrame = {
+    val sub = 64 / m
+    base.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
       .select(col("vec_id"), col("j"),
         slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
-      .localCheckpoint()
+  }
+
+  /** In-plan Lloyd training over the subvector table: returns the final
+    * per-subspace codebooks (j, cl, cvec, csq) and corpus codes
+    * (vec_id, j, cl). localCheckpoint: the loop re-reads the subvector
+    * frame ~3× per round (codebook join, assignment join) — materializing
+    * it once collapses those to block reads and truncates the re-planned
+    * lineage (the centroid-table discipline). */
+  private def pqTrainFrames(subsRaw: DataFrame, k: Int,
+                            iters: Int): (DataFrame, DataFrame) = {
+    val subs = subsRaw.localCheckpoint()
     // per-subspace codebook of the current assignment: decimal-exact
     // rounded-6 element means, plus each centroid's squared norm
     def codebook(asg: DataFrame): DataFrame =
@@ -445,8 +475,44 @@ object Similarity {
         .groupBy(col("vec_id"), col("j"))
         .agg(max_by(col("cl"), struct(col("key"), (-col("cl")).as("nc"))).as("cl"))
     }
-    // ADC: the queries' m × k dot table against the final codebook …
-    val qdots = subs.filter(col("vec_id") < nQueries)
+    (book, asg)
+  }
+
+  /** The TRAINED PQ model — codebooks + encoded corpus — STAGED once per
+    * (fixture content, params) under [[graft.model.Staging.ensure]]'s
+    * fingerprinted atomic-rename protocol: training is a MODEL-BUILD, not
+    * a query (VERDICT r10). At 100 TB the codebooks train once on a sample
+    * and the corpus is encoded once (the standard faiss deployment); a
+    * QUERY is then ADC scan + rerank only. Training is deterministic
+    * (decimal-exact means, round-6 keys, arithmetic seed assignment), so
+    * the staged model is value-identical to in-plan training — the SQL
+    * oracle, which re-derives the model from scratch per run, still
+    * hash-matches — and a changed fixture re-trains via the content
+    * fingerprint in the dir name. */
+  private[graft] def pqModel(spark: SparkSession, dir: String, m: Int, k: Int,
+                             iters: Int, interleave: Boolean): (DataFrame, DataFrame) = {
+    val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
+    val tag = s"$fp-m$m-k$k-i$iters-${if (interleave) "intl" else "blk"}"
+    val root = graft.model.Staging.ensure(s"/tmp/graft-pq/$tag") { tmp =>
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val (book, codes) = pqTrainFrames(pqSubs(pqBase(e, m, interleave), m), k, iters)
+      book.write.parquet(s"$tmp/book")
+      codes.write.parquet(s"$tmp/codes")
+    }
+    (spark.read.parquet(s"$root/book"), spark.read.parquet(s"$root/codes"))
+  }
+
+  def qPqTopK(spark: SparkSession, dir: String, m: Int = 16, k: Int = 32,
+              iters: Int = 3, nQueries: Int = 10, topK: Int = 5,
+              shortlist: Int = 20, interleave: Boolean = true): DataFrame = {
+    // the model comes pre-trained and pre-encoded from the staged artifact;
+    // this query is the two-stage SEARCH only: ADC scan over codes +
+    // bounded-heap shortlist + exact rerank
+    val (book, codes) = pqModel(spark, dir, m, k, iters, interleave)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // ADC: the queries' m × k dot table against the staged codebook
+    // (nQueries · m · k rounded dots — broadcast-tiny)
+    val qdots = pqSubs(pqBase(e.filter(col("vec_id") < nQueries), m, interleave), m)
       .select(col("vec_id").as("q_id"), col("j"), col("sv"))
       .join(broadcast(book), Seq("j"))
       .select(col("q_id"), col("j"), col("cl"),
@@ -461,7 +527,7 @@ object Similarity {
     // sort this replaces). Ordering matches the window it replaced:
     // ascore desc, vec_id asc on ties.
     import spark.implicits._
-    val shortlisted = asg.join(broadcast(qdots), Seq("j", "cl"))
+    val shortlisted = codes.join(broadcast(qdots), Seq("j", "cl"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("qd")), 6).as("ascore"))
@@ -482,6 +548,102 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(foldDot(col("qemb"), col("embedding")), 6).as("score"))
       .withColumn("rk", row_number().over(w3).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ── IVF-PQ (coarse cell pruning × compressed-domain scan) ─────────────
+
+  /** IVF-PQ: the PQ ADC scan routed through the trained coarse quantizer's
+    * adaptive cell pruning — the faiss IVFPQ deployment both parents'
+    * doc-comments cite. The IVF/k-means family shrinks how MUCH of the
+    * corpus a query touches; PQ shrinks the BYTES per touched vector;
+    * composed, a query reads probed cells' CODES only — pruned AND
+    * compressed.
+    *
+    * The staged index co-locates each vector's m codes with its coarse
+    * cell (parquet PARTITIONED BY cell — the IVF inverted-list layout), so
+    * the probed-cell restriction is partition PRUNING at the scan, not a
+    * post-scan filter: at 100 TB a query's IO is
+    * probed_fraction × corpus_bytes / compression. The probed-cell id
+    * list collected driver-side is bounded by nQueries × maxProbes (≤120
+    * at the defaults) — the same bounded-collect class as the audited
+    * point-read sites. ADC + bounded-heap shortlist + exact rerank as
+    * [[qPqTopK]]; adaptive probe rule as [[qAnnKmeans]].
+    *
+    * Defaults (measured at sf0.001 vs exact-dot top-5, KmeansSpec-
+    * asserted): 30 split-seeded cells refined 4 rounds, ≤13 adaptive
+    * probes (margin 0.28) → recall 0.70 at 0.245 probed fraction — the
+    * candidate-set CEILING at this budget on the near-random fixture (a
+    * parameter sweep found no ≤0.25-fraction config whose candidates hold
+    * more than 0.70–0.72 of the true neighbors; the ADC+shortlist stage
+    * recovers all of it, i.e. the compression loses nothing the pruning
+    * kept). The shortlist is ~3× [[qPqTopK]]'s because the ADC stage must
+    * not re-lose neighbors the coarse pruning already paid to keep. */
+  def qAnnIvfPq(spark: SparkSession, dir: String, iters: Int = 4,
+                seedSplit: Int = 3, m: Int = 16, k: Int = 32,
+                pqIters: Int = 3, nQueries: Int = 10, topK: Int = 5,
+                shortlist: Int = 64, probeMargin: Double = 0.28,
+                maxProbes: Int = 13): DataFrame = {
+    val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
+    // the staged IVFPQ index: PQ codes co-located by coarse cell
+    val root = graft.model.Staging.ensure(
+        s"/tmp/graft-ivfpq/$fp-i$iters-s$seedSplit-m$m-k$k-p$pqIters") { tmp =>
+      val (_, codes) = pqModel(spark, dir, m, k, pqIters, interleave = true)
+      val cells = ivfAssignments(spark, dir, iters, seedSplit)
+        .filter(col("crk") === 1).select(col("vec_id"), col("cl").as("cell"))
+      codes.join(cells, Seq("vec_id"))
+        .write.partitionBy("cell").parquet(s"$tmp/codes")
+    }
+    val (book, _) = pqModel(spark, dir, m, k, pqIters, interleave = true)
+    val asg = ivfAssignments(spark, dir, iters, seedSplit)
+    val probed = asg.filter(col("vec_id") < nQueries &&
+        (col("crk") === 1 ||
+          (col("crk") <= maxProbes && col("cscore") >= col("best") - probeMargin)))
+      .select(col("vec_id").as("q_id"), col("cl").as("cell"))
+    // partition pruning: the union of probed cells as literal partition
+    // predicates (bounded driver list, see doc-comment)
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // explicit schema: partition-column inference would type `cell` INT
+    // and break the long-typed join/prune below
+    val codes = spark.read
+      .schema("vec_id BIGINT, j INT, cl BIGINT, cell BIGINT")
+      .parquet(s"$root/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val qdots = pqSubs(pqBase(e.filter(col("vec_id") < nQueries), m,
+        interleave = true), m)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv"))
+      .join(broadcast(book), Seq("j"))
+      .select(col("q_id"), col("j"), col("cl"),
+        round(foldDot(col("sv"), col("cvec")), 6).as("qd"))
+    import spark.implicits._
+    // scan: probed cells' codes only; each (query, cell) restriction rides
+    // the broadcast probed set, the ADC table lookup the broadcast qdots —
+    // then the same map-side bounded-heap shortlist cut as qPqTopK
+    val shortlisted = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdots), Seq("q_id", "j", "cl"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("ascore"))
+      .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(shortlist).toColumn.name("sl"))
+      .toDF("q_id", "sl")
+      .select(col("q_id"), explode(col("sl")).as("en"))
+      .select(col("q_id"), col("en._2").as("vec_id"))
+    // exact rerank of the shortlist from the raw vectors
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    shortlisted
+      .join(e, "vec_id").join(broadcast(qe), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(foldDot(col("qemb"), col("embedding")), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rk"))

@@ -32,6 +32,22 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(DynamicPipeline.run(spark, sfDir) eq DynamicPipeline.run(spark, sfDir))
   }
 
+  test("a runtime-onboarded table's MV is maintained incrementally and equals re-aggregation") {
+    // the IVM guarantee, for a table the pass had never heard of at plan
+    // time: nation's per-region MV — folded forward epoch by epoch from
+    // the batch its first row arrived in — equals the aggregate over the
+    // fully-applied nation state
+    val expect = Apply.latestState(Changelog.fromNation(spark, sfDir),
+        Changelog.nationPayloadCols)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"n_nationkey".cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("sum_value"))
+      .orderBy($"n_regionkey")
+    assertSame(DynamicPipeline.qNationMv(spark, sfDir), expect)
+  }
+
   test("an event for an unannounced table fails loudly (producer.go:126-127 semantics)") {
     val root = java.nio.file.Files.createTempDirectory("graft-dyn-fatal-").toString
     val batch = Seq((1L, 1L, "INSERT", "ghost", """{"x":1}"""))
@@ -76,8 +92,11 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
       val stream = spark.readStream.format("changelog")
         .option("maxFilesPerTrigger", 1).load(clDir)
       stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          DynamicPipeline.applyBatch(batch, root)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          // MV specs ride the kill too: the replayed epoch must skip its
+          // already-committed delta (epoch fence) while the state re-merges
+          DynamicPipeline.applyBatch(batch, root, epochId,
+            DynamicPipeline.DefaultMvSpecs)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -98,6 +117,18 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
           Changelog.payloadCols),
       Apply.latestState(Changelog.fromOrders(spark, sfDir),
         Changelog.payloadCols))
+    // the MV converged too — no double-applied delta from the replayed epoch
+    assertSame(
+      Materialize.readMv(spark, s"$root/mv/nation")
+        .select($"n_regionkey", $"n",
+          round($"s", 2).cast("double").as("sum_value")),
+      Apply.latestState(Changelog.fromNation(spark, sfDir),
+          Changelog.nationPayloadCols)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"n_nationkey".cast(
+              org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+            .cast("double").as("sum_value")))
   }
 
   test("the schema registry is durable: a fresh reader decodes from disk, not driver memory") {

@@ -93,4 +93,36 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     val again = Similarity.qPqTopK(spark, sfDir).collect().map(_.toSeq)
     assert(pq.collect().map(_.toSeq).sameElements(again))
   }
+
+  test("IVF-PQ: cell-pruned compressed search holds recall at a bounded probed fraction") {
+    // ground truth for MIPS, as the PQ test: exact dot top-5 per query
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").desc, col("vec_id"))
+    val truth = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.dot(col("qe"), col("embedding")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ivfpq = Similarity.qAnnIvfPq(spark, sfDir)
+    val rec = ivfpq.select(col("q_id"), col("vec_id"))
+      .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
+    // probed FRACTION: candidate (query, vector) pairs per query over the
+    // corpus — what the pruned scan actually touches, codes-only
+    val asg = Similarity.ivfAssignments(spark, sfDir, 4, 3)
+    val cells = asg.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cl").as("cell"))
+    val probed = asg.filter(col("vec_id") < 10 &&
+        (col("crk") === 1 ||
+          (col("crk") <= 13 && col("cscore") >= col("best") - 0.28)))
+      .select(col("vec_id").as("q_id"), col("cl").as("cell"))
+    val n = e.count()
+    val frac = probed.join(cells, "cell").count() / (10.0 * n)
+    println(s"[ivfpq] recall=$rec probed_fraction=$frac")
+    assert(frac <= 0.25, s"probed fraction exceeds the budget: $frac")
+    assert(rec >= 0.70, s"IVF-PQ recall regressed: $rec at fraction $frac")
+  }
 }
