@@ -310,7 +310,7 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
-  /** The DYNAMIC-ONBOARDING wire fixture: four name-ordered JSON-envelope
+  /** The DYNAMIC-ONBOARDING wire fixture: three name-ordered JSON-envelope
     * files where a table's first appearance is announced by an in-stream
     * RELATION event carrying its schema DDL as the payload — the pgoutput
     * RelationMessage (`producer.go:121-122`) on the engine's wire. The
@@ -319,7 +319,9 @@ object Changelog {
     * declared at plan time ([[DynamicPipeline]] decodes per table from the
     * registry these RELATION events populate). */
   def stageEnvelopeJsonDynamic(spark: SparkSession, sfDir: String): String =
-    stage(fromOrders(spark, sfDir), sfDir, "envjson-dynamic",
+    // variant suffix v2: the staged LAYOUT changed (3 files, nation's whole
+    // changelog in d2) and the fingerprint only covers source fixtures
+    stage(fromOrders(spark, sfDir), sfDir, "envjson-dynamic-v2",
         Seq("orders.parquet", "nation.parquet")) { (ordersCl, dir) =>
       new java.io.File(dir).mkdirs()
       def env(df: DataFrame, cols: Seq[String]) = df.select(to_json(struct(
@@ -340,12 +342,17 @@ object Changelog {
         dir, "d0")
       graft.model.Staging.stageNamedTextFile(
         env(ordersCl.filter(col("op") =!= "INSERT"), payloadCols), dir, "d1")
+      // d2 carries the announcement AND nation's whole changelog: the
+      // fixture's contract is that nation arrives ≥ micro-batch 3 (after
+      // the orders pipeline has drained two batches) — coarser batches
+      // AFTER onboarding are free, and each file is a whole epoch's fixed
+      // probe/dispatch/merge cost. Multi-epoch maintenance of an onboarded
+      // table (MV fold across batches, replayed-epoch fences) is pinned by
+      // DynamicPipelineSpec's kill-resume drill over this same fixture.
       graft.model.Staging.stageNamedTextFile(
         relation("nation", nDdl)
-          .unionByName(env(nationCl.filter(col("op") === "INSERT"), nationPayloadCols)),
+          .unionByName(env(nationCl, nationPayloadCols)),
         dir, "d2")
-      graft.model.Staging.stageNamedTextFile(
-        env(nationCl.filter(col("op") =!= "INSERT"), nationPayloadCols), dir, "d3")
     }
 
   /** The orders changelog as parquet files (multi-file, for bounded

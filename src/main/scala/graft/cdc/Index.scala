@@ -42,11 +42,25 @@ object Index {
                                     batchId: Long, idxDir: String,
                                     valueCol: String,
                                     keyCols: Seq[String] = Seq("id")): Unit = {
+    // per-key (old value, new value) via ONE union + ONE key aggregation —
+    // the tagged-leg fold [[JoinMv.ensurePendingK]] uses, replacing the
+    // previous full_outer join (two shuffled sides + a join stage for the
+    // same result; at micro-batch sizes the extra stages dominated the
+    // whole maintainer, and at cluster scale each is a stage barrier).
+    // Both sides are latest-per-key frames, so each key has ≤1 live row
+    // per leg and max() lifts the leg's value out of the fold.
     def live(rows: DataFrame, as: String) = rows
       .filter(col("op") =!= "DELETE")
       .select(keyCols.map(col) :+ col(valueCol).as(as): _*)
-    val changed = live(prev, "v_old")
-      .join(live(merged, "v_new"), keyCols, "full_outer")
+    val vType = merged.schema(valueCol).dataType
+    def leg(src: DataFrame, isPrev: Boolean) = live(src, "v")
+      .select(keyCols.map(col) :+
+        (if (isPrev) col("v") else lit(null).cast(vType)).as("v_old") :+
+        (if (isPrev) lit(null).cast(vType) else col("v")).as("v_new"): _*)
+    val changed = leg(prev, isPrev = true)
+      .unionByName(leg(merged, isPrev = false))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("v_old")).as("v_old"), max(col("v_new")).as("v_new"))
       .filter(!(col("v_old") <=> col("v_new")))
     val dels = changed.filter(col("v_old").isNotNull)
       .select(col("v_old").as("v") +: keyCols.map(col) :+

@@ -248,18 +248,31 @@ object JoinMv {
     val spark = prev.sparkSession
     val fs = new org.apache.hadoop.fs.Path(aggDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (committedAggBatch(spark, aggDir) >= batchId) {
-      // fully-committed batch replayed (fence covers the MV too — it
-      // commits before the fence): just sweep the pending pin
+    // replay skip needs BOTH fences now that MV commit and state advance
+    // run concurrently below: a crash can commit either one alone, and
+    // skipping on the agg fence only would drop an uncommitted MV delta
+    // forever (the committed-subset-replays-correctly contract)
+    if (committedAggBatch(spark, aggDir) >= batchId &&
+        ChangelogStream.committedVersions(spark, mvDir).lastOption
+          .exists(_ >= batchId)) {
+      // fully-committed batch replayed: just sweep the pending pin
       fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
       return
     }
     val k = Materialize.timed("bidi: pending k")(
       ensurePendingK(prev, merged, batchId, aggDir, segDir))
-    Materialize.timed("bidi: mv commit")(
-      commitMvFromK(spark, k, batchId, mvDir))
-    Materialize.timed("bidi: advance states")(
-      advanceStates(spark, k, prev, merged, batchId, aggDir, segDir))
+    // MV commit and state advance both read ONLY the pinned frame (plus
+    // merged, itself committed parquet) and fence independently — the MV
+    // on batchId inside commitDeltaRows, the states on the agg fence — so
+    // they run concurrently. Crash algebra is unchanged: the pin is
+    // deleted only after BOTH fences, so any partial subset replays from
+    // the same pinned values (an advanced state can no longer corrupt a
+    // recomputed delta — the pin, not the live states, is the source).
+    Materialize.runConcurrent(
+      () => Materialize.timed("bidi: mv commit")(
+        commitMvFromK(spark, k, batchId, mvDir)),
+      () => Materialize.timed("bidi: advance states")(
+        advanceStates(spark, k, prev, merged, batchId, aggDir, segDir)))
     fs.delete(new org.apache.hadoop.fs.Path(pendingDir(aggDir, batchId)), true)
   }
 

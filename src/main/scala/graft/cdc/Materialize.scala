@@ -125,7 +125,7 @@ object Materialize {
 
   /** Dev-only phase timer: active only under GRAFT_TIMING=1 (bench and the
     * driver never set it), so the hot path carries a no-op otherwise. */
-  private[cdc] def timed[T](label: String)(body: => T): T =
+  private[graft] def timed[T](label: String)(body: => T): T =
     if (!sys.env.contains("GRAFT_TIMING")) body
     else {
       val t0 = System.nanoTime()
@@ -189,7 +189,7 @@ object Materialize {
     * themselves. */
   private[cdc] def commitDeltaRows(spark: SparkSession, mvDir: String,
                                    batchId: Long, deltaRows: DataFrame,
-                                   groupCols: Seq[String]): Unit = {
+                                   groupCols: Seq[String]): Unit = timed(s"mv delta $mvDir") {
     if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) return
     val carry = lastMvBatch(spark, mvDir)
       .map(v => spark.read.parquet(s"$mvDir/v=$v"))

@@ -225,7 +225,8 @@ object ChangelogStream {
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
       // fences BEFORE this batch's markers commit — the view derived tables
       // were maintained against
-      val oldFences = truncateFences(spark, stateDir)
+      val oldFences = Materialize.timed(s"fences $stateDir")(
+        truncateFences(spark, stateDir))
       if (truncs.nonEmpty) commitTruncateFence(spark, stateDir, truncs)
       val newFences =
         if (truncs.nonEmpty) truncateFences(spark, stateDir) else oldFences
@@ -327,7 +328,7 @@ object ChangelogStream {
       // reads — and the batch replay (checkpointed offsets) re-merges
       // idempotently onto the same version numbers
       var entries = layout.entries
-      touched.foreach { b =>
+      Materialize.timed(s"promote $stateDir")(touched.foreach { b =>
         val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
         val next = layout.version(b) + 1
         val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
@@ -341,7 +342,7 @@ object ChangelogStream {
           throw new IllegalStateException(s"state promote failed: $from -> $to")
         fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
         entries = entries.updated(b, (layout.depth(b), next))
-      }
+      })
       // rescale: split any touched bucket that outgrew the target — depth+1
       // per round, rewriting ONLY that bucket's rows into children b and
       // b + 2^d; children become visible with the manifest flip, so a crash
@@ -374,19 +375,21 @@ object ChangelogStream {
         }
       }
       // THE commit point: one manifest version flips the whole batch live
-      Buckets.commit(spark, stateDir, Buckets.Layout(bCols, entries))
-      // retention: keep each bucket's versions from the PREVIOUS manifest's
-      // pointer up (readers that resolved that manifest must still find
-      // their dirs), plus anything a savepoint pins
-      val pinned = Buckets.pinnedVersions(spark, stateDir)
-      touched.foreach { b =>
-        val keepFrom = math.max(layout.version(b), 0L)
-        val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
-        committedVersions(spark, bDir.toString)
-          .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
-          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+      Materialize.timed(s"manifest+retention $stateDir") {
+        Buckets.commit(spark, stateDir, Buckets.Layout(bCols, entries))
+        // retention: keep each bucket's versions from the PREVIOUS manifest's
+        // pointer up (readers that resolved that manifest must still find
+        // their dirs), plus anything a savepoint pins
+        val pinned = Buckets.pinnedVersions(spark, stateDir)
+        touched.foreach { b =>
+          val keepFrom = math.max(layout.version(b), 0L)
+          val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
+          committedVersions(spark, bDir.toString)
+            .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
+            .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     } finally withB.unpersist()
   }
 
@@ -844,11 +847,18 @@ object ChangelogStream {
   }
 
   /** Query-shaped wrapper for [[applyStreamingSinkDsv2]]: staged envelopes
-    * shared across runs, fresh state/checkpoint per run. */
+    * shared across runs, fresh state/checkpoint per run. The declared query
+    * drains the 4 staged files in ONE epoch (maxFilesPerTrigger=4): every
+    * per-epoch cost in the source→sink path (staging write + re-read,
+    * probe, merge, fence) is fixed overhead the epoch count multiplies,
+    * and the multi-epoch semantics — fence replay, per-epoch merge — are
+    * pinned by ChangelogStateSinkSpec, which runs this exact pass at
+    * maxFilesPerTrigger=2 plus a mid-stream rescale drain. */
   def qApplyStreamingSinkDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-sink-dsv2-").toString
-    applyStreamingSinkDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir))
+    applyStreamingSinkDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir),
+      maxFilesPerTrigger = 4)
       .orderBy(col("o_orderkey"))
   }
 
@@ -867,7 +877,10 @@ object ChangelogStream {
     val pSchema = Changelog.fromCustomer(spark, sfDir)
       .select(Changelog.customerPayloadCols.map(col): _*).schema
     val decoded = spark.readStream.format("changelog")
-      .option("maxFilesPerTrigger", 2)
+      // one-epoch drain, same rationale as qApplyStreamingSinkDsv2: the
+      // multi-batch dispatch contract is pinned by StreamAlignmentSpec and
+      // the multi-table composed pass (PipelineSpec at 1 file/trigger)
+      .option("maxFilesPerTrigger", 4)
       .load(clDir)
       .filter(col("table") === "customer")
       .select(Seq(col("id"), col("seq"), col("op")) :+

@@ -202,9 +202,11 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (epochId <= committedEpoch()) { dropStaging(epochId); return } // replayed epoch
-    merge(epochId, messages)
-    writeFence(epochId)
-    dropStaging(epochId)
+    graft.cdc.Materialize.timed(s"sink commit epoch=$epochId $stateDir") {
+      merge(epochId, messages)
+      writeFence(epochId)
+      dropStaging(epochId)
+    }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     dropStaging(epochId)

@@ -103,7 +103,7 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
         .start()
     }
     val q1 = start()
-    q1.awaitTermination(2500) // kill mid-drain (4 files, 1 per epoch)
+    q1.awaitTermination(2500) // kill mid-drain (3 files, 1 per epoch)
     q1.stop()
     val q2 = start()
     q2.awaitTermination()
