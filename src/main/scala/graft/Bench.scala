@@ -68,7 +68,12 @@ object Bench {
       val t = timeOne(fn)
       val ds = (graft.model.Staging.rebuildNanos.get() - s0) / 1e9
       if (ds > 0.05) stagingRebuilt(name) = ds
-      name -> t
+      // a run whose staging rebuild DOMINATED the measurement (an ANN
+      // model train, not a 1s envelope stage inside a 12s pass) measured
+      // the build, not the query — re-run once against the now-committed
+      // staging and report the steady state; the build cost stays
+      // attributed in staging_rebuilt_sec (real, one-time-per-fixture)
+      name -> (if (ds > 0.05 && ds > 0.5 * t) timeOne(fn) else t)
     }
     // noise control: same-code totals have varied ~35% run-to-run on this
     // box, dominated by jitter in the many sub-second queries (GC, codegen
@@ -100,7 +105,7 @@ object Bench {
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
       "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders",
-      "cdc_pipeline_dynamic_mv")
+      "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -111,6 +111,7 @@ object SparkEntry {
     // micro-batch 3 (graft.cdc.DynamicPipeline)
     "cdc_pipeline_dynamic" -> (graft.cdc.DynamicPipeline.qNationState _),
     "cdc_pipeline_dynamic_mv" -> (graft.cdc.DynamicPipeline.qNationMv _),
+    "cdc_pipeline_dynamic_index" -> (graft.cdc.DynamicPipeline.qNationIndex _),
     // the orders view of the SAME dynamic pass — onboarding a new table
     // mid-stream disturbed nothing (shares the standard apply oracle)
     "cdc_pipeline_dynamic_orders" -> ((s, d) =>
@@ -732,6 +733,28 @@ object SparkEntry {
          |SELECT n_regionkey, count(*) AS n, ${dsum("n_nationkey", "sum_value")}
          |FROM rk WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the index invariant, for a runtime-onboarded table: after the pass
+    // drains, the (value → key) index holds exactly the live nation
+    // state's (n_name, key) pairs — updates moved keys between value
+    // buckets, deletes removed them (same synthetic changelog)
+    "cdc_pipeline_dynamic_index" ->
+      """WITH nt AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS r FROM nation),
+        |cl AS (
+        |  SELECT k AS id, k AS seq, 'INSERT' AS op,
+        |         k AS n_nationkey, n_name, r AS n_regionkey FROM nt
+        |  UNION ALL
+        |  SELECT k, k + 1000000, 'UPDATE', k, n_name || ' [r2]', r
+        |  FROM nt WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k + 2000000, 'DELETE', k, n_name, r
+        |  FROM nt WHERE k % 5 = 4),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+        |       FROM cl)
+        |SELECT n_name, n_nationkey
+        |FROM rk WHERE rn = 1 AND op <> 'DELETE'
+        |ORDER BY n_name, n_nationkey""".stripMargin,
     // the mid-stream-onboarded nation table's final state, re-derived from
     // the nation fixture under fromNation's deterministic rules
     "cdc_pipeline_dynamic" ->
@@ -1275,7 +1298,7 @@ object SparkEntry {
     "emb_kmeans" -> kmeansOracle(3),
     "emb_ann_kmeans" -> annKmeansOracle(3),
     "emb_pq_topk" -> pqOracle(iters = 3, m = 16, k = 32, nQueries = 10, topK = 5,
-      shortlist = 20, interleave = true),
+      shortlist = 40, interleave = true),
     "emb_ann_ivfpq" -> ivfPqOracle(iters = 4, seedSplit = 3, m = 16, k = 32,
       pqIters = 3, nQueries = 10, topK = 5, shortlist = 64,
       probeMargin = 0.28, maxProbes = 13),

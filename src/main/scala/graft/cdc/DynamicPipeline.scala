@@ -65,6 +65,11 @@ object DynamicPipeline {
     * (count, sum valueCol) per groupCol, the [[Materialize]] MV shape. */
   case class MvSpec(groupCol: String, valueCol: String)
 
+  /** A secondary (value → key) index to maintain over one dynamic table —
+    * the reference's per-table search index (`es.go:88-144`), created on
+    * first write like the store itself (`es.go:28-45`). */
+  case class IndexSpec(valueCol: String)
+
   /** Derived tables the pass maintains, registered by table NAME — the
     * table itself, its state, AND its MV all materialize at runtime when
     * the name first appears in the stream (the reference consumer keeps
@@ -75,6 +80,12 @@ object DynamicPipeline {
     * batch drives the maintainer through its own state merge. */
   val DefaultMvSpecs: Map[String, MvSpec] =
     Map("nation" -> MvSpec("n_regionkey", "n_nationkey"))
+
+  /** Default index registrations — with [[DefaultMvSpecs]] this completes
+    * the reference's consumer loop for runtime-onboarded tables: store,
+    * aggregate, AND value-addressed search index, all from one merge. */
+  val DefaultIndexSpecs: Map[String, IndexSpec] =
+    Map("nation" -> IndexSpec("n_name"))
 
   // ── durable schema registry (the RelationMessage cache, on disk) ───────
 
@@ -106,7 +117,8 @@ object DynamicPipeline {
     * unannounced-table fatal). */
   private[cdc] def applyBatch(batch: DataFrame, root: String,
                               epochId: Long = -1L,
-                              mvSpecs: Map[String, MvSpec] = Map.empty): Unit = {
+                              mvSpecs: Map[String, MvSpec] = Map.empty,
+                              indexSpecs: Map[String, IndexSpec] = Map.empty): Unit = {
     val spark = batch.sparkSession
     batch.persist()
     try {
@@ -147,12 +159,23 @@ object DynamicPipeline {
             from_json(col("payload"), schema).as("p"): _*)
           .select(Seq(col("id"), col("seq"), col("op")) ++
             schema.fieldNames.toSeq.map(c => col(s"p.$c").as(c)): _*)
-        val hook: (DataFrame, DataFrame) => Unit = mvSpecs.get(t) match {
-          case Some(MvSpec(g, v)) => (prev, merged) =>
+        // registered maintainers fold off the SAME (prev, merged) frames
+        // the state merge already computed — sequential inside the hook
+        // (tables already run concurrently; nesting runConcurrent would
+        // put inner jobs in a group the outer cancel can't reach)
+        val maintainers = Seq(
+          mvSpecs.get(t).map { case MvSpec(g, v) => (prev: DataFrame, merged: DataFrame) =>
             Materialize.commitDelta(spark, s"$root/mv/$t", epochId,
-              prev, merged, Seq(g), Materialize.aggContrib(g, v))
-          case None => null
-        }
+              prev, merged, Seq(g), Materialize.aggContrib(g, v)) },
+          indexSpecs.get(t).map { case IndexSpec(v) => (prev: DataFrame, merged: DataFrame) =>
+            // the index needs no epoch fence: a replayed batch recomputes
+            // an empty (or identical, re-absorbed) delta — Index's replay
+            // contract
+            Index.commitIndexDelta(prev, merged, epochId, s"$root/idx/$t", v) }
+        ).flatten
+        val hook: (DataFrame, DataFrame) => Unit =
+          if (maintainers.isEmpty) null
+          else (prev, merged) => maintainers.foreach(_(prev, merged))
         ChangelogStream.upsertBatch(rows, s"$root/state/$t", beforeCommit = hook)
       }}
       // per-table stores are independent (own dirs, idempotent merges) —
@@ -174,7 +197,7 @@ object DynamicPipeline {
         .load(clDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
-          applyBatch(batch, root, epochId, DefaultMvSpecs) }
+          applyBatch(batch, root, epochId, DefaultMvSpecs, DefaultIndexSpecs) }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -210,4 +233,17 @@ object DynamicPipeline {
       .select(col("n_regionkey"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))
       .orderBy(col("n_regionkey"))
+
+  /** Oracle-checked query: the (value → key) secondary index of the
+    * mid-stream-onboarded nation table — the reference's ES search index
+    * (`es.go:88-144`), here created on first write for a table discovered
+    * at runtime and maintained from the state merge's own deltas. The
+    * final index holds exactly the live state's (n_name, key) pairs,
+    * updates having moved each changed key from its old value bucket to
+    * the new one. */
+  def qNationIndex(spark: SparkSession, sfDir: String): DataFrame =
+    ChangelogStream.readState(spark, s"${run(spark, sfDir)}/idx/nation",
+        Seq("v", "id"))
+      .select(col("v").as("n_name"), col("id").as("n_nationkey"))
+      .orderBy(col("n_name"), col("n_nationkey"))
 }

@@ -45,6 +45,20 @@ object Materialize {
           val t = new Thread(r, "graft-maintainer"); t.setDaemon(true); t
         }))
 
+  /** Unbounded cached pool for the state-merge tmp writes that OVERLAP the
+    * maintainer hook ([[ChangelogStream.upsertBatch]]): demand is one per
+    * in-flight hooked merge (≤ active tables), and parking these on the
+    * bounded [[maintEc]] could deadlock the nested maintainer tree — the
+    * composed pass's hook chain already fans out to the fixed pool's
+    * capacity. Callers ALWAYS join the write before returning or
+    * unwinding, so no writer outlives its batch. */
+  private[cdc] lazy val stateWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-state-write"); t.setDaemon(true); t
+        }))
+
   /** Run independent maintenance tasks CONCURRENTLY and wait for every one
     * before returning. Only safe for MUTUALLY INDEPENDENT tasks — each
     * writing its own directory behind its own fence, so a crash that

@@ -281,20 +281,30 @@ object ChangelogStream {
       // changelog's schema without a rewrite
       val others = (data.columns ++ prev.columns).distinct.toSeq
         .filterNot(keyCols.contains).filterNot(_ == "__bucket")
-      Materialize.timed(s"merge write $stateDir")(
-        prev.unionByName(data, allowMissingColumns = true)
+      def mergedPlan(prevSide: DataFrame) =
+        prevSide.unionByName(data, allowMissingColumns = true)
           .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
           .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
           .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
             others.map(c => col(s"last.$c").as(c)): _*)
-          .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp))
-      if (beforeCommit != null) {
-        // touched-bucket-sized frames, re-read by EVERY maintainer a hook
-        // chains (the composed pass reads each side ~10×/epoch) — cache
-        // them for the hook's duration
-        val merged = spark.read.parquet(tmp)
+      if (beforeCommit == null)
+        Materialize.timed(s"merge write $stateDir")(
+          mergedPlan(prev).write.partitionBy("__bucket")
+            .mode(SaveMode.Overwrite).parquet(tmp))
+      else {
+        // HOOK EPOCHS OVERLAP the bucket-file write with the maintainer
+        // chain: `prev` is persisted so the merge's cache fill serves the
+        // hook too (its first job re-materialized the same state read
+        // before), the merged frame is persisted AS THE PLAN (not re-read
+        // from tmp), and the tmp write + the hook run concurrently — both
+        // consume the caches, and the commit point below still waits for
+        // BOTH, so the crash ordering (maintainer fences commit before any
+        // bucket version becomes visible) is exactly as before; tmp stays
+        // invisible until promote either way.
+        val prevCached = prev.persist()
+        val merged = mergedPlan(prevCached).persist()
         val hookPrev =
-          if (truncs.isEmpty) prev
+          if (truncs.isEmpty) prevCached
           else {
             // the hook's "before" view when this batch carries TRUNCATEs:
             // touched buckets under the OLD fence (rows the new fence just
@@ -317,9 +327,34 @@ object ChangelogStream {
             }
           }
         hookPrev.persist()
-        merged.persist()
-        try Materialize.timed("hook total")(beforeCommit(hookPrev, merged))
-        finally { hookPrev.unpersist(); merged.unpersist() }
+        try {
+          val writeFut = scala.concurrent.Future(scala.concurrent.blocking(
+            Materialize.timed(s"merge write $stateDir")(
+              merged.write.partitionBy("__bucket")
+                .mode(SaveMode.Overwrite).parquet(tmp))))(Materialize.stateWriteEc)
+          var hookErr: Throwable = null
+          try Materialize.timed("hook total")(beforeCommit(hookPrev, merged))
+          catch { case t: Throwable => hookErr = t }
+          // ALWAYS join the write before proceeding or unwinding — a
+          // replayed batch overwrites tmp, and a zombie writer racing that
+          // overwrite could interleave files. If this thread was
+          // interrupted (maintainer cancellation), clear the flag for a
+          // bounded join, then restore it.
+          val joined =
+            scala.util.Try(scala.concurrent.Await.result(writeFut,
+              scala.concurrent.duration.Duration.Inf)) match {
+              case f @ scala.util.Failure(_: InterruptedException) =>
+                Thread.interrupted()
+                scala.util.Try(scala.concurrent.Await.ready(writeFut,
+                  scala.concurrent.duration.Duration(30, "s")))
+                Thread.currentThread().interrupt(); f
+              case r => r
+            }
+          if (hookErr != null) throw hookErr
+          joined.get
+        } finally {
+          hookPrev.unpersist(); prevCached.unpersist(); merged.unpersist()
+        }
       }
       // write each touched bucket's NEXT version dir. The per-dir _SUCCESS
       // still marks a complete write, but visibility is now the manifest

@@ -19,8 +19,16 @@ object Staging {
     * hits add nothing). The bench samples the delta around each query so a
     * cold-cache first run's one-time staging cost is attributable to the
     * query that paid it, per query, not per run. Atomic: maintainer pool
-    * threads may stage concurrently with the driver. */
+    * threads may stage concurrently with the driver. Only the OUTERMOST
+    * [[ensure]] on a thread adds its span — a staged model built from
+    * other staged artifacts (IVF-PQ stages codes from the PQ model and the
+    * cell assignment, each itself staged) would otherwise double-count
+    * every inner rebuild inside the outer span. */
   val rebuildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val ensureDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
 
   /** Fingerprint of source fixture files: name/size/mtime, 12 hex chars. */
   def fingerprint(sfDir: String, sources: Seq[String]): String = {
@@ -74,8 +82,13 @@ object Staging {
     val t0 = System.nanoTime()
     val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val tmpFile = new java.io.File(tmp)
+    ensureDepth.set(ensureDepth.get + 1)
     try write(tmp)
-    finally rebuildNanos.addAndGet(System.nanoTime() - t0)
+    finally {
+      ensureDepth.set(ensureDepth.get - 1)
+      if (ensureDepth.get == 0)
+        rebuildNanos.addAndGet(System.nanoTime() - t0)
+    }
     new java.io.File(tmp, "_STAGED").createNewFile()
     if (!tmpFile.renameTo(dirFile)) {
       if (new java.io.File(dir, "_STAGED").exists()) {

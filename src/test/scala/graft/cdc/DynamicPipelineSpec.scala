@@ -93,10 +93,11 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
         .option("maxFilesPerTrigger", 1).load(clDir)
       stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
-          // MV specs ride the kill too: the replayed epoch must skip its
-          // already-committed delta (epoch fence) while the state re-merges
+          // MV + index specs ride the kill too: the replayed epoch must
+          // skip its already-committed MV delta (epoch fence) while the
+          // state re-merges and the index re-absorbs an identical delta
           DynamicPipeline.applyBatch(batch, root, epochId,
-            DynamicPipeline.DefaultMvSpecs)
+            DynamicPipeline.DefaultMvSpecs, DynamicPipeline.DefaultIndexSpecs)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -129,6 +130,14 @@ class DynamicPipelineSpec extends AnyFunSuite with SparkSpec {
           round(sum($"n_nationkey".cast(
               org.apache.spark.sql.types.DecimalType(18, 4))), 2)
             .cast("double").as("sum_value")))
+    // ...and the index: the replayed batch's delta re-emerged with the
+    // same seq and was absorbed by the index's own max_by merge
+    assertSame(
+      ChangelogStream.readState(spark, s"$root/idx/nation", Seq("v", "id"))
+        .select($"v".as("n_name"), $"id".as("n_nationkey")),
+      Apply.latestState(Changelog.fromNation(spark, sfDir),
+          Changelog.nationPayloadCols)
+        .select($"n_name", $"n_nationkey"))
   }
 
   test("the schema registry is durable: a fresh reader decodes from disk, not driver memory") {

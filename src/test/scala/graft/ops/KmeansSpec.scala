@@ -86,12 +86,58 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     println(s"[pq] reranked recall=$rec")
     // the scan phase reads 10 code bytes/vector instead of 256 raw float
     // bytes (25.6×); the interleaved m=16 3-round codebooks measured 0.80
-    // reranked recall here (round-8's m=8 contiguous: 0.62) — round-9
-    // ask #8's ≥0.7 rung, asserted with headroom
-    assert(rec > 0.7, s"PQ recall vs exact dot top-5 regressed: $rec")
+    // reranked recall at shortlist 20 (round-8's m=8 contiguous: 0.62),
+    // and the round-11 shortlist-40 default lifts it further at the SAME
+    // compression — the round-10 stretch's ≥0.85 target, met by the
+    // shortlist (the lever that moves) rather than the rotation (which
+    // measured negative, see the OPQ test below)
+    assert(rec >= 0.85, s"PQ recall vs exact dot top-5 regressed: $rec")
     // deterministic: a re-run reproduces the result exactly
     val again = Similarity.qPqTopK(spark, sfDir).collect().map(_.toSeq)
     assert(pq.collect().map(_.toSeq).sameElements(again))
+  }
+
+  test("OPQ rotation, measured: parametric OPQ cannot beat the fixed interleave on this corpus") {
+    // the round-10 stretch, run honestly: a LEARNED subspace decomposition
+    // (parametric OPQ — PCA rotation + eigenvalue allocation, the
+    // closed-form solution) against the fixed interleave permutation, both
+    // at m=16/k=32/shortlist 20 against the exact-dot top-5. On this
+    // near-isotropic corpus (eigen-spread ~4×) the rotation has nothing to
+    // align: measured 0.80 (OPQ) vs 0.80 (interleave) — an exact tie —
+    // quantization error binds, not subspace correlation, so the engine
+    // spends the recall budget on the ADC shortlist instead (qPqTopK's
+    // default).
+    // This test pins the measurement: the rotated variant must WORK (far
+    // above the 0.31 expected of a random candidate cut) while not
+    // beating interleave by enough to justify a learned-rotation stage.
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").desc, col("vec_id"))
+    val truth = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.dot(col("qe"), col("embedding")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
+    val opq = recallOf(Similarity.qPqTopKRotated(spark, sfDir, shortlist = 20))
+    val intl = recallOf(Similarity.qPqTopK(spark, sfDir, shortlist = 20))
+    println(s"[opq] rotated recall=$opq interleave recall=$intl")
+    assert(opq > 0.5, s"rotated PQ is broken, not merely unhelpful: $opq")
+    assert(opq <= intl + 0.1,
+      s"OPQ now BEATS interleave ($opq vs $intl) — revisit the default")
+    // the rotation is genuinely orthogonal (exact dots preserved): R·Rᵀ=I
+    val r = Similarity.opqRotation(spark, sfDir, 16)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R not orthogonal at ($i,$j): $dot")
+    }
   }
 
   test("IVF-PQ: cell-pruned compressed search holds recall at a bounded probed fraction") {
