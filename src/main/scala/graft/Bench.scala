@@ -112,11 +112,15 @@ object Bench {
       .mkString("{", ",", "}")
     val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
       s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier,""" +
-      // epoch-count disclosure: cdc_pipeline_full has drained at
-      // maxFilesPerTrigger=8 (single epoch at sf0.1) since round 10 —
-      // earlier rounds ran 2 — so cross-round deltas on the composed-pass
-      // carrier are not epoch-for-epoch comparable before r10
-      s""""pipeline_full_max_files_per_trigger":8,""" +
+      // epoch-count disclosure (cross-round comparability): queries whose
+      // declared pass drains in FEWER epochs than earlier rounds — the
+      // multi-batch semantics stay pinned by their specs. r10: pipeline
+      // full 2→1 epoch, sink-dsv2/customer-dsv2 2→1; r11: apply_stream /
+      // stream_dsv2 / stateful 2→1, dynamic fixture 4→3 files
+      s""""coarse_epochs_since":{"cdc_pipeline_full":"r10",""" +
+      s""""cdc_apply_sink_dsv2":"r10","cdc_apply_customer_dsv2":"r10",""" +
+      s""""cdc_apply_stream":"r11","cdc_apply_stream_dsv2":"r11",""" +
+      s""""cdc_apply_stateful":"r11","cdc_pipeline_dynamic":"r10"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""

@@ -349,6 +349,9 @@ object SparkEntry {
     "doc_decontam" -> ((s, d) => graft.ops.Curate.qDecontaminate(s, d)),
     "doc_stratified_sample" -> ((s, d) => graft.ops.Curate.qStratifiedSample(s, d)),
     "doc_tfidf" -> ((s, d) => Text.qTfIdf(s, d)),
+    // ── Full-text retrieval (the reference's ES search half) ──
+    "doc_bm25_search" -> ((s, d) => graft.ops.Search.qBm25(s, d)),
+    "doc_phrase_search" -> ((s, d) => graft.ops.Search.qPhraseSearch(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
     "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
     "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
@@ -1448,6 +1451,37 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // BM25 over the staged inverted index; the oracle re-derives postings
+    // from scratch — rational idf (N-df+0.5)/(df+0.5), identical double
+    // association, round-6 per-term scores summed as DECIMAL (order-free)
+    "doc_bm25_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+        |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+        |ts AS (SELECT p.doc_id,
+        |         CAST(round(
+        |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |           ((CAST(tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf AS DOUBLE) +
+        |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+        |           6) AS DECIMAL(18,8)) AS ts
+        |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+        |       CROSS JOIN st),
+        |agg AS (SELECT doc_id, count(*) AS n_t,
+        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
+        |        FROM ts GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "doc_phrase_search" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bmerge window\b')) AS BIGINT) AS hits
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\bmerge window\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "doc_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),

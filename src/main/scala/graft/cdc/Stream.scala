@@ -672,7 +672,8 @@ object ChangelogStream {
     * orders table. Result is identical to the batch [[Apply.latestState]] —
     * the stream/batch equivalence the engine guarantees. */
   def applyStreaming(spark: SparkSession, sfDir: String, workDir: String,
-                     stagedClDir: Option[String] = None): DataFrame = {
+                     stagedClDir: Option[String] = None,
+                     maxFilesPerTrigger: Int = 3): DataFrame = {
     // changelog files can be pre-staged (shared across runs); state and
     // checkpoint must stay per-run — an AvailableNow restart against an old
     // checkpoint sees no new files and would materialize nothing
@@ -686,7 +687,7 @@ object ChangelogStream {
 
     val stream = spark.readStream
       .schema(spark.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 3)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(clDir)
 
     val q = stream.writeStream
@@ -730,13 +731,17 @@ object ChangelogStream {
   }
 
   /** Query-shaped wrapper: staged changelog shared across runs, fresh temp
-    * workdir (state + checkpoint) per run. */
+    * workdir (state + checkpoint) per run. One-epoch drain (round-11
+    * coarsening): the cross-batch merge this pass exists to demonstrate is
+    * pinned by StreamSpec, which drives [[applyStreaming]] at the
+    * multi-batch default plus kill-resume. */
   def qApplyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString
     // per-batch merges are touched-bucket-sized: query-local 8-partition
     // session (Materialize.sessionWithParts)
     applyStreaming(Materialize.sessionWithParts(spark, 8), sfDir, work,
-      stagedClDir = Some(Changelog.stageParquet(spark, sfDir)))
+      stagedClDir = Some(Changelog.stageParquet(spark, sfDir)),
+      maxFilesPerTrigger = 4)
       .orderBy(col("o_orderkey"))
   }
 
@@ -835,16 +840,18 @@ object ChangelogStream {
   }
 
   /** Query-shaped wrapper for [[applyStreamingDsv2]]: staged envelope files
-    * shared across runs (4 text files → 2 micro-batches at
-    * maxFilesPerTrigger=2, so cross-batch merge + offset advance are truly
-    * exercised without paying per-batch overhead 4×; the restart spec
-    * drives the 1-file-per-batch path), fresh state/checkpoint per run. */
+    * shared across runs, fresh state/checkpoint per run. The declared
+    * query drains all 4 text files in ONE epoch (round-11 coarsening, the
+    * qApplyStreamingSinkDsv2 rationale): the per-epoch probe/merge chain
+    * is fixed overhead the epoch count multiplies, and cross-batch merge +
+    * offset-resume semantics are pinned by ChangelogSourceSpec's restart
+    * drills at 1 file per batch. */
   def qApplyStreamingDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString
     // query-local 8-partition session for the per-batch merges
     applyStreamingDsv2(Materialize.sessionWithParts(spark, 8), clDir, work,
-      Changelog.payloadSchema(spark, sfDir), maxFilesPerTrigger = 2)
+      Changelog.payloadSchema(spark, sfDir), maxFilesPerTrigger = 4)
       .orderBy(col("o_orderkey"))
   }
 

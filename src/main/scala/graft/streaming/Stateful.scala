@@ -76,8 +76,11 @@ object Stateful {
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
+    // one-epoch drain (round-11 coarsening): per-epoch state-store commit +
+    // sink fence are fixed costs; the cross-batch state carry this operator
+    // exists for is pinned by StatefulSpec's 3-batch MemoryStream drill
     val stream = spark.readStream.schema(clSchema)
-      .option("maxFilesPerTrigger", 2).parquet(clDir)
+      .option("maxFilesPerTrigger", 4).parquet(clDir)
       .as[OrdersEvent]
     val updates = stream.groupByKey(_.id)
       .flatMapGroupsWithState[OrdersEvent, OrdersEvent](

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Full-text retrieval ([[Search]]): the staged term-bucketed inverted
+  * index must serve BM25 exactly as a from-scratch derivation would, the
+  * query-time scan must PRUNE to the query terms' partitions, and the
+  * driver-side bucket hash must agree with the Spark-side one (the pruning
+  * contract). */
+class SearchSpec extends AnyFunSuite with SparkSpec {
+
+  test("driver-side bucketOf agrees with the Spark-side termBucket for every corpus term") {
+    val toks = graft.model.Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("tok")).distinct()
+      .select(col("tok"), Search.termBucket(col("tok")).as("pb"))
+      .collect()
+    assert(toks.nonEmpty)
+    toks.foreach { r =>
+      assert(Search.bucketOf(r.getString(0)) === r.getLong(1),
+        s"bucket mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("BM25 over the staged index equals the from-scratch derivation, and the scan prunes") {
+    val query = Seq("stream", "merge", "window")
+    // from-scratch: postings re-derived inline (no index), same arithmetic
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val post = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n_docs") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfs = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+    val expect = post.join(df, Seq("tok")).crossJoin(stats)
+      .select(col("doc_id"), round(idf * tfs, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_t"), round(sum(col("ts")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = Search.qBm25(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+    // every reported doc matches at least one query term, ranks are 1..k
+    val ranks = Search.qBm25(spark, sfDir).select(col("rk")).collect().map(_.getLong(0))
+    assert(ranks.toSeq === (1L to ranks.length))
+
+    // partition pruning: the postings scan's PartitionFilters must carry
+    // the pb restriction (the inverted-list IO contract — a query touches
+    // its terms' buckets, not the corpus)
+    val root = Search.invertedIndex(spark, sfDir)
+    val buckets = query.map(Search.bucketOf).distinct.sorted
+    val pruned = spark.read
+      .schema("tok STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, pb BIGINT")
+      .parquet(s"$root/postings")
+      .filter(col("pb").isin(buckets: _*) && col("tok").isin(query: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("pb"), s"pb not in partition filters:\n$scan")
+    // ...and the term filter pushes into the pruned files
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("tok"), s"tok filter not pushed:\n$scan")
+  }
+
+  test("phrase search counts exact word-sequence occurrences") {
+    val got = Search.qPhraseSearch(spark, sfDir, "merge window")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent derivation from the token bigrams
+    val ws = Text.tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val expect = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(bigrams, g => g === "merge window")).cast("long").as("hits"))
+      .filter(col("hits") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+}
