@@ -352,6 +352,11 @@ object SparkEntry {
     // ── Full-text retrieval (the reference's ES search half) ──
     "doc_bm25_search" -> ((s, d) => graft.ops.Search.qBm25(s, d)),
     "doc_phrase_search" -> ((s, d) => graft.ops.Search.qPhraseSearch(s, d)),
+    // the es.go loop completed for text: CDC events keep the postings
+    // index current (updates MOVE postings, deletes retract them), and
+    // search is served from the maintained index
+    "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
+    "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
     "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
     "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
@@ -361,6 +366,23 @@ object SparkEntry {
 
   private def dsum(e: String, alias: String): String =
     s"CAST(round(sum(CAST($e AS DECIMAL(18,4))), 2) AS DOUBLE) AS $alias"
+
+  /** The synthetic documents changelog → live docs → their tokens, as SQL
+    * (mirrors [[graft.cdc.Changelog.fromDocuments]]'s deterministic
+    * rules). Shared by the CDC text-index and text-search oracles. */
+  private val docsChangelogCte: String =
+    """dt AS (SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents),
+      |cl AS (
+      |  SELECT k AS id, k AS seq, 'INSERT' AS op, text FROM dt
+      |  UNION ALL
+      |  SELECT k, k + 1000000, 'UPDATE', text || ' merge window r2'
+      |  FROM dt WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, k + 2000000, 'DELETE', text FROM dt WHERE k % 5 = 4),
+      |rnk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+      |        FROM cl),
+      |live AS (SELECT id AS doc_id, text FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
 
   private val cdcApplySql =
     s"""WITH ${Changelog.oracleCte},
@@ -1451,6 +1473,36 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the CDC-maintained text index: final postings = postings of the
+    // LIVE document state under the synthetic documents changelog
+    // (mirrors Changelog.fromDocuments' deterministic rules)
+    "cdc_text_index" ->
+      s"""WITH $docsChangelogCte
+         |SELECT tok, doc_id, count(*) AS tf FROM toks
+         |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin,
+    // BM25 served from the maintained index = BM25 over the live docs
+    "cdc_text_search" ->
+      s"""WITH $docsChangelogCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+         |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+         |ts AS (SELECT p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+         |       CROSS JOIN st),
+         |agg AS (SELECT doc_id, count(*) AS n_t,
+         |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
+         |        FROM ts GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     // BM25 over the staged inverted index; the oracle re-derives postings
     // from scratch — rational idf (N-df+0.5)/(df+0.5), identical double
     // association, round-6 per-term scores summed as DECIMAL (order-free)

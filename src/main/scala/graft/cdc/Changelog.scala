@@ -310,6 +310,48 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** DOCUMENTS changelog — text-bearing events for the CDC-MAINTAINED text
+    * index ([[graft.ops.Search.qCdcTextIndex]]): the same deterministic
+    * rules family as [[fromOrders]]/[[fromNation]] (%3 → UPDATE, %5==4 →
+    * DELETE; seq = key / +1e6 / +2e6). The UPDATE APPENDS " merge window
+    * r2" to the text — a change that must MOVE postings (new terms appear,
+    * every tf row rewrites, and two of the appended tokens are the
+    * standard search query's terms, so maintained-index search results
+    * genuinely shift vs the insert-only corpus). */
+  val documentsPayloadCols: Seq[String] = Seq("doc_id", "text", "source")
+
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.documents(spark, sfDir).select(
+      col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val inserts = dt.select(Seq(
+      col("doc_id").as("id"),
+      col("doc_id").as("seq"),
+      lit("INSERT").as("op"),
+      lit("documents").as("table")) ++ documentsPayloadCols.map(col): _*)
+    val updates = dt.filter(col("doc_id") % 3 === 0).select(
+      col("doc_id").as("id"),
+      (col("doc_id") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("documents").as("table"),
+      col("doc_id"),
+      concat(col("text"), lit(" merge window r2")).as("text"),
+      col("source"))
+    val deletes = dt.filter(col("doc_id") % 5 === 4).select(Seq(
+      col("doc_id").as("id"),
+      (col("doc_id") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("documents").as("table")) ++ documentsPayloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** The documents changelog staged as multi-file parquet (streaming
+    * input; shared across runs like [[stageParquet]]). */
+  def stageParquetDocuments(spark: SparkSession, sfDir: String): String =
+    stage(fromDocuments(spark, sfDir), sfDir, "docs-parquet",
+        Seq("documents.parquet")) { (cl, dir) =>
+      cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** The DYNAMIC-ONBOARDING wire fixture: three name-ordered JSON-envelope
     * files where a table's first appearance is announced by an in-stream
     * RELATION event carrying its schema DDL as the payload — the pgoutput

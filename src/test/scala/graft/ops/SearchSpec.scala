@@ -72,6 +72,67 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(pushed.contains("tok"), s"tok filter not pushed:\n$scan")
   }
 
+  test("CDC text index: postings follow the document — created, moved on update, retracted on delete") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-textidx-spec-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    def postings(): Map[(String, Long), Long] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("tok", "id", "tf"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch 0: two docs indexed on insert
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "spark merge merge"), (2L, 2L, "INSERT", "scan window"))),
+      0L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("spark", 1L) -> 1L, ("merge", 1L) -> 2L,
+      ("scan", 2L) -> 1L, ("window", 2L) -> 1L))
+    // batch 1: doc 1's text changes — "merge" tf drops to 1, "spark"
+    // vanishes (tombstoned), "join" appears
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 3L, "UPDATE", "merge join"))), 1L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L,
+      ("scan", 2L) -> 1L, ("window", 2L) -> 1L))
+    // batch 2: doc 2 deleted — all its postings retract
+    Search.maintainTextIndexBatch(
+      batch(Seq((2L, 4L, "DELETE", "scan window"))), 2L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L))
+    // replay of batch 2 (the crash-replay contract): identical delta
+    // re-absorbs, nothing resurrects
+    Search.maintainTextIndexBatch(
+      batch(Seq((2L, 4L, "DELETE", "scan window"))), 2L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L))
+  }
+
+  test("CDC-maintained search equals BM25 over the live documents") {
+    // the maintained-index search and a from-scratch BM25 over the
+    // changelog's live docs must agree rank for rank
+    val live = graft.cdc.Apply.latestState(
+      graft.cdc.Changelog.fromDocuments(spark, sfDir),
+      graft.cdc.Changelog.documentsPayloadCols)
+    val docs = live.select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val post = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("tok"))
+      .filter(col("tok").isin("stream", "merge", "window"))
+      .groupBy(col("tok"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n_docs") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfs = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+    val expect = post.join(df, Seq("tok")).crossJoin(stats)
+      .select(col("doc_id"), round(idf * tfs, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = Search.qCdcTextSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("phrase search counts exact word-sequence occurrences") {
     val got = Search.qPhraseSearch(spark, sfDir, "merge window")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
