@@ -120,7 +120,8 @@ object Bench {
       s""""coarse_epochs_since":{"cdc_pipeline_full":"r10",""" +
       s""""cdc_apply_sink_dsv2":"r10","cdc_apply_customer_dsv2":"r10",""" +
       s""""cdc_apply_stream":"r11","cdc_apply_stream_dsv2":"r11",""" +
-      s""""cdc_apply_stateful":"r11","cdc_pipeline_dynamic":"r10"},""" +
+      s""""cdc_apply_stateful":"r11","cdc_pipeline_dynamic":"r10",""" +
+      s""""cdc_text_index":"r11"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""

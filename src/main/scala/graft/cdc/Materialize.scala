@@ -134,6 +134,14 @@ object Materialize {
   private[graft] def sessionWithParts(spark: SparkSession, parts: Int): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // split staged changelog files finer than the 128 MB default: a
+    // micro-batch's decode (JSON parse + from_json) is the epoch's first
+    // cache fill, and 4 staged files would otherwise parse as 4 tasks on a
+    // 32-core box — the probe job's whole cost. Bucket/state reads in the
+    // same session are already file-per-bucket small, so finer splits cost
+    // them nothing. (At cluster scale the default is right; this tracks
+    // the local[32] bench geometry the sibling session exists for.)
+    s.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
     s
   }
 

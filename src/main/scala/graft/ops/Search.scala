@@ -178,8 +178,11 @@ object Search {
       val work = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/tmp"), "graft-textidx-").toString
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      // one-epoch drain (the declared-query coarsening rationale): the
+      // per-batch postings movement — update moves, delete retracts,
+      // replay absorbs — is pinned batch-by-batch by SearchSpec's drill
       val stream = s2.readStream.schema(s2.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 2).parquet(clDir)
+        .option("maxFilesPerTrigger", 4).parquet(clDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           maintainTextIndexBatch(batch, batchId, s"$work/state", s"$work/idx")
