@@ -357,6 +357,11 @@ object SparkEntry {
     // search is served from the maintained index
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
+    // ...and for DENSE retrieval (the ES kNN half): vectors re-quantize
+    // against the frozen staged centroids as they change, and ANN is
+    // served from the maintained cell-bucketed state
+    "cdc_vector_index" -> (Similarity.qCdcVectorIndex _),
+    "cdc_vector_search" -> ((s, d) => Similarity.qCdcVectorSearch(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
     "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
     "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
@@ -652,6 +657,69 @@ object SparkEntry {
     * nearest cell always, further cells (≤8) only within 0.20 of the best
     * score — then the exact rerank of emb_ann_centroid over the probed
     * cells. */
+  /** The embeddings changelog → LIVE vectors (updates reversed, deletes
+    * gone) → their quantization against the frozen round-`iters` trained
+    * centroids (c/n from [[kmeansRounds]] over the ORIGINAL corpus —
+    * deployments freeze the coarse quantizer; only arriving vectors
+    * re-quantize). Shared by the CDC vector-index and vector-search
+    * oracles. Must follow `WITH embX, a0 …, kmeansRounds(iters)`. */
+  private def liveVectorCte(iters: Int): String =
+    s"""et AS (SELECT CAST(vec_id AS BIGINT) AS k, embedding FROM embeddings),
+       |ecl AS (
+       |  SELECT k AS id, k AS seq, 'INSERT' AS op, embedding FROM et
+       |  UNION ALL
+       |  SELECT k, k + 1000000, 'UPDATE', list_reverse(embedding)
+       |  FROM et WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT k, k + 2000000, 'DELETE', embedding FROM et WHERE k % 5 = 4),
+       |erk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |        FROM ecl),
+       |elive AS (SELECT id AS vec_id, embedding FROM erk
+       |          WHERE rn = 1 AND op <> 'DELETE'),
+       |lx AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |              CAST(unnest(embedding) AS DOUBLE) AS e FROM elive),
+       |lnrm AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM lx GROUP BY 1),
+       |ld AS (SELECT lx.vec_id, c.cl, sum(lx.e * c.c) AS d
+       |       FROM lx JOIN c$iters c ON c.i = lx.i GROUP BY 1, 2),
+       |ls AS (SELECT d.vec_id, d.cl, round(d.d / (n.nrm * cn.cnrm), 6) AS score
+       |       FROM ld d JOIN lnrm n USING (vec_id) JOIN n$iters cn USING (cl)),
+       |lasg AS (SELECT vec_id, cl, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rk
+       |    FROM ls) WHERE rk = 1)""".stripMargin
+
+  private def vectorIndexOracle(iters: Int): String =
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
+       |${kmeansRounds(iters)},
+       |${liveVectorCte(iters)}
+       |SELECT vec_id, cl AS cell FROM lasg ORDER BY vec_id""".stripMargin
+
+  private def vectorSearchOracle(iters: Int): String =
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
+       |${kmeansRounds(iters)},
+       |${liveVectorCte(iters)},
+       |asgq AS (SELECT vec_id, cl,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
+       |         FROM s$iters),
+       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asgq
+       |           WHERE vec_id < 10 AND crk <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id FROM probed p
+       |         JOIN lasg a ON a.cl = p.cell AND a.vec_id <> p.q_id),
+       |dots AS (SELECT cd.q_id, cd.vec_id, sum(xq.e * xv.e) AS dot
+       |         FROM cand cd
+       |         JOIN x xq ON xq.vec_id = cd.q_id
+       |         JOIN lx xv ON xv.vec_id = cd.vec_id AND xv.i = xq.i
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT d.q_id, d.vec_id, round(d.dot / (qa.nrm * qb.nrm), 6) AS score
+       |       FROM dots d JOIN nrm qa ON qa.vec_id = d.q_id
+       |       JOIN lnrm qb ON qb.vec_id = d.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+       |      FROM sc)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   private def annKmeansOracle(iters: Int): String =
     s"""WITH $embX,
        |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
@@ -1473,6 +1541,11 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the CDC-maintained VECTOR index: final cell assignment = quantizing
+    // the live vectors against the frozen trained centroids; search =
+    // 2-probe ANN over the live vectors in the probed cells
+    "cdc_vector_index" -> vectorIndexOracle(3),
+    "cdc_vector_search" -> vectorSearchOracle(3),
     // the CDC-maintained text index: final postings = postings of the
     // LIVE document state under the synthetic documents changelog
     // (mirrors Changelog.fromDocuments' deterministic rules)

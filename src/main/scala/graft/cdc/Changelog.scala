@@ -352,6 +352,44 @@ object Changelog {
       cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** EMBEDDINGS changelog — vector-bearing events for the CDC-maintained
+    * VECTOR index ([[graft.ops.Similarity.qCdcVectorIndex]]): the same
+    * deterministic rules family. The UPDATE REVERSES the embedding
+    * (`reverse` here, `list_reverse` in the oracle) — a value change that
+    * moves the vector in space, so its coarse-cell assignment can move and
+    * the index maintenance must re-quantize, not just overwrite. */
+  val embeddingsPayloadCols: Seq[String] = Seq("vec_id", "embedding")
+
+  def fromEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val et = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val inserts = et.select(Seq(
+      col("vec_id").as("id"),
+      col("vec_id").as("seq"),
+      lit("INSERT").as("op"),
+      lit("embeddings").as("table")) ++ embeddingsPayloadCols.map(col): _*)
+    val updates = et.filter(col("vec_id") % 3 === 0).select(
+      col("vec_id").as("id"),
+      (col("vec_id") + 1000000L).as("seq"),
+      lit("UPDATE").as("op"),
+      lit("embeddings").as("table"),
+      col("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val deletes = et.filter(col("vec_id") % 5 === 4).select(Seq(
+      col("vec_id").as("id"),
+      (col("vec_id") + 2000000L).as("seq"),
+      lit("DELETE").as("op"),
+      lit("embeddings").as("table")) ++ embeddingsPayloadCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** The embeddings changelog staged as multi-file parquet. */
+  def stageParquetEmbeddings(spark: SparkSession, sfDir: String): String =
+    stage(fromEmbeddings(spark, sfDir), sfDir, "emb-parquet",
+        Seq("embeddings.parquet")) { (cl, dir) =>
+      cl.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** The DYNAMIC-ONBOARDING wire fixture: three name-ordered JSON-envelope
     * files where a table's first appearance is announced by an in-stream
     * RELATION event carrying its schema DDL as the payload — the pgoutput

@@ -214,8 +214,13 @@ object Similarity {
     * final-round centroid, ranked per vector (`crk`), with the per-vector
     * best score carried for the adaptive probe rule. Shared by
     * [[qAnnKmeans]] and its recall evaluation. */
-  private[graft] def trainedCellScores(spark: SparkSession, dir: String,
-                                       iters: Int, seedSplit: Int = 1): DataFrame = {
+  /** The Lloyd-refined quantizer: `iters-1` assignment-refinement rounds
+    * from the split-label seed, then the FINAL round's centroid table —
+    * returned alongside the full scoring frame so callers that must
+    * quantize NEW vectors (the CDC-maintained vector index) use the exact
+    * centroids the stored assignments were scored against. */
+  private[graft] def trainedQuantizer(spark: SparkSession, dir: String,
+                                      iters: Int, seedSplit: Int = 1): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -242,9 +247,13 @@ object Similarity {
         round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
           .as("cscore"))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cl"))
-    cscored.withColumn("crk", row_number().over(aw))
-      .withColumn("best", max(col("cscore")).over(Window.partitionBy(col("vec_id"))))
+    (cent, cscored.withColumn("crk", row_number().over(aw))
+      .withColumn("best", max(col("cscore")).over(Window.partitionBy(col("vec_id")))))
   }
+
+  private[graft] def trainedCellScores(spark: SparkSession, dir: String,
+                                       iters: Int, seedSplit: Int = 1): DataFrame =
+    trainedQuantizer(spark, dir, iters, seedSplit)._2
 
   /** The trained coarse quantizer's scoring table, STAGED once per
     * (fixture content, params): (vec_id, cl, cscore, crk, best) — the
@@ -256,17 +265,29 @@ object Similarity {
     * stages for the codes). Deterministic training keeps the staged table
     * value-identical to [[trainedCellScores]], so the from-scratch SQL
     * oracle still hash-matches. */
-  private[graft] def ivfAssignments(spark: SparkSession, dir: String,
-                                    iters: Int, seedSplit: Int): DataFrame = {
+  private def ivfRoot(spark: SparkSession, dir: String,
+                      iters: Int, seedSplit: Int): String = {
     val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
-    val root = graft.model.Staging.ensure(
-        s"/tmp/graft-ivf/$fp-i$iters-s$seedSplit") { tmp =>
-      trainedCellScores(spark, dir, iters, seedSplit)
-        .select(col("vec_id"), col("cl"), col("cscore"), col("crk"), col("best"))
+    // -v2: the staged artifact grew the centroid-vector table (the CDC
+    // vector index quantizes NEW vectors against it); the suffix retires
+    // cells-only stagings from earlier rounds
+    graft.model.Staging.ensure(
+        s"/tmp/graft-ivf/$fp-i$iters-s$seedSplit-v2") { tmp =>
+      val (cent, scored) = trainedQuantizer(spark, dir, iters, seedSplit)
+      scored.select(col("vec_id"), col("cl"), col("cscore"), col("crk"), col("best"))
         .write.parquet(s"$tmp/cells")
+      cent.write.parquet(s"$tmp/cent")
     }
-    spark.read.parquet(s"$root/cells")
   }
+
+  private[graft] def ivfAssignments(spark: SparkSession, dir: String,
+                                    iters: Int, seedSplit: Int): DataFrame =
+    spark.read.parquet(s"${ivfRoot(spark, dir, iters, seedSplit)}/cells")
+
+  /** The staged quantizer's centroid table (cl, cvec, cnrm). */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String,
+                                  iters: Int, seedSplit: Int): DataFrame =
+    spark.read.parquet(s"${ivfRoot(spark, dir, iters, seedSplit)}/cent")
 
   /** Defaults (measured at sf0.001 against brute-force truth, all at the
     * SAME ~0.20 probed fraction): label-seeded fixed-2 over 10 cells 0.40;
@@ -296,6 +317,151 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
           .as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ── CDC-maintained vector index (the es.go loop, for dense kNN) ───────
+
+  /** Per-batch CELL delta for the vector index — the dense-retrieval twin
+    * of the text postings delta ([[graft.ops.Search.commitPostingsDelta]]):
+    * every touched vector's OLD live row quantizes against the FROZEN
+    * staged centroids and emits a DELETE of its (cell, id) entry (seq
+    * 2·batch); its NEW live row re-quantizes and emits an INSERT (seq
+    * 2·batch+1 — later, so an unmoved vector survives with its fresh
+    * embedding while a moved one tombstones in the old cell and lives in
+    * the new). A deleted vector has no live merged row, so its entry
+    * tombstones. The quantizer is NOT retrained per batch — deployments
+    * freeze the coarse quantizer and re-quantize only arriving vectors
+    * (the faiss/ES-kNN discipline); scoring reuses the exact training
+    * arithmetic (round-6 cosine vs the staged centroids, ties to the
+    * lowest cell) so the maintained assignment of an UNCHANGED vector
+    * equals its staged one. Replay: identical delta re-derives, max_by
+    * absorbs — the fenceless contract. */
+  private[graft] def commitCellDelta(prev: DataFrame, merged: DataFrame,
+                                     batchId: Long, idxDir: String,
+                                     cent: DataFrame): Unit = {
+    def cells(src: DataFrame, opv: String, seqv: Long) =
+      src.filter(col("op") =!= "DELETE")
+        .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        .join(broadcast(cent))
+        .select(col("id"), col("embedding"), col("cl"),
+          round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
+            .as("cscore"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cl"), col("cscore"), col("embedding")),
+          struct(col("cscore"), (-col("cl")).as("nc"))).as("best"))
+        .select(col("best.cl").as("cell"), col("id"),
+          lit(seqv).as("seq"), lit(opv).as("op"),
+          col("best.cscore").as("cscore"), col("best.embedding").as("embedding"))
+    val events = cells(prev, "DELETE", 2 * batchId)
+      .unionByName(cells(merged, "INSERT", 2 * batchId + 1))
+    graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
+      keyCols = Seq("cell", "id"), bucketCols = Seq("cell"))
+  }
+
+  /** Merge one embeddings micro-batch into the vector state AND its
+    * cell-bucketed index — store + search index in one loop, for dense
+    * retrieval. */
+  def maintainVectorIndexBatch(batch: DataFrame, batchId: Long,
+                               stateDir: String, idxDir: String,
+                               cent: DataFrame): Unit =
+    graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
+      beforeCommit = (prev, merged) =>
+        commitCellDelta(prev, merged, batchId, idxDir, cent))
+
+  private val vecRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Run (or reuse) the vector-index pass: the embeddings changelog
+    * streamed through the keyed-state sink, vector state + cell index
+    * maintained per batch against the staged quantizer's frozen
+    * centroids. Memoized per (JVM, fixture); qCdcVectorIndex and
+    * qCdcVectorSearch are views over one pass. */
+  private def vectorIndexRun(spark: SparkSession, sfDir: String): (String, String) =
+    vecRuns.computeIfAbsent(sfDir, _ => {
+      val clDir = graft.cdc.Changelog.stageParquetEmbeddings(spark, sfDir)
+      val cent = ivfCentroids(spark, sfDir, iters = 3, seedSplit = 2)
+        .localCheckpoint()
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-vecidx-").toString
+      val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      // one-epoch drain (the declared-query coarsening rationale): the
+      // batch-by-batch cell movement — update re-quantizes, delete
+      // retracts, replay absorbs — is pinned by KmeansSpec's drill
+      val stream = s2.readStream.schema(s2.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 4).parquet(clDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          maintainVectorIndexBatch(batch, batchId,
+            s"$work/state", s"$work/idx", cent)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (s"$work/state", s"$work/idx")
+    })
+
+  /** Oracle-checked query: the maintained cell assignment after the
+    * embeddings changelog drains — equals quantizing the LIVE vectors
+    * (inserts assigned, updates' REVERSED vectors re-assigned wherever
+    * they now fall, deletes retracted) against the frozen trained
+    * centroids. The output is the ASSIGNMENT (vec_id, cell), not the raw
+    * scores: exposing every vector's rounded cosine puts thousands of
+    * values against the round-6 grid, where the norm's fold-order ulp
+    * noise eventually lands one on a halfway boundary (observed at
+    * sf0.01) — the assignment itself compares argmaxes, which only
+    * disagree if two cells are ulp-near-tied AND one sits on a boundary,
+    * a measure-zero compound the top-k queries share. */
+  def qCdcVectorIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, idxDir) = vectorIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("cell", "id"))
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle-checked query: ANN served FROM the maintained index — each
+    * query (the ORIGINAL first-10 fixture vectors — external probes, not
+    * subject to the changelog) opens its 2 nearest cells per the staged
+    * quantizer scores, reads ONLY those cells' buckets from the
+    * maintained state (the probed cell ids are a ≤ nQueries·2 driver
+    * list, the bucket ids derive from the layout manifest — the
+    * value-addressed point-read discipline), and exact-reranks the live
+    * vectors found there. Results genuinely shift vs the insert-only
+    * corpus: reversed vectors moved, deleted ones vanished. */
+  def qCdcVectorSearch(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (_, idxDir) = vectorIndexRun(spark, sfDir)
+    val probed = ivfAssignments(spark, sfDir, iters = 3, seedSplit = 2)
+      .filter(col("vec_id") < nQueries && col("crk") <= 2)
+      .select(col("vec_id").as("q_id"), col("cl").as("cell"))
+    // bucket-pruned read of the probed cells (bounded driver lists)
+    val cellIds = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val layout = graft.cdc.Buckets.read(spark, idxDir)
+    val buckets = layout match {
+      case Some(l) => cellIds.map(c =>
+        graft.cdc.Buckets.bucketOfValues(l, Seq(c))).distinct.sorted
+      case None => Array.empty[Int]
+    }
+    val entries = buckets.map(b => graft.cdc.ChangelogStream.readState(
+        spark, idxDir, Seq("cell", "id", "cscore", "embedding"),
+        onlyBucket = Some(b)))
+      .reduce(_.unionByName(_))
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+        norm(col("embedding")).as("qnrm"))
+    val scored = entries.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        round(dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * norm(col("embedding"))), 6).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -97,6 +97,41 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(pq.collect().map(_.toSeq).sameElements(again))
   }
 
+  test("CDC vector index: cell entries follow the vector — assigned, moved on update, retracted on delete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val work = java.nio.file.Files.createTempDirectory("graft-vecidx-spec-").toString
+    // hand-made frozen quantizer: two orthogonal unit centroids
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cl", "cvec").withColumn("cnrm", typedLit(1.0))
+    def batch(rows: Seq[(Long, Long, String, Seq[Float])]) =
+      rows.toDF("id", "seq", "op", "embedding")
+    def entries(): Set[(Long, Long)] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("cell", "id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0: vector 1 points along centroid 0, vector 2 along centroid 1
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", Seq(1f, 0f)), (2L, 2L, "INSERT", Seq(0.1f, 0.9f)))),
+      0L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((0L, 1L), (1L, 2L)))
+    // batch 1: vector 1's value changes to point along centroid 1 — its
+    // entry MOVES cells (old cell-0 entry tombstones, cell-1 entry lives)
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((1L, 3L, "UPDATE", Seq(0f, 1f)))),
+      1L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((1L, 1L), (1L, 2L)))
+    // batch 2: vector 2 deleted — its entry retracts
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((2L, 4L, "DELETE", Seq(0.1f, 0.9f)))),
+      2L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((1L, 1L)))
+    // replay of batch 2: the identical delta re-absorbs, nothing resurrects
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((2L, 4L, "DELETE", Seq(0.1f, 0.9f)))),
+      2L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((1L, 1L)))
+  }
+
   test("OPQ rotation, measured: parametric OPQ cannot beat the fixed interleave on this corpus") {
     // the round-10 stretch, run honestly: a LEARNED subspace decomposition
     // (parametric OPQ — PCA rotation + eigenvalue allocation, the
