@@ -133,6 +133,42 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("killing the text-index pass mid-drain and resuming converges state AND postings") {
+    // the maintained index's crash story end-to-end: stop at an arbitrary
+    // committed prefix (1 file per epoch), resume from the checkpoint —
+    // the doc state re-merges idempotently and every replayed postings
+    // delta re-derives identically for the max_by merge to absorb
+    val clDir = graft.cdc.Changelog.stageParquetDocuments(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft-textidx-kill-").toString
+    def start() = {
+      val stream = spark.readStream.schema(spark.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(clDir)
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Search.maintainTextIndexBatch(batch, batchId, s"$root/state", s"$root/idx")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = start()
+    q1.awaitTermination(2500)
+    q1.stop()
+    val q2 = start()
+    q2.awaitTermination()
+    // final postings equal the live docs' postings, re-derived from batch
+    val live = graft.cdc.Apply.latestState(
+      graft.cdc.Changelog.fromDocuments(spark, sfDir),
+      graft.cdc.Changelog.documentsPayloadCols)
+    val expect = live.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val got = graft.cdc.ChangelogStream.readState(spark, s"$root/idx",
+        Seq("tok", "id", "tf"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"))
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+  }
+
   test("phrase search counts exact word-sequence occurrences") {
     val got = Search.qPhraseSearch(spark, sfDir, "merge window")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
