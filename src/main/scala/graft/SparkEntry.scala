@@ -362,6 +362,9 @@ object SparkEntry {
     // served from the maintained cell-bucketed state
     "cdc_vector_index" -> (Similarity.qCdcVectorIndex _),
     "cdc_vector_search" -> ((s, d) => Similarity.qCdcVectorSearch(s, d)),
+    // lexical ∪ dense, fused by reciprocal-rank fusion (rank-only
+    // rational arithmetic — the ES/Vespa hybrid default)
+    "doc_hybrid_search" -> ((s, d) => graft.ops.Search.qHybridSearch(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
     "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
     "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
@@ -1541,6 +1544,51 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // hybrid retrieval: the BM25 leg (depth 20) and the cosine leg of
+    // query vector 0 (depth 20) fused by RRF 1/(60+rank) — rank-only
+    // rationals, decimal-summed; doc_id == vec_id in the fixture
+    "doc_hybrid_search" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+         |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+         |ts AS (SELECT p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+         |       CROSS JOIN st),
+         |agg AS (SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+         |        FROM ts GROUP BY 1),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |         FROM agg),
+         |lex AS (SELECT doc_id, r_lex FROM lexr WHERE r_lex <= 20),
+         |$embX,
+         |qv AS (SELECT * FROM x WHERE vec_id = 0),
+         |ddots AS (SELECT x.vec_id AS doc_id, sum(qv.e * x.e) AS dot
+         |          FROM qv JOIN x ON qv.i = x.i AND x.vec_id <> 0 GROUP BY 1),
+         |dsc AS (SELECT d.doc_id, round(d.dot / (a.nrm * b.nrm), 6) AS score
+         |        FROM ddots d JOIN nrm a ON a.vec_id = 0
+         |        JOIN nrm b ON b.vec_id = d.doc_id),
+         |dr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_dense
+         |       FROM dsc),
+         |dense AS (SELECT doc_id, r_dense FROM dr WHERE r_dense <= 20),
+         |f AS (SELECT coalesce(l.doc_id, d2.doc_id) AS doc_id, l.r_lex, d2.r_dense
+         |      FROM lex l FULL OUTER JOIN dense d2 ON d2.doc_id = l.doc_id),
+         |sc2 AS (SELECT doc_id,
+         |          round(CAST(CAST(
+         |            (CASE WHEN r_lex IS NOT NULL THEN round(1.0/(60+r_lex), 6) ELSE 0 END +
+         |             CASE WHEN r_dense IS NOT NULL THEN round(1.0/(60+r_dense), 6) ELSE 0 END)
+         |            AS DECIMAL(18,8)) AS DOUBLE), 6) AS score,
+         |          r_lex, r_dense FROM f),
+         |rr2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc2)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, score, r_lex, r_dense
+         |FROM rr2 WHERE rk <= 10 ORDER BY rk""".stripMargin,
     // the CDC-maintained VECTOR index: final cell assignment = quantizing
     // the live vectors against the frozen trained centroids; search =
     // 2-probe ANN over the live vectors in the probed cells

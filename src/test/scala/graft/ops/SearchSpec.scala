@@ -169,6 +169,29 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(expect.exceptAll(got).count() === 0)
   }
 
+  test("hybrid RRF fusion unions the legs and rewards presence in both") {
+    val lex = Search.qBm25(spark, sfDir, k = 20)
+      .collect().map(_.getLong(1)).toSet
+    val dense = Similarity.qCosineTopK(spark, sfDir, nQueries = 1, k = 20)
+      .collect().map(r => r.getLong(2)).toSet
+    val fused = Search.qHybridSearch(spark, sfDir).collect()
+    assert(fused.length === 10)
+    // union semantics: every fused doc came from at least one leg
+    fused.foreach { r =>
+      val d = r.getLong(1)
+      assert(lex.contains(d) || dense.contains(d), s"doc $d from neither leg")
+    }
+    // a doc present in BOTH legs outranks one at the same single-leg rank:
+    // the top fused doc must be in both legs whenever any doc is
+    val both = fused.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    if (both.nonEmpty)
+      assert(both.head.getLong(0) === fused.head.getLong(0) ||
+        fused.head.getDouble(2) >= both.head.getDouble(2))
+    // ranks are 1..k and scores non-increasing
+    assert(fused.map(_.getLong(0)).toSeq === (1L to 10L))
+    assert(fused.sliding(2).forall(p => p(0).getDouble(2) >= p(1).getDouble(2)))
+  }
+
   test("phrase search counts exact word-sequence occurrences") {
     val got = Search.qPhraseSearch(spark, sfDir, "merge window")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
