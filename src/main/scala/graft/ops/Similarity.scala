@@ -448,6 +448,8 @@ object Similarity {
         graft.cdc.Buckets.bucketOfValues(l, Seq(c))).distinct.sorted
       case None => Array.empty[Int]
     }
+    require(buckets.nonEmpty,
+      s"vector index at $idxDir has no layout manifest — no batch ever committed")
     val entries = buckets.map(b => graft.cdc.ChangelogStream.readState(
         spark, idxDir, Seq("cell", "id", "cscore", "embedding"),
         onlyBucket = Some(b)))

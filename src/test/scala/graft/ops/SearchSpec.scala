@@ -133,6 +133,32 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("stale events cannot resurrect postings (replayed/late changelog order)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-textidx-stale-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    def postings(): Set[(String, Long)] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("tok", "id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 5L, "INSERT", "alpha beta"))), 0L, s"$work/state", s"$work/idx")
+    assert(postings() === Set(("alpha", 1L), ("beta", 1L)))
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 9L, "DELETE", "alpha beta"))), 1L, s"$work/state", s"$work/idx")
+    assert(postings() === Set.empty)
+    // a LATE insert (seq 7 < the delete's 9) arrives a batch later: the
+    // doc state's max-seq merge keeps the tombstone, so the postings
+    // delta sees no live row on either side — nothing resurrects
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 7L, "INSERT", "alpha gamma"))), 2L, s"$work/state", s"$work/idx")
+    assert(postings() === Set.empty)
+    // ...and a genuinely NEWER insert after the delete re-indexes cleanly
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 12L, "INSERT", "delta"))), 3L, s"$work/state", s"$work/idx")
+    assert(postings() === Set(("delta", 1L)))
+  }
+
   test("killing the text-index pass mid-drain and resuming converges state AND postings") {
     // the maintained index's crash story end-to-end: stop at an arbitrary
     // committed prefix (1 file per epoch), resume from the checkpoint —
