@@ -537,7 +537,7 @@ object SparkEntry {
   private def kmeansRounds(iters: Int): String =
     (1 to iters).map { k =>
       s"""c$k AS (SELECT a.cl, x.i,
-         |  round(CAST(sum(CAST(round(x.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |  round(CAST(sum(CAST(round(x.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS c
          |  FROM x JOIN a${k - 1} a USING (vec_id) GROUP BY 1, 2),
          |n$k AS (SELECT cl, sqrt(sum(c*c)) AS cnrm FROM c$k GROUP BY 1),
          |d$k AS (SELECT x.vec_id, c.cl, sum(x.e * c.c) AS d FROM x JOIN c$k c ON c.i = x.i GROUP BY 1, 2),
@@ -557,7 +557,7 @@ object SparkEntry {
   private def pqRounds(iters: Int, sub: Int): String =
     (1 to iters).map { r =>
       s"""pc$r AS (SELECT a.j, a.cl, px.li,
-         |  round(CAST(sum(CAST(round(px.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |  round(CAST(sum(CAST(round(px.e, 6) AS DECIMAL(18,8))) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS c
          |  FROM px JOIN pa${r - 1} a ON a.vec_id = px.vec_id AND a.j = px.j GROUP BY 1, 2, 3),
          |pn$r AS (SELECT j, cl, sum(c*c) AS csq FROM pc$r GROUP BY 1, 2),
          |pd$r AS (SELECT px.vec_id, px.j, c.cl, sum(px.e * c.c) AS d
@@ -1338,7 +1338,7 @@ object SparkEntry {
          |cx AS (SELECT label, generate_subscripts(embedding, 1) AS i,
          |              round(CAST(unnest(embedding) AS DOUBLE), 6) AS e FROM embeddings),
          |cent AS (SELECT CAST(label AS BIGINT) AS clabel, CAST(i AS BIGINT) AS i,
-         |                round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+         |                round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS c
          |         FROM cx GROUP BY 1, 2),
          |cnrm AS (SELECT clabel, sqrt(sum(c*c)) AS cnrm FROM cent GROUP BY 1),
          |cdot AS (SELECT x.vec_id, ct.clabel, sum(x.e * ct.c) AS d
@@ -1403,7 +1403,7 @@ object SparkEntry {
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e
         |           FROM embeddings)
         |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
-        |       round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS c
+        |       round(CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS c
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.user_id, p.event_id AS purchase_event, s.event_id AS signup_event

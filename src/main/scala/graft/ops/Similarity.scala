@@ -43,7 +43,17 @@ object Similarity {
     * summing. The decimal sum is order-free, and a rounded-to-6-places
     * double is ≥1e-10 away from any scale-8 rounding boundary, so the
     * double→decimal cast cannot hit a cross-engine halfway case (raw floats
-    * could: any odd multiple of 2^-11 is exactly halfway at scale 10). */
+    * could: any odd multiple of 2^-11 is exactly halfway at scale 10).
+    * The MEAN rounds as `round(q·10⁶)/10⁶` rather than `round(q, 6)`: the
+    * quotient of a scale-6 decimal sum by a small count TERMINATES within
+    * a few digits past the 6th, so it lands EXACTLY on a 7th-digit-5
+    * boundary with probability ~1e-3 per value — where Spark (exact
+    * BigDecimal of the double) and DuckDB (scaled multiply) disagree on
+    * the direction (observed at sf0.1). The explicit form makes both
+    * engines round the SAME double y = q·10⁶ half-away-from-zero —
+    * bit-identical by construction. Applied to every decimal-mean site
+    * (label centroids, k-means rounds, PQ codebooks) in code and oracle
+    * alike. */
   def qCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"),
@@ -52,7 +62,7 @@ object Similarity {
         round(col("e").cast("double"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("e"))
       .groupBy(col("label"), col("i"))
-      .agg(round(sum(col("e")).cast("double") / count(lit(1)), 6).as("c"))
+      .agg((round(sum(col("e")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("c"))
       .orderBy(col("label"), col("i"))
 
   /** Per-label stats: count + mean vector norm (rounded). */
@@ -147,7 +157,7 @@ object Similarity {
         round(col("ev").cast("double"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ev"))
       .groupBy(col("cl"), col("i"))
-      .agg(round(sum(col("ev")).cast("double") / count(lit(1)), 6).as("c"))
+      .agg((round(sum(col("ev")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("c"))
       .groupBy(col("cl"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
@@ -272,7 +282,7 @@ object Similarity {
     // vector index quantizes NEW vectors against it); the suffix retires
     // cells-only stagings from earlier rounds
     graft.model.Staging.ensure(
-        s"/tmp/graft-ivf/$fp-i$iters-s$seedSplit-v2") { tmp =>
+        s"/tmp/graft-ivf/$fp-i$iters-s$seedSplit-v3") { tmp =>
       val (cent, scored) = trainedQuantizer(spark, dir, iters, seedSplit)
       scored.select(col("vec_id"), col("cl"), col("cscore"), col("crk"), col("best"))
         .write.parquet(s"$tmp/cells")
@@ -622,7 +632,7 @@ object Similarity {
           round(col("ev").cast("double"), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ev"))
         .groupBy(col("j"), col("cl"), col("i"))
-        .agg(round(sum(col("ev")).cast("double") / count(lit(1)), 6).as("c"))
+        .agg((round(sum(col("ev")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("c"))
         .groupBy(col("j"), col("cl"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           s => s.getField("c")).as("cvec"))
@@ -806,7 +816,7 @@ object Similarity {
   private[graft] def pqModel(spark: SparkSession, dir: String, m: Int, k: Int,
                              iters: Int, interleave: Boolean): (DataFrame, DataFrame) = {
     val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
-    val tag = s"$fp-m$m-k$k-i$iters-${if (interleave) "intl" else "blk"}"
+    val tag = s"$fp-m$m-k$k-i$iters-r11b-${if (interleave) "intl" else "blk"}"
     val root = graft.model.Staging.ensure(s"/tmp/graft-pq/$tag") { tmp =>
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val (book, codes) = pqTrainFrames(pqSubs(pqBase(e, m, interleave), m), k, iters)
@@ -914,7 +924,7 @@ object Similarity {
     val fp = graft.model.Staging.fingerprint(dir, Seq("embeddings.parquet"))
     // the staged IVFPQ index: PQ codes co-located by coarse cell
     val root = graft.model.Staging.ensure(
-        s"/tmp/graft-ivfpq/$fp-i$iters-s$seedSplit-m$m-k$k-p$pqIters") { tmp =>
+        s"/tmp/graft-ivfpq/$fp-i$iters-s$seedSplit-m$m-k$k-p$pqIters-r11b") { tmp =>
       val (_, codes) = pqModel(spark, dir, m, k, pqIters, interleave = true)
       val cells = ivfAssignments(spark, dir, iters, seedSplit)
         .filter(col("crk") === 1).select(col("vec_id"), col("cl").as("cell"))
