@@ -1660,7 +1660,7 @@ object SparkEntry {
         |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
         |t AS (SELECT sum(freq) AS t_total FROM f),
         |w AS (SELECT doc_id,
-        |        CAST(round(CAST(t_total AS DOUBLE) / freq, 6) AS DECIMAL(18,8)) AS w
+        |        CAST(round(CAST(t_total AS DOUBLE) / freq * 1000000.0) / 1000000.0 AS DECIMAL(18,8)) AS w
         |      FROM toks JOIN f USING (tok) CROSS JOIN t),
         |s AS (SELECT doc_id, count(*) AS n_toks,
         |        CAST(sum(w) AS DOUBLE) / count(*) AS surprisal

@@ -251,7 +251,11 @@ object Text {
     // the per-instance sum the oracle computes
     docTok.join(freqs, Seq("tok")).crossJoin(broadcast(total))
       .select(col("doc_id"), col("c"),
-        (round(col("t_total").cast("double") / col("freq"), 6)
+        // round(q*1e6)/1e6, not round(q, 6): T/freq TERMINATES at 7+
+        // decimals when freq is 2-5-smooth (freq=4096 -> 24.4140625),
+        // exactly the half-way case where the engines' round() impls
+        // disagree -- the Similarity.qCentroids mean-rounding discipline
+        ((round(col("t_total").cast("double") / col("freq") * 1e6) / 1e6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 8)) *
           col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("w"))
       .groupBy(col("doc_id"))
