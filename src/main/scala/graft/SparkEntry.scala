@@ -511,7 +511,7 @@ object SparkEntry {
        |com AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS n_common
        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
        |  GROUP BY 1, 2, 3, 4),
-       |v AS (SELECT id_a, id_b, n_common, round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard FROM com)
+       |v AS (SELECT id_a, id_b, n_common, round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) * 10000.0) / 10000.0 AS jaccard FROM com)
        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1205,8 +1205,8 @@ object SparkEntry {
       val stops = hitsSql(stopEn)
       s"""SELECT doc_id,
          |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
-         |  round(CAST($stops AS DOUBLE) / length(string_split(text, ' ')), 4) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) * 10000.0) / 10000.0 AS alpha_ratio,
+         |  round(CAST($stops AS DOUBLE) / length(string_split(text, ' ')) * 10000.0) / 10000.0 AS stop_ratio,
          |  round(least(CAST(length(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 5
          |      + least(CAST($stops AS DOUBLE) / 10, 1.0) * 5, 2) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
@@ -1220,15 +1220,15 @@ object SparkEntry {
         |  FROM documents),
         |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
         |topw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+        |  round(CAST(max(c) AS DOUBLE) / sum(c) * 1000000.0) / 1000000.0 AS top_word_frac
         |  FROM wc GROUP BY 1),
         |g2 AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
         |  FROM words),
-        |d2 AS (SELECT doc_id, round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g), 6) AS dup_2gram_frac
+        |d2 AS (SELECT doc_id, round((1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g)) * 1000000.0) / 1000000.0 AS dup_2gram_frac
         |  FROM g2 WHERE g IS NOT NULL GROUP BY 1),
         |g3 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
         |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |d3 AS (SELECT doc_id, round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g), 6) AS dup_3gram_frac
+        |d3 AS (SELECT doc_id, round((1 - CAST(count(DISTINCT g) AS DOUBLE) / count(g)) * 1000000.0) / 1000000.0 AS dup_3gram_frac
         |  FROM g3 WHERE g IS NOT NULL GROUP BY 1)
         |SELECT doc_id, n_words, top_word_frac,
         |  coalesce(dup_2gram_frac, 0.0) AS dup_2gram_frac,
@@ -1290,7 +1290,7 @@ object SparkEntry {
         |com AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-        |v AS (SELECT c.id_a, c.id_b, round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 4) AS jaccard
+        |v AS (SELECT c.id_a, c.id_b, round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) * 10000.0) / 10000.0 AS jaccard
         |  FROM com c JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b)
         |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "doc_simhash" ->
@@ -1439,7 +1439,7 @@ object SparkEntry {
         |con AS (SELECT doc_id, count(*) AS n_contam FROM test
         |        WHERE shingle IN (SELECT shingle FROM train) GROUP BY 1)
         |SELECT c.doc_id, c.n_sh, o.n_contam,
-        |       round(CAST(o.n_contam AS DOUBLE) / c.n_sh, 4) AS contam_rate
+        |       round(CAST(o.n_contam AS DOUBLE) / c.n_sh * 10000.0) / 10000.0 AS contam_rate
         |FROM cnt c JOIN con o USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     "doc_stratified_sample" ->
       // en capped at 10%, every other language sampled at 30% — the rate
@@ -1499,8 +1499,8 @@ object SparkEntry {
         |                  strlen(coalesce(text, '')) AS len
         |           FROM documents)
         |SELECT media_type, count(*) AS n,
-        |       round(avg(64 + len % 64), 6) AS avg_w,
-        |       round(avg(64 + len % 48), 6) AS avg_h,
+        |       round(avg(64 + len % 64) * 1000000.0) / 1000000.0 AS avg_w,
+        |       round(avg(64 + len % 48) * 1000000.0) / 1000000.0 AS avg_h,
         |       CAST(sum(1 + len % 10) AS BIGINT) AS total_frames
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frame_sample" ->
@@ -1539,7 +1539,7 @@ object SparkEntry {
         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |n AS (SELECT count(*) AS n_corpus FROM documents),
         |s AS (SELECT doc_id, tok, tf, df,
-        |        round(CAST(tf AS DOUBLE) * n_corpus / df, 6) AS score
+        |        round(CAST(tf AS DOUBLE) * n_corpus / df * 1000000.0) / 1000000.0 AS score
         |      FROM tf JOIN df USING (tok) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
@@ -1674,8 +1674,8 @@ object SparkEntry {
         |      FROM documents GROUP BY source),
         |t AS (SELECT sum(n_tokens) AS t_total, count(*) AS n_sources FROM p)
         |SELECT source, n_docs, n_tokens,
-        |  round(CAST(n_tokens AS DOUBLE) / t_total, 6) AS share,
-        |  round(CAST(t_total AS DOUBLE) / (n_sources * n_tokens), 6) AS weight,
+        |  round(CAST(n_tokens AS DOUBLE) / t_total * 1000000.0) / 1000000.0 AS share,
+        |  round(CAST(t_total AS DOUBLE) / (n_sources * n_tokens) * 1000000.0) / 1000000.0 AS weight,
         |  CAST(least(n_tokens, CAST(floor(10000.0 / n_sources) AS BIGINT)) AS BIGINT)
         |    AS alloc_tokens
         |FROM p CROSS JOIN t ORDER BY source""".stripMargin,

@@ -182,7 +182,7 @@ object Curate {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
     counts.join(contam, Seq("doc_id"))
       .select(col("doc_id"), col("n_sh"), col("n_contam"),
-        round(col("n_contam").cast("double") / col("n_sh"), 4).as("contam_rate"))
+        (round(col("n_contam").cast("double") / col("n_sh") * 1e4) / 1e4).as("contam_rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -230,9 +230,9 @@ object Curate {
       count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("t_total"), 6).as("share"),
-        round(col("t_total").cast("double") /
-          (col("n_sources") * col("n_tokens")), 6).as("weight"),
+        (round(col("n_tokens").cast("double") / col("t_total") * 1e6) / 1e6).as("share"),
+        (round(col("t_total").cast("double") /
+          (col("n_sources") * col("n_tokens")) * 1e6) / 1e6).as("weight"),
         least(col("n_tokens"), floor(lit(budget).cast("double") / col("n_sources"))
           .cast("long")).as("alloc_tokens"))
       .orderBy(col("source"))

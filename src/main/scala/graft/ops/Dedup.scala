@@ -106,8 +106,8 @@ object Dedup {
 
     common
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        (round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")) * 1e4) / 1e4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -159,8 +159,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
     common
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        (round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")) * 1e4) / 1e4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

@@ -149,8 +149,8 @@ object Multimodal {
     extractFeatures(mediaFromDocuments(spark, dir))
       .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("width")), 6).as("avg_w"),
-        round(avg(col("height")), 6).as("avg_h"),
+        (round(avg(col("width")) * 1e6) / 1e6).as("avg_w"),
+        (round(avg(col("height")) * 1e6) / 1e6).as("avg_h"),
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("media_type"))
 

@@ -89,8 +89,8 @@ object Text {
     d.select(
         col("doc_id"),
         col("n_words").cast("long").as("n_words"),
-        round(col("alpha_chars").cast("double") / col("text_len"), 4).as("alpha_ratio"),
-        round(col("stop_hits").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        (round(col("alpha_chars").cast("double") / col("text_len") * 1e4) / 1e4).as("alpha_ratio"),
+        (round(col("stop_hits").cast("double") / col("n_words") * 1e4) / 1e4).as("stop_ratio"),
         round(
           least(col("n_words").cast("double") / 100d, lit(1d)) * 5 +
           least(col("stop_hits").cast("double") / 10d, lit(1d)) * 5, 2).as("quality"))
@@ -149,7 +149,7 @@ object Text {
     val n = docs.agg(count(lit(1)).as("n_corpus"))
     val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
       .withColumn("score",
-        round(col("tf").cast("double") * col("n_corpus") / col("df"), 6))
+        (round(col("tf").cast("double") * col("n_corpus") / col("df") * 1e6) / 1e6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -197,12 +197,12 @@ object Text {
         .otherwise(array().cast("array<string>"))
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
-        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        (round((lit(1.0) - size(array_distinct(g)).cast("double") / size(g)) * 1e6) / 1e6))
         .otherwise(lit(0.0))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
-        round(topCount.cast("double") / size(ws), 6).as("top_word_frac"),
+        (round(topCount.cast("double") / size(ws) * 1e6) / 1e6).as("top_word_frac"),
         dupFrac(grams(2)).as("dup_2gram_frac"),
         dupFrac(grams(3)).as("dup_3gram_frac"))
       .withColumn("repetitive",
