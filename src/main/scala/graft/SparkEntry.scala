@@ -1309,7 +1309,8 @@ object SparkEntry {
     "emb_norm_stats" ->
       """WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
         |n AS (SELECT vec_id, label, round(sqrt(sum(e*e)), 6) AS nrm FROM x GROUP BY 1, 2)
-        |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+        |SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS avg_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "emb_cosine_topk" ->
       s"""WITH $embX,

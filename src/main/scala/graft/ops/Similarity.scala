@@ -71,7 +71,12 @@ object Similarity {
       .select(col("label"), round(norm(col("embedding")), 6).as("nrm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("nrm")), 4).as("avg_norm"))
+        // decimal-exact sum (order-free; the norms are round-6 values) and
+        // the explicit mean rounding — the qCentroids discipline: avg() of
+        // doubles is an ORDER-DEPENDENT sum, and a mean of scale-6 values
+        // terminates on the scale-4 boundary
+        (round(sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)) * 1e4) / 1e4).as("avg_norm"))
       .orderBy(col("label"))
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
