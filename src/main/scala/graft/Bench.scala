@@ -101,11 +101,12 @@ object Bench {
     // cross-round per-query comparisons must read these together. Sub-2s
     // queries report the median of 3 runs; the rest are single-rep.
     val carriers = Seq("cdc_apply_sink_dsv2", "cdc_pipeline_truncate",
-      "cdc_pipeline_dynamic")
+      "cdc_pipeline_dynamic", "cdc_text_index", "cdc_vector_index")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
       "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders",
-      "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index")
+      "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index",
+      "cdc_text_search", "cdc_vector_search")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -272,7 +272,12 @@ object ChangelogStream {
       // max_by hash aggregation (map-side combined) — see Apply.latestState;
       // grouping by (bucket, keys) keeps the bucket for the partitioned write
       // (bucket is key-functional, so groups are identical to groupBy(keys))
-      val tmp = s"$stateDir/.merge-tmp"
+      // each attempt writes its OWN tmp dir (unique suffix): an interrupted
+      // maintainer's zombie writer that outlives the bounded join below can
+      // then never interleave files with an in-JVM replay of the same batch
+      // — the replay promotes from ITS dir, the zombie's is swept as a
+      // stale sibling by the next successful batch (ADVICE r11)
+      val tmp = s"$stateDir/.merge-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       val data = if (hasOp) withB.filter(col("op") =!= "TRUNCATE") else withB
       // SCHEMA EVOLUTION (the reference's RelationMessage re-announcement,
       // O3): the merge runs over the UNION of the batch's and the stored
@@ -335,11 +340,13 @@ object ChangelogStream {
           var hookErr: Throwable = null
           try Materialize.timed("hook total")(beforeCommit(hookPrev, merged))
           catch { case t: Throwable => hookErr = t }
-          // ALWAYS join the write before proceeding or unwinding — a
-          // replayed batch overwrites tmp, and a zombie writer racing that
-          // overwrite could interleave files. If this thread was
-          // interrupted (maintainer cancellation), clear the flag for a
-          // bounded join, then restore it.
+          // ALWAYS join the write before proceeding or unwinding — nothing
+          // should still be writing when the batch commits or aborts. A
+          // writer that outlives the bounded interrupted-path join below is
+          // harmless now (it writes its own unique tmp dir, never a replay's)
+          // but still joined best-effort. If this thread was interrupted
+          // (maintainer cancellation), clear the flag for a bounded join,
+          // then restore it.
           val joined =
             scala.util.Try(scala.concurrent.Await.result(writeFut,
               scala.concurrent.duration.Duration.Inf)) match {
@@ -424,6 +431,13 @@ object ChangelogStream {
             .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
         }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // sweep stale merge-tmp siblings (crashed/interrupted attempts'
+        // unique dirs): by now any zombie writer's batch is long unwound,
+        // and nothing ever promotes from a stale dir — pure garbage
+        fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+          .filter(s => s.getPath.getName.startsWith(".merge-tmp-") &&
+            s.getPath.getName != new org.apache.hadoop.fs.Path(tmp).getName)
+          .foreach(s => fs.delete(s.getPath, true))
       }
     } finally withB.unpersist()
   }

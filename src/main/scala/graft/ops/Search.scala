@@ -165,18 +165,18 @@ object Search {
       beforeCommit = (prev, merged) =>
         commitPostingsDelta(prev, merged, batchId, idxDir))
 
-  private val textRuns =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val textRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** Run (or reuse) the text-index pass: the documents changelog streamed
     * in micro-batches, doc state + postings maintained per batch. Returns
     * (stateDir, idxDir); memoized per (JVM, fixture) — qCdcTextIndex and
     * qCdcTextSearch are views over one shared pass. */
   private def textIndexRun(spark: SparkSession, sfDir: String): (String, String) =
-    textRuns.computeIfAbsent(sfDir, _ => {
+    textRuns.getOrRun(sfDir) {
       val clDir = graft.cdc.Changelog.stageParquetDocuments(spark, sfDir)
-      val work = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/tmp"), "graft-textidx-").toString
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-textidx-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
       // one-epoch drain (the declared-query coarsening rationale): the
       // per-batch postings movement — update moves, delete retracts,
@@ -192,7 +192,7 @@ object Search {
         .start()
       q.awaitTermination()
       (s"$work/state", s"$work/idx")
-    })
+    }
 
   /** Oracle-checked query: the maintained postings after the documents
     * changelog drains — equals the postings of the LIVE document state
@@ -243,9 +243,11 @@ object Search {
     * broadcast-query cosine over an unshuffled corpus).
     *
     * Determinism: input ranks come from the existing round-6-then-rank
-    * pipelines; the fused score is a sum of exact rationals evaluated at
-    * bounded depth — summed in DECIMAL (order-free) and rounded once;
-    * ties on doc_id. */
+    * pipelines; each leg's contribution rounds to 6 places, and the two
+    * legs add in double with a FIXED two-term association (written
+    * identically in the oracle SQL — IEEE 754 ops on identical inputs are
+    * engine-independent, the BM25 discipline) before the DECIMAL cast and
+    * the final round; ties on doc_id. */
   def qHybridSearch(spark: SparkSession, dir: String,
                     query: Seq[String] = Seq("stream", "merge", "window"),
                     qVec: Int = 0, depth: Int = 20, k: Int = 10,

@@ -388,8 +388,7 @@ object Similarity {
       beforeCommit = (prev, merged) =>
         commitCellDelta(prev, merged, batchId, idxDir, cent))
 
-  private val vecRuns =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val vecRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** Run (or reuse) the vector-index pass: the embeddings changelog
     * streamed through the keyed-state sink, vector state + cell index
@@ -397,12 +396,13 @@ object Similarity {
     * centroids. Memoized per (JVM, fixture); qCdcVectorIndex and
     * qCdcVectorSearch are views over one pass. */
   private def vectorIndexRun(spark: SparkSession, sfDir: String): (String, String) =
-    vecRuns.computeIfAbsent(sfDir, _ => {
+    vecRuns.getOrRun(sfDir) {
       val clDir = graft.cdc.Changelog.stageParquetEmbeddings(spark, sfDir)
       val cent = ivfCentroids(spark, sfDir, iters = 3, seedSplit = 2)
         .localCheckpoint()
-      val work = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/tmp"), "graft-vecidx-").toString
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-vecidx-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
       // one-epoch drain (the declared-query coarsening rationale): the
       // batch-by-batch cell movement — update re-quantizes, delete
@@ -419,7 +419,7 @@ object Similarity {
         .start()
       q.awaitTermination()
       (s"$work/state", s"$work/idx")
-    })
+    }
 
   /** Oracle-checked query: the maintained cell assignment after the
     * embeddings changelog drains — equals quantizing the LIVE vectors
