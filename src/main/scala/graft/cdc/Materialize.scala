@@ -34,7 +34,7 @@ object Materialize {
 
   /** Stored sum type: wide enough that per-group decimal partial sums never
     * overflow mid-maintenance (DecimalType sums widen to precision 28). */
-  private[cdc] val SType = DecimalType(28, 4)
+  private[graft] val SType = DecimalType(28, 4)
 
   /** One bounded pool for concurrent maintenance tasks (daemon threads;
     * Spark actions are thread-safe driver-side). */
@@ -209,7 +209,7 @@ object Materialize {
     * next `v=<batchId>` version. Callers with non-standard delta algebra
     * (the bidirectional join-MV's per-key replace) build the rows
     * themselves. */
-  private[cdc] def commitDeltaRows(spark: SparkSession, mvDir: String,
+  private[graft] def commitDeltaRows(spark: SparkSession, mvDir: String,
                                    batchId: Long, deltaRows: DataFrame,
                                    groupCols: Seq[String]): Unit = timed(s"mv delta $mvDir") {
     if (lastMvBatch(spark, mvDir).exists(_ >= batchId)) return

@@ -131,6 +131,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val got = Search.qCdcTextSearch(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getDouble(3)))
     assert(got.toSeq === expect.toSeq)
+    // the normalization constants come from the MAINTAINED stats row and
+    // equal a from-scratch derivation over the live docs...
+    val expectStats = docs
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val run = Search.qCdcTextIndex(spark, sfDir) // ensures the shared pass ran
+    assert(run.count() > 0)
+    // ...and the search PLAN never scans the doc state: its file scans read
+    // only the index (postings buckets + the one-row stats version) —
+    // VERDICT r11 #2's IO contract
+    val plan = Search.qCdcTextSearch(spark, sfDir)
+    val scans = plan.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty)
+    assert(scans.forall(p => p.contains("/idx")),
+      s"text search read outside the index: $scans")
+    assert(!scans.exists(_.contains("/state")),
+      s"text search scanned the doc state: $scans")
+    val statsRow = Search.corpusStats(spark,
+      scans.head.replaceAll("/idx/.*", "/idx")).head()
+    assert(statsRow.getLong(0) === expectStats.getLong(0))
+    assert(statsRow.getLong(1) === expectStats.getLong(1))
   }
 
   test("stale events cannot resurrect postings (replayed/late changelog order)") {
