@@ -357,6 +357,7 @@ object SparkEntry {
     // search is served from the maintained index
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
+    "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
     // ...and for DENSE retrieval (the ES kNN half): vectors re-quantize
     // against the frozen staged centroids as they change, and ANN is
     // served from the maintained cell-bucketed state
@@ -1650,12 +1651,28 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // positional-postings semantics (overlapping starts): a phrase
+    // occurrence at start s has term i at position s+i for every i —
+    // the from-scratch mirror of the index's posting-list intersection
     "doc_phrase_search" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\bmerge window\b')) AS BIGINT) AS hits
-        |FROM documents
-        |WHERE len(regexp_extract_all(text, '\bmerge window\b')) > 0
-        |ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+        |t0 AS (SELECT doc_id, p AS s FROM toks2 WHERE tok = 'merge'),
+        |t1 AS (SELECT doc_id, p - 1 AS s FROM toks2 WHERE tok = 'window')
+        |SELECT t0.doc_id, count(*) AS hits
+        |FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.s = t0.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // phrase search over the MAINTAINED index = the same positional
+    // intersection over the LIVE documents of the synthetic changelog
+    "cdc_phrase_search" ->
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |t0 AS (SELECT doc_id, p AS s FROM toks2 WHERE tok = 'merge'),
+         |t1 AS (SELECT doc_id, p - 1 AS s FROM toks2 WHERE tok = 'window')
+         |SELECT t0.doc_id, count(*) AS hits
+         |FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.s = t0.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),

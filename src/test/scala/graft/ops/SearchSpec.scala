@@ -61,7 +61,8 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val root = Search.invertedIndex(spark, sfDir)
     val buckets = query.map(Search.bucketOf).distinct.sorted
     val pruned = spark.read
-      .schema("tok STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, pb BIGINT")
+      .schema("tok STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, " +
+        "positions ARRAY<INT>, pb BIGINT")
       .parquet(s"$root/postings")
       .filter(col("pb").isin(buckets: _*) && col("tok").isin(query: _*))
     val scan = pruned.queryExecution.executedPlan.toString
@@ -258,6 +259,80 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .select(col("doc_id"),
         size(filter(bigrams, g => g === "merge window")).cast("long").as("hits"))
       .filter(col("hits") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the phrase is answered FROM THE INDEX: its plan partition-prunes to
+    // the phrase terms' buckets (no documents.parquet scan anywhere)
+    val plan = Search.qPhraseSearch(spark, sfDir, "merge window")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"phrase search scanned the corpus:\n$plan")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pf.nonEmpty && pf.forall(_.contains("pb")),
+      s"pb not in partition filters:\n$plan")
+  }
+
+  test("phrase intersection counts overlapping occurrences (self-overlapping phrase)") {
+    import spark.implicits._
+    // 'a a a' contains 'a a' at starts 1 and 2 — overlapping counting, the
+    // semantics the bigram oracle defines (a regexp_count rendering would
+    // report 1; ADVICE r11 pinned the divergence, the index intersection
+    // resolves it)
+    val work = java.nio.file.Files.createTempDirectory("graft-phrase-ovl-").toString
+    Search.maintainTextIndexBatch(
+      Seq((1L, 1L, "INSERT", "a a a b"), (2L, 2L, "INSERT", "a b a"))
+        .toDF("id", "seq", "op", "text"),
+      0L, s"$work/state", s"$work/idx")
+    val postings = graft.cdc.ChangelogStream
+      .readState(spark, s"$work/idx", Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    val hits = Search.phraseHits(postings, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 2L))
+  }
+
+  test("maintained phrase search follows the data: an update moves phrase hits") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-phrase-cdc-").toString
+    def postings() = graft.cdc.ChangelogStream
+      .readState(spark, s"$work/idx", Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    def hits() = Search.phraseHits(postings(), Seq("merge", "window"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Search.maintainTextIndexBatch(
+      Seq((1L, 1L, "INSERT", "merge window now"), (2L, 2L, "INSERT", "scan merge"))
+        .toDF("id", "seq", "op", "text"),
+      0L, s"$work/state", s"$work/idx")
+    assert(hits() === Map(1L -> 1L))
+    // doc 2's update CREATES the phrase; doc 1's update DESTROYS it
+    Search.maintainTextIndexBatch(
+      Seq((1L, 3L, "UPDATE", "merge then window"), (2L, 4L, "UPDATE", "scan merge window"))
+        .toDF("id", "seq", "op", "text"),
+      1L, s"$work/state", s"$work/idx")
+    assert(hits() === Map(2L -> 1L))
+    // delete retracts the remaining hit
+    Search.maintainTextIndexBatch(
+      Seq((2L, 5L, "DELETE", "")).toDF("id", "seq", "op", "text"),
+      2L, s"$work/state", s"$work/idx")
+    assert(hits() === Map.empty)
+  }
+
+  test("CDC phrase search equals the positional intersection over the live documents") {
+    val live = graft.cdc.Apply.latestState(
+      graft.cdc.Changelog.fromDocuments(spark, sfDir),
+      graft.cdc.Changelog.documentsPayloadCols)
+    val ws = Text.tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val expect = live
+      .select(col("doc_id"),
+        size(filter(bigrams, g => g === "merge window")).cast("long").as("hits"))
+      .filter(col("hits") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Search.qCdcPhraseSearch(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expect)
     assert(got.nonEmpty)
