@@ -366,6 +366,10 @@ object SparkEntry {
     // lexical ∪ dense, fused by reciprocal-rank fusion (rank-only
     // rational arithmetic — the ES/Vespa hybrid default)
     "doc_hybrid_search" -> ((s, d) => graft.ops.Search.qHybridSearch(s, d)),
+    // ...and the same fusion over the MAINTAINED legs: BM25 from the CDC
+    // postings state × ANN from the CDC cell index — search results that
+    // follow the data through the whole modern serving stack
+    "cdc_hybrid_search" -> ((s, d) => graft.ops.Search.qCdcHybridSearch(s, d)),
     "doc_surprisal" -> ((s, d) => Text.qSurprisal(s, d)),
     "doc_mix_weights" -> ((s, d) => graft.ops.Curate.qMixWeights(s, d)),
     "doc_budget_sample" -> ((s, d) => graft.ops.Curate.qBudgetSample(s, d))
@@ -1626,6 +1630,64 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
          |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
          |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // hybrid over the MAINTAINED legs: the cdc_text_search BM25 chain at
+    // depth 20 × the cdc_vector_search ANN chain for query 0 at depth 20,
+    // fused by the same RRF as doc_hybrid_search
+    "cdc_hybrid_search" ->
+      s"""WITH $docsChangelogCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+         |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+         |ts AS (SELECT p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+         |       CROSS JOIN st),
+         |agg AS (SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+         |        FROM ts GROUP BY 1),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |         FROM agg),
+         |lex AS (SELECT doc_id, r_lex FROM lexr WHERE r_lex <= 20),
+         |$embX,
+         |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
+         |${kmeansRounds(3)},
+         |${liveVectorCte(3)},
+         |asgq AS (SELECT vec_id, cl,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
+         |         FROM s3),
+         |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asgq
+         |           WHERE vec_id < 1 AND crk <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probed p
+         |         JOIN lasg a ON a.cl = p.cell AND a.vec_id <> p.q_id),
+         |dots AS (SELECT cd.q_id, cd.vec_id, sum(xq.e * xv.e) AS dot
+         |         FROM cand cd
+         |         JOIN x xq ON xq.vec_id = cd.q_id
+         |         JOIN lx xv ON xv.vec_id = cd.vec_id AND xv.i = xq.i
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT d.q_id, d.vec_id, round(d.dot / (qa.nrm * qb.nrm), 6) AS score
+         |       FROM dots d JOIN nrm qa ON qa.vec_id = d.q_id
+         |       JOIN lnrm qb ON qb.vec_id = d.vec_id),
+         |dr AS (SELECT vec_id AS doc_id,
+         |              row_number() OVER (ORDER BY score DESC, vec_id) AS r_dense
+         |       FROM sc),
+         |dense AS (SELECT doc_id, r_dense FROM dr WHERE r_dense <= 20),
+         |f AS (SELECT coalesce(l.doc_id, d2.doc_id) AS doc_id, l.r_lex, d2.r_dense
+         |      FROM lex l FULL OUTER JOIN dense d2 ON d2.doc_id = l.doc_id),
+         |sc2 AS (SELECT doc_id,
+         |          round(CAST(CAST(
+         |            (CASE WHEN r_lex IS NOT NULL THEN round(1.0/(60+r_lex), 6) ELSE 0 END +
+         |             CASE WHEN r_dense IS NOT NULL THEN round(1.0/(60+r_dense), 6) ELSE 0 END)
+         |            AS DECIMAL(18,8)) AS DOUBLE), 6) AS score,
+         |          r_lex, r_dense FROM f),
+         |rr2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc2)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, score, r_lex, r_dense
+         |FROM rr2 WHERE rk <= 10 ORDER BY rk""".stripMargin,
     // BM25 over the staged inverted index; the oracle re-derives postings
     // from scratch — rational idf (N-df+0.5)/(df+0.5), identical double
     // association, round-6 per-term scores summed as DECIMAL (order-free)

@@ -318,18 +318,11 @@ object Search {
     * identically in the oracle SQL — IEEE 754 ops on identical inputs are
     * engine-independent, the BM25 discipline) before the DECIMAL cast and
     * the final round; ties on doc_id. */
-  def qHybridSearch(spark: SparkSession, dir: String,
-                    query: Seq[String] = Seq("stream", "merge", "window"),
-                    qVec: Int = 0, depth: Int = 20, k: Int = 10,
-                    rrfK: Int = 60): DataFrame = {
-    // lexical leg: BM25 top-`depth` (rank = rk)
-    val lex = qBm25(spark, dir, query, k = depth)
-      .select(col("doc_id"), col("rk").as("r_lex"))
-    // dense leg: cosine top-`depth` of the query vector's neighbors
-    // (vec_id IS doc_id in the fixture; the query vector excludes itself)
-    val dense = Similarity.qCosineTopK(spark, dir, nQueries = qVec + 1, k = depth)
-      .filter(col("q_id") === qVec)
-      .select(col("vec_id").as("doc_id"), col("rk").as("r_dense"))
+  /** The RRF fuse step shared by the static ([[qHybridSearch]]) and
+    * maintained ([[qCdcHybridSearch]]) hybrids: `lex (doc_id, r_lex)` ∪
+    * `dense (doc_id, r_dense)` → top-k by Σ 1/(rrfK + rank). */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame,
+                      k: Int, rrfK: Int): DataFrame = {
     val fused = lex.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (when(col("r_lex").isNotNull,
@@ -346,6 +339,45 @@ object Search {
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("score"), col("r_lex"), col("r_dense"))
       .orderBy(col("rk"))
+  }
+
+  def qHybridSearch(spark: SparkSession, dir: String,
+                    query: Seq[String] = Seq("stream", "merge", "window"),
+                    qVec: Int = 0, depth: Int = 20, k: Int = 10,
+                    rrfK: Int = 60): DataFrame = {
+    // lexical leg: BM25 top-`depth` (rank = rk)
+    val lex = qBm25(spark, dir, query, k = depth)
+      .select(col("doc_id"), col("rk").as("r_lex"))
+    // dense leg: cosine top-`depth` of the query vector's neighbors
+    // (vec_id IS doc_id in the fixture; the query vector excludes itself)
+    val dense = Similarity.qCosineTopK(spark, dir, nQueries = qVec + 1, k = depth)
+      .filter(col("q_id") === qVec)
+      .select(col("vec_id").as("doc_id"), col("rk").as("r_dense"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
+
+  /** HYBRID search over the MAINTAINED legs — the serving stack that
+    * follows the data end-to-end (VERDICT r11 #4): the lexical leg is BM25
+    * from the CDC-maintained postings ([[qCdcTextSearch]] — pruned to the
+    * query terms' buckets, stats from the maintained one-row aggregate),
+    * the dense leg is ANN from the CDC-maintained cell index
+    * ([[graft.ops.Similarity.qCdcVectorSearch]] — probed cells' buckets
+    * only), fused by the same bounded-depth RRF as the static hybrid. A
+    * document UPDATE moves its postings AND its cell entry in one
+    * maintained pass, so its fused rank follows — drilled in SearchSpec.
+    * Both legs ride the memoized per-fixture index passes; the fuse step
+    * itself handles ≤ 2·depth rows at any corpus size. */
+  def qCdcHybridSearch(spark: SparkSession, sfDir: String,
+                       query: Seq[String] = Seq("stream", "merge", "window"),
+                       qVec: Int = 0, depth: Int = 20, k: Int = 10,
+                       rrfK: Int = 60): DataFrame = {
+    val lex = qCdcTextSearch(spark, sfDir, query, k = depth)
+      .select(col("doc_id"), col("rk").as("r_lex"))
+    val dense = Similarity.qCdcVectorSearch(spark, sfDir,
+        nQueries = qVec + 1, k = depth)
+      .filter(col("q_id") === qVec)
+      .select(col("vec_id").as("doc_id"), col("rk").as("r_dense"))
+    rrfFuse(lex, dense, k, rrfK)
   }
 
   /** Positional phrase match SERVED FROM THE INDEX: documents containing

@@ -337,4 +337,27 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("maintained hybrid search fuses the maintained legs and follows the data") {
+    val fused = Search.qCdcHybridSearch(spark, sfDir).collect()
+    assert(fused.length === 10)
+    assert(fused.map(_.getLong(0)).toSeq === (1L to 10L))
+    // deleted documents (id % 5 == 4 in the synthetic changelog) can appear
+    // in NEITHER leg — their postings retracted, their cell entry tombstoned
+    assert(!fused.exists(r => r.getLong(1) % 5 === 4),
+      s"deleted doc in fused ranking: ${fused.map(_.getLong(1)).mkString(",")}")
+    // the updates moved fused ranks: every %3 doc gained ' merge window r2'
+    // (boosting its lexical leg) and had its vector reversed (moving its
+    // dense leg), so the maintained fusion cannot equal the static one
+    val staticF = Search.qHybridSearch(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val maintained = fused.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(maintained !== staticF,
+      "maintained hybrid identical to static — updates did not move ranks")
+    // every fused doc came from at least one maintained leg
+    fused.foreach { r =>
+      assert(!r.isNullAt(3) || !r.isNullAt(4),
+        s"doc ${r.getLong(1)} has neither leg rank")
+    }
+  }
 }
