@@ -363,6 +363,10 @@ object SparkEntry {
     // served from the maintained cell-bucketed state
     "cdc_vector_index" -> (Similarity.qCdcVectorIndex _),
     "cdc_vector_search" -> ((s, d) => Similarity.qCdcVectorSearch(s, d)),
+    // ...the maintained index stores PQ CODES (faiss inverted-list
+    // layout); this query searches the compressed domain: ADC over the
+    // stored codes + bounded-heap shortlist + doc-state rerank
+    "cdc_vector_search_pq" -> ((s, d) => Similarity.qCdcVectorSearchPq(s, d)),
     // lexical ∪ dense, fused by reciprocal-rank fusion (rank-only
     // rational arithmetic — the ES/Vespa hybrid default)
     "doc_hybrid_search" -> ((s, d) => graft.ops.Search.qHybridSearch(s, d)),
@@ -727,6 +731,59 @@ object SparkEntry {
        |      FROM sc)
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Mirrors Similarity.qCdcVectorSearchPq: the maintained index holds PQ
+    * codes (trained on the ORIGINAL corpus — frozen model; live vectors
+    * re-encode against it), the query ADC-scores the probed cells'
+    * candidates from their codes, shortlists 40, and exact-cosine reranks
+    * from the live vectors. */
+  private def vectorSearchPqOracle(iters: Int): String =
+    s"""WITH $embX,
+       |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
+       |${kmeansRounds(iters)},
+       |${liveVectorCte(iters)},
+       |asgq AS (SELECT vec_id, cl,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
+       |         FROM s$iters),
+       |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asgq
+       |           WHERE vec_id < 10 AND crk <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id FROM probed p
+       |         JOIN lasg a ON a.cl = p.cell AND a.vec_id <> p.q_id),
+       |px AS (SELECT vec_id, (i - 1) % 16 AS j, (i - 1) // 16 + 1 AS li, e FROM x),
+       |pa0 AS (SELECT DISTINCT vec_id, j, CAST((vec_id + j) % 32 AS BIGINT) AS cl FROM px),
+       |${pqRounds(3, 4)},
+       |lpx AS (SELECT vec_id, (i - 1) % 16 AS j, (i - 1) // 16 + 1 AS li, e FROM lx),
+       |lpd AS (SELECT lpx.vec_id, lpx.j, c.cl, sum(lpx.e * c.c) AS d
+       |        FROM lpx JOIN pc3 c ON c.j = lpx.j AND c.li = lpx.li GROUP BY 1, 2, 3),
+       |lps AS (SELECT d.vec_id, d.j, d.cl, round(d.d - n.csq / 2, 6) AS key
+       |        FROM lpd d JOIN pn3 n ON n.j = d.j AND n.cl = d.cl),
+       |lcode AS (SELECT vec_id, j, cl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY key DESC, cl) AS rk FROM lps)
+       |  WHERE rk = 1),
+       |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
+       |  FROM px JOIN pc3 c ON c.j = px.j AND c.li = px.li
+       |  WHERE px.vec_id < 10 GROUP BY 1, 2, 3),
+       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(q.qd), 6) AS ascore
+       |  FROM cand cd JOIN lcode a ON a.vec_id = cd.vec_id
+       |  JOIN qd q ON q.q_id = cd.q_id AND q.j = a.j AND q.cl = a.cl
+       |  GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS ark
+       |    FROM adc) WHERE ark <= 40),
+       |rd AS (SELECT s.q_id, s.vec_id, sum(xq.e * xv.e) AS dot
+       |       FROM short s
+       |       JOIN x xq ON xq.vec_id = s.q_id
+       |       JOIN lx xv ON xv.vec_id = s.vec_id AND xv.i = xq.i
+       |       GROUP BY 1, 2),
+       |rsc AS (SELECT d.q_id, d.vec_id, round(d.dot / (qa.nrm * qb.nrm), 6) AS score
+       |        FROM rd d JOIN nrm qa ON qa.vec_id = d.q_id
+       |        JOIN lnrm qb ON qb.vec_id = d.vec_id),
+       |pr AS (SELECT q_id, vec_id, score,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+       |       FROM rsc)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+       |FROM pr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   private def annKmeansOracle(iters: Int): String =
     s"""WITH $embX,
@@ -1600,6 +1657,7 @@ object SparkEntry {
     // 2-probe ANN over the live vectors in the probed cells
     "cdc_vector_index" -> vectorIndexOracle(3),
     "cdc_vector_search" -> vectorSearchOracle(3),
+    "cdc_vector_search_pq" -> vectorSearchPqOracle(3),
     // the CDC-maintained text index: final postings = postings of the
     // LIVE document state under the synthetic documents changelog
     // (mirrors Changelog.fromDocuments' deterministic rules)

@@ -347,13 +347,38 @@ object Similarity {
     * lowest cell) so the maintained assignment of an UNCHANGED vector
     * equals its staged one. Replay: identical delta re-derives, max_by
     * absorbs — the fenceless contract. */
+  /** Encode vectors against a FROZEN PQ codebook: per subspace j, the
+    * Euclidean argmax `round(sv·c − ‖c‖²/2, 6)` (ties to the lowest code) —
+    * the exact [[pqTrainFrames]] assignment arithmetic, so encoding an
+    * UNCHANGED corpus vector reproduces its staged code. Returns
+    * `(vec_id, codes)` with `codes[j]` = subspace j's code. */
+  private[graft] def pqEncode(vecs: DataFrame, book: DataFrame, m: Int): DataFrame =
+    pqSubs(pqBase(vecs, m, interleave = true), m)
+      .join(broadcast(book), Seq("j"))
+      .select(col("vec_id"), col("j"), col("cl"),
+        round(foldDot(col("sv"), col("cvec")) - col("csq") / 2, 6).as("key"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max_by(col("cl"), struct(col("key"), (-col("cl")).as("nc"))).as("cl"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cl")))),
+        s => s.getField("cl")).as("codes"))
+
+  /** When `book` is supplied, the index stores each vector's m PQ CODES
+    * instead of its raw floats — the 100 TB inverted-list layout (faiss
+    * IVFADC: codes in the lists, raw vectors only in the document store;
+    * VERDICT r11 #5): the maintained index carries 25.6×-compressed
+    * entries, search reranks from the doc state. Arriving vectors encode
+    * against the FROZEN staged codebooks in the same delta (the frozen-
+    * quantizer discipline, same as the coarse cells). `book = null` keeps
+    * the raw-embedding layout (the hand-quantizer drills). */
   private[graft] def commitCellDelta(prev: DataFrame, merged: DataFrame,
                                      batchId: Long, idxDir: String,
-                                     cent: DataFrame): Unit = {
-    def cells(src: DataFrame, opv: String, seqv: Long) =
-      src.filter(col("op") =!= "DELETE")
+                                     cent: DataFrame,
+                                     book: DataFrame = null, m: Int = 16): Unit = {
+    def cells(src: DataFrame, opv: String, seqv: Long) = {
+      val live = src.filter(col("op") =!= "DELETE")
         .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        .join(broadcast(cent))
+      val best = live.join(broadcast(cent))
         .select(col("id"), col("embedding"), col("cl"),
           round(foldDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
             .as("cscore"))
@@ -363,6 +388,15 @@ object Similarity {
         .select(col("best.cl").as("cell"), col("id"),
           lit(seqv).as("seq"), lit(opv).as("op"),
           col("best.cscore").as("cscore"), col("best.embedding").as("embedding"))
+      if (book == null) best
+      else {
+        val codes = pqEncode(live.select(col("id").as("vec_id"), col("embedding")),
+          book, m).select(col("vec_id").as("id"), col("codes"))
+        best.drop("embedding").join(codes, Seq("id"))
+          .select(col("cell"), col("id"), col("seq"), col("op"),
+            col("cscore"), col("codes"))
+      }
+    }
     val events = cells(prev, "DELETE", 2 * batchId)
       .unionByName(cells(merged, "INSERT", 2 * batchId + 1))
     graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
@@ -374,10 +408,10 @@ object Similarity {
     * retrieval. */
   def maintainVectorIndexBatch(batch: DataFrame, batchId: Long,
                                stateDir: String, idxDir: String,
-                               cent: DataFrame): Unit =
+                               cent: DataFrame, book: DataFrame = null): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       beforeCommit = (prev, merged) =>
-        commitCellDelta(prev, merged, batchId, idxDir, cent))
+        commitCellDelta(prev, merged, batchId, idxDir, cent, book))
 
   private val vecRuns = new graft.model.JvmMemo[(String, String)]()
 
@@ -386,11 +420,15 @@ object Similarity {
     * maintained per batch against the staged quantizer's frozen
     * centroids. Memoized per (JVM, fixture); qCdcVectorIndex and
     * qCdcVectorSearch are views over one pass. */
-  private def vectorIndexRun(spark: SparkSession, sfDir: String): (String, String) =
+  private[graft] def vectorIndexRun(spark: SparkSession, sfDir: String): (String, String) =
     vecRuns.getOrRun(sfDir) {
       val clDir = graft.cdc.Changelog.stageParquetEmbeddings(spark, sfDir)
       val cent = ivfCentroids(spark, sfDir, iters = 3, seedSplit = 2)
         .localCheckpoint()
+      // the frozen PQ codebooks: the maintained index stores CODES, not
+      // raw vectors (the faiss inverted-list layout; see commitCellDelta)
+      val book = pqModel(spark, sfDir, m = 16, k = 32, iters = 3,
+        interleave = true)._1.localCheckpoint()
       val work = graft.model.TempDirs.deleteOnExit(
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-vecidx-").toString)
@@ -403,7 +441,7 @@ object Similarity {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           maintainVectorIndexBatch(batch, batchId,
-            s"$work/state", s"$work/idx", cent)
+            s"$work/state", s"$work/idx", cent, book)
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -430,18 +468,12 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Oracle-checked query: ANN served FROM the maintained index — each
-    * query (the ORIGINAL first-10 fixture vectors — external probes, not
-    * subject to the changelog) opens its 2 nearest cells per the staged
-    * quantizer scores, reads ONLY those cells' buckets from the
-    * maintained state (the probed cell ids are a ≤ nQueries·2 driver
-    * list, the bucket ids derive from the layout manifest — the
-    * value-addressed point-read discipline), and exact-reranks the live
-    * vectors found there. Results genuinely shift vs the insert-only
-    * corpus: reversed vectors moved, deleted ones vanished. */
-  def qCdcVectorSearch(spark: SparkSession, sfDir: String,
-                       nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val (_, idxDir) = vectorIndexRun(spark, sfDir)
+  /** The probed cells' index entries (bucket-pruned, bounded driver lists)
+    * plus the probe set — shared by the exact-rerank and ADC renderings of
+    * the maintained search. */
+  private def probedEntries(spark: SparkSession, sfDir: String, nQueries: Int,
+                            payloadCols: Seq[String]): (DataFrame, DataFrame, String) = {
+    val (stateDir, idxDir) = vectorIndexRun(spark, sfDir)
     val probed = ivfAssignments(spark, sfDir, iters = 3, seedSplit = 2)
       .filter(col("vec_id") < nQueries && col("crk") <= 2)
       .select(col("vec_id").as("q_id"), col("cl").as("cell"))
@@ -457,21 +489,105 @@ object Similarity {
     require(buckets.nonEmpty,
       s"vector index at $idxDir has no layout manifest — no batch ever committed")
     val entries = buckets.map(b => graft.cdc.ChangelogStream.readState(
-        spark, idxDir, Seq("cell", "id", "cscore", "embedding"),
-        onlyBucket = Some(b)))
+        spark, idxDir, payloadCols, onlyBucket = Some(b)))
       .reduce(_.unionByName(_))
+    (entries, probed, stateDir)
+  }
+
+  /** The live raw vectors of the candidate ids come from the DOC
+    * STATE (id-keyed) — the index itself holds only codes. At 100 TB this
+    * join is |candidates| point reads against the bucketed doc store (the
+    * faiss IVFADC+rerank discipline: inverted lists carry codes, the
+    * document store serves the rerank). */
+  private def liveVectors(spark: SparkSession, stateDir: String): DataFrame =
+    graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id", "embedding"))
+
+  /** Oracle-checked query: ANN served FROM the maintained index — each
+    * query (the ORIGINAL first-10 fixture vectors — external probes, not
+    * subject to the changelog) opens its 2 nearest cells per the staged
+    * quantizer scores, reads ONLY those cells' buckets from the
+    * maintained state (the probed cell ids are a ≤ nQueries·2 driver
+    * list, the bucket ids derive from the layout manifest — the
+    * value-addressed point-read discipline), and exact-reranks every
+    * candidate id found there against its LIVE vector from the doc state
+    * (the index holds codes only — see [[commitCellDelta]]; the ADC
+    * rendering that searches the codes themselves is
+    * [[qCdcVectorSearchPq]]). Results genuinely shift vs the insert-only
+    * corpus: reversed vectors moved, deleted ones vanished. */
+  def qCdcVectorSearch(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (entries, probed, stateDir) =
+      probedEntries(spark, sfDir, nQueries, Seq("cell", "id"))
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
         norm(col("embedding")).as("qnrm"))
     val scored = entries.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
+      .join(liveVectors(spark, stateDir), Seq("id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("id").as("vec_id"),
         round(dot(col("qemb"), col("embedding")) /
           (col("qnrm") * norm(col("embedding"))), 6).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Oracle-checked query: the COMPRESSED-DOMAIN rendering of the
+    * maintained search — the faiss IVFADC query path over the maintained
+    * index's stored codes: probed cells' (id, codes) entries ADC-score
+    * against the query's m×k dot table (built from the same frozen staged
+    * codebooks the index encodes with), a bounded-heap shortlist cuts
+    * map-side, and only the shortlist's raw vectors open from the doc
+    * state for the exact cosine rerank. At 100 TB the scan reads
+    * probed_fraction × corpus / 25.6 bytes and the doc store serves
+    * shortlist × queries point reads — nothing else touches raw floats. */
+  def qCdcVectorSearchPq(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 5,
+                         shortlist: Int = 40, m: Int = 16,
+                         kCodes: Int = 32): DataFrame = {
+    val (entries, probed, stateDir) =
+      probedEntries(spark, sfDir, nQueries, Seq("cell", "id", "codes"))
+    val (book, _) = pqModel(spark, sfDir, m, kCodes, iters = 3, interleave = true)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // the query's ADC table: round-6 dots against every (j, code) centroid
+    val qdots = pqSubs(pqBase(e.filter(col("vec_id") < nQueries), m,
+        interleave = true), m)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv"))
+      .join(broadcast(book), Seq("j"))
+      .select(col("q_id"), col("j"), col("cl"),
+        round(foldDot(col("sv"), col("cvec")), 6).as("qd"))
+    import spark.implicits._
+    val shortlisted = entries.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cl")))
+      .join(broadcast(qdots), Seq("q_id", "j", "cl"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("ascore"))
+      .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(shortlist).toColumn.name("sl"))
+      .toDF("q_id", "sl")
+      .select(col("q_id"), explode(col("sl")).as("en"))
+      .select(col("q_id"), col("en._2").as("vec_id"))
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+        norm(col("embedding")).as("qnrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    shortlisted
+      .join(liveVectors(spark, stateDir).select(col("id").as("vec_id"),
+        col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * norm(col("embedding"))), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rk"))

