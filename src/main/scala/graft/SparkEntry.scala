@@ -64,7 +64,7 @@ object SparkEntry {
     "cdc_apply_txn" -> ((s, d) =>
       Apply.txnApply(Changelog.fromOrdersTxn(s, d), payload)
         .orderBy(col("o_orderkey"))),
-    "cdc_apply_txn_stream" -> (graft.streaming.Stateful.qApplyTxnStream _),
+    "cdc_apply_txn_stream" -> ((s, d) => graft.streaming.Stateful.qApplyTxnStream(s, d)),
     // ── the COMPOSED pipeline: ONE DSv2 source→sink pass maintains the
     // keyed state + per-status MV + join-MV + secondary index together
     // (the reference consumer's store+index loop, consumer.go:15-55) —
@@ -80,7 +80,7 @@ object SparkEntry {
       // overwrite store the reference keeps
       Apply.scd2(Changelog.fromOrders(s, d), payload)
         .orderBy(col("o_orderkey"), col("valid_from"))),
-    "cdc_scd2_stream" -> (graft.streaming.Stateful.qScd2Stream _),
+    "cdc_scd2_stream" -> ((s, d) => graft.streaming.Stateful.qScd2Stream(s, d)),
     "cdc_mv_join_bidi" -> ((s, d) =>
       // the join-MV with BOTH sides changing: segment moves re-attribute a
       // customer's whole order history, deletes retract it — per-key

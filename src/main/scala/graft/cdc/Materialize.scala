@@ -52,7 +52,7 @@ object Materialize {
     * composed pass's hook chain already fans out to the fixed pool's
     * capacity. Callers ALWAYS join the write before returning or
     * unwinding, so no writer outlives its batch. */
-  private[cdc] lazy val stateWriteEc: scala.concurrent.ExecutionContext =
+  private[graft] lazy val stateWriteEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newCachedThreadPool(
         (r: Runnable) => {
@@ -134,6 +134,13 @@ object Materialize {
   private[graft] def sessionWithParts(spark: SparkSession, parts: Int): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // AQE off for the per-batch chains: every stage here is a
+    // touched-bucket-sized job whose shape is known (parts is already
+    // sized to it), so adaptive re-planning only adds a scheduling round
+    // per shuffle — measurable against the epoch chains' fixed overhead,
+    // worth nothing on kilobyte stages. Query-local: the shared session
+    // (and every non-CDC query) keeps AQE for skew/coalesce.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     // split staged changelog files finer than the 128 MB default: a
     // micro-batch's decode (JSON parse + from_json) is the epoch's first
     // cache fill, and 4 staged files would otherwise parse as 4 tasks on a

@@ -759,13 +759,19 @@ object ChangelogStream {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Streaming rendering of TRUNCATE-apply: the changelog replays in three
-    * micro-batches — inserts, the TRUNCATE marker ALONE, updates+deletes —
-    * and the marker batch commits the O(1) per-table fence (no bucket
-    * rewrite; see the fence notes above). The drained state equals
-    * [[Apply.truncateApply]]'s batch result; shares cdc_apply_truncate's
-    * oracle. */
-  def qApplyStreamingTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Streaming rendering of TRUNCATE-apply: the marker commits the O(1)
+    * per-table fence (no bucket rewrite; see the fence notes above) and
+    * the drained state equals [[Apply.truncateApply]]'s batch result;
+    * shares cdc_apply_truncate's oracle. The DECLARED query drains the 3
+    * staged files (inserts | marker | updates+deletes) in ONE epoch
+    * (round-12 coarsening — the probe separates markers from data within
+    * a batch, the fence commits before the merge, and readers fence
+    * uniformly); the multi-batch rendering — marker batch rewriting NO
+    * buckets, later events rebuilding — stays pinned by StreamSpec's
+    * direct per-batch drill AND its 1-file-per-trigger run of this
+    * exact pass. */
+  def qApplyStreamingTruncate(spark: SparkSession, sfDir: String,
+                              maxFilesPerTrigger: Int = 3): DataFrame = {
     val clDir = Changelog.stageParquetTruncatePhased(spark, sfDir)
     val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString
     val stateDir = s"$work/state"
@@ -775,7 +781,7 @@ object ChangelogStream {
     val s2 = Materialize.sessionWithParts(spark, 8)
     val stream = s2.readStream
       .schema(s2.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(clDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }

@@ -371,8 +371,17 @@ object Search {
                        query: Seq[String] = Seq("stream", "merge", "window"),
                        qVec: Int = 0, depth: Int = 20, k: Int = 10,
                        rrfK: Int = 60): DataFrame = {
+    // when this query is the first of the retrieval family to run (the
+    // bench's sort order), it pays BOTH maintained passes — warm them
+    // CONCURRENTLY (independent states, independent sibling sessions;
+    // the per-key lazy memo serializes same-fixture callers), so the
+    // carrier cost is max(text, vector) instead of their sum
+    val warmVec = scala.concurrent.Future(
+      Similarity.vectorIndexRun(spark, sfDir))(graft.cdc.Materialize.stateWriteEc)
     val lex = qCdcTextSearch(spark, sfDir, query, k = depth)
       .select(col("doc_id"), col("rk").as("r_lex"))
+    scala.concurrent.Await.result(warmVec,
+      scala.concurrent.duration.Duration.Inf)
     val dense = Similarity.qCdcVectorSearch(spark, sfDir,
         nQueries = qVec + 1, k = depth)
       .filter(col("q_id") === qVec)

@@ -389,6 +389,14 @@ object Similarity {
           lit(seqv).as("seq"), lit(opv).as("op"),
           col("best.cscore").as("cscore"), col("best.embedding").as("embedding"))
       if (book == null) best
+      else if (opv == "DELETE")
+        // a DELETE event only tombstones its (cell, id) key — its payload
+        // is never read (readState filters op), so the old side skips the
+        // whole encode: half the per-batch PQ work
+        best.drop("embedding")
+          .withColumn("codes", lit(null).cast("array<bigint>"))
+          .select(col("cell"), col("id"), col("seq"), col("op"),
+            col("cscore"), col("codes"))
       else {
         val codes = pqEncode(live.select(col("id").as("vec_id"), col("embedding")),
           book, m).select(col("vec_id").as("id"), col("codes"))
@@ -514,8 +522,13 @@ object Similarity {
     * rendering that searches the codes themselves is
     * [[qCdcVectorSearchPq]]). Results genuinely shift vs the insert-only
     * corpus: reversed vectors moved, deleted ones vanished. */
-  def qCdcVectorSearch(spark: SparkSession, sfDir: String,
+  def qCdcVectorSearch(spark0: SparkSession, sfDir: String,
                        nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // probed-bucket-sized plan: query-local 8-partition sibling session
+    // (AQE off) so the ~10 tiny stages stop paying 32 tasks + adaptive
+    // re-planning each; values are partition-count independent (round-6
+    // scores, per-q rank windows)
+    val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
       probedEntries(spark, sfDir, nQueries, Seq("cell", "id"))
     val q = Tables.embeddings(spark, sfDir)
@@ -545,10 +558,12 @@ object Similarity {
     * state for the exact cosine rerank. At 100 TB the scan reads
     * probed_fraction × corpus / 25.6 bytes and the doc store serves
     * shortlist × queries point reads — nothing else touches raw floats. */
-  def qCdcVectorSearchPq(spark: SparkSession, sfDir: String,
+  def qCdcVectorSearchPq(spark0: SparkSession, sfDir: String,
                          nQueries: Int = 10, k: Int = 5,
                          shortlist: Int = 40, m: Int = 16,
                          kCodes: Int = 32): DataFrame = {
+    // query-local small session — see qCdcVectorSearch
+    val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
       probedEntries(spark, sfDir, nQueries, Seq("cell", "id", "codes"))
     val (book, _) = pqModel(spark, sfDir, m, kCodes, iters = 3, interleave = true)

@@ -185,14 +185,17 @@ object Stateful {
       }
   }
 
-  /** Oracle-checked query: the txn changelog replayed in three
-    * micro-batches with every COMMIT arriving LAST
-    * ([[graft.cdc.Changelog.stageParquetTxnPhased]] — events buffer across
-    * two batches before any release), gated by [[txnGate]], then the
-    * standard latest-state merge over the released events. Shares
-    * cdc_apply_txn's oracle: the released set IS the committed-txn
-    * semi-join. */
-  def qApplyTxnStream(spark0: SparkSession, dir: String): DataFrame = {
+  /** Oracle-checked query: the txn changelog (COMMITs staged LAST,
+    * [[graft.cdc.Changelog.stageParquetTxnPhased]]) gated by [[txnGate]],
+    * then the standard latest-state merge over the released events.
+    * Shares cdc_apply_txn's oracle: the released set IS the committed-txn
+    * semi-join. The DECLARED query drains the 3 staged files in ONE epoch
+    * (round-12 coarsening — the gate releases a txn the batch its COMMIT
+    * appears in, and uncommitted txns still never emit); the cross-batch
+    * buffering — events held until a COMMIT arrives two batches later —
+    * stays pinned by StatefulSpec's MemoryStream drill of this gate. */
+  def qApplyTxnStream(spark0: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 3): DataFrame = {
     // state-store count sized to the 50-txn key space on a query-local
     // sibling session (see qApplyStateful)
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
@@ -204,7 +207,7 @@ object Stateful {
     val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
 
     val stream = spark.readStream.schema(clSchema)
-      .option("maxFilesPerTrigger", 1).parquet(clDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(clDir)
       .as[TxnEvent]
     // released events land in the engine's own keyed-state sink (no
     // driver-side accumulation — see qApplyStateful); its per-key
@@ -240,7 +243,15 @@ object Stateful {
     * ordering a WAL/Kafka CDC transport actually guarantees. Events within
     * a batch sort per key; across batches the staging's seq cut points
     * (inserts | updates | deletes) preserve order. */
-  def qScd2Stream(spark0: SparkSession, dir: String): DataFrame = {
+  /** The declared query drains the 3 seq-phased files in ONE epoch (the
+    * round-12 coarsening: the per-epoch sink chain is fixed overhead the
+    * epoch count multiplies, and the in-batch per-key seq sort applies
+    * events identically); the CROSS-BATCH interval semantics — an open
+    * row from one epoch closed by a later epoch's event through the
+    * sink's max_by overwrite — stay pinned by StatefulSpec's
+    * 1-file-per-trigger drill against the batch scd2 oracle. */
+  def qScd2Stream(spark0: SparkSession, dir: String,
+                  maxFilesPerTrigger: Int = 3): DataFrame = {
     // query-local 8-store sibling session (see qApplyStateful)
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     import spark.implicits._
@@ -252,7 +263,7 @@ object Stateful {
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
     val stream = spark.readStream.schema(clSchema)
-      .option("maxFilesPerTrigger", 2).parquet(clDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(clDir)
       .as[OrdersEvent]
     implicit val openEnc = Encoders.product[OrdersEvent]
     val versions = stream.groupByKey(_.id)

@@ -114,8 +114,11 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       assert(dataFiles.length === 1, s"$p should hold one compacted file")
     }
     assert(ChangelogStream.readKey(spark, stateDir, 2L).isDefined)
-    // end-to-end stream equals the batch truncate apply
-    val streamed = ChangelogStream.qApplyStreamingTruncate(spark, sfDir)
+    // end-to-end stream equals the batch truncate apply — at 1 file per
+    // trigger (marker batch ALONE), the multi-batch fence rendering the
+    // declared query's one-epoch drain no longer exercises
+    val streamed = ChangelogStream.qApplyStreamingTruncate(spark, sfDir,
+      maxFilesPerTrigger = 1)
     val batch = Apply.truncateApply(
       Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
     assert(streamed.exceptAll(batch).count() === 0)

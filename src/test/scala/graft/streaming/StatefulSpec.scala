@@ -71,6 +71,38 @@ class StatefulSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("txn stream at 1 file/trigger: cross-batch COMMIT release equals the batch txn apply") {
+    // fixture-scale twin of the MemoryStream gate drill: COMMITs arrive in
+    // the LAST of 3 epochs, so every transaction's events buffer across
+    // batches before release — the semantics the declared query's
+    // one-epoch drain (round-12 coarsening) no longer exercises
+    import org.apache.spark.sql.functions.col
+    val streamed = Stateful.qApplyTxnStream(spark, sfDir, maxFilesPerTrigger = 1)
+    val batch = graft.cdc.Apply.txnApply(
+      graft.cdc.Changelog.fromOrdersTxn(spark, sfDir),
+      graft.cdc.Changelog.payloadCols)
+      .select(graft.cdc.Changelog.payloadCols.map(col): _*)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("SCD2 stream at 1 file/trigger: cross-batch interval close equals the batch scd2") {
+    // the cross-batch semantics the declared query's one-epoch drain no
+    // longer exercises (round-12 coarsening): an OPEN interval emitted in
+    // one epoch must be OVERWRITTEN by its closed form when a later
+    // epoch's event closes it — driven here at maxFilesPerTrigger=1
+    // (3 epochs: inserts | updates | deletes) against the batch oracle
+    import org.apache.spark.sql.functions.col
+    val streamed = Stateful.qScd2Stream(spark, sfDir, maxFilesPerTrigger = 1)
+    val batch = graft.cdc.Apply.scd2(
+      graft.cdc.Changelog.fromOrders(spark, sfDir),
+      graft.cdc.Changelog.payloadCols)
+      .select((graft.cdc.Changelog.payloadCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"))): _*)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("mapGroupsWithState running agg converges to batch totals") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
