@@ -13,7 +13,7 @@ object Plans {
         "q_bucketed_join", "doc_pack_chunks", "cdc_apply_txn", "emb_kmeans",
         "q_skew_join", "cdc_state_diff", "emb_ann_kmeans",
         "doc_surprisal", "emb_pq_topk", "emb_ann_ivfpq", "doc_repetition",
-        "doc_budget_sample", "doc_bm25_search")) {
+        "doc_budget_sample", "doc_bm25_search", "doc_phrase_search")) {
       println(s"##### $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
