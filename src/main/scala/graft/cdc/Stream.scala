@@ -813,7 +813,9 @@ object ChangelogStream {
       .parquet(clDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, stateDir)
+        // 15k keys: an 8-bucket fresh layout (manifest-recorded) halves
+        // the files both epochs write and BOTH diff snapshots later open
+        upsertBatch(batch, stateDir, initialBuckets = 8)
         if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
       }
       .option("checkpointLocation", s"$work/ckpt")
@@ -950,7 +952,11 @@ object ChangelogStream {
       .select(Seq(col("id"), col("seq"), col("op")) ++
         Changelog.customerPayloadCols.map(c => col(s"p.$c").as(c)): _*)
     val q = decoded.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ~3k customer keys: a 4-bucket fresh layout (manifest-recorded)
+        // quarters the per-merge file/promote fan-out vs the 16 default
+        upsertBatch(batch, stateDir, initialBuckets = 4)
+      }
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
