@@ -496,9 +496,10 @@ object Similarity {
     }
     require(buckets.nonEmpty,
       s"vector index at $idxDir has no layout manifest — no batch ever committed")
-    val entries = buckets.map(b => graft.cdc.ChangelogStream.readState(
-        spark, idxDir, payloadCols, onlyBucket = Some(b)))
-      .reduce(_.unionByName(_))
+    // one relation over the probed bucket set (one driver-side listing),
+    // not one spark.read per bucket — the readStateBuckets rationale
+    val entries = graft.cdc.ChangelogStream.readStateBuckets(
+      spark, idxDir, payloadCols, buckets.toSeq)
     (entries, probed, stateDir)
   }
 
