@@ -22,8 +22,22 @@ object Bench {
         try src.getLines().find(_.startsWith("some")).getOrElse("n/a")
         finally src.close()
       } catch { case _: Throwable => "n/a" }
+    // single-core speed probe: wall time of a FIXED deterministic spin.
+    // Guest loadavg and PSI both read zero under HOST-level contention
+    // (observed: unchanged queries +25-40% across one afternoon at
+    // loadavg 0.2, IO avg10 0.00) — this number makes that visible: a
+    // reader comparing two runs divides by the spin ratio first.
+    def spinMs(): Double = {
+      var acc = 1.0
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 26)) { acc = acc * 1.0000001 + 1e-9; i += 1 }
+      if (acc == Double.MinValue) println(acc) // keep the loop alive
+      (System.nanoTime() - t0) / 1e6
+    }
     val loadStart = loadavg()
     val ioStart = ioPressure()
+    val spinStart = spinMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -130,6 +144,8 @@ object Bench {
       s""""cdc_apply_txn_stream":"r12","cdc_apply_truncate_stream":"r12"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
+      s""""spin_ms_start":${"%.1f".formatLocal(java.util.Locale.ROOT, spinStart)},""" +
+      s""""spin_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinMs())},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
