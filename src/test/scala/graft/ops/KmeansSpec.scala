@@ -150,6 +150,14 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(bad === 0)
     // an UNCHANGED vector's stored codes equal its staged encoding (the
     // frozen-model discipline: re-encoding reproduces the staged code)
+    val staged = Similarity.pqModel(spark, sfDir, 16, 32, 3, interleave = true)._2
+    val untouchedStored = entries
+      .filter(col("id") % 3 =!= 0 && col("id") % 5 =!= 4)
+      .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("j", "cl")))
+    assert(untouchedStored.count() > 0)
+    assert(untouchedStored.exceptAll(
+      staged.join(untouchedStored.select("vec_id").distinct(), Seq("vec_id"))
+        .select(col("vec_id"), col("j"), col("cl"))).count() === 0)
     // ...and the ADC search over the codes holds recall against the
     // exact-over-candidates rendering (same probed cells, same rerank
     // metric) — the IVF-PQ-level bound the compressed state must keep

@@ -81,27 +81,36 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     def postings(): Map[(String, Long), Long] =
       graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("tok", "id", "tf"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def stats(): (Long, Long) = {
+      val r = Search.corpusStats(spark, s"$work/idx").head()
+      (r.getLong(0), r.getLong(1))
+    }
     // batch 0: two docs indexed on insert
     Search.maintainTextIndexBatch(
       batch(Seq((1L, 1L, "INSERT", "spark merge merge"), (2L, 2L, "INSERT", "scan window"))),
       0L, s"$work/state", s"$work/idx")
     assert(postings() === Map(("spark", 1L) -> 1L, ("merge", 1L) -> 2L,
       ("scan", 2L) -> 1L, ("window", 2L) -> 1L))
+    assert(stats() === (2L, 5L)) // 2 docs, 3 + 2 tokens
     // batch 1: doc 1's text changes — "merge" tf drops to 1, "spark"
     // vanishes (tombstoned), "join" appears
     Search.maintainTextIndexBatch(
       batch(Seq((1L, 3L, "UPDATE", "merge join"))), 1L, s"$work/state", s"$work/idx")
     assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L,
       ("scan", 2L) -> 1L, ("window", 2L) -> 1L))
+    assert(stats() === (2L, 4L)) // doc 1 shrank 3 -> 2 tokens
     // batch 2: doc 2 deleted — all its postings retract
     Search.maintainTextIndexBatch(
       batch(Seq((2L, 4L, "DELETE", "scan window"))), 2L, s"$work/state", s"$work/idx")
     assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L))
+    assert(stats() === (1L, 2L))
     // replay of batch 2 (the crash-replay contract): identical delta
-    // re-absorbs, nothing resurrects
+    // re-absorbs, nothing resurrects — and the batch-fenced stats delta
+    // SKIPS (a signed delta applied twice would double-debit the corpus)
     Search.maintainTextIndexBatch(
       batch(Seq((2L, 4L, "DELETE", "scan window"))), 2L, s"$work/state", s"$work/idx")
     assert(postings() === Map(("merge", 1L) -> 1L, ("join", 1L) -> 1L))
+    assert(stats() === (1L, 2L))
   }
 
   test("CDC-maintained search equals BM25 over the live documents") {
