@@ -282,13 +282,32 @@ object Search {
     * ([[commitCorpusStatsDelta]]). The UPDATE events appended two of the
     * query's terms to every %3 doc, so this ranking genuinely differs
     * from an insert-only index — search results that follow the data. */
+  /** The maintained postings restricted to `terms`, read BUCKET-PRUNED:
+    * each term hashes (driver-side, via the layout manifest — the
+    * value-addressed point-read discipline) to its tok-bucket, and only
+    * those buckets' files open, with the exact-term filter pushed inside
+    * them — the maintained twin of [[prunedPostings]]' partition pruning.
+    * At 100 TB a term lookup is one bucket, never the postings state. */
+  private def maintainedPostings(spark: SparkSession, idxDir: String,
+                                 terms: Seq[String],
+                                 payloadCols: Seq[String]): DataFrame = {
+    val layout = graft.cdc.Buckets.read(spark, idxDir).getOrElse(
+      throw new IllegalStateException(
+        s"postings index at $idxDir has no layout manifest — no batch ever committed"))
+    val buckets = terms.distinct
+      .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
+      .distinct.sorted
+    graft.cdc.ChangelogStream
+      .readStateBuckets(spark, idxDir, payloadCols, buckets)
+      .filter(col("tok").isin(terms.distinct: _*))
+  }
+
   def qCdcTextSearch(spark: SparkSession, sfDir: String,
                      query: Seq[String] = Seq("stream", "merge", "window"),
                      k: Int = 10): DataFrame = {
     val (_, idxDir) = textIndexRun(spark, sfDir)
-    val postings = graft.cdc.ChangelogStream
-      .readState(spark, idxDir, Seq("tok", "id", "tf", "dl"))
-      .filter(col("tok").isin(query: _*))
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
     // normalization constants from the index's MAINTAINED stats row — the
     // query never scans the doc state (search IO = the query terms'
@@ -413,9 +432,8 @@ object Search {
                        phrase: String = "merge window"): DataFrame = {
     val (_, idxDir) = textIndexRun(spark, sfDir)
     val terms = phrase.split(' ').toSeq
-    val postings = graft.cdc.ChangelogStream
-      .readState(spark, idxDir, Seq("tok", "id", "positions"))
-      .filter(col("tok").isin(terms.distinct: _*))
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "positions"))
       .select(col("tok"), col("id").as("doc_id"), col("positions"))
     phraseHits(postings, terms)
   }

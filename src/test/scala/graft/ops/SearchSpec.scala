@@ -164,8 +164,17 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       s"text search read outside the index: $scans")
     assert(!scans.exists(_.contains("/state")),
       s"text search scanned the doc state: $scans")
-    val statsRow = Search.corpusStats(spark,
-      scans.head.replaceAll("/idx/.*", "/idx")).head()
+    // ...and the postings reads are BUCKET-PRUNED to the query terms'
+    // tok-buckets (every non-stats path is one of the terms' buckets)
+    val idxRoot = scans.head.replaceAll("/idx/.*", "/idx")
+    val layout = graft.cdc.Buckets.read(spark, idxRoot).get
+    val termBuckets = Seq("stream", "merge", "window")
+      .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t))).distinct
+    scans.filterNot(_.contains("/_stats")).foreach { p =>
+      assert(termBuckets.exists(b => p.contains(s"/bucket=$b/")),
+        s"non-term bucket read: $p (terms' buckets: $termBuckets)")
+    }
+    val statsRow = Search.corpusStats(spark, idxRoot).head()
     assert(statsRow.getLong(0) === expectStats.getLong(0))
     assert(statsRow.getLong(1) === expectStats.getLong(1))
   }
