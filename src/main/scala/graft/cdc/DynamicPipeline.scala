@@ -59,7 +59,7 @@ import org.apache.spark.sql.types.StructType
   */
 object DynamicPipeline {
 
-  private val runs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val runs = new graft.model.JvmMemo[String]()
 
   /** A derived per-group aggregate to maintain over one dynamic table:
     * (count, sum valueCol) per groupCol, the [[Materialize]] MV shape. */
@@ -188,9 +188,10 @@ object DynamicPipeline {
     * one file per micro-batch, so nation's RELATION + first rows genuinely
     * arrive BATCHES after the stream started. Returns the run's root dir. */
   def run(spark: SparkSession, sfDir: String): String =
-    runs.computeIfAbsent(sfDir, _ => {
+    runs.getOrRun(sfDir) {
       val clDir = Changelog.stageEnvelopeJsonDynamic(spark, sfDir)
-      val root = Files.createTempDirectory(Paths.get("/tmp"), "graft-dynpipe-").toString
+      val root = graft.model.TempDirs.deleteOnExit(
+        Files.createTempDirectory(Paths.get("/tmp"), "graft-dynpipe-").toString)
       val s2 = Materialize.sessionWithParts(spark, 8)
       val stream = s2.readStream.format("changelog")
         .option("maxFilesPerTrigger", 1)
@@ -203,7 +204,7 @@ object DynamicPipeline {
         .start()
       q.awaitTermination()
       root
-    })
+    }
 
   /** One onboarded table's materialized state (tombstones and fences
     * filtered by the shared state reader), columns per its own announced

@@ -55,7 +55,7 @@ object Pipeline {
   case class Dirs(state: String, mv: String, mvJoin: String, idx: String,
                   agg: String = "", seg: String = "", mvBidi: String = "")
 
-  private val runs = new java.util.concurrent.ConcurrentHashMap[String, Dirs]()
+  private val runs = new graft.model.JvmMemo[Dirs]()
 
   private val allPayloadCols: Seq[String] =
     Changelog.payloadCols ++ Changelog.customerPayloadCols
@@ -124,9 +124,10 @@ object Pipeline {
 
   /** Run (or reuse) the composed multi-table pass for a fixture dir. */
   def runFull(spark: SparkSession, sfDir: String): Dirs =
-    runs.computeIfAbsent(sfDir, _ => {
+    runs.getOrRun(sfDir) {
       val clDir = Changelog.stageEnvelopeJsonMultiTableSegMove(spark, sfDir)
-      val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-").toString
+      val work = graft.model.TempDirs.deleteOnExit(
+        Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-").toString)
       val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx",
         s"$work/agg", s"$work/seg", s"$work/mv_bidi")
       val hookKey = s"pipeline-${java.util.UUID.randomUUID()}"
@@ -156,7 +157,7 @@ object Pipeline {
         q.awaitTermination()
       } finally ChangelogStateSink.maintainers.remove(hookKey)
       dirs
-    })
+    }
 
   /** One table's view of the shared multi-table state — the reference's
     * per-table dispatch (`utils.go:105-112`) as a filter. */
@@ -239,7 +240,7 @@ object Pipeline {
 
   // ── TRUNCATE through the composed pipeline ────────────────────────────
 
-  private val truncRuns = new java.util.concurrent.ConcurrentHashMap[String, Dirs]()
+  private val truncRuns = new graft.model.JvmMemo[Dirs]()
 
   /** The composed pass over a TRUNCATE-bearing changelog: the fence-only
     * micro-batch flows through the same maintainer hook — the state merge
@@ -250,9 +251,10 @@ object Pipeline {
     * the fence erased state in untouched buckets without the maintainers
     * ever seeing a delta, leaving stale MV cells and index entries. */
   def runTruncate(spark: SparkSession, sfDir: String): Dirs =
-    truncRuns.computeIfAbsent(sfDir, _ => {
+    truncRuns.getOrRun(sfDir) {
       val clDir = Changelog.stageEnvelopeJsonTruncatePhased(spark, sfDir)
-      val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-trunc-").toString
+      val work = graft.model.TempDirs.deleteOnExit(
+        Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-trunc-").toString)
       val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx")
       val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
       ChangelogStateSink.maintainers.put(hookKey,
@@ -289,7 +291,7 @@ object Pipeline {
         q.awaitTermination()
       } finally ChangelogStateSink.maintainers.remove(hookKey)
       dirs
-    })
+    }
 
   /** Post-truncate state behind the bidirectional state/index coherence
     * gate — a stale (unretracted) index entry or a missing one breaks the
