@@ -172,6 +172,65 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(rec >= 0.85, s"ADC-over-codes recall vs exact-over-candidates: $rec")
   }
 
+  test("killing the vector-index pass mid-drain and resuming converges cells AND codes") {
+    // the production path's crash story WITH the compressed lists: stop at
+    // an arbitrary committed prefix (1 file per epoch), resume from the
+    // checkpoint — the doc state re-merges idempotently, every replayed
+    // cell delta re-derives identically for the max_by merge to absorb,
+    // and the stored codes stay the frozen-model encoding of the live
+    // vectors
+    val clDir = graft.cdc.Changelog.stageParquetEmbeddings(spark, sfDir)
+    val cent = Similarity.ivfCentroids(spark, sfDir, iters = 3, seedSplit = 2)
+      .localCheckpoint()
+    val book = Similarity.pqModel(spark, sfDir, 16, 32, 3, interleave = true)
+      ._1.localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-vecidx-kill-").toString
+    def start() = {
+      val stream = spark.readStream.schema(spark.read.parquet(clDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(clDir)
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Similarity.maintainVectorIndexBatch(batch, batchId,
+            s"$root/state", s"$root/idx", cent, book)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = start()
+    q1.awaitTermination(2500)
+    q1.stop()
+    val q2 = start()
+    q2.awaitTermination()
+    // the maintained assignment equals quantizing the LIVE vectors against
+    // the frozen centroids (re-derived here from the drained doc state)
+    val live = graft.cdc.ChangelogStream.readState(spark, s"$root/state",
+      Seq("id", "embedding"))
+    val expectCells = live
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        Similarity.dot(col("embedding"), col("embedding"))))
+      .join(org.apache.spark.sql.functions.broadcast(cent))
+      .select(col("id"), col("cl"),
+        org.apache.spark.sql.functions.round(
+          Similarity.foldDot(col("embedding"), col("cvec")) /
+            (col("nrm") * col("cnrm")), 6).as("cscore"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.max_by(col("cl"),
+        org.apache.spark.sql.functions.struct(col("cscore"),
+          (-col("cl")).as("nc"))).as("cell"))
+      .select(col("cell"), col("id"))
+    val gotEntries = graft.cdc.ChangelogStream.readState(spark, s"$root/idx",
+      Seq("cell", "id", "codes"))
+    assert(gotEntries.select("cell", "id").exceptAll(expectCells).count() === 0)
+    assert(expectCells.exceptAll(gotEntries.select("cell", "id")).count() === 0)
+    // ...and every stored code vector equals the frozen-model encoding of
+    // its live vector (kill/replay cannot leave stale codes behind)
+    val expectCodes = Similarity.pqEncode(
+      live.select(col("id").as("vec_id"), col("embedding")), book, 16)
+      .select(col("vec_id").as("id"), col("codes"))
+    assert(gotEntries.select("id", "codes").exceptAll(expectCodes).count() === 0)
+  }
+
   test("OPQ rotation, measured: parametric OPQ cannot beat the fixed interleave on this corpus") {
     // the round-10 stretch, run honestly: a LEARNED subspace decomposition
     // (parametric OPQ — PCA rotation + eigenvalue allocation, the

@@ -239,6 +239,15 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .select(col("tok"), col("id").as("doc_id"), col("tf"))
     assert(got.exceptAll(expect).count() === 0)
     assert(expect.exceptAll(got).count() === 0)
+    // ...and the batch-FENCED corpus stats converge too: the kill can land
+    // between a stats commit and its state promote, and the resumed
+    // replay must skip the committed delta (not double-apply) while the
+    // state re-merges — final (n_docs, sum_dl) = the live docs' stats
+    val expectStats = live
+      .agg(count(lit(1)), sum(size(Text.tokens(col("text"))).cast("long"))).head()
+    val gotStats = Search.corpusStats(spark, s"$root/idx").head()
+    assert(gotStats.getLong(0) === expectStats.getLong(0))
+    assert(gotStats.getLong(1) === expectStats.getLong(1))
   }
 
   test("hybrid RRF fusion unions the legs and rewards presence in both") {
