@@ -37,6 +37,7 @@ object Bench {
     }
     val loadStart = loadavg()
     val ioStart = ioPressure()
+    spinMs() // discarded JIT warm-up: the measured samples must compare
     val spinStart = spinMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

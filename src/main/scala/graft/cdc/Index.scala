@@ -108,7 +108,8 @@ object Index {
     * exactly the (status, key) pairs of the live state. */
   def qSecondaryIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageParquet(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-idx-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-idx-").toString)
     // query-local 8-partition sibling session (Materialize.sessionWithParts)
     val s2 = Materialize.sessionWithParts(spark, 8)
     val stream = s2.readStream

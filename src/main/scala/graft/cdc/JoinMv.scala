@@ -382,7 +382,8 @@ object JoinMv {
     * deletes retract, order churn lands in the right cell). */
   def qMvJoinBidi(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageParquetMultiTableSegMove(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-bidi-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-bidi-").toString)
     // query-local 8-partition sibling session (Materialize.sessionWithParts)
     val s2 = Materialize.sessionWithParts(spark, 8)
     val stream = s2.readStream

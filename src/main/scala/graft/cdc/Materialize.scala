@@ -283,7 +283,8 @@ object Materialize {
     * IVM guarantee. */
   def qMvAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageParquet(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-mv-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-mv-").toString)
     val stateDir = s"$work/state"
     val mvDir = s"$work/mv"
     // per-batch merges + MV delta stages run over touched-bucket-sized

@@ -354,6 +354,12 @@ object ChangelogStream {
                 Thread.interrupted()
                 scala.util.Try(scala.concurrent.Await.ready(writeFut,
                   scala.concurrent.duration.Duration(30, "s")))
+                // a writer that outlives the bounded join is abandoned with
+                // its unique dir; a LAST-batch abandonment would never see
+                // the next batch's sweep (and the zombie's committer can
+                // even recreate the dir under a mid-write sweep), so pin
+                // the dir for exit-time deletion as the backstop
+                graft.model.TempDirs.deleteOnExit(tmp)
                 Thread.currentThread().interrupt(); f
               case r => r
             }
@@ -750,7 +756,8 @@ object ChangelogStream {
     * pinned by StreamSpec, which drives [[applyStreaming]] at the
     * multi-batch default plus kill-resume. */
   def qApplyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-").toString)
     // per-batch merges are touched-bucket-sized: query-local 8-partition
     // session (Materialize.sessionWithParts)
     applyStreaming(Materialize.sessionWithParts(spark, 8), sfDir, work,
@@ -773,7 +780,8 @@ object ChangelogStream {
   def qApplyStreamingTruncate(spark: SparkSession, sfDir: String,
                               maxFilesPerTrigger: Int = 3): DataFrame = {
     val clDir = Changelog.stageParquetTruncatePhased(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-trunc-").toString)
     val stateDir = s"$work/state"
     // per-batch merges run over touched-bucket-sized data; a query-local
     // 8-partition sibling session fits that without touching the shared
@@ -803,7 +811,8 @@ object ChangelogStream {
   def qStateDiffVersions(spark: SparkSession, sfDir: String): DataFrame = {
     val splitSeq = 500000L
     val clDir = Changelog.stageParquetSeqPhased(spark, sfDir, splitSeq)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString)
     val stateDir = s"$work/state"
     // touched-bucket-sized per-batch stages (see qApplyStreamingTruncate)
     val s2 = Materialize.sessionWithParts(spark, 8)
@@ -870,7 +879,8 @@ object ChangelogStream {
     * drills at 1 file per batch. */
   def qApplyStreamingDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-dsv2-").toString)
     // query-local 8-partition session for the per-batch merges
     applyStreamingDsv2(Materialize.sessionWithParts(spark, 8), clDir, work,
       Changelog.payloadSchema(spark, sfDir), maxFilesPerTrigger = 4)
@@ -920,7 +930,8 @@ object ChangelogStream {
     * maxFilesPerTrigger=2 plus a mid-stream rescale drain. */
   def qApplyStreamingSinkDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val clDir = Changelog.stageEnvelopeJson(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-sink-dsv2-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-sink-dsv2-").toString)
     applyStreamingSinkDsv2(spark, clDir, work, Changelog.payloadSchema(spark, sfDir),
       maxFilesPerTrigger = 4)
       .orderBy(col("o_orderkey"))
@@ -936,7 +947,8 @@ object ChangelogStream {
     // query-local 8-partition session for the per-batch merges
     val spark = Materialize.sessionWithParts(spark0, 8)
     val clDir = Changelog.stageEnvelopeJsonMultiTable(spark, sfDir)
-    val work = Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-mdsv2-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "graft-stream-mdsv2-").toString)
     val stateDir = s"$work/state"
     val pSchema = Changelog.fromCustomer(spark, sfDir)
       .select(Changelog.customerPayloadCols.map(col): _*).schema

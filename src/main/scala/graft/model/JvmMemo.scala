@@ -9,7 +9,10 @@ package graft.model
   * holder's own monitor — so first callers for DIFFERENT fixtures that hash
   * to the same bin no longer serialize behind one drain (ADVICE r11), while
   * concurrent first callers for the SAME fixture still run the pass once.
-  * A body that throws is not cached (the lazy re-evaluates on next access).
+  * A body that throws UNINSTALLS its holder: the next caller runs its OWN
+  * body — a lazy val would otherwise re-evaluate the FIRST caller's closure
+  * forever, pinning its captured SparkSession (possibly stopped by the time
+  * a later suite retries) for the JVM's life.
   */
 final class JvmMemo[V] {
   private val slots =
@@ -19,7 +22,16 @@ final class JvmMemo[V] {
     val mk = new java.util.function.Function[String, () => V] {
       override def apply(k: String): () => V = { lazy val v = body; () => v }
     }
-    slots.computeIfAbsent(key, mk)()
+    val holder = slots.computeIfAbsent(key, mk)
+    try holder()
+    catch {
+      case t: Throwable =>
+        // remove only OUR holder (a racing successful re-install survives);
+        // a thread concurrently succeeding on this same holder still gets
+        // its value — the next first-caller just re-runs the pass
+        slots.remove(key, holder)
+        throw t
+    }
   }
 }
 

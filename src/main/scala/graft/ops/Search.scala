@@ -174,11 +174,17 @@ object Search {
     * max_by(seq) merge absorbs them — no fence needed. Per-batch work is
     * ∝ the TOUCHED documents' text (prev is touched-buckets-only), never
     * the corpus. */
-  private[graft] def commitPostingsDelta(prev: DataFrame, merged: DataFrame,
+  /** A side's live documents, tokenized ONCE: `(id, ws)` — shared by the
+    * postings and stats deltas below so each batch tokenizes its touched
+    * docs a single (cached) time instead of once per delta. */
+  private def liveToks(src: DataFrame): DataFrame =
+    src.filter(col("op") =!= "DELETE")
+      .select(col("id"), Text.tokens(col("text")).as("ws"))
+
+  private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
                                          batchId: Long, idxDir: String): Unit = {
-    def posts(src: DataFrame, opv: String, seqv: Long) =
-      src.filter(col("op") =!= "DELETE")
-        .select(col("id"), Text.tokens(col("text")).as("ws"))
+    def posts(toks: DataFrame, opv: String, seqv: Long) =
+      toks
         .select(col("id"), size(col("ws")).cast("long").as("dl"),
           posexplode(col("ws")).as(Seq("p0", "tok")))
         .groupBy(col("tok"), col("id"), col("dl"))
@@ -189,8 +195,8 @@ object Search {
           sort_array(collect_list(col("p0") + 1)).as("positions"))
         .select(col("tok"), col("id"), lit(seqv).as("seq"),
           lit(opv).as("op"), col("tf"), col("dl"), col("positions"))
-    val events = posts(prev, "DELETE", 2 * batchId)
-      .unionByName(posts(merged, "INSERT", 2 * batchId + 1))
+    val events = posts(prevToks, "DELETE", 2 * batchId)
+      .unionByName(posts(mergedToks, "INSERT", 2 * batchId + 1))
     graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
       keyCols = Seq("tok", "id"), bucketCols = Seq("tok"))
   }
@@ -206,15 +212,14 @@ object Search {
     * (VERDICT r11 #2: per-batch cost ∝ touched docs, query cost ∝ one
     * stats row). Replay-safe via [[graft.cdc.Materialize.commitDelta]]'s
     * batch-id fence (a stats delta is not idempotent). */
-  private[graft] def commitCorpusStatsDelta(prev: DataFrame, merged: DataFrame,
+  private[graft] def commitCorpusStatsDelta(prevToks: DataFrame, mergedToks: DataFrame,
                                             batchId: Long, idxDir: String): Unit = {
-    def contrib(rows: DataFrame, sign: Int): DataFrame =
-      rows.filter(col("op") =!= "DELETE")
-        .select(lit(sign.toLong).as("n"),
-          (size(Text.tokens(col("text"))).cast("long") * sign)
-            .cast(graft.cdc.Materialize.SType).as("s"))
-    graft.cdc.Materialize.commitDeltaRows(prev.sparkSession, s"$idxDir/_stats",
-      batchId, contrib(merged, 1).unionByName(contrib(prev, -1)), Seq.empty)
+    def contrib(toks: DataFrame, sign: Int): DataFrame =
+      toks.select(lit(sign.toLong).as("n"),
+        (size(col("ws")).cast("long") * sign)
+          .cast(graft.cdc.Materialize.SType).as("s"))
+    graft.cdc.Materialize.commitDeltaRows(prevToks.sparkSession, s"$idxDir/_stats",
+      batchId, contrib(mergedToks, 1).unionByName(contrib(prevToks, -1)), Seq.empty)
   }
 
   /** The maintained stats row as a BM25-shaped `(n_docs, sum_dl)` frame
@@ -230,8 +235,14 @@ object Search {
                              stateDir: String, idxDir: String): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       beforeCommit = (prev, merged) => {
-        commitPostingsDelta(prev, merged, batchId, idxDir)
-        commitCorpusStatsDelta(prev, merged, batchId, idxDir)
+        // tokenize each side ONCE (cached) — the postings and stats deltas
+        // both fold off the same (id, ws) frames
+        val tp = liveToks(prev).persist()
+        val tm = liveToks(merged).persist()
+        try {
+          commitPostingsDelta(tp, tm, batchId, idxDir)
+          commitCorpusStatsDelta(tp, tm, batchId, idxDir)
+        } finally { tp.unpersist(); tm.unpersist() }
       })
 
   private val textRuns = new graft.model.JvmMemo[(String, String)]()
@@ -274,14 +285,6 @@ object Search {
       .orderBy(col("tok"), col("doc_id"))
   }
 
-  /** Oracle-checked query: BM25 served FROM the maintained index — the
-    * postings state restricted to the query terms (bucketed by `tok`, so
-    * at scale this is a bucket-pruned read like [[graft.cdc.Index
-    * .lookupByValue]]), scored with the shared [[bm25TopK]]; corpus stats
-    * come from the index's maintained one-row stats table
-    * ([[commitCorpusStatsDelta]]). The UPDATE events appended two of the
-    * query's terms to every %3 doc, so this ranking genuinely differs
-    * from an insert-only index — search results that follow the data. */
   /** The maintained postings restricted to `terms`, read BUCKET-PRUNED:
     * each term hashes (driver-side, via the layout manifest — the
     * value-addressed point-read discipline) to its tok-bucket, and only
@@ -302,6 +305,14 @@ object Search {
       .filter(col("tok").isin(terms.distinct: _*))
   }
 
+  /** Oracle-checked query: BM25 served FROM the maintained index — the
+    * postings state restricted to the query terms ([[maintainedPostings]]
+    * — bucket-pruned, the [[graft.cdc.Index.lookupByValue]] discipline),
+    * scored with the shared [[bm25TopK]]; corpus stats come from the
+    * index's maintained one-row stats table ([[commitCorpusStatsDelta]]).
+    * The UPDATE events appended two of the query's terms to every %3 doc,
+    * so this ranking genuinely differs from an insert-only index — search
+    * results that follow the data. */
   def qCdcTextSearch(spark: SparkSession, sfDir: String,
                      query: Seq[String] = Seq("stream", "merge", "window"),
                      k: Int = 10): DataFrame = {

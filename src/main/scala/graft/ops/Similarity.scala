@@ -180,8 +180,9 @@ object Similarity {
     *
     * Determinism (cross-engine, hash-checked): centroid elements are
     * decimal-exact rounded-6 means; scores are rounded to 6 before every
-    * rank; ties break on cluster id. Output is the final assignment. */
-  /** STAGED (round 12): the label-seeded Lloyd loop is exactly
+    * rank; ties break on cluster id. Output is the final assignment.
+    *
+    * STAGED (round 12): the label-seeded Lloyd loop is exactly
     * [[trainedQuantizer]] at seedSplit=1 (`label·1 + vec_id mod 1 = label`;
     * identical round arithmetic, identical tie-breaks), so the query reads
     * the staged assignment ([[ivfAssignments]]) instead of re-training
@@ -332,21 +333,14 @@ object Similarity {
 
   // ── CDC-maintained vector index (the es.go loop, for dense kNN) ───────
 
-  /** Per-batch CELL delta for the vector index — the dense-retrieval twin
-    * of the text postings delta ([[graft.ops.Search.commitPostingsDelta]]):
-    * every touched vector's OLD live row quantizes against the FROZEN
-    * staged centroids and emits a DELETE of its (cell, id) entry (seq
-    * 2·batch); its NEW live row re-quantizes and emits an INSERT (seq
-    * 2·batch+1 — later, so an unmoved vector survives with its fresh
-    * embedding while a moved one tombstones in the old cell and lives in
-    * the new). A deleted vector has no live merged row, so its entry
-    * tombstones. The quantizer is NOT retrained per batch — deployments
-    * freeze the coarse quantizer and re-quantize only arriving vectors
-    * (the faiss/ES-kNN discipline); scoring reuses the exact training
-    * arithmetic (round-6 cosine vs the staged centroids, ties to the
-    * lowest cell) so the maintained assignment of an UNCHANGED vector
-    * equals its staged one. Replay: identical delta re-derives, max_by
-    * absorbs — the fenceless contract. */
+  /** The maintained index's PQ encoding constants — the codes STORED in the
+    * state are frozen at this shape (see [[vectorIndexRun]]), so the ADC
+    * query path must decode with the same book; they are deliberately not
+    * caller parameters (a mismatched book would join half the code
+    * positions against wrong centroids and return plausible garbage). */
+  private val IdxPqM = 16
+  private val IdxPqK = 32
+
   /** Encode vectors against a FROZEN PQ codebook: per subspace j, the
     * Euclidean argmax `round(sv·c − ‖c‖²/2, 6)` (ties to the lowest code) —
     * the exact [[pqTrainFrames]] assignment arithmetic, so encoding an
@@ -363,7 +357,22 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cl")))),
         s => s.getField("cl")).as("codes"))
 
-  /** When `book` is supplied, the index stores each vector's m PQ CODES
+  /** Per-batch CELL delta for the vector index — the dense-retrieval twin
+    * of the text postings delta ([[graft.ops.Search.commitPostingsDelta]]):
+    * every touched vector's OLD live row quantizes against the FROZEN
+    * staged centroids and emits a DELETE of its (cell, id) entry (seq
+    * 2·batch); its NEW live row re-quantizes and emits an INSERT (seq
+    * 2·batch+1 — later, so an unmoved vector survives while a moved one
+    * tombstones in the old cell and lives in the new). A deleted vector
+    * has no live merged row, so its entry tombstones. The quantizer is NOT
+    * retrained per batch — deployments freeze the coarse quantizer and
+    * re-quantize only arriving vectors (the faiss/ES-kNN discipline);
+    * scoring reuses the exact training arithmetic (round-6 cosine vs the
+    * staged centroids, ties to the lowest cell) so the maintained
+    * assignment of an UNCHANGED vector equals its staged one. Replay:
+    * identical delta re-derives, max_by absorbs — the fenceless contract.
+    *
+    * When `book` is supplied, the index stores each vector's m PQ CODES
     * instead of its raw floats — the 100 TB inverted-list layout (faiss
     * IVFADC: codes in the lists, raw vectors only in the document store;
     * VERDICT r11 #5): the maintained index carries 25.6×-compressed
@@ -435,7 +444,7 @@ object Similarity {
         .localCheckpoint()
       // the frozen PQ codebooks: the maintained index stores CODES, not
       // raw vectors (the faiss inverted-list layout; see commitCellDelta)
-      val book = pqModel(spark, sfDir, m = 16, k = 32, iters = 3,
+      val book = pqModel(spark, sfDir, m = IdxPqM, k = IdxPqK, iters = 3,
         interleave = true)._1.localCheckpoint()
       val work = graft.model.TempDirs.deleteOnExit(
         java.nio.file.Files.createTempDirectory(
@@ -561,13 +570,14 @@ object Similarity {
     * shortlist × queries point reads — nothing else touches raw floats. */
   def qCdcVectorSearchPq(spark0: SparkSession, sfDir: String,
                          nQueries: Int = 10, k: Int = 5,
-                         shortlist: Int = 40, m: Int = 16,
-                         kCodes: Int = 32): DataFrame = {
-    // query-local small session — see qCdcVectorSearch
+                         shortlist: Int = 40): DataFrame = {
+    // query-local small session — see qCdcVectorSearch; the PQ shape is
+    // pinned to the index's stored encoding ([[IdxPqM]]/[[IdxPqK]])
+    val m = IdxPqM
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
       probedEntries(spark, sfDir, nQueries, Seq("cell", "id", "codes"))
-    val (book, _) = pqModel(spark, sfDir, m, kCodes, iters = 3, interleave = true)
+    val (book, _) = pqModel(spark, sfDir, m, IdxPqK, iters = 3, interleave = true)
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // the query's ADC table: round-6 dots against every (j, code) centroid
     val qdots = pqSubs(pqBase(e.filter(col("vec_id") < nQueries), m,

@@ -72,8 +72,8 @@ object Stateful {
     // checkpoint stays unique per run — an AvailableNow restart against an
     // old checkpoint would see no new files and emit nothing
     val clDir = graft.cdc.Changelog.stageParquet(spark, dir)
-    val work = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString
+    val work = graft.model.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-stateful-").toString)
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
     // one-epoch drain (round-11 coarsening): per-epoch state-store commit +
@@ -202,8 +202,8 @@ object Stateful {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val clDir = graft.cdc.Changelog.stageParquetTxnPhased(spark, dir)
-    val work = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString
+    val work = graft.model.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-txnstream-").toString)
     val clSchema = graft.cdc.Changelog.fromOrdersTxn(spark, dir).schema
 
     val stream = spark.readStream.schema(clSchema)
@@ -258,8 +258,8 @@ object Stateful {
     import org.apache.spark.sql.functions.col
     val clDir = graft.cdc.Changelog.stageParquetSeqRanges(spark, dir,
       splits = Seq(1000000L, 2000000L))
-    val work = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-scd2-").toString
+    val work = graft.model.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "graft-scd2-").toString)
     val clSchema = graft.cdc.Changelog.fromOrders(spark, dir).schema
 
     val stream = spark.readStream.schema(clSchema)

@@ -17,7 +17,8 @@ object StreamQueries {
   /** Stage a fixture table into a private dir and open it as a file stream
     * (the fixture dirs are read-only and must not receive checkpoints). */
   private def stagedStream(spark: SparkSession, dir: String, table: String): (DataFrame, String) = {
-    val work = Files.createTempDirectory(Paths.get("/tmp"), s"graft-sq-$table-").toString
+    val work = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), s"graft-sq-$table-").toString)
     Files.copy(Paths.get(s"$dir/$table.parquet"), Paths.get(s"$work/$table.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(work).schema
@@ -79,7 +80,8 @@ object StreamQueries {
                              (shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     withStateStores(spark, 8) { spark =>
       val work = stageSentinelFiles(spark, dir)
-      val out = Files.createTempDirectory(Paths.get("/tmp"), prefix).toString
+      val out = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), prefix).toString)
       val schema = spark.read.parquet(s"$work/f1.parquet").schema
       val ev = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(work)
@@ -146,7 +148,8 @@ object StreamQueries {
     val s = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("signup_event"), col("ts").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
-    val out = Files.createTempDirectory(Paths.get("/tmp"), name).toString
+    val out = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), name).toString)
     val q = p.join(s,
         col("user_id") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
@@ -202,7 +205,8 @@ object StreamQueries {
     * window_end > max(on-time ts) - delay. */
   def qStreamingLateData(spark: SparkSession, dir: String): DataFrame = withStateStores(spark, 8) { spark =>
     val work = stageLateFiles(spark, dir)
-    val out = Files.createTempDirectory(Paths.get("/tmp"), "st_late_").toString
+    val out = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "st_late_").toString)
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(work)
@@ -276,7 +280,8 @@ object StreamQueries {
       graft.model.Staging.stageOrderedFile(ev, tmp, "f1", 1000000L)
       graft.model.Staging.stageOrderedFile(ev, tmp, "f2", 2000000L)
     }
-    val out = Files.createTempDirectory(Paths.get("/tmp"), "st_dedupwm_").toString
+    val out = graft.model.TempDirs.deleteOnExit(
+      Files.createTempDirectory(Paths.get("/tmp"), "st_dedupwm_").toString)
     val schema = spark.read.parquet(s"$work/f1.parquet").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(work)
