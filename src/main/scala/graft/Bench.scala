@@ -106,6 +106,18 @@ object Bench {
       }
     }
     val total = results.map(_._2).sum
+    // spin-normalized total (VERDICT r12 #1): wall times scale with the
+    // box's effective single-core speed, and guest loadavg/PSI read zero
+    // under host-level contention — the spin probe is the only visible
+    // slowness signal. SpinRef pins the r12 judge's idle measurement
+    // (166.7 ms, the only spin-annotated idle run on record; BASELINE.md
+    // §spin), so value × (spin_ref / spin_ms) reads "as-if the r12 judge
+    // box" across rounds. The pre- and post-suite probes' MIN is the
+    // least-contended sample of this run.
+    val spinEnd = spinMs()
+    val spinBest = math.min(spinStart, spinEnd)
+    val SpinRef = 166.7
+    val totalNorm = total * SpinRef / spinBest
 
     // Full-precision per-query map goes to a file (the harness that captures
     // stdout keeps only a short tail, so the printed line must stay small);
@@ -121,7 +133,8 @@ object Bench {
     val carriers = Seq("cdc_apply_sink_dsv2", "cdc_pipeline_truncate",
       "cdc_pipeline_dynamic", "cdc_hybrid_search")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
-      "cdc_mv_agg", "cdc_mv_join", "cdc_mv_join_bidi", "cdc_secondary_index",
+      "cdc_apply_customer_dsv2", "cdc_mv_agg", "cdc_mv_join",
+      "cdc_mv_join_bidi", "cdc_secondary_index",
       "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders",
       "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index",
       "cdc_text_index", "cdc_text_search", "cdc_phrase_search",
@@ -143,10 +156,19 @@ object Bench {
       s""""cdc_apply_stateful":"r11","cdc_pipeline_dynamic":"r10",""" +
       s""""cdc_text_index":"r11","cdc_scd2_stream":"r12",""" +
       s""""cdc_apply_txn_stream":"r12","cdc_apply_truncate_stream":"r12"},""" +
+      // rendering-change disclosure (r13, VERDICT r12 #2): two standalone
+      // re-drains now serve from existing machinery — cross-round per-query
+      // comparisons must read these notes (the streaming shapes stay
+      // spec-pinned: StreamAlignmentSpec / StreamSpec)
+      s""""rendering_changes":{""" +
+      s""""cdc_apply_customer_dsv2":"r13: view over the composed pass",""" +
+      s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream)"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""spin_ms_start":${"%.1f".formatLocal(java.util.Locale.ROOT, spinStart)},""" +
-      s""""spin_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinMs())},""" +
+      s""""spin_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinEnd)},""" +
+      s""""spin_ref_ms":$SpinRef,""" +
+      s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
@@ -160,7 +182,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true

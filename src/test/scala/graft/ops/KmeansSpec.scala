@@ -305,4 +305,24 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(frac <= 0.25, s"probed fraction exceeds the budget: $frac")
     assert(rec >= 0.70, s"IVF-PQ recall regressed: $rec at fraction $frac")
   }
+
+  test("vector bootstrap: snapshot-seeded code lists + tail equal the replay-built index") {
+    // the bootstrap pass (source-table seed in one maintainVectorIndexBatch
+    // build + only the update/delete tail) must converge to the SAME
+    // (cell, id) assignment and answer searches identically to the
+    // replay-built pass — bootstrap(index) ≡ replay(index)
+    val (_, bootIdx) = Similarity.vectorIndexBootstrapRun(spark, sfDir)
+    val boot = graft.cdc.ChangelogStream
+      .readState(spark, bootIdx, Seq("cell", "id", "codes"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2)))
+    // codes present for every live entry (the seeded batch PQ-encoded
+    // against the frozen staged codebooks exactly as arriving ones do)
+    assert(boot.nonEmpty && boot.forall(_._3 != null))
+    val replay = Similarity.qCdcVectorIndex(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boot.map(t => (t._1, t._2)).toSet === replay)
+    val a = Similarity.qCdcVectorBootstrapSearch(spark, sfDir).collect().toSeq
+    val b = Similarity.qCdcVectorSearch(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
 }

@@ -387,4 +387,48 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
         s"doc ${r.getLong(1)} has neither leg rank")
     }
   }
+
+  test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
+    // the declared query (cdc_text_bootstrap) seeds from the source table
+    // (the pre-changelog snapshot); this drill seeds from a MID-changelog
+    // doc-state snapshot — latest-state at seq ≤ 2e6, i.e. inserts +
+    // updates applied — so the seed batch processes the STATE (one row per
+    // live doc), not the history, and the tail (the delete phase) still
+    // supersedes seeded entries
+    import org.apache.spark.sql.expressions.Window
+    val work = java.nio.file.Files.createTempDirectory("graft-boot-spec-").toString
+    val cl = graft.cdc.Changelog.fromDocuments(spark, sfDir)
+    val cut = 2000000L
+    val head = cl.filter(col("seq") <= cut)
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val snapshot = head
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE").drop("rn")
+      .withColumn("op", lit("INSERT"))
+    // the bootstrap's whole point: the seed is state-sized, not history-sized
+    assert(snapshot.count() < head.count(),
+      "snapshot must be smaller than the history it replaces")
+    Search.maintainTextIndexBatch(snapshot, 0L, s"$work/state", s"$work/idx")
+    Search.maintainTextIndexBatch(cl.filter(col("seq") > cut), 1L,
+      s"$work/state", s"$work/idx")
+    // postings equality with the replay-built pass (qCdcTextIndex's view)
+    val boot = graft.cdc.ChangelogStream
+      .readState(spark, s"$work/idx", Seq("tok", "id", "tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val replay = Search.qCdcTextIndex(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(boot === replay)
+    // the seeded-then-tailed stats row equals the live-docs derivation
+    val st = Search.corpusStats(spark, s"$work/idx").head()
+    val live = graft.cdc.Apply.latestState(cl,
+      graft.cdc.Changelog.documentsPayloadCols)
+    val expSt = live.select(size(Text.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert((st.getLong(0), st.getLong(1)) === (expSt.getLong(0), expSt.getLong(1)))
+    // and the DECLARED bootstrap query answers exactly like the
+    // replay-served search
+    val a = Search.qCdcTextBootstrapSearch(spark, sfDir).collect().toSeq
+    val b = Search.qCdcTextSearch(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
 }

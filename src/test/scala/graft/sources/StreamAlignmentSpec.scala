@@ -30,4 +30,20 @@ class StreamAlignmentSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "INSERT"), (3L, "DELETE")))
   }
+
+  test("standalone customer DSv2 tail (dispatch filter + foreachBatch upsert) " +
+    "matches the batch apply") {
+    // the declared query cdc_apply_customer_dsv2 serves as a view over the
+    // composed pass since round 13; the STANDALONE single-table re-drain —
+    // DSv2 source tailing the multi-table envelope stream, per-table
+    // dispatch as a filter above the source, foreachBatch bucketed upsert —
+    // is pinned here end-to-end
+    val streamed = graft.cdc.ChangelogStream
+      .qApplyStreamingCustomerDsv2(spark, sfDir)
+    val batch = graft.cdc.Apply.latestState(
+        graft.cdc.Changelog.fromCustomer(spark, sfDir),
+        graft.cdc.Changelog.customerPayloadCols)
+      .orderBy(col("c_custkey"))
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
 }
