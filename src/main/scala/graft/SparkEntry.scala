@@ -367,6 +367,12 @@ object SparkEntry {
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
     "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
+    // ES match_phrase `slop`: in-order terms with ≤ slop interposed
+    // positions, from the same maintained positional postings
+    "cdc_phrase_slop" -> ((s, d) => graft.ops.Search.qCdcPhraseSlop(s, d)),
+    // ES match `operator: and`: the BM25 ranking over docs matching EVERY
+    // query term (minShouldMatch = |query|), same pruned-postings IO
+    "cdc_match_and" -> ((s, d) => graft.ops.Search.qCdcMatchAnd(s, d)),
     // BOOTSTRAP: the index seeded from a source-table snapshot in one
     // batch build + only the changelog tail applied (ES reindex-from-
     // source) — serves queries identically to the replay-built index
@@ -419,12 +425,17 @@ object SparkEntry {
       |live AS (SELECT id AS doc_id, text FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
 
-  private lazy val cdcTextSearchSql: String =
+  /** BM25 over the live docs — msm = minimum matched-term count (1 is the
+    * plain OR search; the term count renders `operator: and`). */
+  private def cdcMatchSql(msm: Int,
+                          terms: Seq[String] =
+                            Seq("stream", "merge", "window")): String =
     s"""WITH $docsChangelogCte,
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
        |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
-       |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+       |         WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+       |         GROUP BY 1, 2),
        |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
        |ts AS (SELECT p.doc_id,
        |         CAST(round(
@@ -437,10 +448,12 @@ object SparkEntry {
        |       CROSS JOIN st),
        |agg AS (SELECT doc_id, count(*) AS n_t,
        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
-       |        FROM ts GROUP BY 1),
+       |        FROM ts GROUP BY 1 HAVING count(*) >= $msm),
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  private lazy val cdcTextSearchSql: String = cdcMatchSql(1)
 
   private val cdcApplySql =
     s"""WITH ${Changelog.oracleCte},
@@ -1508,9 +1521,9 @@ object SparkEntry {
     "emb_ann_kmeans" -> annKmeansOracle(3),
     "emb_pq_topk" -> pqOracle(iters = 3, m = 16, k = 32, nQueries = 10, topK = 5,
       shortlist = 40, interleave = true),
-    "emb_ann_ivfpq" -> ivfPqOracle(iters = 4, seedSplit = 3, m = 16, k = 32,
+    "emb_ann_ivfpq" -> ivfPqOracle(iters = 6, seedSplit = 6, m = 16, k = 32,
       pqIters = 3, nQueries = 10, topK = 5, shortlist = 64,
-      probeMargin = 0.28, maxProbes = 13),
+      probeMargin = 0.60, maxProbes = 14),
     "emb_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                  round(CAST(unnest(embedding) AS DOUBLE), 6) AS e
@@ -1720,7 +1733,21 @@ object SparkEntry {
     // answer identically to the replay-built one)
     "cdc_text_search" -> cdcTextSearchSql,
     "cdc_text_bootstrap" -> cdcTextSearchSql,
+    // operator:and — the same scoring, docs matching all 3 terms only
+    "cdc_match_and" -> cdcMatchSql(3, Seq("dup", "merge", "window")),
     "cdc_vector_bootstrap" -> vectorSearchOracle(3),
+    // sloppy phrase: in-order 'merge' .. 'window' with ≤1 interposed
+    // position; hits = distinct first-term starts that begin a match
+    "cdc_phrase_slop" ->
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |t0 AS (SELECT doc_id, p FROM toks2 WHERE tok = 'merge'),
+         |t1 AS (SELECT doc_id, p FROM toks2 WHERE tok = 'window'),
+         |m AS (SELECT DISTINCT t0.doc_id, t0.p FROM t0
+         |      JOIN t1 ON t1.doc_id = t0.doc_id
+         |       AND t1.p > t0.p AND t1.p - t0.p - 1 <= 1)
+         |SELECT doc_id, count(*) AS hits FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // hybrid over the MAINTAINED legs: the cdc_text_search BM25 chain at
     // depth 20 × the cdc_vector_search ANN chain for query 0 at depth 20,
     // fused by the same RRF as doc_hybrid_search

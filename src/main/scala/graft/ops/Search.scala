@@ -118,8 +118,15 @@ object Search {
     * per-partition heaps, never a global sort of every matched doc); the
     * rank window then runs over k rows only, so no single reducer ever
     * sees the full match set. */
+  /** `minShouldMatch` renders the ES `match` operator surface over the
+    * same scoring: 1 (the default) is `operator: or` — any term qualifies
+    * a doc; `query.size` is `operator: and` — every term required;
+    * between, `minimum_should_match`. The cut applies on the matched-term
+    * COUNT after the per-term contributions aggregate, so it adds no IO:
+    * the scan is the query terms' postings either way. */
   private def bm25TopK(postings: DataFrame, stats: DataFrame, k: Int,
-                       k1: Double, b: Double): DataFrame = {
+                       k1: Double, b: Double,
+                       minShouldMatch: Int = 1): DataFrame = {
     val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-(doc, term) BM25 contribution — association mirrors the oracle
     // SQL text exactly; see the object doc-comment's determinism note
@@ -136,6 +143,7 @@ object Search {
     val topk = perTerm.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_t"),
         round(sum(col("ts")).cast("double"), 6).as("score"))
+      .filter(col("n_t") >= minShouldMatch)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
@@ -325,12 +333,28 @@ object Search {
     * one-row stats table — the query never scans the doc state (search IO
     * = the query terms' buckets + one stats file). */
   private def maintainedBm25(spark: SparkSession, idxDir: String,
-                             query: Seq[String], k: Int): DataFrame = {
+                             query: Seq[String], k: Int,
+                             minShouldMatch: Int = 1): DataFrame = {
     val postings = maintainedPostings(spark, idxDir, query,
         Seq("tok", "id", "tf", "dl"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75)
+    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75, minShouldMatch)
   }
+
+  /** Oracle-checked query: the ES `match … operator: and` surface over the
+    * maintained index — the BM25 ranking restricted to documents matching
+    * EVERY query term ([[bm25TopK]]'s minShouldMatch = query size). Same
+    * pruned-postings IO as the OR search; only the qualification cut
+    * differs. The default query leads with the corpus's one RARE term
+    * ('dup', df ≈ 5%): its BM25 idf dwarfs the common terms', so dup-only
+    * docs top the OR ranking and the AND cut genuinely reshuffles the
+    * top-10 (with three common terms the cut only bit beyond rank ~185 —
+    * an oracle that can't see the operator is no oracle). */
+  def qCdcMatchAnd(spark: SparkSession, sfDir: String,
+                   query: Seq[String] = Seq("dup", "merge", "window"),
+                   k: Int = 10): DataFrame =
+    maintainedBm25(spark, textIndexRun(spark, sfDir)._2, query, k,
+      minShouldMatch = query.size)
 
   private val textBootRuns = new graft.model.JvmMemo[(String, String)]()
 
@@ -498,5 +522,53 @@ object Search {
         Seq("tok", "id", "positions"))
       .select(col("tok"), col("id").as("doc_id"), col("positions"))
     phraseHits(postings, terms)
+  }
+
+  /** SLOPPY phrase match over positional postings — the ES `match_phrase`
+    * `slop` surface: the terms must appear IN ORDER, with at most `slop`
+    * total non-phrase positions between them (Σ gaps ≤ slop; slop 0
+    * degenerates to the exact intersection). A hit is counted per DISTINCT
+    * first-term start position that begins a within-budget completion —
+    * at slop 0 that equals [[phraseHits]]' per-start count. The chain
+    * joins each next term's (df-sized, pruned) position list against the
+    * running partial match carrying the slack already spent, so an n-term
+    * phrase is n−1 bounded position joins — per-query cost stays df-sized,
+    * never the corpus, exactly as the exact-phrase path. */
+  private[graft] def slopHits(postings: DataFrame, terms: Seq[String],
+                              slop: Int): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val heads = postings.filter(col("tok") === terms.head)
+      .select(col("doc_id"), explode(col("positions")).as("start"))
+      .select(col("doc_id"), col("start"), col("start").as("prev"),
+        lit(0L).as("used"))
+    val chained = terms.tail.foldLeft(heads) { (acc, t) =>
+      val nxt = postings.filter(col("tok") === t)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+      acc.join(nxt, Seq("doc_id"))
+        .filter(col("p") > col("prev") &&
+          col("used") + col("p") - col("prev") - 1 <= slop)
+        .select(col("doc_id"), col("start"), col("p").as("prev"),
+          (col("used") + col("p") - col("prev") - 1).as("used"))
+    }
+    chained.select(col("doc_id"), col("start")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checked query: phrase-with-slop served from the MAINTAINED
+    * positional postings — "merge window" within one interposed word.
+    * Exact-phrase hits are a subset; the slop surface additionally matches
+    * every `merge X window` occurrence, so the answer genuinely differs
+    * from cdc_phrase_search on the fixture. Reads only the two terms'
+    * tok-buckets, like every maintained-index query. */
+  def qCdcPhraseSlop(spark: SparkSession, sfDir: String,
+                     phrase: String = "merge window",
+                     slop: Int = 1): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val terms = phrase.split(' ').toSeq
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    slopHits(postings, terms, slop)
   }
 }

@@ -292,18 +292,20 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
       .join(truth, Seq("q_id", "vec_id"), "left_semi").count() / 50.0
     // probed FRACTION: candidate (query, vector) pairs per query over the
     // corpus — what the pruned scan actually touches, codes-only
-    val asg = Similarity.ivfAssignments(spark, sfDir, 4, 3)
+    val asg = Similarity.ivfAssignments(spark, sfDir, 6, 6)
     val cells = asg.filter(col("crk") === 1)
       .select(col("vec_id"), col("cl").as("cell"))
     val probed = asg.filter(col("vec_id") < 10 &&
         (col("crk") === 1 ||
-          (col("crk") <= 13 && col("cscore") >= col("best") - 0.28)))
+          (col("crk") <= 14 && col("cscore") >= col("best") - 0.60)))
       .select(col("vec_id").as("q_id"), col("cl").as("cell"))
     val n = e.count()
     val frac = probed.join(cells, "cell").count() / (10.0 * n)
     println(s"[ivfpq] recall=$rec probed_fraction=$frac")
     assert(frac <= 0.25, s"probed fraction exceeds the budget: $frac")
-    assert(rec >= 0.70, s"IVF-PQ recall regressed: $rec at fraction $frac")
+    // r13 operating point (60 cells / 14 probes): 0.74 at sf0.001 — the
+    // r12 ceiling (0.70) was a 30-cell artifact, not a corpus property
+    assert(rec >= 0.72, s"IVF-PQ recall regressed: $rec at fraction $frac")
   }
 
   test("vector bootstrap: snapshot-seeded code lists + tail equal the replay-built index") {

@@ -388,6 +388,43 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sloppy phrase shares its slack budget across gaps, in order, counting per start") {
+    import spark.implicits._
+    // positions as the maintained index stores them (1-based, sorted)
+    def posting(rows: (String, Long, Seq[Int])*) =
+      rows.toDF("tok", "doc_id", "positions")
+    val p = posting(
+      ("a", 1L, Seq(1)), ("b", 1L, Seq(2)), ("c", 1L, Seq(3)),   // a b c
+      ("a", 2L, Seq(1)), ("b", 2L, Seq(3)), ("c", 2L, Seq(4)),   // a x b c
+      ("a", 3L, Seq(1)), ("b", 3L, Seq(3)), ("c", 3L, Seq(5)),   // a x b x c
+      ("c", 4L, Seq(1)), ("b", 4L, Seq(2)), ("a", 4L, Seq(3)),   // c b a
+      ("a", 5L, Seq(1, 2)), ("b", 5L, Seq(3)), ("c", 5L, Seq(4))) // a a b c
+    def hits(slop: Int): Map[Long, Long] =
+      Search.slopHits(p, Seq("a", "b", "c"), slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slop 0 = the exact intersection: adjacent runs only
+    assert(hits(0) === Map(1L -> 1L, 5L -> 1L))
+    // slop 1: one interposed position total — doc 2 joins (1+0), doc 5's
+    // FIRST 'a' now also starts a match (gap 1 then 0) → 2 starts
+    assert(hits(1) === Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+    // slop 2: doc 3's two gaps SHARE the budget (1+1); the reversed doc 4
+    // never matches — order is part of the phrase
+    assert(hits(2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+  }
+
+  test("match operator:and requires every term; the cut reshuffles the rare-term top-10") {
+    val andTop = Search.qCdcMatchAnd(spark, sfDir).collect()
+    // every returned doc matched all 3 query terms
+    assert(andTop.nonEmpty && andTop.forall(_.getLong(2) === 3L))
+    // the OR ranking over the same terms admits partial matchers at the
+    // top (the rare term's idf dwarfs the common ones'), so the two
+    // top-10s genuinely differ — the oracle can see the operator
+    val orTop = Search.qCdcTextSearch(spark, sfDir,
+      query = Seq("dup", "merge", "window"))
+    assert(orTop.collect().exists(_.getLong(2) < 3L),
+      "OR top-10 has no partial matcher — the AND cut would be invisible")
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
