@@ -195,6 +195,10 @@ object DynamicPipeline {
       val s2 = Materialize.sessionWithParts(spark, 8)
       val stream = s2.readStream.format("changelog")
         .option("maxFilesPerTrigger", 1)
+        // 1-file epochs would otherwise DECODE on one task (the d0 file is
+        // ~33 MB of JSON at sf0.1, well under the 128 MB split default):
+        // byte-range splits parallelize each epoch's parse across the box
+        .option("maxSplitBytes", (4L << 20).toString)
         .load(clDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, epochId: Long) =>

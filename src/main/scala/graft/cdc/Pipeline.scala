@@ -115,6 +115,13 @@ object Pipeline {
           .select(Changelog.customerPayloadCols.map(col): _*).schema.fields)
     spark.readStream.format("changelog")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // NOTE (r13 profiling): finer byte-range splits here (maxSplitBytes
+      // 2 MB → 24 decode tasks instead of 4) were measured and REVERTED —
+      // two A/B runs showed the epoch ~1-3 s SLOWER: the decode is not the
+      // commit's critical path (the sink's executor write job parses
+      // concurrently), while 6× the staged files makes the driver-commit's
+      // prev/merged reads and every maintainer cache fill open 6× the
+      // file handles on touched-bucket-sized data.
       .load(clDir)
       .select(Seq(col("table"), col("id"), col("seq"), col("op")) :+
         from_json(col("payload"), pSchema).as("p"): _*)
@@ -275,6 +282,9 @@ object Pipeline {
         val pSchema = Changelog.payloadSchema(spark, sfDir)
         val decoded = s2.readStream.format("changelog")
           .option("maxFilesPerTrigger", 1) // p0 / p1 (fence alone) / p2
+          // p0 is ~33 MB of JSON at sf0.1 — without byte-range splits its
+          // whole epoch decodes on ONE task (the DynamicPipeline note)
+          .option("maxSplitBytes", (4L << 20).toString)
           .load(clDir)
           .select(Seq(col("id"), col("seq"), col("op")) :+
             from_json(col("payload"), pSchema).as("p"): _*)
