@@ -78,7 +78,7 @@ object Materialize {
     * group's jobs are cancelled and every future is joined (bounded)
     * before the interrupt propagates — nothing is still writing when the
     * stream unwinds. */
-  private[cdc] def runConcurrent(tasks: (() => Unit)*): Unit = {
+  private[graft] def runConcurrent(tasks: (() => Unit)*): Unit = {
     val t0 = System.nanoTime()
     val sc = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext)

@@ -180,8 +180,9 @@ object Search {
     * tombstone. Replay safety is [[graft.cdc.Index]]'s contract: a
     * replayed batch re-derives the identical events and the state's
     * max_by(seq) merge absorbs them — no fence needed. Per-batch work is
-    * ∝ the TOUCHED documents' text (prev is touched-buckets-only), never
-    * the corpus. */
+    * ∝ the TOUCHED documents' text (the maintainer semi-joins the
+    * touched-bucket frames to the batch's keys — r13), never the corpus
+    * or the co-bucketed bystanders. */
   /** A side's live documents, tokenized ONCE: `(id, ws)` — shared by the
     * postings and stats deltas below so each batch tokenizes its touched
     * docs a single (cached) time instead of once per delta. */
@@ -243,13 +244,28 @@ object Search {
                              stateDir: String, idxDir: String): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       beforeCommit = (prev, merged) => {
+        // restrict both sides to the batch's OWN keys (r13): prev/merged
+        // are whole touched BUCKETS, and an unchanged co-bucketed doc
+        // would tokenize on both sides only to emit a cancelling
+        // DELETE+INSERT pair — correct but ∝ bucket contents, not the
+        // batch. The semi-join makes the per-batch cost match the
+        // documented contract (∝ touched documents' text). CAVEAT: a
+        // TRUNCATE-bearing stream would need the fence-killed keys (in
+        // prev, absent from the batch) unioned in — the documents
+        // changelog carries none.
+        val keys = batch.select(col("id")).distinct()
         // tokenize each side ONCE (cached) — the postings and stats deltas
         // both fold off the same (id, ws) frames
-        val tp = liveToks(prev).persist()
-        val tm = liveToks(merged).persist()
+        val tp = liveToks(prev.join(keys, Seq("id"), "left_semi")).persist()
+        val tm = liveToks(merged.join(keys, Seq("id"), "left_semi")).persist()
         try {
-          commitPostingsDelta(tp, tm, batchId, idxDir)
-          commitCorpusStatsDelta(tp, tm, batchId, idxDir)
+          // independent targets (idx vs idx/_stats), independently fenced
+          // (postings replay-absorb, stats batch-fence) — any committed
+          // subset replays correctly, so they run CONCURRENTLY off the
+          // same cached frames (the fullMaintainer argument)
+          graft.cdc.Materialize.runConcurrent(
+            () => commitPostingsDelta(tp, tm, batchId, idxDir),
+            () => commitCorpusStatsDelta(tp, tm, batchId, idxDir))
         } finally { tp.unpersist(); tm.unpersist() }
       })
 

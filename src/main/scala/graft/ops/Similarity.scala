@@ -427,8 +427,18 @@ object Similarity {
                                stateDir: String, idxDir: String,
                                cent: DataFrame, book: DataFrame = null): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
-      beforeCommit = (prev, merged) =>
-        commitCellDelta(prev, merged, batchId, idxDir, cent, book))
+      beforeCommit = (prev, merged) => {
+        // restrict both sides to the batch's own keys (r13, the
+        // maintainTextIndexBatch note): an unmoved co-bucketed vector
+        // would otherwise quantize + PQ-encode on both sides only to emit
+        // a cancelling pair — per-batch encode cost now ∝ touched
+        // vectors. Same TRUNCATE caveat; the embeddings changelog
+        // carries none.
+        val keys = batch.select(col("id")).distinct()
+        commitCellDelta(prev.join(keys, Seq("id"), "left_semi"),
+          merged.join(keys, Seq("id"), "left_semi"), batchId, idxDir,
+          cent, book)
+      })
 
   private val vecRuns = new graft.model.JvmMemo[(String, String)]()
 
