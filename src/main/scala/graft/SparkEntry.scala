@@ -373,6 +373,9 @@ object SparkEntry {
     // ES match `operator: and`: the BM25 ranking over docs matching EVERY
     // query term (minShouldMatch = |query|), same pruned-postings IO
     "cdc_match_and" -> ((s, d) => graft.ops.Search.qCdcMatchAnd(s, d)),
+    // ES bool must/must_not: must scores+qualifies, must_not excludes in
+    // filter context; IO = the union of the terms' tok-buckets
+    "cdc_bool_search" -> ((s, d) => graft.ops.Search.qCdcBoolSearch(s, d)),
     // BOOTSTRAP: the index seeded from a source-table snapshot in one
     // batch build + only the changelog tail applied (ES reindex-from-
     // source) — serves queries identically to the replay-built index
@@ -429,7 +432,8 @@ object SparkEntry {
     * plain OR search; the term count renders `operator: and`). */
   private def cdcMatchSql(msm: Int,
                           terms: Seq[String] =
-                            Seq("stream", "merge", "window")): String =
+                            Seq("stream", "merge", "window"),
+                          excludeTerms: Seq[String] = Seq.empty): String =
     s"""WITH $docsChangelogCte,
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
@@ -445,7 +449,10 @@ object SparkEntry {
        |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
        |           6) AS DECIMAL(18,8)) AS ts
        |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
-       |       CROSS JOIN st),
+       |       CROSS JOIN st${
+         if (excludeTerms.isEmpty) ""
+         else s"""\n       WHERE p.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok IN (${
+           excludeTerms.map("'" + _ + "'").mkString(", ")}))"""}),
        |agg AS (SELECT doc_id, count(*) AS n_t,
        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
        |        FROM ts GROUP BY 1 HAVING count(*) >= $msm),
@@ -1735,6 +1742,9 @@ object SparkEntry {
     "cdc_text_bootstrap" -> cdcTextSearchSql,
     // operator:and — the same scoring, docs matching all 3 terms only
     "cdc_match_and" -> cdcMatchSql(3, Seq("dup", "merge", "window")),
+    // bool must/must_not: operator:and scoring over the must terms, the
+    // must_not docs cut AFTER df/idf (filter context never rescores)
+    "cdc_bool_search" -> cdcMatchSql(2, Seq("dup", "merge"), Seq("r2")),
     "cdc_vector_bootstrap" -> vectorSearchOracle(3),
     // sloppy phrase: in-order 'merge' .. 'window' with ≤1 interposed
     // position; hits = distinct first-term starts that begin a match

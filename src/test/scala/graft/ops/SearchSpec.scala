@@ -425,6 +425,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "OR top-10 has no partial matcher — the AND cut would be invisible")
   }
 
+  test("bool must_not excludes in filter context — survivors keep their must-only scores") {
+    val must = Seq("dup", "merge")
+    val bool = Search.qCdcBoolSearch(spark, sfDir).collect()
+    assert(bool.nonEmpty)
+    // filter context: df/idf derive BEFORE the cut, so every surviving doc
+    // scores exactly what the must-only ranking gave it — exclusion
+    // filters, never rescores
+    val mustOnly = Search.qCdcMatchAnd(spark, sfDir, query = must, k = 1000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    bool.foreach { r =>
+      assert(mustOnly(r.getLong(1)) === r.getDouble(3),
+        s"doc ${r.getLong(1)} rescored under must_not")
+    }
+    // and the exclusion genuinely removed docs from the top-10
+    val removed = Search.qCdcMatchAnd(spark, sfDir, query = must).collect()
+      .map(_.getLong(1)).toSet -- bool.map(_.getLong(1)).toSet
+    assert(removed.nonEmpty, "must_not removed nothing from the top-10")
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
