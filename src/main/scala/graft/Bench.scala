@@ -35,10 +35,32 @@ object Bench {
       if (acc == Double.MinValue) println(acc) // keep the loop alive
       (System.nanoTime() - t0) / 1e6
     }
+    // MULTI-core speed probe (r13): wall time of 32 CONCURRENT copies of
+    // the same fixed spin. Host core oversubscription inflates every
+    // multi-task Spark stage while leaving a 1-thread spin untouched —
+    // observed: same-code suites +15–20% at constant spin_ms, with
+    // par32/single measured 1.2 in the same window. Read the pair
+    // together: spin_ms = single-core clock, spin_par32_ms/spin_ms =
+    // effective parallel-capacity loss.
+    def spinParMs(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to 32).map { _ =>
+        val t = new Thread(() => {
+          var acc = 1.0
+          var i = 0
+          while (i < (1 << 26)) { acc = acc * 1.0000001 + 1e-9; i += 1 }
+          if (acc == Double.MinValue) println(acc)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     val loadStart = loadavg()
     val ioStart = ioPressure()
     spinMs() // discarded JIT warm-up: the measured samples must compare
     val spinStart = spinMs()
+    val spinParStart = spinParMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -115,6 +137,7 @@ object Bench {
     // box" across rounds. The pre- and post-suite probes' MIN is the
     // least-contended sample of this run.
     val spinEnd = spinMs()
+    val spinParEnd = spinParMs()
     val spinBest = math.min(spinStart, spinEnd)
     val SpinRef = 166.7
     val totalNorm = total * SpinRef / spinBest
@@ -175,6 +198,8 @@ object Bench {
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""spin_ms_start":${"%.1f".formatLocal(java.util.Locale.ROOT, spinStart)},""" +
       s""""spin_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinEnd)},""" +
+      s""""spin_par32_ms_start":${"%.1f".formatLocal(java.util.Locale.ROOT, spinParStart)},""" +
+      s""""spin_par32_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinParEnd)},""" +
       s""""spin_ref_ms":$SpinRef,""" +
       s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
