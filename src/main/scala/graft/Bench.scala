@@ -168,7 +168,7 @@ object Bench {
       "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index",
       "cdc_text_index", "cdc_text_search", "cdc_phrase_search",
       "cdc_hybrid_search", "cdc_match_and", "cdc_phrase_slop",
-      "cdc_vector_bootstrap",
+      "cdc_text_time_travel", "cdc_vector_bootstrap",
       "cdc_vector_index", "cdc_vector_search", "cdc_vector_search_pq")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt

@@ -381,6 +381,11 @@ object SparkEntry {
     // source) — serves queries identically to the replay-built index
     "cdc_text_bootstrap" -> ((s, d) =>
       graft.ops.Search.qCdcTextBootstrapSearch(s, d)),
+    // TIME-TRAVEL search (ES snapshot/PIT): BM25 from the index AS OF the
+    // seed savepoint - pinned postings-bucket versions + the matching
+    // stats version - while the live index has applied the tail
+    "cdc_text_time_travel" -> ((s, d) =>
+      graft.ops.Search.qCdcTextTimeTravel(s, d)),
     // ...and for DENSE retrieval (the ES kNN half): vectors re-quantize
     // against the frozen staged centroids as they change, and ANN is
     // served from the maintained cell-bucketed state
@@ -430,6 +435,29 @@ object SparkEntry {
 
   /** BM25 over the live docs — msm = minimum matched-term count (1 is the
     * plain OR search; the term count renders `operator: and`). */
+  private lazy val bm25OverDocsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+      |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+      |ts AS (SELECT p.doc_id,
+      |         CAST(round(
+      |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+      |           ((CAST(tf AS DOUBLE) * 2.2) /
+      |            (CAST(tf AS DOUBLE) +
+      |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+      |           6) AS DECIMAL(18,8)) AS ts
+      |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+      |       CROSS JOIN st),
+      |agg AS (SELECT doc_id, count(*) AS n_t,
+      |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
+      |        FROM ts GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+      |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   private def cdcMatchSql(msm: Int,
                           terms: Seq[String] =
                             Seq("stream", "merge", "window"),
@@ -1819,28 +1847,10 @@ object SparkEntry {
     // BM25 over the staged inverted index; the oracle re-derives postings
     // from scratch — rational idf (N-df+0.5)/(df+0.5), identical double
     // association, round-6 per-term scores summed as DECIMAL (order-free)
-    "doc_bm25_search" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
-        |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
-        |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
-        |ts AS (SELECT p.doc_id,
-        |         CAST(round(
-        |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-        |           ((CAST(tf AS DOUBLE) * 2.2) /
-        |            (CAST(tf AS DOUBLE) +
-        |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
-        |           6) AS DECIMAL(18,8)) AS ts
-        |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
-        |       CROSS JOIN st),
-        |agg AS (SELECT doc_id, count(*) AS n_t,
-        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
-        |        FROM ts GROUP BY 1),
-        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
-        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
-        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "doc_bm25_search" -> bm25OverDocsSql,
+    // time-travel: the savepointed (pre-tail) maintained index answers
+    // exactly like the static staged index over the same corpus
+    "cdc_text_time_travel" -> bm25OverDocsSql,
     // positional-postings semantics (overlapping starts): a phrase
     // occurrence at start s has term i at position s+i for every i —
     // the from-scratch mirror of the index's posting-list intersection

@@ -46,7 +46,7 @@ object ChangelogStream {
   /** Committed (`_SUCCESS`-marked) version directories under `stateDir`,
     * via the Hadoop FileSystem API so the versioned-state mechanism works on
     * HDFS/S3A paths, not just the local filesystem. */
-  private[cdc] def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+  private[graft] def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
@@ -590,6 +590,23 @@ object ChangelogStream {
     readResolved(spark, stateDir,
       Buckets.readAt(spark, stateDir, savepointName).paths(stateDir),
       None, payloadCols)
+
+  /** The bucket-PRUNED rendering of [[readStateAt]]: only the given
+    * buckets' PINNED versions open — the value-addressed point-read
+    * discipline composed with a savepoint (time-travel search reads a
+    * term's bucket as-of the pin, never the whole pinned state). Callers
+    * hash their values through [[Buckets.readAt]]'s layout, which the pin
+    * froze together with the versions. */
+  def readStateBucketsAt(spark: SparkSession, stateDir: String,
+                         savepointName: String, payloadCols: Seq[String],
+                         buckets: Seq[Int]): DataFrame = {
+    val layout = Buckets.readAt(spark, stateDir, savepointName)
+    val wanted = buckets.toSet
+    val paths = layout.entries.toSeq.sortBy(_._1)
+      .collect { case (b, (_, v)) if v >= 0 && wanted.contains(b) =>
+        s"$stateDir/bucket=$b/v=$v" }
+    readResolved(spark, stateDir, paths, buckets.headOption, payloadCols)
+  }
 
   /** The committed data paths of a state: manifest pointers when present,
     * legacy latest-`_SUCCESS` listing otherwise. */

@@ -451,13 +451,56 @@ object Search {
           java.nio.file.Paths.get("/tmp"), "graft-textboot-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
       val cl = graft.cdc.Changelog.fromDocuments(s2, sfDir)
+      // EXCLUSIVE horizon: key 0's UPDATE lands at seq = 0 + 1e6 exactly,
+      // so `<= 1e6` would leak one tail event into the seed (caught by the
+      // time-travel oracle: the pinned index must equal the source table)
       val horizon = 1000000L // the insert phase IS the source table
-      maintainTextIndexBatch(cl.filter(col("seq") <= horizon), 0L,
+      maintainTextIndexBatch(cl.filter(col("seq") < horizon), 0L,
         s"$work/state", s"$work/idx")
-      maintainTextIndexBatch(cl.filter(col("seq") > horizon), 1L,
+      // pin the freshly-seeded index version (the ES snapshot/PITR
+      // story): retention keeps the pinned postings-bucket versions alive
+      // however many batches follow, and [[qCdcTextTimeTravel]] serves
+      // queries from them — search-as-of, not just state-as-of
+      graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
+      maintainTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
         s"$work/state", s"$work/idx")
       (s"$work/state", s"$work/idx")
     }
+
+  /** TIME-TRAVEL search (the ES snapshot/point-in-time story): BM25 served
+    * from the index AS OF the "seed" savepoint — the pinned postings-bucket
+    * versions and the stats row of the matching batch — while the LIVE
+    * index has long since applied the tail (updates moved postings,
+    * deletes retracted them). The read is still bucket-PRUNED: the query
+    * terms hash through the savepoint's pinned layout and only those
+    * buckets' PINNED versions open ([[graft.cdc.ChangelogStream
+    * .readStateBucketsAt]]). The pinned point is the pre-tail corpus — the
+    * source table exactly — so the query shares doc_bm25_search's oracle:
+    * the savepointed MAINTAINED index must answer precisely like the
+    * STATIC staged index over the same corpus. Stats-as-of reads the
+    * `_stats` version ≤ the pinned batch (MV retention keeps one
+    * predecessor — a deployment pinning deeper history would extend
+    * [[graft.cdc.Buckets.savepoint]]'s pin-file discipline to MV version
+    * dirs the same way). */
+  def qCdcTextTimeTravel(spark: SparkSession, sfDir: String,
+                         query: Seq[String] = Seq("stream", "merge", "window"),
+                         k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexBootstrapRun(spark, sfDir)
+    val layout = graft.cdc.Buckets.readAt(spark, idxDir, "seed")
+    val buckets = query.distinct
+      .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
+      .distinct.sorted
+    val postings = graft.cdc.ChangelogStream
+      .readStateBucketsAt(spark, idxDir, "seed",
+        Seq("tok", "id", "tf", "dl"), buckets)
+      .filter(col("tok").isin(query.distinct: _*))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val statsV = graft.cdc.ChangelogStream
+      .committedVersions(spark, s"$idxDir/_stats").filter(_ <= 0L).last
+    val stats = spark.read.parquet(s"$idxDir/_stats/v=$statsV")
+      .select(col("n").as("n_docs"), col("s").cast("long").as("sum_dl"))
+    bm25TopK(postings, stats, k, 1.2, 0.75)
+  }
 
   /** Oracle-checked query: BM25 served from the BOOTSTRAPPED index — the
     * snapshot-seeded, tail-applied postings answer queries identically to

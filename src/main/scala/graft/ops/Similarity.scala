@@ -503,10 +503,13 @@ object Similarity {
           java.nio.file.Paths.get("/tmp"), "graft-vecboot-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
       val cl = graft.cdc.Changelog.fromEmbeddings(s2, sfDir)
+      // EXCLUSIVE horizon: key 0's UPDATE lands at seq = 0 + 1e6 exactly,
+      // so `<= 1e6` would leak one tail event into the seed (caught by the
+      // time-travel oracle: the pinned index must equal the source table)
       val horizon = 1000000L // the insert phase IS the source table
-      maintainVectorIndexBatch(cl.filter(col("seq") <= horizon), 0L,
+      maintainVectorIndexBatch(cl.filter(col("seq") < horizon), 0L,
         s"$work/state", s"$work/idx", cent, book)
-      maintainVectorIndexBatch(cl.filter(col("seq") > horizon), 1L,
+      maintainVectorIndexBatch(cl.filter(col("seq") >= horizon), 1L,
         s"$work/state", s"$work/idx", cent, book)
       (s"$work/state", s"$work/idx")
     }
