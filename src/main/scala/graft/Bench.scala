@@ -59,6 +59,7 @@ object Bench {
     val loadStart = loadavg()
     val ioStart = ioPressure()
     spinMs() // discarded JIT warm-up: the measured samples must compare
+    spinParMs() // same for the 32-thread probe (its lambda JITs separately)
     val spinStart = spinMs()
     val spinParStart = spinParMs()
     val spark = SparkSession.builder()

@@ -433,36 +433,16 @@ object SparkEntry {
       |live AS (SELECT id AS doc_id, text FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
 
-  /** BM25 over the live docs — msm = minimum matched-term count (1 is the
-    * plain OR search; the term count renders `operator: and`). */
-  private lazy val bm25OverDocsSql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-      |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
-      |         WHERE tok IN ('stream', 'merge', 'window') GROUP BY 1, 2),
-      |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
-      |ts AS (SELECT p.doc_id,
-      |         CAST(round(
-      |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-      |           ((CAST(tf AS DOUBLE) * 2.2) /
-      |            (CAST(tf AS DOUBLE) +
-      |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
-      |           6) AS DECIMAL(18,8)) AS ts
-      |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
-      |       CROSS JOIN st),
-      |agg AS (SELECT doc_id, count(*) AS n_t,
-      |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
-      |        FROM ts GROUP BY 1),
-      |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
-      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
-      |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
-
-  private def cdcMatchSql(msm: Int,
-                          terms: Seq[String] =
-                            Seq("stream", "merge", "window"),
-                          excludeTerms: Seq[String] = Seq.empty): String =
-    s"""WITH $docsChangelogCte,
+  /** ONE BM25 oracle template for every lexical-search query — the scoring
+    * expression (idf × tf normalization, round-6 DECIMAL association) lives
+    * exactly once; callers choose the `toks` source CTE(s) (raw documents
+    * vs the changelog live view), msm (minimum matched-term count — 1 is
+    * the plain OR search, the term count renders `operator: and`; a
+    * vacuous `HAVING count(*) >= 1` for the OR case), and the filter-
+    * context exclusions (`must_not`). */
+  private def bm25Sql(toksCtes: String, msm: Int, terms: Seq[String],
+                      excludeTerms: Seq[String]): String =
+    s"""WITH $toksCtes,
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
        |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
@@ -487,6 +467,18 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** BM25 over the raw documents table (the static staged index's corpus —
+    * and the bootstrap savepoint's pinned pre-tail corpus). */
+  private lazy val bm25OverDocsSql: String = bm25Sql(
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+    1, Seq("stream", "merge", "window"), Seq.empty)
+
+  private def cdcMatchSql(msm: Int,
+                          terms: Seq[String] =
+                            Seq("stream", "merge", "window"),
+                          excludeTerms: Seq[String] = Seq.empty): String =
+    bm25Sql(docsChangelogCte, msm, terms, excludeTerms)
 
   private lazy val cdcTextSearchSql: String = cdcMatchSql(1)
 

@@ -243,11 +243,73 @@ object Materialize {
     if (!f.rename(tmp, to))
       throw new IllegalStateException(s"mv promote failed: $tmp -> $to")
     f.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
-    // retention: the new version + one predecessor
+    // retention: the new version + one predecessor; savepoint-PINNED
+    // versions survive (the [[graft.cdc.Buckets.savepoint]] discipline
+    // extended to MV version dirs — [[savepointMv]])
+    val pins = pinnedMvVersions(spark, mvDir)
     ChangelogStream.committedVersions(spark, mvDir).filter(_ < batchId)
-      .dropRight(1)
+      .dropRight(1).filterNot(pins.contains)
       .foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=$v"), true))
 
+  }
+
+  // ── MV savepoints ───────────────────────────────────────────────────────
+  // The keyed state pins consistent bucket-version SETS via
+  // [[graft.cdc.Buckets.savepoint]]; an MV is one version dir per batch, so
+  // its pin is just the version number in `_savepoints/<name>.txt` —
+  // retention skips pinned versions, [[readMvAt]] serves the pinned rows.
+  // A state savepoint that must travel WITH its derived MV (the time-travel
+  // search's stats row) takes both pins at the same batch boundary.
+
+  private def mvPinPath(mvDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$mvDir/_savepoints/$name.txt")
+
+  private def pinnedMvVersions(spark: SparkSession, mvDir: String): Set[Long] = {
+    val f = fs(spark, mvDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$mvDir/_savepoints")
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".txt"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }.toSet
+  }
+
+  /** PIN the MV's latest committed version under `name` — retention keeps
+    * it alive however many deltas follow; idempotent re-pin (replay). */
+  def savepointMv(spark: SparkSession, mvDir: String, name: String): Unit = {
+    val v = lastMvBatch(spark, mvDir).getOrElse(
+      throw new IllegalStateException(s"no MV version to savepoint at $mvDir"))
+    val f = fs(spark, mvDir)
+    val p = mvPinPath(mvDir, name)
+    val tmp = new org.apache.hadoop.fs.Path(s"$mvDir/_savepoints/.$name.tmp")
+    f.mkdirs(p.getParent)
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"mv savepoint commit failed: $name")
+  }
+
+  /** The MV rows AS OF a savepoint — the pinned version's dir. */
+  def readMvAt(spark: SparkSession, mvDir: String, name: String): DataFrame = {
+    val f = fs(spark, mvDir)
+    val p = mvPinPath(mvDir, name)
+    if (!f.exists(p))
+      throw new IllegalStateException(s"no MV savepoint '$name' at $mvDir")
+    val in = f.open(p)
+    val v = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+    spark.read.parquet(s"$mvDir/v=$v")
+  }
+
+  /** RELEASE an MV savepoint — the pinned version becomes collectible at
+    * the next delta's retention sweep; missing pin is a no-op (replay). */
+  def releaseMvSavepoint(spark: SparkSession, mvDir: String, name: String): Unit = {
+    val f = fs(spark, mvDir)
+    val p = mvPinPath(mvDir, name)
+    if (f.exists(p)) f.delete(p, false)
   }
 
   /** Merge one micro-batch into the keyed state AND its per-group MV — the

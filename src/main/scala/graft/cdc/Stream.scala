@@ -572,15 +572,30 @@ object ChangelogStream {
   def readStateBuckets(spark: SparkSession, stateDir: String,
                        payloadCols: Seq[String], buckets: Seq[Int]): DataFrame = {
     val paths = Buckets.read(spark, stateDir) match {
-      case Some(layout) =>
-        val wanted = buckets.toSet
-        layout.entries.toSeq.sortBy(_._1)
-          .collect { case (b, (_, v)) if v >= 0 && wanted.contains(b) =>
-            s"$stateDir/bucket=$b/v=$v" }
+      case Some(layout) => bucketPaths(layout, stateDir, buckets)
       case None => buckets.flatMap(b => resolvePaths(spark, stateDir, Some(b)))
     }
     readResolved(spark, stateDir, paths, buckets.headOption, payloadCols)
   }
+
+  /** The committed paths of a layout's given buckets (live manifest or a
+    * savepoint's pinned one — the caller chose where the Layout came from). */
+  private def bucketPaths(layout: Buckets.Layout, stateDir: String,
+                          buckets: Seq[Int]): Seq[String] = {
+    val wanted = buckets.toSet
+    layout.entries.toSeq.sortBy(_._1)
+      .collect { case (b, (_, v)) if v >= 0 && wanted.contains(b) =>
+        s"$stateDir/bucket=$b/v=$v" }
+  }
+
+  /** As [[readStateBuckets]], over an ALREADY-READ layout — the one-manifest
+    * path for callers that hashed their values through the same Layout
+    * (live or savepointed) and must not re-read it. */
+  def readLayoutBuckets(spark: SparkSession, stateDir: String,
+                        layout: Buckets.Layout, payloadCols: Seq[String],
+                        buckets: Seq[Int]): DataFrame =
+    readResolved(spark, stateDir, bucketPaths(layout, stateDir, buckets),
+      buckets.headOption, payloadCols)
 
   /** As [[readState]], but through the consistent (bucket → version) set a
     * [[Buckets.savepoint]] pinned — version-addressed time travel over the
@@ -599,14 +614,9 @@ object ChangelogStream {
     * froze together with the versions. */
   def readStateBucketsAt(spark: SparkSession, stateDir: String,
                          savepointName: String, payloadCols: Seq[String],
-                         buckets: Seq[Int]): DataFrame = {
-    val layout = Buckets.readAt(spark, stateDir, savepointName)
-    val wanted = buckets.toSet
-    val paths = layout.entries.toSeq.sortBy(_._1)
-      .collect { case (b, (_, v)) if v >= 0 && wanted.contains(b) =>
-        s"$stateDir/bucket=$b/v=$v" }
-    readResolved(spark, stateDir, paths, buckets.headOption, payloadCols)
-  }
+                         buckets: Seq[Int]): DataFrame =
+    readLayoutBuckets(spark, stateDir,
+      Buckets.readAt(spark, stateDir, savepointName), payloadCols, buckets)
 
   /** The committed data paths of a state: manifest pointers when present,
     * legacy latest-`_SUCCESS` listing otherwise. */

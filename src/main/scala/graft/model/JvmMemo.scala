@@ -18,11 +18,17 @@ package graft.model
   * computeIfAbsent with its own body.
   */
 final class JvmMemo[V] {
-  private final class Holder(body: () => V) {
+  private final class Holder(body0: () => V) {
+    private[this] var body: () => V = body0
     private[this] var result: Either[Throwable, V] = _
     def get(): V = synchronized {
-      if (result == null)
+      if (result == null) {
         result = try Right(body()) catch { case t: Throwable => Left(t) }
+        // the closure (and everything it captured — SparkSession, fixture
+        // dirs) is dead weight once the outcome is memoized: the memo maps
+        // live for the JVM, the captured environment must not
+        body = null
+      }
       result.fold(t => throw t, identity)
     }
   }

@@ -257,15 +257,20 @@ object Search {
         // would tokenize on both sides only to emit a cancelling
         // DELETE+INSERT pair — correct but ∝ bucket contents, not the
         // batch. The semi-join makes the per-batch cost match the
-        // documented contract (∝ touched documents' text). CAVEAT: a
-        // TRUNCATE-bearing stream would need the fence-killed keys (in
-        // prev, absent from the batch) unioned in — the documents
-        // changelog carries none.
+        // documented contract (∝ touched documents' text). EXCEPT when
+        // the batch carries a TRUNCATE: the fence-killed rows the hook
+        // surfaces in `prev` are NOT batch keys, and the semi-join would
+        // silently drop their retractions — a truncate batch (rare)
+        // processes its whole hook frames instead (r13 self-review #1).
+        val hasTrunc = batch.columns.contains("op") &&
+          !batch.filter(col("op") === "TRUNCATE").isEmpty
         val keys = batch.select(col("id")).distinct()
+        def touched(side: DataFrame): DataFrame =
+          if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
         // tokenize each side ONCE (cached) — the postings and stats deltas
         // both fold off the same (id, ws) frames
-        val tp = liveToks(prev.join(keys, Seq("id"), "left_semi")).persist()
-        val tm = liveToks(merged.join(keys, Seq("id"), "left_semi")).persist()
+        val tp = liveToks(touched(prev)).persist()
+        val tm = liveToks(touched(merged)).persist()
         try {
           // independent targets (idx vs idx/_stats), independently fenced
           // (postings replay-absorb, stats batch-fence) — any committed
@@ -284,15 +289,21 @@ object Search {
     * order) calls this and carries max(text, vector) instead of their sum;
     * every later family member reads both passes memoized. Returns the
     * TEXT pass's (stateDir, idxDir). */
-  private def warmMaintainedPasses(spark: SparkSession,
-                                   sfDir: String): (String, String) = {
-    val warmVec = scala.concurrent.Future(
-      Similarity.vectorIndexRun(spark, sfDir))(graft.cdc.Materialize.stateWriteEc)
-    val dirs = textIndexRun(spark, sfDir)
+  /** Warm a (text, vector) pass pair concurrently — the vector pass on
+    * the state-write pool, the text pass on the caller — returning the
+    * text pass's result. Shared by the replay and bootstrap carriers. */
+  private def warmPair[A](text: => A, vector: => Any): A = {
+    val warmVec = scala.concurrent.Future(vector)(
+      graft.cdc.Materialize.stateWriteEc)
+    val dirs = text
     scala.concurrent.Await.result(warmVec,
       scala.concurrent.duration.Duration.Inf)
     dirs
   }
+
+  private def warmMaintainedPasses(spark: SparkSession,
+                                   sfDir: String): (String, String) =
+    warmPair(textIndexRun(spark, sfDir), Similarity.vectorIndexRun(spark, sfDir))
 
   private val textRuns = new graft.model.JvmMemo[(String, String)]()
 
@@ -342,15 +353,22 @@ object Search {
     * At 100 TB a term lookup is one bucket, never the postings state. */
   private def maintainedPostings(spark: SparkSession, idxDir: String,
                                  terms: Seq[String],
-                                 payloadCols: Seq[String]): DataFrame = {
-    val layout = graft.cdc.Buckets.read(spark, idxDir).getOrElse(
-      throw new IllegalStateException(
-        s"postings index at $idxDir has no layout manifest — no batch ever committed"))
+                                 payloadCols: Seq[String],
+                                 asOf: Option[String] = None): DataFrame = {
+    // ONE manifest read serves both the term→bucket hash and the file
+    // resolution — live manifest, or the consistent layout a savepoint
+    // pinned (`asOf` — the time-travel read)
+    val layout = asOf match {
+      case Some(name) => graft.cdc.Buckets.readAt(spark, idxDir, name)
+      case None => graft.cdc.Buckets.read(spark, idxDir).getOrElse(
+        throw new IllegalStateException(
+          s"postings index at $idxDir has no layout manifest — no batch ever committed"))
+    }
     val buckets = terms.distinct
       .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
       .distinct.sorted
     graft.cdc.ChangelogStream
-      .readStateBuckets(spark, idxDir, payloadCols, buckets)
+      .readLayoutBuckets(spark, idxDir, layout, payloadCols, buckets)
       .filter(col("tok").isin(terms.distinct: _*))
   }
 
@@ -460,8 +478,11 @@ object Search {
       // pin the freshly-seeded index version (the ES snapshot/PITR
       // story): retention keeps the pinned postings-bucket versions alive
       // however many batches follow, and [[qCdcTextTimeTravel]] serves
-      // queries from them — search-as-of, not just state-as-of
+      // queries from them — search-as-of, not just state-as-of. The
+      // stats MV pins AT THE SAME batch boundary (one savepoint = bucket
+      // versions + the matching normalization constants).
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
+      graft.cdc.Materialize.savepointMv(s2, s"$work/idx/_stats", "seed")
       maintainTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
         s"$work/state", s"$work/idx")
       (s"$work/state", s"$work/idx")
@@ -477,27 +498,18 @@ object Search {
     * .readStateBucketsAt]]). The pinned point is the pre-tail corpus — the
     * source table exactly — so the query shares doc_bm25_search's oracle:
     * the savepointed MAINTAINED index must answer precisely like the
-    * STATIC staged index over the same corpus. Stats-as-of reads the
-    * `_stats` version ≤ the pinned batch (MV retention keeps one
-    * predecessor — a deployment pinning deeper history would extend
-    * [[graft.cdc.Buckets.savepoint]]'s pin-file discipline to MV version
-    * dirs the same way). */
+    * STATIC staged index over the same corpus. Stats-as-of is the `_stats`
+    * version the SAME savepoint pinned ([[graft.cdc.Materialize
+    * .savepointMv]] — retention keeps pinned MV versions alive however
+    * many deltas follow, so the coupling survives any tail batching). */
   def qCdcTextTimeTravel(spark: SparkSession, sfDir: String,
                          query: Seq[String] = Seq("stream", "merge", "window"),
                          k: Int = 10): DataFrame = {
     val (_, idxDir) = textIndexBootstrapRun(spark, sfDir)
-    val layout = graft.cdc.Buckets.readAt(spark, idxDir, "seed")
-    val buckets = query.distinct
-      .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
-      .distinct.sorted
-    val postings = graft.cdc.ChangelogStream
-      .readStateBucketsAt(spark, idxDir, "seed",
-        Seq("tok", "id", "tf", "dl"), buckets)
-      .filter(col("tok").isin(query.distinct: _*))
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"), asOf = Some("seed"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    val statsV = graft.cdc.ChangelogStream
-      .committedVersions(spark, s"$idxDir/_stats").filter(_ <= 0L).last
-    val stats = spark.read.parquet(s"$idxDir/_stats/v=$statsV")
+    val stats = graft.cdc.Materialize.readMvAt(spark, s"$idxDir/_stats", "seed")
       .select(col("n").as("n_docs"), col("s").cast("long").as("sum_dl"))
     bm25TopK(postings, stats, k, 1.2, 0.75)
   }
@@ -513,12 +525,8 @@ object Search {
   def qCdcTextBootstrapSearch(spark: SparkSession, sfDir: String,
                               query: Seq[String] = Seq("stream", "merge", "window"),
                               k: Int = 10): DataFrame = {
-    val warmVec = scala.concurrent.Future(
-      Similarity.vectorIndexBootstrapRun(spark, sfDir))(
-      graft.cdc.Materialize.stateWriteEc)
-    val idxDir = textIndexBootstrapRun(spark, sfDir)._2
-    scala.concurrent.Await.result(warmVec,
-      scala.concurrent.duration.Duration.Inf)
+    val idxDir = warmPair(textIndexBootstrapRun(spark, sfDir),
+      Similarity.vectorIndexBootstrapRun(spark, sfDir))._2
     maintainedBm25(spark, idxDir, query, k)
   }
 

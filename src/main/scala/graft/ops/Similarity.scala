@@ -432,11 +432,15 @@ object Similarity {
         // maintainTextIndexBatch note): an unmoved co-bucketed vector
         // would otherwise quantize + PQ-encode on both sides only to emit
         // a cancelling pair — per-batch encode cost now ∝ touched
-        // vectors. Same TRUNCATE caveat; the embeddings changelog
-        // carries none.
+        // vectors. Same TRUNCATE rule: a fence-carrying batch must keep
+        // the hook's fence-killed rows (not batch keys) so their (cell,
+        // id) entries retract — it processes the whole hook frames.
+        val hasTrunc = batch.columns.contains("op") &&
+          !batch.filter(col("op") === "TRUNCATE").isEmpty
         val keys = batch.select(col("id")).distinct()
-        commitCellDelta(prev.join(keys, Seq("id"), "left_semi"),
-          merged.join(keys, Seq("id"), "left_semi"), batchId, idxDir,
+        def touched(side: DataFrame): DataFrame =
+          if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
+        commitCellDelta(touched(prev), touched(merged), batchId, idxDir,
           cent, book)
       })
 
@@ -546,26 +550,29 @@ object Similarity {
     * the maintained search. */
   private def probedEntries(spark: SparkSession, sfDir: String, nQueries: Int,
                             payloadCols: Seq[String],
-                            dirs: (String, String)): (DataFrame, DataFrame, String) = {
+                            dirs: (String, String),
+                            asOf: Option[String] = None): (DataFrame, DataFrame, String) = {
     val (stateDir, idxDir) = dirs
     val probed = ivfAssignments(spark, sfDir, iters = 3, seedSplit = 2)
       .filter(col("vec_id") < nQueries && col("crk") <= 2)
       .select(col("vec_id").as("q_id"), col("cl").as("cell"))
-    // bucket-pruned read of the probed cells (bounded driver lists)
+    // bucket-pruned read of the probed cells (bounded driver lists);
+    // ONE manifest read serves both the cell→bucket hash and the file
+    // resolution — live manifest, or a savepoint's pinned layout (`asOf`)
     val cellIds = probed.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val layout = graft.cdc.Buckets.read(spark, idxDir)
-    val buckets = layout match {
-      case Some(l) => cellIds.map(c =>
-        graft.cdc.Buckets.bucketOfValues(l, Seq(c))).distinct.sorted
-      case None => Array.empty[Int]
+    val layout = asOf match {
+      case Some(name) => graft.cdc.Buckets.readAt(spark, idxDir, name)
+      case None => graft.cdc.Buckets.read(spark, idxDir).getOrElse(
+        throw new IllegalStateException(
+          s"vector index at $idxDir has no layout manifest — no batch ever committed"))
     }
-    require(buckets.nonEmpty,
-      s"vector index at $idxDir has no layout manifest — no batch ever committed")
+    val buckets = cellIds.map(c =>
+      graft.cdc.Buckets.bucketOfValues(layout, Seq(c))).distinct.sorted
     // one relation over the probed bucket set (one driver-side listing),
     // not one spark.read per bucket — the readStateBuckets rationale
-    val entries = graft.cdc.ChangelogStream.readStateBuckets(
-      spark, idxDir, payloadCols, buckets.toSeq)
+    val entries = graft.cdc.ChangelogStream.readLayoutBuckets(
+      spark, idxDir, layout, payloadCols, buckets.toSeq)
     (entries, probed, stateDir)
   }
 
@@ -599,21 +606,31 @@ object Similarity {
     * bootstrap-built ([[vectorIndexBootstrapRun]]) indexes. */
   private def cdcVectorSearchFrom(spark0: SparkSession, sfDir: String,
                                   dirs: (String, String),
-                                  nQueries: Int, k: Int): DataFrame = {
+                                  nQueries: Int, k: Int,
+                                  asOf: Option[String] = None): DataFrame = {
     // probed-bucket-sized plan: query-local 8-partition sibling session
     // (AQE off) so the ~10 tiny stages stop paying 32 tasks + adaptive
     // re-planning each; values are partition-count independent (round-6
     // scores, per-q rank windows)
     val spark = graft.cdc.Materialize.sessionWithParts(spark0, 8)
     val (entries, probed, stateDir) =
-      probedEntries(spark, sfDir, nQueries, Seq("cell", "id"), dirs)
+      probedEntries(spark, sfDir, nQueries, Seq("cell", "id"), dirs, asOf)
+    // the rerank vectors come from the doc state AT THE SAME POINT as the
+    // index entries: live for the serving path, the savepoint's pinned
+    // versions for time travel (entries and vectors must agree or a moved
+    // vector would rerank under its post-pin value)
+    val vecs = asOf match {
+      case Some(name) => graft.cdc.ChangelogStream.readStateAt(
+        spark, stateDir, name, Seq("id", "embedding"))
+      case None => liveVectors(spark, stateDir)
+    }
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
         norm(col("embedding")).as("qnrm"))
     val scored = entries.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
-      .join(liveVectors(spark, stateDir), Seq("id"))
+      .join(vecs, Seq("id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("id").as("vec_id"),
         round(dot(col("qemb"), col("embedding")) /

@@ -90,6 +90,34 @@ class MaterializeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Double)].collect().toSeq === Seq((3L, "B", 7.0)))
   }
 
+  test("an MV savepoint pins its version across retention; release frees it") {
+    // the Buckets.savepoint discipline extended to MV version dirs (r13):
+    // the time-travel search's stats row must survive any tail batching
+    val work = Files.createTempDirectory("graft-mvpin-").toString
+    val mvd = s"$work/mv"
+    def rows(g: String, n: Long, v: Double) =
+      Seq((g, n, v)).toDF("g", "n", "s")
+        .select(col("g"), col("n"), col("s").cast(Materialize.SType).as("s"))
+    Materialize.commitDeltaRows(spark, mvd, 0L, rows("A", 1L, 10.0), Seq("g"))
+    Materialize.savepointMv(spark, mvd, "pin")
+    Materialize.commitDeltaRows(spark, mvd, 1L, rows("A", 1L, 5.0), Seq("g"))
+    Materialize.commitDeltaRows(spark, mvd, 2L, rows("B", 1L, 2.0), Seq("g"))
+    Materialize.commitDeltaRows(spark, mvd, 3L, rows("B", 1L, 1.0), Seq("g"))
+    // retention keeps: v3 (latest), v2 (one predecessor), v0 (PINNED);
+    // v1 collected
+    assert(ChangelogStream.committedVersions(spark, mvd) === Seq(0L, 2L, 3L))
+    val pinned = Materialize.readMvAt(spark, mvd, "pin")
+      .select(col("g"), col("n"), col("s").cast("double").as("s"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(pinned === Seq(("A", 1L, 10.0)))
+    // release: the next delta's sweep collects the formerly-pinned version
+    Materialize.releaseMvSavepoint(spark, mvd, "pin")
+    Materialize.commitDeltaRows(spark, mvd, 4L, rows("B", 1L, 1.0), Seq("g"))
+    assert(ChangelogStream.committedVersions(spark, mvd) === Seq(3L, 4L))
+    // re-release of a missing pin is a no-op (replay contract)
+    Materialize.releaseMvSavepoint(spark, mvd, "pin")
+  }
+
   test("the maintained MV equals a full re-aggregation of the applied state") {
     val out = Materialize.qMvAgg(spark, sfDir)
       .as[(String, Long, Double)].collect().toSeq

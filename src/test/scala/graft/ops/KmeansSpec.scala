@@ -132,6 +132,35 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(entries() === Set((1L, 1L)))
   }
 
+  test("a TRUNCATE batch retracts fence-killed vectors from the maintained index") {
+    // fence-carrying batches must keep the hook's killed rows (not batch
+    // keys) so their (cell, id) entries retract (r13 self-review #2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val work = java.nio.file.Files.createTempDirectory("graft-vectrunc-spec-").toString
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cl", "cvec").withColumn("cnrm", typedLit(1.0))
+    def batch(rows: Seq[(Long, Long, String, Seq[Float])]) =
+      rows.toDF("id", "seq", "op", "embedding")
+    def entries(): Set[(Long, Long)] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("cell", "id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", Seq(1f, 0f)), (2L, 2L, "INSERT", Seq(0.1f, 0.9f)))),
+      0L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((0L, 1L), (1L, 2L)))
+    // TRUNCATE at seq 10 kills vectors 1 and 2; vector 3 (seq 11) survives
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((-1L, 10L, "TRUNCATE", null), (3L, 11L, "INSERT", Seq(0f, 1f)))),
+      1L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((1L, 3L)))
+    // replay re-absorbs
+    Similarity.maintainVectorIndexBatch(
+      batch(Seq((-1L, 10L, "TRUNCATE", null), (3L, 11L, "INSERT", Seq(0f, 1f)))),
+      1L, s"$work/state", s"$work/idx", cent)
+    assert(entries() === Set((1L, 3L)))
+  }
+
   test("PQ-compressed maintained index: codes in the inverted lists, ADC search holds recall") {
     val (_, idxDir) = Similarity.vectorIndexRun(spark, sfDir)
     // the index state holds PQ codes — NOT raw vectors (the faiss

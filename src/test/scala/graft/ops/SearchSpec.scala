@@ -113,6 +113,41 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(stats() === (1L, 2L))
   }
 
+  test("a TRUNCATE batch retracts fence-killed docs from the maintained text index") {
+    // the r13 touched-keys restriction must NOT apply to fence-carrying
+    // batches: the killed docs surface in the hook's prev frame but are
+    // not batch keys (r13 self-review #1)
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-texttrunc-spec-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    def postings(): Map[(String, Long), Long] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("tok", "id", "tf"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def stats(): (Long, Long) = {
+      val r = Search.corpusStats(spark, s"$work/idx").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "spark merge"), (2L, 2L, "INSERT", "scan window"))),
+      0L, s"$work/state", s"$work/idx")
+    assert(stats() === (2L, 4L))
+    // batch 1 carries a TRUNCATE at seq 10 plus one surviving insert: the
+    // fence kills docs 1 and 2 — their postings retract and the stats
+    // debit — while doc 3 (seq 11 > fence) indexes normally
+    Search.maintainTextIndexBatch(
+      batch(Seq((-1L, 10L, "TRUNCATE", null), (3L, 11L, "INSERT", "merge join"))),
+      1L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("merge", 3L) -> 1L, ("join", 3L) -> 1L))
+    assert(stats() === (1L, 2L))
+    // replay: the postings delta re-absorbs, the stats fence skips
+    Search.maintainTextIndexBatch(
+      batch(Seq((-1L, 10L, "TRUNCATE", null), (3L, 11L, "INSERT", "merge join"))),
+      1L, s"$work/state", s"$work/idx")
+    assert(postings() === Map(("merge", 3L) -> 1L, ("join", 3L) -> 1L))
+    assert(stats() === (1L, 2L))
+  }
+
   test("CDC-maintained search equals BM25 over the live documents") {
     // the maintained-index search and a from-scratch BM25 over the
     // changelog's live docs must agree rank for rank
