@@ -399,6 +399,22 @@ object SparkEntry {
     // the source table's vectors + only the tail applied
     "cdc_vector_bootstrap" -> ((s, d) =>
       Similarity.qCdcVectorBootstrapSearch(s, d)),
+    // ...and the dense twin of cdc_text_time_travel: ANN served from the
+    // seed savepoint's pinned index AND doc-state versions
+    "cdc_vector_time_travel" -> ((s, d) =>
+      Similarity.qCdcVectorTimeTravel(s, d)),
+    // ES bool.filter + term: match cut to docs whose stored keyword
+    // field matches (filter context — corpus df/idf, no rescoring)
+    "cdc_term_filter" -> ((s, d) => graft.ops.Search.qCdcTermFilter(s, d)),
+    // ES terms AGGREGATION: top-k tokens by document frequency served
+    // from the maintained postings state (count per tok IS df)
+    "cdc_terms_agg" -> ((s, d) => graft.ops.Search.qCdcTermsAgg(s, d)),
+    // ES prefix query, scoring_boolean rewrite: the prefix expands to
+    // every matching index term, scored as an OR match
+    "cdc_prefix_search" -> ((s, d) => graft.ops.Search.qCdcPrefixSearch(s, d)),
+    // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
+    // stored keyword field matches, composing the two maintained states
+    "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
     // lexical ∪ dense, fused by reciprocal-rank fusion (rank-only
     // rational arithmetic — the ES/Vespa hybrid default)
     "doc_hybrid_search" -> ((s, d) => graft.ops.Search.qHybridSearch(s, d)),
@@ -420,17 +436,17 @@ object SparkEntry {
     * (mirrors [[graft.cdc.Changelog.fromDocuments]]'s deterministic
     * rules). Shared by the CDC text-index and text-search oracles. */
   private val docsChangelogCte: String =
-    """dt AS (SELECT CAST(doc_id AS BIGINT) AS k, text FROM documents),
+    """dt AS (SELECT CAST(doc_id AS BIGINT) AS k, text, source FROM documents),
       |cl AS (
-      |  SELECT k AS id, k AS seq, 'INSERT' AS op, text FROM dt
+      |  SELECT k AS id, k AS seq, 'INSERT' AS op, text, source FROM dt
       |  UNION ALL
-      |  SELECT k, k + 1000000, 'UPDATE', text || ' merge window r2'
+      |  SELECT k, k + 1000000, 'UPDATE', text || ' merge window r2', source
       |  FROM dt WHERE k % 3 = 0
       |  UNION ALL
-      |  SELECT k, k + 2000000, 'DELETE', text FROM dt WHERE k % 5 = 4),
+      |  SELECT k, k + 2000000, 'DELETE', text, source FROM dt WHERE k % 5 = 4),
       |rnk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
       |        FROM cl),
-      |live AS (SELECT id AS doc_id, text FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
+      |live AS (SELECT id AS doc_id, text, source FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
 
   /** ONE BM25 oracle template for every lexical-search query — the scoring
@@ -441,12 +457,29 @@ object SparkEntry {
     * vacuous `HAVING count(*) >= 1` for the OR case), and the filter-
     * context exclusions (`must_not`). */
   private def bm25Sql(toksCtes: String, msm: Int, terms: Seq[String],
-                      excludeTerms: Seq[String]): String =
+                      excludeTerms: Seq[String],
+                      includeSrcs: Seq[String] = Seq.empty,
+                      termsWhere: String = null): String = {
+    // `termsWhere` overrides the exact-terms IN list — the prefix query's
+    // scoring_boolean rewrite scores every term the predicate expands to
+    val termsPred =
+      if (termsWhere != null) termsWhere
+      else s"tok IN (${terms.map("'" + _ + "'").mkString(", ")})"
+    // filter-context cuts compose in the candidate WHERE (never rescoring):
+    // must_not drops term-matching docs, a `term` filter keeps only docs
+    // whose stored keyword field matches
+    val cuts = Seq(
+      if (excludeTerms.isEmpty) None
+      else Some(s"p.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok IN (${
+        excludeTerms.map("'" + _ + "'").mkString(", ")}))"),
+      if (includeSrcs.isEmpty) None
+      else Some(s"p.doc_id IN (SELECT doc_id FROM live WHERE source IN (${
+        includeSrcs.map("'" + _ + "'").mkString(", ")}))")).flatten
     s"""WITH $toksCtes,
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
        |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
-       |         WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+       |         WHERE $termsPred
        |         GROUP BY 1, 2),
        |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
        |ts AS (SELECT p.doc_id,
@@ -458,15 +491,15 @@ object SparkEntry {
        |           6) AS DECIMAL(18,8)) AS ts
        |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
        |       CROSS JOIN st${
-         if (excludeTerms.isEmpty) ""
-         else s"""\n       WHERE p.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok IN (${
-           excludeTerms.map("'" + _ + "'").mkString(", ")}))"""}),
+         if (cuts.isEmpty) ""
+         else "\n       WHERE " + cuts.mkString("\n         AND ")}),
        |agg AS (SELECT doc_id, count(*) AS n_t,
        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
        |        FROM ts GROUP BY 1 HAVING count(*) >= $msm),
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
 
   /** BM25 over the raw documents table (the static staged index's corpus —
     * and the bootstrap savepoint's pinned pre-tail corpus). */
@@ -787,18 +820,24 @@ object SparkEntry {
        |${liveVectorCte(iters)}
        |SELECT vec_id, cl AS cell FROM lasg ORDER BY vec_id""".stripMargin
 
-  private def vectorSearchOracle(iters: Int): String =
+  /** The maintained-ANN oracle body, parameterized by the corpus CTEs
+    * (`lx`/`lnrm`/`lasg` — the candidate vectors, norms, and cell
+    * assignments): the changelog's LIVE view for the serving-path
+    * queries, the RAW table for the time-travel query (whose savepoint
+    * pinned the pre-tail corpus — the source table exactly). */
+  private def vectorSearchOracleFrom(iters: Int, corpusCtes: String,
+                                     candJoin: String = ""): String =
     s"""WITH $embX,
        |a0 AS (SELECT vec_id, CAST(label AS BIGINT) * 2 + vec_id % 2 AS cl FROM embeddings),
        |${kmeansRounds(iters)},
-       |${liveVectorCte(iters)},
+       |$corpusCtes,
        |asgq AS (SELECT vec_id, cl,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS crk
        |         FROM s$iters),
        |probed AS (SELECT vec_id AS q_id, cl AS cell FROM asgq
        |           WHERE vec_id < 10 AND crk <= 2),
        |cand AS (SELECT p.q_id, a.vec_id FROM probed p
-       |         JOIN lasg a ON a.cl = p.cell AND a.vec_id <> p.q_id),
+       |         JOIN lasg a ON a.cl = p.cell AND a.vec_id <> p.q_id$candJoin),
        |dots AS (SELECT cd.q_id, cd.vec_id, sum(xq.e * xv.e) AS dot
        |         FROM cand cd
        |         JOIN x xq ON xq.vec_id = cd.q_id
@@ -812,6 +851,33 @@ object SparkEntry {
        |      FROM sc)
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  private def vectorSearchOracle(iters: Int): String =
+    vectorSearchOracleFrom(iters, liveVectorCte(iters))
+
+  /** The FILTERED-kNN oracle: the live-view search with candidates cut to
+    * docs whose source matches — source never changes on update and
+    * deletes are the %5==4 keys, so the keep set is exactly the source
+    * table minus the deleted ids (the doc state's live (id, source)). */
+  private def vectorFilteredOracle(iters: Int, srcs: Seq[String]): String =
+    vectorSearchOracleFrom(iters, liveVectorCte(iters),
+      candJoin = s"""
+         |         JOIN (SELECT CAST(doc_id AS BIGINT) AS fdoc_id FROM documents
+         |               WHERE doc_id % 5 <> 4 AND source IN (${
+                         srcs.map("'" + _ + "'").mkString(", ")}))
+         |           f ON f.fdoc_id = a.vec_id""".stripMargin)
+
+  /** The time-travel ANN oracle: the pinned point is the pre-tail corpus,
+    * so the candidate vectors/norms ARE the raw table's (`lx`=`x`,
+    * `lnrm`=`nrm`) and the cell assignments are the frozen model's
+    * argmaxes over it. */
+  private def vectorTimeTravelOracle(iters: Int): String =
+    vectorSearchOracleFrom(iters,
+      s"""lx AS (SELECT vec_id, i, e FROM x),
+         |lnrm AS (SELECT vec_id, nrm FROM nrm),
+         |lasg AS (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rk
+         |    FROM s$iters) WHERE rk = 1)""".stripMargin)
 
   /** Mirrors Similarity.qCdcVectorSearchPq: the maintained index holds PQ
     * codes (trained on the ORIGINAL corpus — frozen model; live vectors
@@ -1766,6 +1832,16 @@ object SparkEntry {
     // must_not docs cut AFTER df/idf (filter context never rescores)
     "cdc_bool_search" -> cdcMatchSql(2, Seq("dup", "merge"), Seq("r2")),
     "cdc_vector_bootstrap" -> vectorSearchOracle(3),
+    "cdc_vector_time_travel" -> vectorTimeTravelOracle(3),
+    "cdc_term_filter" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty, Seq("src3", "src7")),
+    "cdc_prefix_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
+      Seq.empty, termsWhere = "tok LIKE 's%'"),
+    "cdc_vector_filtered" -> vectorFilteredOracle(3, Seq("src3", "src7")),
+    "cdc_terms_agg" ->
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+         |SELECT tok, df FROM d ORDER BY df DESC, tok LIMIT 10""".stripMargin,
     // sloppy phrase: in-order 'merge' .. 'window' with ≤1 interposed
     // position; hits = distinct first-term starts that begin a match
     "cdc_phrase_slop" ->

@@ -128,10 +128,15 @@ object Search {
     * doc_ids drop from the candidate set AFTER df/idf derive from the full
     * postings — exclusion filters, it never rescores (the Lucene filter-
     * context contract). */
+  /** `include` renders the ES `bool.filter` context (a `term`/`terms`
+    * filter on a stored keyword field): only the given doc_ids stay in
+    * the candidate set — like `exclude`, it filters AFTER df/idf derive
+    * from the full postings and never rescores. */
   private def bm25TopK(postings: DataFrame, stats: DataFrame, k: Int,
                        k1: Double, b: Double,
                        minShouldMatch: Int = 1,
-                       exclude: DataFrame = null): DataFrame = {
+                       exclude: DataFrame = null,
+                       include: DataFrame = null): DataFrame = {
     val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-(doc, term) BM25 contribution — association mirrors the oracle
     // SQL text exactly; see the object doc-comment's determinism note
@@ -145,9 +150,12 @@ object Search {
       .select(col("doc_id"),
         round(idf * tfs, 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ts"))
-    val perTerm =
+    val cut =
       if (exclude == null) scored
       else scored.join(exclude, Seq("doc_id"), "left_anti")
+    val perTerm =
+      if (include == null) cut
+      else cut.join(include, Seq("doc_id"), "left_semi")
     val topk = perTerm.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_t"),
         round(sum(col("ts")).cast("double"), 6).as("score"))
@@ -311,7 +319,7 @@ object Search {
     * in micro-batches, doc state + postings maintained per batch. Returns
     * (stateDir, idxDir); memoized per (JVM, fixture) — qCdcTextIndex and
     * qCdcTextSearch are views over one shared pass. */
-  private def textIndexRun(spark: SparkSession, sfDir: String): (String, String) =
+  private[graft] def textIndexRun(spark: SparkSession, sfDir: String): (String, String) =
     textRuns.getOrRun(sfDir) {
       val clDir = graft.cdc.Changelog.stageParquetDocuments(spark, sfDir)
       val work = graft.model.TempDirs.deleteOnExit(
@@ -439,6 +447,71 @@ object Search {
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
     bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
       minShouldMatch = must.size, exclude = excluded)
+  }
+
+  /** Oracle-checked query: the ES `bool.filter` + `term` surface — a
+    * match query cut to documents whose STORED keyword field (`source`)
+    * matches, in filter context (corpus-wide df/idf, no rescoring). The
+    * field lives in the doc STATE, not the postings (the stored-fields /
+    * doc-values split): the filter is a semi-join of the df-sized
+    * candidate set against the id-keyed state read column-pruned to
+    * (id, source) with the source predicate pushed to parquet. At 100 TB
+    * a hot keyword filter would graduate to a maintained secondary index
+    * ([[graft.cdc.Index]]'s value→keys discipline) — the query shape is
+    * unchanged, only the `keep` frame's source. The default keeps ~10%
+    * of docs (2 of 20 uniform sources), so the cut visibly reshuffles
+    * the top-10 at every fixture SF. */
+  def qCdcTermFilter(spark: SparkSession, sfDir: String,
+                     query: Seq[String] = Seq("stream", "merge", "window"),
+                     sources: Seq[String] = Seq("src3", "src7"),
+                     k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val keep = graft.cdc.ChangelogStream
+      .readState(spark, stateDir, Seq("id", "source"))
+      .filter(col("source").isin(sources: _*))
+      .select(col("id").as("doc_id"))
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
+      include = keep)
+  }
+
+  /** Oracle-checked query: the ES `prefix` query with the
+    * `scoring_boolean` rewrite — the prefix EXPANDS to every matching
+    * index term (the fixture's "s" → 6 terms) and the expansion scores
+    * as an OR match, each term with its own df/idf (Lucene's
+    * MultiTermQuery rewrite). A prefix cannot hash, so this is the
+    * TERM-DICTIONARY read the tok-hash-bucketed layout trades away: the
+    * scan opens every postings bucket with the `StartsWith` predicate
+    * pushed to parquet (tok is dictionary-encoded — the match evaluates
+    * on the dictionary page). At 100 TB a prefix-heavy workload would
+    * keep a sorted term directory (term → bucket) beside the index and
+    * prune to the expansion's buckets; exact-term queries keep the hash
+    * layout's one-bucket reads either way. */
+  def qCdcPrefixSearch(spark: SparkSession, sfDir: String,
+                       prefix: String = "s", k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = graft.cdc.ChangelogStream
+      .readState(spark, idxDir, Seq("tok", "id", "tf", "dl"))
+      .filter(col("tok").startsWith(prefix))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75)
+  }
+
+  /** Oracle-checked query: the ES `terms` AGGREGATION over the analyzed
+    * text field — the top-k tokens by document frequency, served FROM the
+    * maintained postings state. Each live (tok, id) row is one (term, doc)
+    * incidence, so `count(*)` per tok IS df: one map-side-combined groupBy
+    * over the tok-bucketed state, |vocabulary| groups, top-k by
+    * (df desc, tok). A facet is inherently a full-index aggregate; the
+    * scan reads the postings column-pruned to the key — never the
+    * documents, never the positions. */
+  def qCdcTermsAgg(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("tok", "id"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
   private val textBootRuns = new graft.model.JvmMemo[(String, String)]()

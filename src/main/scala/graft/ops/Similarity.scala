@@ -513,10 +513,51 @@ object Similarity {
       val horizon = 1000000L // the insert phase IS the source table
       maintainVectorIndexBatch(cl.filter(col("seq") < horizon), 0L,
         s"$work/state", s"$work/idx", cent, book)
+      // pin the freshly-seeded versions (the text pass's "seed" savepoint,
+      // for vectors): the INDEX pin alone would rerank moved candidates
+      // under their post-tail values — the doc STATE pins at the same
+      // boundary so [[qCdcVectorTimeTravel]]'s entries and rerank vectors
+      // agree
+      graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
+      graft.cdc.Buckets.savepoint(s2, s"$work/state", "seed")
       maintainVectorIndexBatch(cl.filter(col("seq") >= horizon), 1L,
         s"$work/state", s"$work/idx", cent, book)
       (s"$work/state", s"$work/idx")
     }
+
+  /** TIME-TRAVEL ANN (the dense twin of [[graft.ops.Search
+    * .qCdcTextTimeTravel]]): the probed cells' entries AND the rerank
+    * vectors both read through the "seed" savepoint's pinned versions —
+    * search-as-of over the pre-tail corpus (the source table exactly),
+    * while the live index has long since applied updates and deletes. IO
+    * shape is unchanged: probed cells' pinned buckets + candidate point
+    * reads, never the whole pinned state. */
+  def qCdcVectorTimeTravel(spark0: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 5): DataFrame =
+    cdcVectorSearchFrom(spark0, sfDir, vectorIndexBootstrapRun(spark0, sfDir),
+      nQueries, k, asOf = Some("seed"))
+
+  /** Oracle-checked query: FILTERED kNN (the ES `knn` + `filter` surface,
+    * the modern retrieval-stack staple): ANN over the maintained index
+    * restricted to documents whose stored keyword field matches — the
+    * filter ids come from the TEXT pass's doc state (the document store
+    * holds the metadata; the vector index holds cells+codes — the
+    * stored-fields split), and candidates cut BEFORE their raw vectors
+    * open. The fixture's vec_id IS doc_id, so the two maintained states
+    * compose on the key. Top-k then ranks only the filtered survivors —
+    * results differ from the unfiltered search wherever a nearer
+    * neighbor's source fails the filter. */
+  def qCdcVectorFiltered(spark0: SparkSession, sfDir: String,
+                         sources: Seq[String] = Seq("src3", "src7"),
+                         nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (textState, _) = graft.ops.Search.textIndexRun(spark0, sfDir)
+    val keep = graft.cdc.ChangelogStream
+      .readState(spark0, textState, Seq("id", "source"))
+      .filter(col("source").isin(sources: _*))
+      .select(col("id").as("doc_id"))
+    cdcVectorSearchFrom(spark0, sfDir, vectorIndexRun(spark0, sfDir),
+      nQueries, k, keep = keep)
+  }
 
   /** Oracle-checked query: ANN served from the BOOTSTRAPPED vector index —
     * snapshot-seeded code lists plus the applied tail answer identically
@@ -604,10 +645,16 @@ object Similarity {
   /** The exact-rerank ANN serving path over a maintained (state, index)
     * pair — shared by the replay-built ([[vectorIndexRun]]) and
     * bootstrap-built ([[vectorIndexBootstrapRun]]) indexes. */
+  /** `keep`: the ES FILTERED-kNN surface — a (doc_id) frame of ids allowed
+    * in the candidate set; candidates cut BEFORE their raw vectors open
+    * (pre-filtering, the ES kNN filter contract: the filter runs against
+    * doc values during traversal, never post-hoc on the top-k, so k
+    * survivors always return when the filtered corpus has them). */
   private def cdcVectorSearchFrom(spark0: SparkSession, sfDir: String,
                                   dirs: (String, String),
                                   nQueries: Int, k: Int,
-                                  asOf: Option[String] = None): DataFrame = {
+                                  asOf: Option[String] = None,
+                                  keep: DataFrame = null): DataFrame = {
     // probed-bucket-sized plan: query-local 8-partition sibling session
     // (AQE off) so the ~10 tiny stages stop paying 32 tasks + adaptive
     // re-planning each; values are partition-count independent (round-6
@@ -628,8 +675,11 @@ object Similarity {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
         norm(col("embedding")).as("qnrm"))
-    val scored = entries.join(broadcast(probed), Seq("cell"))
+    val kept = entries.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
+    val scored = (if (keep == null) kept
+                  else kept.join(keep.select(col("doc_id").as("id")),
+                    Seq("id"), "left_semi"))
       .join(vecs, Seq("id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("id").as("vec_id"),

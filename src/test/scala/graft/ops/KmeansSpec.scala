@@ -161,6 +161,19 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     assert(entries() === Set((1L, 3L)))
   }
 
+  test("vector time travel answers from the pre-tail corpus, not the live one") {
+    // the seed savepoint pins index AND doc-state versions; the tail
+    // (updates reverse vectors, deletes retract them) must move the LIVE
+    // ranking away from the pinned one or the pin isn't real
+    val pinned = Similarity.qCdcVectorTimeTravel(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val live = Similarity.qCdcVectorBootstrapSearch(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(pinned.nonEmpty)
+    assert(pinned !== live,
+      "the applied tail should change the live ranking vs the savepoint")
+  }
+
   test("PQ-compressed maintained index: codes in the inverted lists, ADC search holds recall") {
     val (_, idxDir) = Similarity.vectorIndexRun(spark, sfDir)
     // the index state holds PQ codes — NOT raw vectors (the faiss
