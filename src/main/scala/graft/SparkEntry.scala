@@ -412,6 +412,9 @@ object SparkEntry {
     // ES prefix query, scoring_boolean rewrite: the prefix expands to
     // every matching index term, scored as an OR match
     "cdc_prefix_search" -> ((s, d) => graft.ops.Search.qCdcPrefixSearch(s, d)),
+    // ES match with fuzziness: misspelled terms expand through the term
+    // dictionary (levenshtein <= 1) then read bucket-pruned postings
+    "cdc_fuzzy_search" -> ((s, d) => graft.ops.Search.qCdcFuzzySearch(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -1837,6 +1840,10 @@ object SparkEntry {
       Seq("stream", "merge", "window"), Seq.empty, Seq("src3", "src7")),
     "cdc_prefix_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok LIKE 's%'"),
+    "cdc_fuzzy_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
+      Seq.empty, termsWhere = "tok IN (SELECT DISTINCT t2.tok FROM toks t2" +
+        " WHERE levenshtein(t2.tok, 'strem') <= 1" +
+        " OR levenshtein(t2.tok, 'window') <= 1)"),
     "cdc_vector_filtered" -> vectorFilteredOracle(3, Seq("src3", "src7")),
     "cdc_terms_agg" ->
       s"""WITH $docsChangelogCte,

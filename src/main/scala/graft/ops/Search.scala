@@ -499,6 +499,30 @@ object Search {
     bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75)
   }
 
+  /** Oracle-checked query: the ES `match` with `fuzziness` — each query
+    * term expands to every index term within `maxEdits` Levenshtein edits
+    * and the expansion scores as an OR match, each term with its own
+    * df/idf (the `fuzzy` rewrite's scoring shape). Two-phase exactly like
+    * Lucene: (1) the TERM-DICTIONARY scan — distinct toks of the postings
+    * state, column-pruned to `tok` — intersects the edit-distance
+    * automaton (here `levenshtein ≤ maxEdits`, codegen'd) and collects
+    * the BOUNDED expansion driver-side (ES caps expansions at 50);
+    * (2) the expanded terms read bucket-PRUNED like any exact-term query
+    * ([[maintainedPostings]]). The default query is two misspellings —
+    * 'strem'/'window' — that only the expansion can resolve. */
+  def qCdcFuzzySearch(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("strem", "window"),
+                      maxEdits: Int = 1, k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val expanded = graft.cdc.ChangelogStream
+      .readState(spark, idxDir, Seq("tok")).distinct()
+      .filter(query.map(q => levenshtein(col("tok"), lit(q)) <= maxEdits)
+        .reduce(_ || _))
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(expanded.nonEmpty, s"no index term within $maxEdits edits of $query")
+    maintainedBm25(spark, idxDir, expanded, k)
+  }
+
   /** Oracle-checked query: the ES `terms` AGGREGATION over the analyzed
     * text field — the top-k tokens by document frequency, served FROM the
     * maintained postings state. Each live (tok, id) row is one (term, doc)

@@ -148,6 +148,22 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(stats() === (1L, 2L))
   }
 
+  test("prefix search pushes StartsWith; term filter prunes the state read") {
+    // the doc-claims must hold in the EXECUTED plan (the r12 audit lesson)
+    val prefixPlan = Search.qCdcPrefixSearch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(prefixPlan.contains("StringStartsWith(tok,s)"),
+      s"StartsWith not pushed into the postings scan:\n$prefixPlan")
+    val tfPlan = Search.qCdcTermFilter(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the keep frame's state scan: source predicate pushed, columns pruned
+    val stateScan = tfPlan.linesIterator
+      .filter(_.contains("PushedFilters"))
+      .find(_.contains("In(source"))
+    assert(stateScan.isDefined,
+      s"source filter not pushed into the doc-state scan:\n$tfPlan")
+  }
+
   test("CDC-maintained search equals BM25 over the live documents") {
     // the maintained-index search and a from-scratch BM25 over the
     // changelog's live docs must agree rank for rank
