@@ -1843,7 +1843,8 @@ object SparkEntry {
     "cdc_fuzzy_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok IN (SELECT DISTINCT t2.tok FROM toks t2" +
         " WHERE levenshtein(t2.tok, 'strem') <= 1" +
-        " OR levenshtein(t2.tok, 'window') <= 1)"),
+        " OR levenshtein(t2.tok, 'window') <= 1" +
+        " ORDER BY 1 LIMIT 50)"),
     "cdc_vector_filtered" -> vectorFilteredOracle(3, Seq("src3", "src7")),
     "cdc_terms_agg" ->
       s"""WITH $docsChangelogCte,

@@ -461,15 +461,26 @@ object Search {
     * unchanged, only the `keep` frame's source. The default keeps ~10%
     * of docs (2 of 20 uniform sources), so the cut visibly reshuffles
     * the top-10 at every fixture SF. */
+  /** The doc-ids whose stored `source` matches — the keep frame the ES
+    * filter-context surfaces share ([[qCdcTermFilter]], [[graft.ops
+    * .Similarity.qCdcVectorFiltered]]): the doc state read column-pruned
+    * to (id, source) with the predicate pushed. At 100 TB a hot keyword
+    * filter graduates to a maintained secondary index ([[graft.cdc
+    * .Index]]'s value→keys discipline); the callers' join shapes are
+    * unchanged, only this frame's provenance. */
+  private[graft] def sourceKeepIds(spark: SparkSession, stateDir: String,
+                                   sources: Seq[String]): DataFrame =
+    graft.cdc.ChangelogStream
+      .readState(spark, stateDir, Seq("id", "source"))
+      .filter(col("source").isin(sources: _*))
+      .select(col("id").as("doc_id"))
+
   def qCdcTermFilter(spark: SparkSession, sfDir: String,
                      query: Seq[String] = Seq("stream", "merge", "window"),
                      sources: Seq[String] = Seq("src3", "src7"),
                      k: Int = 10): DataFrame = {
     val (stateDir, idxDir) = textIndexRun(spark, sfDir)
-    val keep = graft.cdc.ChangelogStream
-      .readState(spark, stateDir, Seq("id", "source"))
-      .filter(col("source").isin(sources: _*))
-      .select(col("id").as("doc_id"))
+    val keep = sourceKeepIds(spark, stateDir, sources)
     val postings = maintainedPostings(spark, idxDir, query,
         Seq("tok", "id", "tf", "dl"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
@@ -512,13 +523,19 @@ object Search {
     * 'strem'/'window' — that only the expansion can resolve. */
   def qCdcFuzzySearch(spark: SparkSession, sfDir: String,
                       query: Seq[String] = Seq("strem", "window"),
-                      maxEdits: Int = 1, k: Int = 10): DataFrame = {
+                      maxEdits: Int = 1, k: Int = 10,
+                      maxExpansions: Int = 50): DataFrame = {
     val (_, idxDir) = textIndexRun(spark, sfDir)
+    // the cap picks the FIRST maxExpansions terms in tok order — a
+    // deterministic rule the oracle mirrors verbatim (ORDER BY tok
+    // LIMIT), so a binding cap stays hash-comparable; the driver list is
+    // bounded by it regardless of vocabulary size
     val expanded = graft.cdc.ChangelogStream
       .readState(spark, idxDir, Seq("tok")).distinct()
       .filter(query.map(q => levenshtein(col("tok"), lit(q)) <= maxEdits)
         .reduce(_ || _))
-      .collect().map(_.getString(0)).toSeq.sorted
+      .orderBy(col("tok")).limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
     require(expanded.nonEmpty, s"no index term within $maxEdits edits of $query")
     maintainedBm25(spark, idxDir, expanded, k)
   }

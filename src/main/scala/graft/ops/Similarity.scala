@@ -543,20 +543,19 @@ object Similarity {
     * filter ids come from the TEXT pass's doc state (the document store
     * holds the metadata; the vector index holds cells+codes — the
     * stored-fields split), and candidates cut BEFORE their raw vectors
-    * open. The fixture's vec_id IS doc_id, so the two maintained states
-    * compose on the key. Top-k then ranks only the filtered survivors —
-    * results differ from the unfiltered search wherever a nearer
-    * neighbor's source fails the filter. */
+    * open (pre-filtering; see [[cdcVectorSearchFrom]]'s `keep` note for
+    * the probed-cells scope of the fill guarantee). The fixture's vec_id
+    * IS doc_id, so the two maintained states compose on the key. Top-k
+    * then ranks only the filtered survivors — results differ from the
+    * unfiltered search wherever a nearer neighbor's source fails the
+    * filter. */
   def qCdcVectorFiltered(spark0: SparkSession, sfDir: String,
                          sources: Seq[String] = Seq("src3", "src7"),
                          nQueries: Int = 10, k: Int = 5): DataFrame = {
     val (textState, _) = graft.ops.Search.textIndexRun(spark0, sfDir)
-    val keep = graft.cdc.ChangelogStream
-      .readState(spark0, textState, Seq("id", "source"))
-      .filter(col("source").isin(sources: _*))
-      .select(col("id").as("doc_id"))
     cdcVectorSearchFrom(spark0, sfDir, vectorIndexRun(spark0, sfDir),
-      nQueries, k, keep = keep)
+      nQueries, k,
+      keep = graft.ops.Search.sourceKeepIds(spark0, textState, sources))
   }
 
   /** Oracle-checked query: ANN served from the BOOTSTRAPPED vector index —
@@ -647,9 +646,12 @@ object Similarity {
     * bootstrap-built ([[vectorIndexBootstrapRun]]) indexes. */
   /** `keep`: the ES FILTERED-kNN surface — a (doc_id) frame of ids allowed
     * in the candidate set; candidates cut BEFORE their raw vectors open
-    * (pre-filtering, the ES kNN filter contract: the filter runs against
-    * doc values during traversal, never post-hoc on the top-k, so k
-    * survivors always return when the filtered corpus has them). */
+    * (pre-filtering: the top-k ranks every probed-cell survivor, never a
+    * post-hoc cut of the unfiltered top-k). The fill guarantee is scoped
+    * to the PROBED cells — a fixed-probe IVF can still return < k when
+    * the probed cells hold too few survivors, where ES's graph traversal
+    * would keep walking; widening probes under selective filters is the
+    * standard IVF answer and composes here via `probed`. */
   private def cdcVectorSearchFrom(spark0: SparkSession, sfDir: String,
                                   dirs: (String, String),
                                   nQueries: Int, k: Int,
