@@ -415,6 +415,10 @@ object SparkEntry {
     // ES match with fuzziness: misspelled terms expand through the term
     // dictionary (levenshtein <= 1) then read bucket-pruned postings
     "cdc_fuzzy_search" -> ((s, d) => graft.ops.Search.qCdcFuzzySearch(s, d)),
+    // ES significant_terms aggregation: JLH-scored terms overrepresented
+    // in a query's foreground vs the corpus background
+    "cdc_significant_terms" -> ((s, d) =>
+      graft.ops.Search.qCdcSignificantTerms(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -1850,6 +1854,23 @@ object SparkEntry {
       s"""WITH $docsChangelogCte,
          |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
          |SELECT tok, df FROM d ORDER BY df DESC, tok LIMIT 10""".stripMargin,
+    "cdc_significant_terms" ->
+      s"""WITH $docsChangelogCte,
+         |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),
+         |fgn AS (SELECT count(*) AS fg_n FROM fg_ids),
+         |fgt AS (SELECT tok, count(DISTINCT t.doc_id) AS fg_df
+         |        FROM toks t JOIN fg_ids USING (doc_id) GROUP BY 1),
+         |bgn AS (SELECT count(*) AS bg_n FROM live),
+         |bgt AS (SELECT tok, count(DISTINCT doc_id) AS bg_df FROM toks GROUP BY 1),
+         |sc AS (SELECT f.tok, f.fg_df, b.bg_df,
+         |         round((CAST(f.fg_df AS DOUBLE) / fg_n - CAST(b.bg_df AS DOUBLE) / bg_n)
+         |           * (CAST(f.fg_df AS DOUBLE) / fg_n) / (CAST(b.bg_df AS DOUBLE) / bg_n),
+         |           6) AS score
+         |       FROM fgt f JOIN bgt b USING (tok) CROSS JOIN fgn CROSS JOIN bgn
+         |       WHERE CAST(f.fg_df AS DOUBLE) / fg_n > CAST(b.bg_df AS DOUBLE) / bg_n),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, tok) AS rk FROM sc)
+         |SELECT CAST(rk AS BIGINT) AS rk, tok, fg_df, bg_df, score
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     // sloppy phrase: in-order 'merge' .. 'window' with ≤1 interposed
     // position; hits = distinct first-term starts that begin a match
     "cdc_phrase_slop" ->

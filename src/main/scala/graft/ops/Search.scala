@@ -555,6 +555,54 @@ object Search {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Oracle-checked query: the ES `significant_terms` AGGREGATION — terms
+    * OVERREPRESENTED in a query's result set (the foreground) vs the
+    * corpus (the background), scored with ES's default JLH heuristic:
+    * `(fgPct − bgPct) × fgPct / bgPct` where fgPct = fg_df/fg_n and
+    * bgPct = bg_df/bg_n — all four inputs are integer counts, the
+    * expression is written identically in the oracle SQL (the BM25
+    * determinism discipline), rounded to 6 at the end, ties on tok.
+    * IO shape (the ES fielddata story re-expressed): the foreground ids
+    * are ONE term's pruned posting list; their term counts tokenize the
+    * |fg| foreground docs from the id-keyed doc state (ES collects the
+    * fg docs' terms the same way — per-query cost ∝ foreground size);
+    * the background dfs are the terms-agg scan restricted to the fg's
+    * terms. Only terms with fgPct > bgPct qualify (the ES contract:
+    * significance means overrepresented, not merely present). */
+  def qCdcSignificantTerms(spark: SparkSession, sfDir: String,
+                           fgTerm: String = "dup", k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    // foreground: the ids of one pruned posting list (df-sized)
+    val fgIds = maintainedPostings(spark, idxDir, Seq(fgTerm), Seq("tok", "id"))
+      .select(col("id")).distinct()
+    // fg term→doc incidences: tokenize the foreground docs (point reads
+    // against the id-keyed doc state, bounded by the fg size)
+    val fgToks = graft.cdc.ChangelogStream
+      .readState(spark, stateDir, Seq("id", "text"))
+      .join(fgIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+    val fg = fgToks.groupBy(col("tok")).agg(count(lit(1)).as("fg_df"))
+    // background dfs from the postings state, restricted to the fg's terms
+    val bg = graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("tok", "id"))
+      .join(fg.select(col("tok")), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("bg_df"))
+    val stats = corpusStats(spark, idxDir)
+      .select(col("n_docs").as("bg_n"))
+    val fgN = fgIds.agg(count(lit(1)).as("fg_n"))
+    val fgPct = col("fg_df").cast("double") / col("fg_n").cast("double")
+    val bgPct = col("bg_df").cast("double") / col("bg_n").cast("double")
+    val scored = fg.join(bg, Seq("tok"))
+      .crossJoin(broadcast(fgN)).crossJoin(broadcast(stats))
+      .filter(fgPct > bgPct)
+      .select(col("tok"), col("fg_df"), col("bg_df"),
+        round((fgPct - bgPct) * fgPct / bgPct, 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("tok"))
+    scored.orderBy(col("score").desc, col("tok")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("tok"), col("fg_df"), col("bg_df"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   private val textBootRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** BOOTSTRAP the maintained text index from a SNAPSHOT (VERDICT r12
