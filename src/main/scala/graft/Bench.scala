@@ -169,7 +169,7 @@ object Bench {
       "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index",
       "cdc_text_index", "cdc_text_search", "cdc_phrase_search",
       "cdc_hybrid_search", "cdc_fuzzy_search", "cdc_match_and",
-      "cdc_phrase_slop",
+      "cdc_more_like_this", "cdc_phrase_slop",
       "cdc_prefix_search", "cdc_significant_terms",
       "cdc_term_filter", "cdc_terms_agg",
       "cdc_text_time_travel", "cdc_vector_bootstrap",

@@ -419,6 +419,10 @@ object SparkEntry {
     // in a query's foreground vs the corpus background
     "cdc_significant_terms" -> ((s, d) =>
       graft.ops.Search.qCdcSignificantTerms(s, d)),
+    // ES more_like_this: the seed doc's top tf-idf terms as an OR match,
+    // seed excluded — one doc-state point read + its terms' buckets
+    "cdc_more_like_this" -> ((s, d) =>
+      graft.ops.Search.qCdcMoreLikeThis(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -466,7 +470,8 @@ object SparkEntry {
   private def bm25Sql(toksCtes: String, msm: Int, terms: Seq[String],
                       excludeTerms: Seq[String],
                       includeSrcs: Seq[String] = Seq.empty,
-                      termsWhere: String = null): String = {
+                      termsWhere: String = null,
+                      extraCut: String = null): String = {
     // `termsWhere` overrides the exact-terms IN list — the prefix query's
     // scoring_boolean rewrite scores every term the predicate expands to
     val termsPred =
@@ -474,14 +479,16 @@ object SparkEntry {
       else s"tok IN (${terms.map("'" + _ + "'").mkString(", ")})"
     // filter-context cuts compose in the candidate WHERE (never rescoring):
     // must_not drops term-matching docs, a `term` filter keeps only docs
-    // whose stored keyword field matches
+    // whose stored keyword field matches, `extraCut` is a raw predicate
+    // (the MLT seed-doc exclusion)
     val cuts = Seq(
       if (excludeTerms.isEmpty) None
       else Some(s"p.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok IN (${
         excludeTerms.map("'" + _ + "'").mkString(", ")}))"),
       if (includeSrcs.isEmpty) None
       else Some(s"p.doc_id IN (SELECT doc_id FROM live WHERE source IN (${
-        includeSrcs.map("'" + _ + "'").mkString(", ")}))")).flatten
+        includeSrcs.map("'" + _ + "'").mkString(", ")}))"),
+      Option(extraCut)).flatten
     s"""WITH $toksCtes,
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
@@ -1854,6 +1861,19 @@ object SparkEntry {
       s"""WITH $docsChangelogCte,
          |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
          |SELECT tok, df FROM d ORDER BY df DESC, tok LIMIT 10""".stripMargin,
+    "cdc_more_like_this" -> bm25Sql(
+      s"""$docsChangelogCte,
+         |seedtoks AS (SELECT tok, count(*) AS tf2 FROM toks WHERE doc_id = 42 GROUP BY 1),
+         |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df2 FROM toks
+         |        WHERE tok IN (SELECT tok FROM seedtoks) GROUP BY 1),
+         |nd AS (SELECT count(*) AS nd_docs FROM live),
+         |sel AS (SELECT s.tok FROM seedtoks s JOIN dfq USING (tok) CROSS JOIN nd
+         |        ORDER BY CAST(s.tf2 AS DOUBLE) *
+         |          ((CAST(nd_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+         |          DESC, s.tok LIMIT 10)""".stripMargin,
+      1, Seq.empty, Seq.empty, Seq.empty,
+      termsWhere = "tok IN (SELECT tok FROM sel)",
+      extraCut = "p.doc_id <> 42"),
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

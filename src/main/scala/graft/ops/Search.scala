@@ -555,6 +555,51 @@ object Search {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Oracle-checked query: the ES `more_like_this` query — find documents
+    * similar to a SEED document by (1) reading the seed's live row (one
+    * doc-state bucket — [[graft.cdc.ChangelogStream.readKey]]'s
+    * point-read discipline), (2) ranking its terms by tf × rational idf
+    * (the MLT interestingness cut; idf = (N−df+0.5)/(df+0.5), dfs from
+    * the terms' pruned postings buckets, N from the stats row) and
+    * keeping the top `maxQueryTerms` (the ES max_query_terms=25-style
+    * bound, deterministic by (score desc, tok)), then (3) running the
+    * selection as an OR match with the seed itself EXCLUDED from the
+    * results. Per-query IO: one doc-state bucket + the seed's terms'
+    * postings buckets — nothing corpus-sized. The driver-side selection
+    * arithmetic is written identically in the oracle SQL (the BM25
+    * determinism discipline). */
+  def qCdcMoreLikeThis(spark: SparkSession, sfDir: String,
+                       seedDoc: Long = 42L, maxQueryTerms: Int = 10,
+                       k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val seedText = graft.cdc.ChangelogStream.readKey(spark, stateDir, seedDoc)
+      .map(_.getAs[String]("text"))
+      .getOrElse(throw new IllegalStateException(s"seed doc $seedDoc is not live"))
+    // tokenize the ONE seed text driver-side (split-on-space, the
+    // Text.tokens rule; -1 keeps trailing empties like Spark's split)
+    val seedTf: Map[String, Long] = seedText.split(" ", -1).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val terms = seedTf.keys.toSeq.sorted
+    val dfs = maintainedPostings(spark, idxDir, terms, Seq("tok", "id"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = corpusStats(spark, idxDir).head().getLong(0)
+    val selected = terms
+      .map { t =>
+        val df = dfs.getOrElse(t, 0L)
+        (t, seedTf(t).toDouble *
+          (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+      }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    val postings = maintainedPostings(spark, idxDir, selected,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val excludeSeed = spark.range(1).select(lit(seedDoc).as("doc_id"))
+    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
+      exclude = excludeSeed)
+  }
+
   /** Oracle-checked query: the ES `significant_terms` AGGREGATION — terms
     * OVERREPRESENTED in a query's result set (the foreground) vs the
     * corpus (the background), scored with ES's default JLH heuristic:
