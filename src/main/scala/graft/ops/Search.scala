@@ -401,11 +401,14 @@ object Search {
     * = the query terms' buckets + one stats file). */
   private def maintainedBm25(spark: SparkSession, idxDir: String,
                              query: Seq[String], k: Int,
-                             minShouldMatch: Int = 1): DataFrame = {
+                             minShouldMatch: Int = 1,
+                             exclude: DataFrame = null,
+                             include: DataFrame = null): DataFrame = {
     val postings = maintainedPostings(spark, idxDir, query,
         Seq("tok", "id", "tf", "dl"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75, minShouldMatch)
+    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
+      minShouldMatch, exclude, include)
   }
 
   /** Oracle-checked query: the ES `match … operator: and` surface over the
@@ -442,10 +445,7 @@ object Search {
     val idxDir = warmMaintainedPasses(spark, sfDir)._2
     val excluded = maintainedPostings(spark, idxDir, mustNot, Seq("tok", "id"))
       .select(col("id").as("doc_id")).distinct()
-    val postings = maintainedPostings(spark, idxDir, must,
-        Seq("tok", "id", "tf", "dl"))
-      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
+    maintainedBm25(spark, idxDir, must, k,
       minShouldMatch = must.size, exclude = excluded)
   }
 
@@ -480,12 +480,8 @@ object Search {
                      sources: Seq[String] = Seq("src3", "src7"),
                      k: Int = 10): DataFrame = {
     val (stateDir, idxDir) = textIndexRun(spark, sfDir)
-    val keep = sourceKeepIds(spark, stateDir, sources)
-    val postings = maintainedPostings(spark, idxDir, query,
-        Seq("tok", "id", "tf", "dl"))
-      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
-      include = keep)
+    maintainedBm25(spark, idxDir, query, k,
+      include = sourceKeepIds(spark, stateDir, sources))
   }
 
   /** Oracle-checked query: the ES `prefix` query with the
@@ -580,7 +576,12 @@ object Search {
     val seedTf: Map[String, Long] = seedText.split(" ", -1).toSeq
       .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val terms = seedTf.keys.toSeq.sorted
-    val dfs = maintainedPostings(spark, idxDir, terms, Seq("tok", "id"))
+    // ONE read of the seed terms' postings buckets serves BOTH phases:
+    // cached, the df ranking collects from it and the final match filters
+    // it to the selection — the terms' buckets open once, not twice
+    val seedPost = maintainedPostings(spark, idxDir, terms,
+      Seq("tok", "id", "tf", "dl")).persist()
+    val dfs = seedPost
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDocs = corpusStats(spark, idxDir).head().getLong(0)
@@ -592,8 +593,7 @@ object Search {
       }
       .sortBy { case (t, s) => (-s, t) }
       .take(maxQueryTerms).map(_._1)
-    val postings = maintainedPostings(spark, idxDir, selected,
-        Seq("tok", "id", "tf", "dl"))
+    val postings = seedPost.filter(col("tok").isin(selected: _*))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
     val excludeSeed = spark.range(1).select(lit(seedDoc).as("doc_id"))
     bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
@@ -609,9 +609,10 @@ object Search {
     * determinism discipline), rounded to 6 at the end, ties on tok.
     * IO shape (the ES fielddata story re-expressed): the foreground ids
     * are ONE term's pruned posting list; their term counts tokenize the
-    * |fg| foreground docs from the id-keyed doc state (ES collects the
-    * fg docs' terms the same way — per-query cost ∝ foreground size);
-    * the background dfs are the terms-agg scan restricted to the fg's
+    * foreground docs from the doc state read BUCKET-PRUNED to the fg
+    * ids' buckets (ES collects the fg docs' terms the same way —
+    * per-query doc-state IO ∝ the fg's buckets, never the corpus); the
+    * background dfs are the terms-agg scan restricted to the fg's
     * terms. Only terms with fgPct > bgPct qualify (the ES contract:
     * significance means overrepresented, not merely present). */
   def qCdcSignificantTerms(spark: SparkSession, sfDir: String,
@@ -620,10 +621,19 @@ object Search {
     // foreground: the ids of one pruned posting list (df-sized)
     val fgIds = maintainedPostings(spark, idxDir, Seq(fgTerm), Seq("tok", "id"))
       .select(col("id")).distinct()
-    // fg term→doc incidences: tokenize the foreground docs (point reads
-    // against the id-keyed doc state, bounded by the fg size)
+    // fg term→doc incidences: tokenize the foreground docs. The doc-state
+    // read is BUCKET-PRUNED to the fg ids' buckets — the driver collects
+    // the distinct BUCKET ids (≤ the bucket count, never ∝ fg size — the
+    // JoinMv touched-bucket discipline), opens only those buckets'
+    // committed files, and the id semi-join stays distributed. Per-query
+    // IO ∝ the fg's buckets, not the corpus.
+    val layout = graft.cdc.Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"doc state at $stateDir has no layout manifest"))
+    val fgBuckets = fgIds
+      .select(graft.cdc.Buckets.bucketExpr(layout, Seq("id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val fgToks = graft.cdc.ChangelogStream
-      .readState(spark, stateDir, Seq("id", "text"))
+      .readLayoutBuckets(spark, stateDir, layout, Seq("id", "text"), fgBuckets)
       .join(fgIds, Seq("id"), "left_semi")
       .select(col("id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
     val fg = fgToks.groupBy(col("tok")).agg(count(lit(1)).as("fg_df"))
