@@ -423,6 +423,9 @@ object SparkEntry {
     // seed excluded — one doc-state point read + its terms' buckets
     "cdc_more_like_this" -> ((s, d) =>
       graft.ops.Search.qCdcMoreLikeThis(s, d)),
+    // ES rescore: two-phase ranking — BM25 top-window reordered by a
+    // phrase-proximity secondary scorer, window contract preserved
+    "cdc_rescore" -> ((s, d) => graft.ops.Search.qCdcRescore(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -471,7 +474,15 @@ object SparkEntry {
                       excludeTerms: Seq[String],
                       includeSrcs: Seq[String] = Seq.empty,
                       termsWhere: String = null,
-                      extraCut: String = null): String = {
+                      extraCut: String = null,
+                      tail: String = null): String = {
+    // `tail` replaces everything after the ranked-CTE `r` — the rescore
+    // oracle appends its window/secondary/re-rank CTEs there while the
+    // scoring body above stays the single shared copy
+    val tailSql =
+      if (tail != null) tail
+      else """SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+             |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
     // `termsWhere` overrides the exact-terms IN list — the prefix query's
     // scoring_boolean rewrite scores every term the predicate expands to
     val termsPred =
@@ -511,8 +522,7 @@ object SparkEntry {
        |          round(CAST(sum(ts) AS DOUBLE), 6) AS score
        |        FROM ts GROUP BY 1 HAVING count(*) >= $msm),
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
-       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
-       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+       |$tailSql""".stripMargin
   }
 
   /** BM25 over the raw documents table (the static staged index's corpus —
@@ -1874,6 +1884,23 @@ object SparkEntry {
       1, Seq.empty, Seq.empty, Seq.empty,
       termsWhere = "tok IN (SELECT tok FROM sel)",
       extraCut = "p.doc_id <> 42"),
+    "cdc_rescore" -> bm25Sql(
+      s"""$docsChangelogCte,
+         |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w2),
+         |ph AS (SELECT t0.doc_id, count(*) AS hits
+         |       FROM (SELECT doc_id, p AS s FROM toks2 WHERE tok = 'merge') t0
+         |       JOIN (SELECT doc_id, p - 1 AS s FROM toks2 WHERE tok = 'window') t1
+         |         ON t1.doc_id = t0.doc_id AND t1.s = t0.s
+         |       GROUP BY 1)""".stripMargin,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",w50 AS (SELECT doc_id, score FROM r WHERE rk <= 50),
+         |resc AS (SELECT w.doc_id, coalesce(ph.hits, 0) AS hits,
+         |           round(w.score + 0.5 * coalesce(ph.hits, 0), 6) AS score
+         |         FROM w50 w LEFT JOIN ph USING (doc_id)),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM resc)
+         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, CAST(hits AS BIGINT) AS hits, score
+         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

@@ -551,6 +551,43 @@ object Search {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Oracle-checked query: the ES `rescore` surface — TWO-PHASE ranking:
+    * the primary BM25 match retrieves the top `window` docs (the rescore
+    * `window_size`), a SECONDARY scorer — here phrase-proximity hits of
+    * an exact phrase, from the same positional postings — reorders ONLY
+    * that window (`combined = round6(primary + weight × hits)`; docs
+    * outside the window never enter, the ES window contract), and the
+    * final top-k ranks the rescored window. Cost shape: the expensive
+    * primary is the ordinary pruned-postings match; the secondary runs
+    * over ≤ window docs' phrase terms — exactly why ES rescore exists
+    * (run the cheap ranker broadly, the expensive one narrowly). All
+    * arithmetic is the shared round-6 discipline; weight 0.5 is exact
+    * binary. */
+  def qCdcRescore(spark: SparkSession, sfDir: String,
+                  query: Seq[String] = Seq("stream", "merge", "window"),
+                  phrase: String = "merge window",
+                  window: Int = 50, weight: Double = 0.5,
+                  k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val primary = maintainedBm25(spark, idxDir, query, window)
+      .select(col("doc_id"), col("score"))
+    val terms = phrase.split(' ').toSeq
+    val hits = phraseHits(
+      maintainedPostings(spark, idxDir, terms, Seq("tok", "id", "positions"))
+        .select(col("tok"), col("id").as("doc_id"), col("positions")),
+      terms)
+    val rescored = primary.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(col("score") + lit(weight) * coalesce(col("hits"), lit(0L))
+          .cast("double"), 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    rescored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("hits"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   /** Oracle-checked query: the ES `more_like_this` query — find documents
     * similar to a SEED document by (1) reading the seed's live row (one
     * doc-state bucket — [[graft.cdc.ChangelogStream.readKey]]'s

@@ -495,6 +495,36 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(removed.nonEmpty, "must_not removed nothing from the top-10")
   }
 
+  test("rescore reorders ONLY the primary window, combining score + weight × phrase hits") {
+    val rescored = Search.qCdcRescore(spark, sfDir).collect()
+    assert(rescored.length === 10)
+    assert(rescored.map(_.getLong(0)).toSeq === (1L to 10L))
+    // window contract: every rescored doc came from the primary top-50 —
+    // a doc outside the window never enters, no matter its phrase hits
+    val window = Search.qCdcTextSearch(spark, sfDir, k = 50)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    rescored.foreach { r =>
+      assert(window.contains(r.getLong(1)),
+        s"doc ${r.getLong(1)} rescored from outside the primary window")
+    }
+    // combined = round6(primary + 0.5 × hits) — exact binary weight, the
+    // shared rounding discipline
+    rescored.foreach { r =>
+      val expect = BigDecimal(window(r.getLong(1)) + 0.5 * r.getLong(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expect,
+        s"doc ${r.getLong(1)}: combined ${r.getDouble(3)} != $expect")
+    }
+    // the secondary scorer genuinely reshuffles: the rescored top-10 is
+    // not the primary top-10 in primary order (else the oracle couldn't
+    // see the feature)
+    val primTop = Search.qCdcTextSearch(spark, sfDir).collect().map(_.getLong(1))
+    assert(rescored.map(_.getLong(1)).toSeq !== primTop.toSeq,
+      "rescore did not move the top-10")
+    // and at least one winner was pulled UP by hits, not primary score
+    assert(rescored.exists(_.getLong(2) > 0), "no phrase hits in the top-10")
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
