@@ -426,6 +426,16 @@ object SparkEntry {
     // ES rescore: two-phase ranking — BM25 top-window reordered by a
     // phrase-proximity secondary scorer, window contract preserved
     "cdc_rescore" -> ((s, d) => graft.ops.Search.qCdcRescore(s, d)),
+    // ES term suggester (did-you-mean): per misspelled input, the closest
+    // index terms by (edit distance, df desc, term) within prefix_length=1
+    "cdc_suggest" -> ((s, d) => graft.ops.Search.qCdcSuggest(s, d)),
+    // ES function_score: filter+weight functions on the stored keyword
+    // field multiply the FULL match set's scores (no window) before top-k
+    "cdc_function_score" -> ((s, d) =>
+      graft.ops.Search.qCdcFunctionScore(s, d)),
+    // ES percolate: registered queries indexed by their terms; matching =
+    // postings incidences × the broadcast query-term table, msm-qualified
+    "cdc_percolate" -> ((s, d) => graft.ops.Search.qCdcPercolate(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -1901,6 +1911,56 @@ object SparkEntry {
          |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM resc)
          |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, CAST(hits AS BIGINT) AS hits, score
          |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+    // term suggester: candidates share the input's first char
+    // (prefix_length=1), rank by (edit distance, df desc, term)
+    "cdc_suggest" ->
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |ins AS (SELECT * FROM (VALUES ('mrege'), ('strem'), ('windw')) AS t(input)),
+         |cand AS (SELECT i.input, d.tok AS suggestion,
+         |           CAST(levenshtein(d.tok, i.input) AS BIGINT) AS dist, d.df
+         |         FROM d JOIN ins i ON substr(d.tok, 1, 1) = substr(i.input, 1, 1)
+         |           AND d.tok <> i.input AND levenshtein(d.tok, i.input) <= 2),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rk
+         |      FROM cand)
+         |SELECT input, CAST(rk AS BIGINT) AS rk, suggestion, dist, df
+         |FROM r WHERE rk <= 3 ORDER BY input, rk""".stripMargin,
+    // function_score: the weight CASE multiplies the FULL ranked set `r`
+    // (rk unrestricted), then re-ranks — no window, unlike rescore
+    "cdc_function_score" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",fs AS (SELECT r.doc_id, r.n_t,
+         |  CAST((CASE WHEN l.source = 'src3' THEN 2.0
+         |             WHEN l.source = 'src7' THEN 0.5 ELSE 1.0 END) AS DOUBLE) AS factor,
+         |  round(r.score * (CASE WHEN l.source = 'src3' THEN 2.0
+         |                        WHEN l.source = 'src7' THEN 0.5 ELSE 1.0 END), 6) AS score
+         |FROM r JOIN live l ON l.doc_id = r.doc_id),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM fs)
+         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, factor, score
+         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+    // percolate: VALUES lists generated from the SAME Scala literal the
+    // query uses (Search.percolateQueries) — the renderings cannot drift
+    "cdc_percolate" -> {
+      val qt = graft.ops.Search.percolateQueries
+        .flatMap { case (qid, ts, _) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val qd = graft.ops.Search.percolateQueries
+        .map { case (qid, _, msm) => s"($qid, $msm)" }.mkString(", ")
+      s"""WITH $docsChangelogCte,
+         |qt AS (SELECT * FROM (VALUES $qt) AS t(query_id, tok)),
+         |qd AS (SELECT * FROM (VALUES $qd) AS t(query_id, msm)),
+         |inc AS (SELECT DISTINCT doc_id, tok FROM toks),
+         |m AS (SELECT q.query_id, i.doc_id, count(*) AS n
+         |      FROM qt q JOIN inc i USING (tok) GROUP BY 1, 2),
+         |hit AS (SELECT m.query_id, count(*) AS n_docs
+         |        FROM m JOIN qd ON qd.query_id = m.query_id AND m.n >= qd.msm
+         |        GROUP BY 1)
+         |SELECT CAST(qd.query_id AS BIGINT) AS query_id,
+         |  CAST(coalesce(hit.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM qd LEFT JOIN hit ON hit.query_id = qd.query_id
+         |ORDER BY 1""".stripMargin
+    },
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

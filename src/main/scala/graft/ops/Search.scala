@@ -132,11 +132,17 @@ object Search {
     * filter on a stored keyword field): only the given doc_ids stay in
     * the candidate set — like `exclude`, it filters AFTER df/idf derive
     * from the full postings and never rescores. */
-  private def bm25TopK(postings: DataFrame, stats: DataFrame, k: Int,
-                       k1: Double, b: Double,
-                       minShouldMatch: Int = 1,
-                       exclude: DataFrame = null,
-                       include: DataFrame = null): DataFrame = {
+  /** The FULL scored match set `(doc_id, n_t, score)` — every qualifying
+    * doc, no rank cut. [[bm25TopK]] wraps it with the sort+limit;
+    * [[qCdcFunctionScore]] consumes it whole (its multiplier applies to
+    * every candidate BEFORE the top-k — a windowed rescore would change
+    * the answer). Still distributed end-to-end: one map-side-combined
+    * groupBy over the df-sized per-term contributions. */
+  private def bm25Scored(postings: DataFrame, stats: DataFrame,
+                         k1: Double, b: Double,
+                         minShouldMatch: Int = 1,
+                         exclude: DataFrame = null,
+                         include: DataFrame = null): DataFrame = {
     val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-(doc, term) BM25 contribution — association mirrors the oracle
     // SQL text exactly; see the object doc-comment's determinism note
@@ -156,10 +162,19 @@ object Search {
     val perTerm =
       if (include == null) cut
       else cut.join(include, Seq("doc_id"), "left_semi")
-    val topk = perTerm.groupBy(col("doc_id"))
+    perTerm.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_t"),
         round(sum(col("ts")).cast("double"), 6).as("score"))
       .filter(col("n_t") >= minShouldMatch)
+  }
+
+  private def bm25TopK(postings: DataFrame, stats: DataFrame, k: Int,
+                       k1: Double, b: Double,
+                       minShouldMatch: Int = 1,
+                       exclude: DataFrame = null,
+                       include: DataFrame = null): DataFrame = {
+    val topk = bm25Scored(postings, stats, k1, b, minShouldMatch,
+        exclude, include)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
@@ -549,6 +564,130 @@ object Search {
     graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("tok", "id"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(k)
+  }
+
+  /** Oracle-checked query: the ES `term` SUGGESTER (did-you-mean) — for
+    * each input token, the top `size` index terms within `maxEdits`
+    * Levenshtein edits, ranked the Lucene DirectSpellChecker way:
+    * edit distance first, then document frequency, then the term itself.
+    * Candidates must share the input's FIRST character (the ES
+    * `prefix_length: 1` default) — that equality is the broadcast-hash
+    * join key, so the edit-distance predicate (codegen'd) only evaluates
+    * within a first-letter partition of the vocabulary, never
+    * |vocab| × |inputs|. The dictionary+df frame is the [[qCdcTermsAgg]]
+    * scan: each live (tok, id) postings row is one incidence, count per
+    * tok IS df — column-pruned to the key, one map-side-combined groupBy,
+    * |vocabulary| groups. The per-input rank window partitions by input
+    * (bounded fan-in: candidates of one first-letter class). The default
+    * inputs are three misspellings no exact match could serve. */
+  def qCdcSuggest(spark: SparkSession, sfDir: String,
+                  inputs: Seq[String] = Seq("mrege", "strem", "windw"),
+                  maxEdits: Int = 2, size: Int = 3): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    val dict = graft.cdc.ChangelogStream.readState(spark, idxDir, Seq("tok", "id"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val in = inputs.toDF("input")
+    val cand = dict.join(broadcast(in),
+        substring(col("tok"), 1, 1) === substring(col("input"), 1, 1) &&
+          col("tok") =!= col("input") &&
+          levenshtein(col("tok"), col("input")) <= maxEdits)
+      .select(col("input"), col("tok").as("suggestion"),
+        levenshtein(col("tok"), col("input")).cast("long").as("dist"),
+        col("df"))
+    val w = Window.partitionBy(col("input"))
+      .orderBy(col("dist"), col("df").desc, col("suggestion"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= size)
+      .select(col("input"), col("rk"), col("suggestion"), col("dist"), col("df"))
+      .orderBy(col("input"), col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `function_score` query — filter+weight
+    * functions over a stored keyword field reweight the WHOLE match set
+    * (`boost_mode: multiply`): `final = round6(bm25 × factor)` where the
+    * factor is the first matching filter's weight (sources are disjoint
+    * per doc, so first-match ≡ ES's per-function filter semantics) and
+    * 1.0 when none matches (the ES no-function-matches contract). Unlike
+    * [[qCdcRescore]] there is NO window — a doubled doc outside the
+    * primary top-k can (and does) enter the final top-k, which is why the
+    * multiply joins the FULL [[bm25Scored]] frame, not a rank cut. The
+    * factor field lives in the doc STATE (stored-fields split): the join
+    * keys the df-sized candidate set against the id-keyed state read
+    * column-pruned to (id, source). Weights are exact powers of two, so
+    * the multiply is exact in both engines before the one round-6. */
+  def qCdcFunctionScore(spark: SparkSession, sfDir: String,
+                        query: Seq[String] = Seq("stream", "merge", "window"),
+                        weights: Seq[(String, Double)] =
+                          Seq("src3" -> 2.0, "src7" -> 0.5),
+                        k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+    val src = graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id", "source"))
+      .select(col("id").as("doc_id"), col("source"))
+    val factor = weights.foldRight(lit(1.0)) { case ((s, wgt), e) =>
+      when(col("source") === s, lit(wgt)).otherwise(e)
+    }
+    val fs = scored.join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("n_t"), factor.as("factor"),
+        round(col("score") * factor, 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    fs.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_t"), col("factor"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** The registered percolator queries — `(query_id, terms, msm)`. ONE
+    * literal shared by the Spark query and the oracle-SQL generator in
+    * SparkEntry, so the two renderings cannot drift. Query 2 is AND
+    * (msm = term count), 5 is OR, 6's term is absent from the corpus
+    * (a zero-match registration must still report). */
+  private[graft] val percolateQueries: Seq[(Long, Seq[String], Int)] = Seq(
+    (1L, Seq("dup"), 1),
+    (2L, Seq("stream", "merge"), 2),
+    (3L, Seq("dup", "r2"), 2),
+    (4L, Seq("r2"), 1),
+    (5L, Seq("merge", "window"), 1),
+    (6L, Seq("zzznope"), 1))
+
+  /** Oracle-checked query: the ES `percolate` surface INVERTED the way the
+    * Lucene percolator actually runs it — registered queries are indexed
+    * BY THEIR TERMS, and matching is a join of document term incidences
+    * against that (tiny, broadcast) query-term table: per (query, doc),
+    * the matched-term count qualifies at the query's minimum_should_match.
+    * Here the incidences come straight from the MAINTAINED postings state
+    * — each live (tok, id) row is one (term, doc) incidence — read
+    * BUCKET-PRUNED to the union of all registered terms' buckets, so
+    * percolating the whole corpus costs the registered vocabulary's
+    * buckets, never a corpus scan, and deletes/updates percolate
+    * correctly for free (the state is live). Output: per registered
+    * query, how many live docs it matches (zero-match queries report 0
+    * via the left join back to the registration). */
+  def qCdcPercolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    val qTerms = percolateQueries
+      .flatMap { case (qid, ts, _) => ts.map(qid -> _) }
+      .toDF("query_id", "tok")
+    val qDefs = percolateQueries
+      .map { case (qid, _, msm) => (qid, msm) }
+      .toDF("query_id", "msm")
+    val allTerms = percolateQueries.flatMap(_._2).distinct
+    val inc = maintainedPostings(spark, idxDir, allTerms, Seq("tok", "id"))
+      .select(col("tok"), col("id").as("doc_id"))
+    val matched = inc.join(broadcast(qTerms), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(qDefs), Seq("query_id"))
+      .filter(col("n") >= col("msm"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
+    qDefs.select(col("query_id")).join(matched, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("query_id"))
   }
 
   /** Oracle-checked query: the ES `rescore` surface — TWO-PHASE ranking:

@@ -525,6 +525,87 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(rescored.exists(_.getLong(2) > 0), "no phrase hits in the top-10")
   }
 
+  test("suggest resolves misspellings by (distance, df desc, term) under the prefix-1 contract") {
+    val q = Search.qCdcSuggest(spark, sfDir)
+    // the prefix_length=1 equality must plan as a broadcast HASH join key
+    // (first-char partitions of the vocabulary), never a nested loop over
+    // |vocab| × |inputs|
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "prefix-1 key fell back to a nested-loop join")
+    val out = q.collect()
+    assert(out.nonEmpty)
+    // the Lucene DirectSpellChecker contracts: a suggestion shares the
+    // input's first char, is never the input itself, and sits within
+    // maxEdits
+    out.foreach { r =>
+      val (in, sug, dist) = (r.getString(0), r.getString(2), r.getLong(3))
+      assert(sug.head === in.head, s"'$sug' breaks prefix_length=1 for '$in'")
+      assert(sug !== in)
+      assert(dist >= 1L && dist <= 2L)
+    }
+    // per-input rank sequence is 1..n, ordered by (dist, df desc, term)
+    out.groupBy(_.getString(0)).foreach { case (in, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq)
+      val keys = sorted.map(r => (r.getLong(3), -r.getLong(4), r.getString(2)))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq,
+        s"'$in' suggestions not ranked by (dist, df desc, term)")
+    }
+    // the two fixture misspellings with an obvious vocabulary neighbor
+    // resolve to it at rank 1 (dist 1, dominant df)
+    val top = out.filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(top("strem") === "stream")
+    assert(top("windw") === "window")
+  }
+
+  test("function_score multiplies the FULL match set — a doubled doc enters from outside the primary top-10") {
+    val out = Search.qCdcFunctionScore(spark, sfDir).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 10L))
+    // factors come only from the declared weight functions (or the 1.0
+    // no-match default), and combined = round6(primary × factor) against
+    // the full primary ranking (k large enough to cover the corpus)
+    val primary = Search.qCdcTextSearch(spark, sfDir, k = 100000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      val (doc, f, s) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(Set(2.0, 0.5, 1.0).contains(f), s"unexpected factor $f")
+      val expect = BigDecimal(primary(doc) * f)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s === expect, s"doc $doc: $s != round6(${primary(doc)} × $f)")
+    }
+    // the weights genuinely reshuffle, and — the no-window contract that
+    // separates this surface from rescore — at least one top-10 doc was
+    // PROMOTED from outside the primary top-10 by its 2.0 factor
+    val primTop = Search.qCdcTextSearch(spark, sfDir).collect().map(_.getLong(1)).toSet
+    assert(out.map(_.getLong(1)).toSet !== primTop, "weights did not move the top-10")
+    assert(out.exists(r => r.getDouble(3) == 2.0 && !primTop.contains(r.getLong(1))),
+      "no doubled doc entered from outside the primary top-10 — the fixture can't see the no-window contract")
+  }
+
+  test("percolate matches live docs per registered query at its msm; deletes and updates percolate") {
+    val out = Search.qCdcPercolate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Search.percolateQueries.map(_._1).toSet)
+    // query 6's term is absent from the corpus: a zero-match registration
+    // still reports (the left-join-back contract)
+    assert(out(6L) === 0L)
+    // query 4 ('r2') matches exactly the UPDATED live docs: the changelog
+    // appends 'merge window r2' to every %3 doc and deletes every %5==4 —
+    // derive the expectation from the fixture rule, not the query
+    val expected = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 4)
+      .count()
+    assert(out(4L) === expected,
+      s"'r2' percolation ${out(4L)} != the ${expected} updated live docs")
+    // AND tightens: (dup AND r2) matches no more than either term alone
+    assert(out(3L) <= out(1L) && out(3L) <= out(4L))
+    assert(out.values.forall(_ >= 0L))
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
