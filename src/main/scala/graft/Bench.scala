@@ -168,11 +168,14 @@ object Bench {
       "cdc_pipeline_truncate_mv", "cdc_pipeline_dynamic_orders",
       "cdc_pipeline_dynamic_mv", "cdc_pipeline_dynamic_index",
       "cdc_text_index", "cdc_text_search", "cdc_phrase_search",
-      "cdc_hybrid_search", "cdc_function_score", "cdc_fuzzy_search",
+      "cdc_hybrid_search", "cdc_collapse", "cdc_function_score",
+      "cdc_fuzzy_search", "cdc_highlight",
       "cdc_match_and", "cdc_more_like_this", "cdc_percolate",
       "cdc_phrase_slop",
-      "cdc_prefix_search", "cdc_rescore", "cdc_significant_terms",
+      "cdc_prefix_search", "cdc_rescore", "cdc_search_after",
+      "cdc_significant_terms",
       "cdc_suggest", "cdc_term_filter", "cdc_terms_agg",
+      "cdc_top_hits",
       "cdc_text_time_travel", "cdc_vector_bootstrap",
       "cdc_vector_filtered", "cdc_vector_index", "cdc_vector_search",
       "cdc_vector_search_pq", "cdc_vector_time_travel")

@@ -436,6 +436,18 @@ object SparkEntry {
     // ES percolate: registered queries indexed by their terms; matching =
     // postings incidences × the broadcast query-term table, msm-qualified
     "cdc_percolate" -> ((s, d) => graft.ops.Search.qCdcPercolate(s, d)),
+    // ES collapse: one best hit per stored-field group (partitioned
+    // window), collapsed winners re-ranked for the final top-k
+    "cdc_collapse" -> ((s, d) => graft.ops.Search.qCdcCollapse(s, d)),
+    // ES terms agg + top_hits sub-agg: top buckets by matching-doc count,
+    // each with its doc_count and its top hits by score
+    "cdc_top_hits" -> ((s, d) => graft.ops.Search.qCdcTopHits(s, d)),
+    // ES search_after: page 2 via the (score, doc_id) cursor of page 1's
+    // last hit — a predicate + TakeOrdered, never a deep rank window
+    "cdc_search_after" -> ((s, d) => graft.ops.Search.qCdcSearchAfter(s, d)),
+    // ES highlight: matched-term first positions + occurrence counts for
+    // the top-k hits, served from the maintained positional postings
+    "cdc_highlight" -> ((s, d) => graft.ops.Search.qCdcHighlight(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -1961,6 +1973,56 @@ object SparkEntry {
          |FROM qd LEFT JOIN hit ON hit.query_id = qd.query_id
          |ORDER BY 1""".stripMargin
     },
+    // collapse: per-source best hit (partitioned window over the ranked
+    // set joined to the stored field), winners re-ranked globally
+    "cdc_collapse" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",coll AS (SELECT r.doc_id, r.n_t, r.score, l.source,
+         |  row_number() OVER (PARTITION BY l.source
+         |                     ORDER BY r.score DESC, r.doc_id) AS srk
+         |FROM r JOIN live l ON l.doc_id = r.doc_id),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2
+         |       FROM coll WHERE srk = 1)
+         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, source, n_t, score
+         |FROM r2 WHERE rk2 <= 5 ORDER BY rk2""".stripMargin),
+    // terms agg + top_hits: top-5 sources by matching-doc count (ties on
+    // the field value), each bucket's doc_count + its top-2 hits
+    "cdc_top_hits" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",ws AS (SELECT r.doc_id, r.score, l.source
+         |      FROM r JOIN live l ON l.doc_id = r.doc_id),
+         |ts2 AS (SELECT source, count(*) AS doc_count FROM ws GROUP BY 1
+         |        ORDER BY doc_count DESC, source LIMIT 5),
+         |h AS (SELECT ws.source, ts2.doc_count, ws.doc_id, ws.score,
+         |        row_number() OVER (PARTITION BY ws.source
+         |                           ORDER BY ws.score DESC, ws.doc_id) AS hit_rk
+         |      FROM ws JOIN ts2 USING (source))
+         |SELECT source, CAST(doc_count AS BIGINT) AS doc_count,
+         |  CAST(hit_rk AS BIGINT) AS hit_rk, doc_id, score
+         |FROM h WHERE hit_rk <= 2 ORDER BY source, hit_rk""".stripMargin),
+    // search_after: the page-2 cut is the cursor predicate over the
+    // scored set — the cursor CTE IS page 1's last sort key
+    "cdc_search_after" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",cur AS (SELECT score AS cs, doc_id AS cd FROM r WHERE rk = 10),
+         |nxt AS (SELECT r.doc_id, r.n_t, r.score FROM r CROSS JOIN cur
+         |        WHERE r.score < cur.cs OR (r.score = cur.cs AND r.doc_id > cur.cd)),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM nxt)
+         |SELECT CAST(rk2 + 10 AS BIGINT) AS rk, doc_id, n_t, score
+         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+    // highlight: matched-term first positions + occurrence counts for the
+    // top-5 hits, recomputed from the live text's token subscripts
+    "cdc_highlight" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",hw AS (SELECT l.doc_id, string_split(l.text, ' ') AS wtoks
+         |       FROM live l JOIN r ON r.doc_id = l.doc_id AND r.rk <= 5),
+         |pt AS (SELECT doc_id, unnest(wtoks) AS tok,
+         |         generate_subscripts(wtoks, 1) AS p FROM hw)
+         |SELECT CAST(r.rk AS BIGINT) AS rk, pt.doc_id, pt.tok,
+         |  CAST(min(pt.p) AS BIGINT) AS first_pos, count(*) AS n_occ
+         |FROM pt JOIN r ON r.doc_id = pt.doc_id
+         |WHERE pt.tok IN ('stream', 'merge', 'window')
+         |GROUP BY 1, 2, 3 ORDER BY rk, tok""".stripMargin),
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

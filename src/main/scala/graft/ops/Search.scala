@@ -690,6 +690,151 @@ object Search {
       .orderBy(col("query_id"))
   }
 
+  /** Oracle-checked query: ES field COLLAPSING (`collapse`) — the BM25
+    * match set keeps only each stored-field group's best hit (here one doc
+    * per `source`), then the collapsed winners rank globally for the final
+    * top-k. The group cut is a `row_number` window PARTITIONED by the
+    * collapse field — distributed per-group top-1, no global window over
+    * the match set (the only global ordering is the final TakeOrdered over
+    * ≤ |sources| winners). The collapse field lives in the doc STATE
+    * (stored-fields split, as [[qCdcFunctionScore]]): the df-sized
+    * candidate set joins the id-keyed state read column-pruned to
+    * (id, source). */
+  def qCdcCollapse(spark: SparkSession, sfDir: String,
+                   query: Seq[String] = Seq("stream", "merge", "window"),
+                   k: Int = 5): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+    val src = graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id", "source"))
+      .select(col("id").as("doc_id"), col("source"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val best = scored.join(src, Seq("doc_id"))
+      .withColumn("srk", row_number().over(bySrc))
+      .filter(col("srk") === 1).drop("srk")
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    best.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("source"), col("n_t"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `terms` aggregation with a `top_hits`
+    * sub-aggregation — the top `nBuckets` collapse-field buckets by
+    * matching-doc count (ties on the field value, the ES ordering), each
+    * carrying its bucket doc_count and its top `hitsPer` hits by score.
+    * Bucket selection is a count groupBy (map-side combined) + TakeOrdered
+    * over |sources| rows; the per-bucket hits window partitions by the
+    * field and only runs over the selected buckets' candidates (the
+    * broadcast semi-join cuts first — at scale the window never sees
+    * non-selected buckets). */
+  def qCdcTopHits(spark: SparkSession, sfDir: String,
+                  query: Seq[String] = Seq("stream", "merge", "window"),
+                  nBuckets: Int = 5, hitsPer: Int = 2): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+    val src = graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id", "source"))
+      .select(col("id").as("doc_id"), col("source"))
+    val withSrc = scored.join(src, Seq("doc_id"))
+    val topSrc = withSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("source")).limit(nBuckets)
+    val hw = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    withSrc.join(broadcast(topSrc), Seq("source"))
+      .withColumn("hit_rk", row_number().over(hw).cast("long"))
+      .filter(col("hit_rk") <= hitsPer)
+      .select(col("source"), col("doc_count"), col("hit_rk"),
+        col("doc_id"), col("score"))
+      .orderBy(col("source"), col("hit_rk"))
+  }
+
+  /** Oracle-checked query: ES `search_after` pagination — page 2 of the
+    * BM25 ranking, addressed by the sort-key CURSOR (score, doc_id) of
+    * page 1's last hit, exactly what an ES client passes back. The cursor
+    * extraction is a bounded driver-side read (the one k-row first page —
+    * the [[qCdcMoreLikeThis]] driver-selection precedent), and the page-2
+    * cut is a PREDICATE on the scored set — `(score, doc_id) after the
+    * cursor` — feeding a TakeOrdered of pageSize rows. That is the entire
+    * point of search_after over from+size: deep pages never rank
+    * rank-windows over skipped prefixes; every page costs one predicate +
+    * one top-k, at any depth. The strict-inequality comparison is safe on
+    * the round-6 scores (identical expression text both engines — the
+    * BM25 determinism discipline). The scored frame is cached so the
+    * cursor probe and the page read share one postings scan — and BOTH
+    * pages materialize eagerly (each ≤ pageSize rows, what a search API
+    * returns anyway) so the cache unpins before returning: a lingering
+    * cached bm25Scored plan would silently substitute InMemoryRelation
+    * into every OTHER query sharing that sub-plan (qCdcTextSearch's
+    * plan-walked IO contract caught exactly that). */
+  def qCdcSearchAfter(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      pageSize: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+      .persist()
+    try {
+      val page1 = scored.orderBy(col("score").desc, col("doc_id"))
+        .limit(pageSize).collect()
+        .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      val lastHit = page1.last
+      val (cs, cd) = (lastHit.getAs[Double]("score"), lastHit.getAs[Long]("doc_id"))
+      val page2 = scored
+        .filter(col("score") < cs || (col("score") === cs && col("doc_id") > cd))
+        .orderBy(col("score").desc, col("doc_id")).limit(pageSize)
+        .collect()
+        .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      import spark.implicits._
+      page2.zipWithIndex.map { case (r, i) =>
+        (pageSize + i + 1L, r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_t"), r.getAs[Double]("score"))
+      }.toSeq.toDF("rk", "doc_id", "n_t", "score")
+        .orderBy(col("rk"))
+    } finally scored.unpersist(blocking = false)
+  }
+
+  /** Oracle-checked query: ES `highlight` offsets served FROM THE INDEX —
+    * for each top-k hit, each matched query term's first token position
+    * and occurrence count, straight from the maintained POSITIONAL
+    * postings (the Lucene postings-highlighter strategy: positions come
+    * from the index, the doc text is never re-analyzed). One bucket-pruned
+    * postings read (with positions) feeds both the BM25 ranking and the
+    * highlight projection — the two consumers sit in one plan, so the IO
+    * stays the query terms' buckets either way (deliberately NOT
+    * `persist()`ed: a lingering cached postings plan would substitute
+    * InMemoryRelation into other queries sharing the sub-plan and break
+    * their plan-walked IO contracts — see [[qCdcSearchAfter]]); the top-k
+    * side of the final join is k rows — broadcast. Per-query IO: the
+    * query terms' buckets + the stats row, nothing corpus-sized and no
+    * doc-state read at all. */
+  def qCdcHighlight(spark: SparkSession, sfDir: String,
+                    query: Seq[String] = Seq("stream", "merge", "window"),
+                    k: Int = 5): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val post = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"),
+        col("positions"))
+    val top = bm25TopK(post.select(col("tok"), col("doc_id"), col("tf"), col("dl")),
+        corpusStats(spark, idxDir), k, 1.2, 0.75)
+      .select(col("rk"), col("doc_id"))
+    post.select(col("doc_id"), col("tok"), col("positions"))
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("tok"),
+        array_min(col("positions")).cast("long").as("first_pos"),
+        size(col("positions")).cast("long").as("n_occ"))
+      .orderBy(col("rk"), col("tok"))
+  }
+
   /** Oracle-checked query: the ES `rescore` surface — TWO-PHASE ranking:
     * the primary BM25 match retrieves the top `window` docs (the rescore
     * `window_size`), a SECONDARY scorer — here phrase-proximity hits of

@@ -606,6 +606,111 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.forall(_ >= 0L))
   }
 
+  test("collapse keeps one best hit per source and re-ranks the winners globally") {
+    val out = Search.qCdcCollapse(spark, sfDir).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 5L))
+    // one hit per collapse group, scores non-increasing in rank
+    val srcs = out.map(_.getString(2))
+    assert(srcs.toSet.size === srcs.length, "a source appears twice")
+    val scores = out.map(_.getDouble(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the global best hit always survives collapsing (its group cannot
+    // have a better member), and each winner IS its source's best match:
+    // no other match from the same source outscores it
+    val full = Search.qCdcTextSearch(spark, sfDir, k = 100000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val bySource = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.head.getLong(1) ===
+      Search.qCdcTextSearch(spark, sfDir, k = 1).head().getLong(1))
+    out.foreach { r =>
+      val (doc, src, score) = (r.getLong(1), r.getString(2), r.getDouble(4))
+      val better = full.filter { case (d, s) =>
+        bySource.get(d).contains(src) &&
+          (s > score || (s == score && d < doc))
+      }
+      assert(better.isEmpty, s"doc $doc is not $src's best: $better")
+    }
+  }
+
+  test("top_hits returns the top buckets by matching-doc count, each with its ranked hits") {
+    val out = Search.qCdcTopHits(spark, sfDir).collect()
+    val buckets = out.map(_.getString(0)).distinct
+    assert(buckets.length === 5)
+    // rows arrive grouped (source, hit_rk) with hit_rk 1..≤2 per bucket,
+    // hits ordered by (score desc, doc_id), and every hit's doc belongs
+    // to its bucket's source
+    val bySource = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to rows.length).toSeq)
+      val keys = sorted.map(r => (-r.getDouble(4), r.getLong(3)))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq)
+      rows.foreach(r => assert(bySource(r.getLong(3)) === src))
+      // doc_count is constant within the bucket
+      assert(rows.map(_.getLong(1)).distinct.length === 1)
+    }
+    // bucket selection: no non-selected source has MORE matches than a
+    // selected one (ties break by source name, so >= is the invariant)
+    val counts = Search.qCdcTextSearch(spark, sfDir, k = 100000).collect()
+      .groupBy(r => bySource(r.getLong(1))).map { case (s, rs) => s -> rs.length.toLong }
+    val selectedMin = out.map(_.getLong(1)).min
+    counts.filterNot { case (s, _) => buckets.contains(s) }.foreach {
+      case (s, n) => assert(n <= selectedMin, s"bucket $s ($n) outcounts a selected bucket ($selectedMin)")
+    }
+  }
+
+  test("search_after page 2 equals ranks 11-20 of the full ranking") {
+    val page2 = Search.qCdcSearchAfter(spark, sfDir).collect()
+    val full = Search.qCdcTextSearch(spark, sfDir, k = 20).collect()
+      .filter(_.getLong(0) > 10L)
+    assert(page2.length === full.length)
+    page2.zip(full).foreach { case (p, f) =>
+      assert(p.getLong(0) === f.getLong(0)) // rk
+      assert(p.getLong(1) === f.getLong(1)) // doc_id
+      assert(p.getDouble(3) === f.getDouble(3)) // score
+    }
+  }
+
+  test("highlight serves positions from the index without reading the doc state") {
+    val q = Search.qCdcHighlight(spark, sfDir)
+    // the postings-highlighter contract: positions come from the index;
+    // the doc text is never re-analyzed (no corpus or doc-state read in
+    // the plan — the only file locations are the index's bucket dirs)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"highlight scanned the corpus:\n$plan")
+    assert(!plan.contains("/state"),
+      s"highlight read the doc state:\n$plan")
+    assert(plan.contains("/idx"), s"no index read in:\n$plan")
+    val out = q.collect()
+    val topDocs = Search.qCdcTextSearch(spark, sfDir, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(1)).toSet === topDocs.values.toSet)
+    out.foreach { r =>
+      val (rk, doc, tok) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(topDocs(rk) === doc, "highlight rank disagrees with the search ranking")
+      assert(Set("stream", "merge", "window").contains(tok))
+      assert(r.getLong(3) >= 1L, "positions are 1-based")
+      assert(r.getLong(4) >= 1L)
+    }
+    // spot-check one row against the LIVE text (the %3-updated docs carry
+    // the appended suffix): first_pos/n_occ equal a direct re-analysis
+    val sample = out.head
+    val live = graft.cdc.ChangelogStream
+      .readKey(spark, Search.textIndexRun(spark, sfDir)._1, sample.getLong(1))
+      .get.getAs[String]("text").split(" ", -1)
+    val occ = live.zipWithIndex.collect {
+      case (t, i) if t == sample.getString(2) => i + 1
+    }
+    assert(sample.getLong(3) === occ.min.toLong)
+    assert(sample.getLong(4) === occ.length.toLong)
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
