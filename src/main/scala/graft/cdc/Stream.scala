@@ -130,6 +130,25 @@ object ChangelogStream {
       }
     else col("seq") > lit(fences.values.max)
 
+  /** Whether the batch currently driving a `beforeCommit` hook carries a
+    * TRUNCATE fence. [[upsertBatch]] already knows (its probe job collects
+    * the markers), so the hook must never pay a second eager action just to
+    * re-derive it (ADVICE r13: one extra driver job per micro-batch on the
+    * hot maintain path). Valid ONLY inside the hook invocation — the hook
+    * runs synchronously on the merging thread. */
+  private val hookTruncate = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Read by maintainer hooks (Search/Similarity index maintainers): does
+    * the batch being committed carry a TRUNCATE fence? */
+  def hookBatchHasTruncate: Boolean = hookTruncate.get()
+
+  private def withHookFence[T](has: Boolean)(body: => T): T = {
+    hookTruncate.set(has)
+    try body finally hookTruncate.set(java.lang.Boolean.FALSE)
+  }
+
   /** The bucket a concrete key tuple hashes to — evaluated driver-side by
     * folding the same Murmur3(seed 42) expression `bucketOf` plans, so a
     * point read never launches a Spark job just to locate its bucket.
@@ -249,7 +268,8 @@ object ChangelogStream {
         if (beforeCommit != null && truncs.nonEmpty)
           killedRows(layout.paths(stateDir)).foreach { killed =>
             killed.persist()
-            try beforeCommit(killed, killed.limit(0)) finally killed.unpersist()
+            try withHookFence(has = true)(beforeCommit(killed, killed.limit(0)))
+            finally killed.unpersist()
           }
         return
       }
@@ -338,7 +358,8 @@ object ChangelogStream {
               merged.write.partitionBy("__bucket")
                 .mode(SaveMode.Overwrite).parquet(tmp))))(Materialize.stateWriteEc)
           var hookErr: Throwable = null
-          try Materialize.timed("hook total")(beforeCommit(hookPrev, merged))
+          try Materialize.timed("hook total")(
+            withHookFence(truncs.nonEmpty)(beforeCommit(hookPrev, merged)))
           catch { case t: Throwable => hookErr = t }
           // ALWAYS join the write before proceeding or unwinding — nothing
           // should still be writing when the batch commits or aborts. A

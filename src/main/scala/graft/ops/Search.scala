@@ -285,8 +285,9 @@ object Search {
         // surfaces in `prev` are NOT batch keys, and the semi-join would
         // silently drop their retractions — a truncate batch (rare)
         // processes its whole hook frames instead (r13 self-review #1).
-        val hasTrunc = batch.columns.contains("op") &&
-          !batch.filter(col("op") === "TRUNCATE").isEmpty
+        // Fence presence comes from the merge's own probe (ADVICE r13:
+        // re-deriving it here cost one eager driver job per micro-batch).
+        val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
           if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
@@ -318,7 +319,19 @@ object Search {
   private def warmPair[A](text: => A, vector: => Any): A = {
     val warmVec = scala.concurrent.Future(vector)(
       graft.cdc.Materialize.stateWriteEc)
-    val dirs = text
+    val dirs =
+      try text
+      catch {
+        case t: Throwable =>
+          // the text pass failed: still join the vector future (bounded)
+          // so no zombie pass keeps writing temp state behind the unwound
+          // caller, and attach its own failure (or the join timeout) as
+          // suppressed instead of swallowing it (ADVICE r13)
+          scala.util.Try(scala.concurrent.Await.result(warmVec,
+              scala.concurrent.duration.Duration(120, "s")))
+            .failed.foreach(t.addSuppressed)
+          throw t
+      }
     scala.concurrent.Await.result(warmVec,
       scala.concurrent.duration.Duration.Inf)
     dirs
@@ -783,17 +796,22 @@ object Search {
     val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
       .persist()
     try {
+      import spark.implicits._
       val page1 = scored.orderBy(col("score").desc, col("doc_id"))
         .limit(pageSize).collect()
         .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
-      val lastHit = page1.last
+      // no match → no cursor → an EMPTY page 2, the ES answer (ADVICE r13:
+      // .last on the empty first page threw where the oracle returned 0 rows)
+      val lastHit = page1.lastOption.getOrElse {
+        return Seq.empty[(Long, Long, Long, Double)]
+          .toDF("rk", "doc_id", "n_t", "score")
+      }
       val (cs, cd) = (lastHit.getAs[Double]("score"), lastHit.getAs[Long]("doc_id"))
       val page2 = scored
         .filter(col("score") < cs || (col("score") === cs && col("doc_id") > cd))
         .orderBy(col("score").desc, col("doc_id")).limit(pageSize)
         .collect()
         .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
-      import spark.implicits._
       page2.zipWithIndex.map { case (r, i) =>
         (pageSize + i + 1L, r.getAs[Long]("doc_id"),
           r.getAs[Long]("n_t"), r.getAs[Double]("score"))
@@ -899,26 +917,37 @@ object Search {
     val terms = seedTf.keys.toSeq.sorted
     // ONE read of the seed terms' postings buckets serves BOTH phases:
     // cached, the df ranking collects from it and the final match filters
-    // it to the selection — the terms' buckets open once, not twice
+    // it to the selection — the terms' buckets open once, not twice. The
+    // k-row final ranking materializes EAGERLY so the cache unpins before
+    // returning (ADVICE r13: a lingering cached postings plan substitutes
+    // InMemoryRelation into other queries sharing the sub-plan and leaks
+    // storage for the JVM lifetime — the qCdcSearchAfter discipline).
     val seedPost = maintainedPostings(spark, idxDir, terms,
       Seq("tok", "id", "tf", "dl")).persist()
-    val dfs = seedPost
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nDocs = corpusStats(spark, idxDir).head().getLong(0)
-    val selected = terms
-      .map { t =>
-        val df = dfs.getOrElse(t, 0L)
-        (t, seedTf(t).toDouble *
-          (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
-      }
-      .sortBy { case (t, s) => (-s, t) }
-      .take(maxQueryTerms).map(_._1)
-    val postings = seedPost.filter(col("tok").isin(selected: _*))
-      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    val excludeSeed = spark.range(1).select(lit(seedDoc).as("doc_id"))
-    bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
-      exclude = excludeSeed)
+    try {
+      val dfs = seedPost
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDocs = corpusStats(spark, idxDir).head().getLong(0)
+      val selected = terms
+        .map { t =>
+          val df = dfs.getOrElse(t, 0L)
+          (t, seedTf(t).toDouble *
+            (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+        }
+        .sortBy { case (t, s) => (-s, t) }
+        .take(maxQueryTerms).map(_._1)
+      val postings = seedPost.filter(col("tok").isin(selected: _*))
+        .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+      val excludeSeed = spark.range(1).select(lit(seedDoc).as("doc_id"))
+      val top = bm25TopK(postings, corpusStats(spark, idxDir), k, 1.2, 0.75,
+          exclude = excludeSeed)
+        .collect()
+      import spark.implicits._
+      top.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.toDF("rk", "doc_id", "n_t", "score")
+        .orderBy(col("rk"))
+    } finally seedPost.unpersist(blocking = false)
   }
 
   /** Oracle-checked query: the ES `significant_terms` AGGREGATION — terms
@@ -1183,10 +1212,18 @@ object Search {
     phraseHits(postings, terms)
   }
 
-  /** SLOPPY phrase match over positional postings — the ES `match_phrase`
-    * `slop` surface: the terms must appear IN ORDER, with at most `slop`
-    * total non-phrase positions between them (Σ gaps ≤ slop; slop 0
-    * degenerates to the exact intersection). A hit is counted per DISTINCT
+  /** SLOPPY phrase match over positional postings: the terms must appear
+    * IN ORDER, with at most `slop` total non-phrase positions between them
+    * (Σ gaps ≤ slop; slop 0 degenerates to the exact intersection).
+    *
+    * SEMANTICS CONTRACT (ADVICE r13): this is ES `span_near` with
+    * `in_order: true` — NOT the full Lucene `match_phrase` slop for
+    * slop ≥ 2, which additionally admits TRANSPOSED terms once the edit
+    * budget covers the swap (each transposition costs 2 slop). For
+    * slop ≤ 1 the two surfaces coincide exactly (a swap needs slop 2),
+    * which covers [[qCdcPhraseSlop]]'s default; a caller passing slop ≥ 2
+    * gets the in-order span semantics, documented here rather than
+    * silently diverging. A hit is counted per DISTINCT
     * first-term start position that begins a within-budget completion —
     * at slop 0 that equals [[phraseHits]]' per-start count. The chain
     * joins each next term's (df-sized, pruned) position list against the
@@ -1219,7 +1256,9 @@ object Search {
     * Exact-phrase hits are a subset; the slop surface additionally matches
     * every `merge X window` occurrence, so the answer genuinely differs
     * from cdc_phrase_search on the fixture. Reads only the two terms'
-    * tok-buckets, like every maintained-index query. */
+    * tok-buckets, like every maintained-index query. At the default
+    * slop ≤ 1 this IS `match_phrase slop`; beyond that it is the in-order
+    * `span_near` rendering — see [[slopHits]]' semantics contract. */
   def qCdcPhraseSlop(spark: SparkSession, sfDir: String,
                      phrase: String = "merge window",
                      slop: Int = 1): DataFrame = {

@@ -434,9 +434,10 @@ object Similarity {
         // a cancelling pair — per-batch encode cost now ∝ touched
         // vectors. Same TRUNCATE rule: a fence-carrying batch must keep
         // the hook's fence-killed rows (not batch keys) so their (cell,
-        // id) entries retract — it processes the whole hook frames.
-        val hasTrunc = batch.columns.contains("op") &&
-          !batch.filter(col("op") === "TRUNCATE").isEmpty
+        // id) entries retract — it processes the whole hook frames. Fence
+        // presence comes from the merge's own probe (ADVICE r13: no extra
+        // eager action on the hot maintain path).
+        val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
           if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
