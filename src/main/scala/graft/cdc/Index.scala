@@ -38,10 +38,15 @@ object Index {
     * changed emits DELETE(old value) + INSERT(new value); a deleted key
     * emits only the DELETE; the events merge into the index's own keyed
     * state (bucketed by value). */
+  /** `initialBuckets` sizes a FRESH index's layout (manifest-recorded,
+    * ignored once one exists — the [[ChangelogStream.upsertBatch]] knob):
+    * the composed pass passes 8 for its orders-sized index to halve the
+    * per-epoch write/promote fan-out (r14). */
   private[cdc] def commitIndexDelta(prev: DataFrame, merged: DataFrame,
                                     batchId: Long, idxDir: String,
                                     valueCol: String,
-                                    keyCols: Seq[String] = Seq("id")): Unit = {
+                                    keyCols: Seq[String] = Seq("id"),
+                                    initialBuckets: Int = ChangelogStream.NumBuckets): Unit = {
     // per-key (old value, new value) via ONE union + ONE key aggregation —
     // the tagged-leg fold [[JoinMv.ensurePendingK]] uses, replacing the
     // previous full_outer join (two shuffled sides + a join stage for the
@@ -71,7 +76,8 @@ object Index {
     val idxEvents = dels.unionByName(ins)
     // the index is itself a keyed state: key (v, id...), bucketed by v
     ChangelogStream.upsertBatch(idxEvents, idxDir,
-      keyCols = "v" +: keyCols, bucketCols = Seq("v"))
+      keyCols = "v" +: keyCols, bucketCols = Seq("v"),
+      initialBuckets = initialBuckets)
   }
 
   /** Merge one micro-batch into the primary state AND its secondary index

@@ -81,6 +81,22 @@ object JoinMv {
     val spark = prev.sparkSession
     val dir = pendingDir(aggDir, batchId)
     if (hasSuccess(spark, dir)) return spark.read.parquet(dir)
+    // FIRST batch (r14): when NEITHER derived state has a layout yet,
+    // A_before and the segment view are empty by construction — the delta
+    // aggregation and the fold collapse into ONE union + ONE custkey
+    // aggregation (one shuffle, one job, no intermediate persist, no
+    // bucket-ids collect). This is the composed pass's entire life (its
+    // declared query drains in one epoch), where the two-stage chain was
+    // the epoch's critical path. Safe exactly when the pin is absent AND
+    // both layouts are unwritten: any partially-advanced replay still has
+    // the pin on disk (it sweeps only after both fences), so it returns
+    // above and never reaches this branch.
+    if (Buckets.read(spark, segDir).isEmpty && Buckets.read(spark, aggDir).isEmpty) {
+      Materialize.timed("bidi: first-batch fused fold")(
+        firstBatchK(prev, merged).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir))
+      return spark.read.parquet(dir)
+    }
     val zeroS = lit(0).cast(Materialize.SType)
     def custLive(df: DataFrame, as: String) = df
       .filter(col("table") === "customer" && col("op") =!= "DELETE")
@@ -186,6 +202,57 @@ object JoinMv {
   private val LongType_ = org.apache.spark.sql.types.LongType
   private val StringType_ = org.apache.spark.sql.types.StringType
 
+  /** The per-key pin frame of a FIRST batch — A_before and the segment
+    * view both empty — as ONE union of six tagged legs + ONE custkey
+    * aggregation (the [[ensurePendingK]] fast path; algebra identical to
+    * the general fold with empty state legs and the delta inlined:
+    * n_b/s_b/seg_b are the empty-state constants, mseg doubles as the
+    * merged live segment, and `touched` still marks every customer id the
+    * batch saw — tombstones included — so a delete's seg_a stays null). */
+  private def firstBatchK(prev: DataFrame, merged: DataFrame): DataFrame = {
+    val zeroS = lit(0).cast(Materialize.SType)
+    val nullL = lit(null).cast(LongType_)
+    val nullS = lit(null).cast(Materialize.SType)
+    val nullStr = lit(null).cast(StringType_)
+    def ordersLeg(df: DataFrame, sign: Int) = df
+      .filter(col("table") === "orders" && col("op") =!= "DELETE")
+      .select(col("o_custkey").as("custkey"), lit(sign.toLong).as("dn"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * sign)
+          .cast(Materialize.SType).as("ds"),
+        nullStr.as("pseg"), nullStr.as("mseg"), nullL.as("touched"))
+    def custLeg(df: DataFrame, isPrev: Boolean) = df
+      .filter(col("table") === "customer" && col("op") =!= "DELETE")
+      .select(col("id").as("custkey"), nullL.as("dn"), nullS.as("ds"),
+        (if (isPrev) col("c_mktsegment") else nullStr).as("pseg"),
+        (if (isPrev) nullStr else col("c_mktsegment")).as("mseg"),
+        nullL.as("touched"))
+    def touchedLeg(df: DataFrame) = df
+      .filter(col("table") === "customer")
+      .select(col("id").as("custkey"), nullL.as("dn"), nullS.as("ds"),
+        nullStr.as("pseg"), nullStr.as("mseg"), lit(1L).as("touched"))
+    val folded = Seq(
+        ordersLeg(merged, 1), ordersLeg(prev, -1),
+        custLeg(prev, isPrev = true),
+        custLeg(merged, isPrev = false),
+        touchedLeg(prev), touchedLeg(merged))
+      .reduce(_.unionByName(_))
+      .groupBy(col("custkey"))
+      .agg(sum(col("dn")).as("dn"),
+        sum(col("ds")).cast(Materialize.SType).as("ds"),
+        max(col("pseg")).as("pseg"), max(col("mseg")).as("mseg"),
+        max(col("touched")).as("touched"))
+    val inDo = col("dn").isNotNull && (col("dn") =!= 0 || col("ds") =!= zeroS)
+    folded
+      .filter(inDo || !(col("pseg") <=> col("mseg")))
+      .select(col("custkey"),
+        lit(0L).as("n_b"), zeroS.as("s_b"),
+        coalesce(col("dn"), lit(0L)).as("n_a"),
+        coalesce(col("ds"), zeroS).cast(Materialize.SType).as("s_a"),
+        nullStr.as("seg_b"),
+        when(col("touched") === 1L, col("mseg")).otherwise(nullStr).as("seg_a"),
+        inDo.as("in_do"))
+  }
+
   /** Step 2: the MV per-key replace — debit each changed key's before cell,
     * credit its after cell. Fenced on batchId inside commitDeltaRows. */
   private[cdc] def commitMvFromK(spark: SparkSession, k: DataFrame,
@@ -233,10 +300,16 @@ object JoinMv {
           lit("DELETE").as("op"), col("c_mktsegment"))
       // A and the segment dim are independent states (own dirs, own
       // manifests) with values pinned by `k`/`merged` — advance them
-      // concurrently; the fence writes only after BOTH commit
+      // concurrently; the fence writes only after BOTH commit. Both are
+      // customer-cardinality (~3k keys at sf0.1): a 4-bucket fresh layout
+      // (manifest-recorded; ignored once a layout exists) quarters each
+      // merge's file/promote fan-out vs the 16 default — the r10
+      // initialBuckets discipline, applied to the bidi advance (r14)
       Materialize.runConcurrent(
-        () => ChangelogStream.upsertBatch(newARows(k, batchId), aggDir),
-        () => ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir))
+        () => ChangelogStream.upsertBatch(newARows(k, batchId), aggDir,
+          initialBuckets = 4),
+        () => ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir,
+          initialBuckets = 4))
       writeAggFence(spark, aggDir, batchId)
     }
 

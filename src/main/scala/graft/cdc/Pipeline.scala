@@ -95,7 +95,7 @@ object Pipeline {
               "c_mktsegment", "o_totalprice"))),
         () => Materialize.timed("hook: index delta")(
           Index.commitIndexDelta(orders(prev), orders(merged), epochId,
-            dirs.idx, "o_orderstatus")),
+            dirs.idx, "o_orderstatus", initialBuckets = 8)),
         () => Materialize.timed("hook: bidi join-mv")(
           JoinMv.maintain(prev, merged, epochId,
             dirs.agg, dirs.seg, dirs.mvBidi)))

@@ -194,7 +194,11 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       // .option("numBuckets", n) sizes a FRESH state's layout (power of
       // two, manifest-recorded) — tiny dimension states skip the 16-dir
       // default, huge ones start wide
-      initialBuckets = numBuckets.getOrElse(graft.cdc.ChangelogStream.NumBuckets))
+      initialBuckets = numBuckets.getOrElse(graft.cdc.ChangelogStream.NumBuckets),
+      // a registered maintainer means a CHAIN fans out over the shared
+      // (prev, merged) caches — warm them in one clean job first (r14,
+      // measured on the composed pass; see upsertBatch's doc)
+      warmHookCache = hook.isDefined)
   }
 
   private def dropStaging(epochId: Long): Unit =
