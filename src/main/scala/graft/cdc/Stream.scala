@@ -211,7 +211,8 @@ object ChangelogStream {
                   bucketCols: Seq[String] = null,
                   maxBucketBytes: Long = Long.MaxValue,
                   initialBuckets: Int = NumBuckets,
-                  warmHookCache: Boolean = false): Unit = {
+                  warmHookCache: Boolean = false,
+                  cacheBatch: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,7 +239,12 @@ object ChangelogStream {
       s"state at $stateDir is bucketed by ${layout.bucketCols}, not $bCols")
     val hasOp = batch.columns.contains("op")
     val withB = batch.withColumn("__bucket", Buckets.bucketExpr(layout, bCols))
-    withB.persist()
+    // `cacheBatch = false` skips pinning the batch: right when the source
+    // is already-columnar parquet a second read of which costs less than
+    // materializing the cache (the probe's dominant cost on big batches —
+    // r14, qStateDiffVersions). The default caches: the sink's staged
+    // JSON would otherwise re-parse per consumer.
+    if (cacheBatch) withB.persist()
     try {
       // ONE job over the cached batch: the touched buckets of the DATA rows
       // plus any TRUNCATE markers' (table, seq) — markers are sink metadata
@@ -480,7 +486,7 @@ object ChangelogStream {
             s.getPath.getName != new org.apache.hadoop.fs.Path(tmp).getName)
           .foreach(s => fs.delete(s.getPath, true))
       }
-    } finally withB.unpersist()
+    } finally if (cacheBatch) withB.unpersist()
   }
 
   /** Extendible-split depth ceiling: 2^24 buckets ≈ 16M dirs is far past
@@ -887,12 +893,19 @@ object ChangelogStream {
     val stateDir = s"$work/state"
     // touched-bucket-sized per-batch stages (see qApplyStreamingTruncate)
     val s2 = Materialize.sessionWithParts(spark, 8)
-    val cl = Changelog.fromOrders(s2, sfDir)
+    // the STAGED changelog (memoized per fixture, already warm from the
+    // apply family) — each batch's probe reads 4 parquet files instead of
+    // re-deriving the whole synthesis per filter (r14: the derivation ran
+    // TWICE and dominated the first batch's probe)
+    val cl = s2.read.parquet(Changelog.stageParquet(s2, sfDir))
     // 15k keys: an 8-bucket fresh layout (manifest-recorded) halves the
-    // files both batches write and BOTH diff snapshots later open
-    upsertBatch(cl.filter(col("seq") <= splitSeq), stateDir, initialBuckets = 8)
+    // files both batches write and BOTH diff snapshots later open;
+    // cacheBatch=false — each batch is a parquet filter, re-read cheaper
+    // than the cache fill the probe would otherwise pay
+    upsertBatch(cl.filter(col("seq") <= splitSeq), stateDir, initialBuckets = 8,
+      cacheBatch = false)
     Buckets.savepoint(s2, stateDir, "asof")
-    upsertBatch(cl.filter(col("seq") > splitSeq), stateDir)
+    upsertBatch(cl.filter(col("seq") > splitSeq), stateDir, cacheBatch = false)
     val cols = Seq("id") ++ Changelog.payloadCols
     Apply.stateDiffVersions(
       readStateAt(spark, stateDir, "asof", cols),
