@@ -148,12 +148,42 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(stats() === (1L, 2L))
   }
 
-  test("prefix search pushes StartsWith; term filter prunes the state read") {
-    // the doc-claims must hold in the EXECUTED plan (the r12 audit lesson)
-    val prefixPlan = Search.qCdcPrefixSearch(spark, sfDir)
+  test("prefix search expands through the term directory and reads only the expansion's buckets") {
+    // the doc-claims must hold in the EXECUTED plan (the r12 audit lesson):
+    // since r14 the prefix expands via the SORTED TERM DIRECTORY, and the
+    // returned plan's postings reads must be the EXPANSION terms' buckets —
+    // never an all-buckets StartsWith scan (the r13 rendering)
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val expansion = Search.dictTerms(spark, idxDir)
+      .filter(col("tok").startsWith("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(expansion.nonEmpty)
+    val df = Search.qCdcPrefixSearch(spark, sfDir)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    val layout = graft.cdc.Buckets.read(spark, idxDir).get
+    val expBuckets = expansion
+      .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t))).distinct
+    val allBuckets = layout.entries.count(_._2._2 >= 0)
+    assert(expBuckets.size < allBuckets,
+      "fixture degenerate: expansion covers every bucket — the pruning assertion is vacuous")
+    scans.filterNot(_.contains("/_stats")).foreach { p =>
+      assert(expBuckets.exists(b => p.contains(s"/bucket=$b/")),
+        s"non-expansion bucket read: $p (expansion buckets: $expBuckets)")
+    }
+    // the dictionary read itself pushes the range predicate into the
+    // sorted runs
+    val dictPlan = Search.dictTerms(spark, idxDir)
+      .filter(col("tok").startsWith("s"))
       .queryExecution.executedPlan.toString
-    assert(prefixPlan.contains("StringStartsWith(tok,s)"),
-      s"StartsWith not pushed into the postings scan:\n$prefixPlan")
+    assert(dictPlan.contains("StringStartsWith(tok,s)"),
+      s"StartsWith not pushed into the dict runs:\n$dictPlan")
     val tfPlan = Search.qCdcTermFilter(spark, sfDir)
       .queryExecution.executedPlan.toString
     // the keep frame's state scan: source predicate pushed, columns pruned
@@ -162,6 +192,49 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .find(_.contains("In(source"))
     assert(stateScan.isDefined,
       s"source filter not pushed into the doc-state scan:\n$tfPlan")
+  }
+
+  test("the term directory tracks postings df through update, delete, truncate — and compaction folds runs") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dict-spec-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    def dict(): Map[String, Long] =
+      Search.dictTerms(spark, s"$work/idx")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def postingsDf(): Map[String, Long] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx", Seq("tok", "id"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "spark merge merge"), (2L, 2L, "INSERT", "merge window"))),
+      0L, s"$work/state", s"$work/idx")
+    assert(dict() === Map("spark" -> 1L, "merge" -> 2L, "window" -> 1L))
+    // update: doc 1 drops spark+merge, gains join; duplicate tokens in one
+    // doc still count df once
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 3L, "UPDATE", "join join"))), 1L, s"$work/state", s"$work/idx")
+    assert(dict() === Map("merge" -> 1L, "window" -> 1L, "join" -> 1L))
+    assert(dict() === postingsDf()) // the directory invariant
+    // replay of batch 1: the manifest fence skips the non-idempotent delta
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 3L, "UPDATE", "join join"))), 1L, s"$work/state", s"$work/idx")
+    assert(dict() === postingsDf())
+    // a TRUNCATE batch retracts fence-killed docs' terms (whole-frame hook)
+    Search.maintainTextIndexBatch(
+      batch(Seq((-1L, 10L, "TRUNCATE", null), (3L, 11L, "INSERT", "merge scan"))),
+      2L, s"$work/state", s"$work/idx")
+    assert(dict() === Map("merge" -> 1L, "scan" -> 1L))
+    assert(dict() === postingsDf())
+    // compaction folds the runs to ONE sorted base; totals unchanged and
+    // the next batch keeps maintaining on top of the folded base
+    val before = dict()
+    Search.compactDict(spark, s"$work/idx")
+    assert(dict() === before)
+    Search.maintainTextIndexBatch(
+      batch(Seq((4L, 12L, "INSERT", "merge"))), 3L, s"$work/state", s"$work/idx")
+    assert(dict() === Map("merge" -> 2L, "scan" -> 1L))
+    assert(dict() === postingsDf())
   }
 
   test("CDC-maintained search equals BM25 over the live documents") {
