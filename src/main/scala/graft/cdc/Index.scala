@@ -42,7 +42,7 @@ object Index {
     * ignored once one exists — the [[ChangelogStream.upsertBatch]] knob):
     * the composed pass passes 8 for its orders-sized index to halve the
     * per-epoch write/promote fan-out (r14). */
-  private[cdc] def commitIndexDelta(prev: DataFrame, merged: DataFrame,
+  private[graft] def commitIndexDelta(prev: DataFrame, merged: DataFrame,
                                     batchId: Long, idxDir: String,
                                     valueCol: String,
                                     keyCols: Seq[String] = Seq("id"),

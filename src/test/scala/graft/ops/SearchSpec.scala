@@ -184,14 +184,35 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(dictPlan.contains("StringStartsWith(tok,s)"),
       s"StartsWith not pushed into the dict runs:\n$dictPlan")
-    val tfPlan = Search.qCdcTermFilter(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    // the keep frame's state scan: source predicate pushed, columns pruned
-    val stateScan = tfPlan.linesIterator
-      .filter(_.contains("PushedFilters"))
-      .find(_.contains("In(source"))
-    assert(stateScan.isDefined,
-      s"source filter not pushed into the doc-state scan:\n$tfPlan")
+    // the filter keep frame serves from the maintained SOURCE index:
+    // per filter value, exactly that value's index bucket opens (r14 —
+    // the r13 rendering scanned the doc state with the predicate pushed)
+    val (stateDir, _) = Search.textIndexRun(spark, sfDir)
+    val keep = Search.sourceKeepIds(spark, stateDir, Seq("src3", "src7"))
+    val keepScans = keep.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    val srcLayout = graft.cdc.Buckets.read(spark, s"$stateDir/_srcidx").get
+    val valueBuckets = Seq("src3", "src7")
+      .map(v => graft.cdc.Buckets.bucketOfValues(srcLayout, Seq(v))).distinct
+    assert(keepScans.nonEmpty)
+    keepScans.foreach { p =>
+      assert(p.contains("/_srcidx/"),
+        s"keep frame read outside the source index: $p")
+      assert(valueBuckets.exists(b => p.contains(s"/bucket=$b/")),
+        s"keep frame read a non-value bucket: $p (value buckets: $valueBuckets)")
+    }
+    // ...and the keep set itself equals the state-derived one
+    val fromState = graft.cdc.ChangelogStream
+      .readState(spark, stateDir, Seq("id", "source"))
+      .filter(col("source").isin("src3", "src7"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(keep.collect().map(_.getLong(0)).toSet === fromState)
   }
 
   test("the term directory tracks postings df through update, delete, truncate — and compaction folds runs") {
