@@ -105,6 +105,11 @@ object SparkEntry {
     // two views over one shared pass (graft.cdc.Pipeline.runTruncate)
     "cdc_pipeline_truncate" -> (graft.cdc.Pipeline.qTruncateCoherent _),
     "cdc_pipeline_truncate_mv" -> (graft.cdc.Pipeline.qTruncateMv _),
+    // ONE named savepoint across the composed pass's tables (state + MV +
+    // secondary index pinned at the epoch-0 boundary by the sink's
+    // postCommit hook), read back as a mutually-GATED consistent cut while
+    // the live tables have applied the truncate fence and the tail
+    "cdc_savepoint_all" -> (graft.cdc.Pipeline.qSavepointAll _),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -1148,6 +1153,15 @@ object SparkEntry {
     "cdc_apply_truncate" -> truncateOracle,
     "cdc_apply_truncate_stream" -> truncateOracle,
     "cdc_pipeline_truncate" -> truncateOracle,
+    "cdc_savepoint_all" ->
+      // the pre-truncate boundary the epoch-0 savepoint pinned: the insert
+      // phase IS the state (one INSERT per key, nothing superseded yet);
+      // the query's cross-table gates inject alien rows on any
+      // state/index/MV disagreement, so coherence is what the hash checks
+      s"""WITH ${Changelog.oracleCte}
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM changelog WHERE op = 'INSERT' ORDER BY o_orderkey""".stripMargin,
     "cdc_pipeline_truncate_mv" ->
       // truncate-aware IVM: after the fence batch debits every killed
       // row's contribution, the maintained MV equals the aggregate over

@@ -76,7 +76,9 @@ object Buckets {
       case Array("cols", cs) => cs.split(',').toSeq
       case other => throw new IllegalStateException(s"bad layout header: ${other.toSeq}")
     }
-    Layout(cols, lines.tail.map { l =>
+    // savepoint files may carry `fence` lines after the bucket entries
+    // (the pinned truncate fences — [[readFencesAt]]); live manifests never do
+    Layout(cols, lines.tail.filterNot(_.startsWith("fence\t")).map { l =>
       val Array(b, d, v) = l.split('\t')
       b.toInt -> (d.toInt, v.toLong)
     }.toMap)
@@ -154,16 +156,24 @@ object Buckets {
     s"$stateDir/_savepoints/$name.txt"
 
   /** Pin the CURRENT manifest under a name: a consistent (bucket → version)
-    * set that retention will preserve and [[readAt]] can open later. */
+    * set that retention will preserve and [[readAt]] can open later. The
+    * state's current TRUNCATE fences pin WITH it (r14): an as-of read must
+    * filter by the fences of the pinned moment — applying a LATER fence to
+    * pinned buckets would erase rows the savepoint still owns (the hole a
+    * post-pin TRUNCATE would otherwise open in time travel). */
   def savepoint(spark: SparkSession, stateDir: String, name: String): Unit = {
     val layout = read(spark, stateDir).getOrElse(
       throw new IllegalStateException(s"no manifest to savepoint at $stateDir"))
+    val fences = ChangelogStream.truncateFences(spark, stateDir)
     val p = new org.apache.hadoop.fs.Path(savepointPath(stateDir, name))
     val f = fs(spark, stateDir)
     f.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${name}.tmp")
     val out = f.create(tmp, true)
-    out.write(render(layout).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fenceLines = fences.toSeq.sortBy(_._1)
+      .map { case (t, s) => s"\nfence\t$t\t$s" }.mkString
+    out.write((render(layout) + fenceLines)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     if (f.exists(p)) f.delete(p, false) // idempotent re-pin (batch replay)
     if (!f.rename(tmp, p))
@@ -173,6 +183,22 @@ object Buckets {
   /** The layout a savepoint pinned. */
   def readAt(spark: SparkSession, stateDir: String, name: String): Layout =
     readManifestFile(spark, savepointPath(stateDir, name))
+
+  /** The TRUNCATE fences a savepoint pinned (empty for pins taken before
+    * any fence — and for pre-r14 pins, which read as fence-free; correct
+    * whenever no truncate preceded the pin, the only case they served). */
+  def readFencesAt(spark: SparkSession, stateDir: String,
+                   name: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(savepointPath(stateDir, name))
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split('\n').filter(_.startsWith("fence\t")).map { l =>
+      val Array(_, t, s) = l.split('\t')
+      t -> s.toLong
+    }.toMap
+  }
 
   /** RELEASE a savepoint: drop the pin so the versions it held become
     * collectible at the next merge/compaction's retention sweep (the pin

@@ -197,16 +197,23 @@ object Pipeline {
     * way the hash check fails. When coherent the result IS the state, so
     * the query shares the state oracle: equality is the assertion. */
   private def stateIndexCoherent(spark: SparkSession, state: DataFrame,
-                                 idxDir: String): DataFrame = {
-    val idx = ChangelogStream.readState(spark, idxDir, Seq("v", "id"))
-      .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
+                                 idxDir: String): DataFrame =
+    stateIndexCoherentFrames(state,
+      ChangelogStream.readState(spark, idxDir, Seq("v", "id"))
+        .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey")))
+      .orderBy(col("o_orderkey"))
+
+  /** The frame-level coherence gate ([[stateIndexCoherent]]'s core),
+    * reusable against an AS-OF index read ([[qSavepointAll]]). */
+  private def stateIndexCoherentFrames(state: DataFrame,
+                                       idx: DataFrame): DataFrame = {
     val present = state.join(idx, Seq("o_orderstatus", "o_orderkey"), "left_semi")
       .select(Changelog.payloadCols.map(col): _*)
     val stale = idx.join(state, Seq("o_orderstatus", "o_orderkey"), "left_anti")
       .select(Changelog.payloadCols.map(c =>
         if (c == "o_orderstatus" || c == "o_orderkey") col(c)
         else lit(null).cast(state.schema(c).dataType).as(c)): _*)
-    present.unionByName(stale).orderBy(col("o_orderkey"))
+    present.unionByName(stale)
   }
 
   def qStateIndexCoherent(spark: SparkSession, sfDir: String): DataFrame = {
@@ -245,6 +252,22 @@ object Pipeline {
       .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
 
+  /** One NAMED savepoint across a composed pipeline's tables — keyed
+    * states ([[Buckets.savepoint]]: bucket versions + layout + truncate
+    * fences) and MVs ([[Materialize.savepointMv]]: the latest version) all
+    * pinned under one name (VERDICT r13 missing #4: the ES
+    * snapshot-of-the-cluster story, generalizing the bootstrap pair's
+    * two-table pin). Must run at a batch boundary where the tables are
+    * mutually consistent — the sink's postCommit hook
+    * ([[graft.sources.ChangelogStateSink.postCommits]]) is that point for
+    * a live stream; between batches for a batch-applied pipeline.
+    * Idempotent (every pin re-pins), so a replayed epoch re-takes it. */
+  def savepointAll(spark: SparkSession, name: String,
+                   states: Seq[String], mvs: Seq[String] = Seq.empty): Unit = {
+    states.foreach(Buckets.savepoint(spark, _, name))
+    mvs.foreach(Materialize.savepointMv(spark, _, name))
+  }
+
   // ── TRUNCATE through the composed pipeline ────────────────────────────
 
   private val truncRuns = new graft.model.JvmMemo[Dirs]()
@@ -264,6 +287,7 @@ object Pipeline {
         Files.createTempDirectory(Paths.get("/tmp"), "graft-pipeline-trunc-").toString)
       val dirs = Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx")
       val hookKey = s"pipeline-trunc-${java.util.UUID.randomUUID()}"
+      val pcKey = s"$hookKey-pc"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
           Materialize.runConcurrent(
@@ -278,6 +302,16 @@ object Pipeline {
       // micro-batch with live state on both sides, the semantics this
       // fixture exists to exercise
       val s2 = Materialize.sessionWithParts(spark, 8)
+      // the cross-derived savepoint: epoch 0 (the insert phase) commits,
+      // then the postCommit hook pins state + MV + index under ONE name at
+      // that boundary — BEFORE the truncate fence of epoch 1 exists, so
+      // the pin's own fence set is empty (a savepoint carries its fences,
+      // Buckets.savepoint r14) and qSavepointAll reads the pre-truncate
+      // cut while the live tables have long since applied the fence + tail
+      ChangelogStateSink.postCommits.put(pcKey, (epochId: Long) =>
+        if (epochId == 0L)
+          savepointAll(s2, "p0", states = Seq(dirs.state, dirs.idx),
+            mvs = Seq(dirs.mv)))
       try {
         val pSchema = Changelog.payloadSchema(spark, sfDir)
         val decoded = s2.readStream.format("changelog")
@@ -295,11 +329,15 @@ object Pipeline {
           .option("schema", decoded.schema.toDDL)
           .option("keyCols", "id")
           .option("maintainer", hookKey)
+          .option("postCommit", pcKey)
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally ChangelogStateSink.maintainers.remove(hookKey)
+      } finally {
+        ChangelogStateSink.maintainers.remove(hookKey)
+        ChangelogStateSink.postCommits.remove(pcKey)
+      }
       dirs
     }
 
@@ -321,4 +359,37 @@ object Pipeline {
       .select(col("o_orderstatus"), col("n"),
         round(col("s"), 2).cast("double").as("sum_value"))
       .orderBy(col("o_orderstatus"))
+
+  /** Oracle-checked query: the CROSS-DERIVED SAVEPOINT read (VERDICT r13
+    * missing #4) — the truncate pass's epoch-0 postCommit hook pinned
+    * state, secondary index AND per-status MV under ONE name ("p0", the
+    * pre-truncate boundary), and this query reads all three AS-OF that pin
+    * while the live tables have long since applied the fence and the
+    * update/delete tail. Consistency is GATED into the result: the state
+    * semi-joins the pinned index (a missing entry drops a row, a stale one
+    * injects an alien — the [[stateIndexCoherent]] construction), and any
+    * pinned-MV cell that disagrees with re-aggregating the pinned state
+    * injects an alien row too. When the cut is coherent the result IS the
+    * pre-truncate state (the insert phase), so the oracle re-derives
+    * exactly that — and the savepointed read crossing a LATER truncate is
+    * only correct because a savepoint pins its fences (Buckets r14). */
+  def qSavepointAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirs = runTruncate(spark, sfDir)
+    val stateAt = ChangelogStream.readStateAt(spark, dirs.state, "p0",
+      Changelog.payloadCols)
+    val idxAt = ChangelogStream.readStateAt(spark, dirs.idx, "p0", Seq("v", "id"))
+      .select(col("v").as("o_orderstatus"), col("id").as("o_orderkey"))
+    val gate = stateIndexCoherentFrames(stateAt, idxAt)
+    val mvAt = Materialize.readMvAt(spark, dirs.mv, "p0")
+    val mvRe = stateAt.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n2"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(Materialize.SType).as("s2"))
+    val mvBad = mvAt.join(mvRe, Seq("o_orderstatus"), "full_outer")
+      .filter(!(col("n") <=> col("n2")) || !(col("s") <=> col("s2")))
+      .select(Changelog.payloadCols.map(c =>
+        if (c == "o_orderstatus") col(c)
+        else lit(null).cast(stateAt.schema(c).dataType).as(c)): _*)
+    gate.unionByName(mvBad).orderBy(col("o_orderkey"))
+  }
 }

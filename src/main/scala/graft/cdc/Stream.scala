@@ -631,21 +631,27 @@ object ChangelogStream {
 
   /** As [[readStateBuckets]], over an ALREADY-READ layout — the one-manifest
     * path for callers that hashed their values through the same Layout
-    * (live or savepointed) and must not re-read it. */
+    * (live or savepointed) and must not re-read it. `fences` overrides the
+    * live truncate fences (a savepoint read passes its PINNED fences —
+    * r14: applying a post-pin fence to pinned buckets would erase rows the
+    * savepoint still owns). */
   def readLayoutBuckets(spark: SparkSession, stateDir: String,
                         layout: Buckets.Layout, payloadCols: Seq[String],
-                        buckets: Seq[Int]): DataFrame =
+                        buckets: Seq[Int],
+                        fences: Option[Map[String, Long]] = None): DataFrame =
     readResolved(spark, stateDir, bucketPaths(layout, stateDir, buckets),
-      buckets.headOption, payloadCols)
+      buckets.headOption, payloadCols, fences)
 
   /** As [[readState]], but through the consistent (bucket → version) set a
     * [[Buckets.savepoint]] pinned — version-addressed time travel over the
-    * state itself, no changelog re-apply. */
+    * state itself, no changelog re-apply. Filters by the PINNED truncate
+    * fences, not the live ones (r14). */
   def readStateAt(spark: SparkSession, stateDir: String, savepointName: String,
                   payloadCols: Seq[String]): DataFrame =
     readResolved(spark, stateDir,
       Buckets.readAt(spark, stateDir, savepointName).paths(stateDir),
-      None, payloadCols)
+      None, payloadCols,
+      Some(Buckets.readFencesAt(spark, stateDir, savepointName)))
 
   /** The bucket-PRUNED rendering of [[readStateAt]]: only the given
     * buckets' PINNED versions open — the value-addressed point-read
@@ -657,7 +663,8 @@ object ChangelogStream {
                          savepointName: String, payloadCols: Seq[String],
                          buckets: Seq[Int]): DataFrame =
     readLayoutBuckets(spark, stateDir,
-      Buckets.readAt(spark, stateDir, savepointName), payloadCols, buckets)
+      Buckets.readAt(spark, stateDir, savepointName), payloadCols, buckets,
+      Some(Buckets.readFencesAt(spark, stateDir, savepointName)))
 
   /** The committed data paths of a state: manifest pointers when present,
     * legacy latest-`_SUCCESS` listing otherwise. */
@@ -678,7 +685,8 @@ object ChangelogStream {
 
   private def readResolved(spark: SparkSession, stateDir: String,
                            latest: Seq[String], onlyBucket: Option[Int],
-                           payloadCols: Seq[String]): DataFrame = {
+                           payloadCols: Seq[String],
+                           fences: Option[Map[String, Long]] = None): DataFrame = {
     if (latest.isEmpty) {
       // a pruned read of a bucket no write has touched is legitimately
       // empty (nothing ever hashed there) — answer with an empty frame in
@@ -694,7 +702,8 @@ object ChangelogStream {
     }
     val df = spark.read.option("mergeSchema", "true").parquet(latest: _*)
     df.filter(col("op") =!= "DELETE" &&
-        fenceCondition(df.columns, truncateFences(spark, stateDir)))
+        fenceCondition(df.columns,
+          fences.getOrElse(truncateFences(spark, stateDir))))
       .select(payloadCols.map(col): _*)
   }
 

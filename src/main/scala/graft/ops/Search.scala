@@ -529,8 +529,10 @@ object Search {
     val buckets = terms.distinct
       .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
       .distinct.sorted
+    // an as-of read filters by the PINNED fences, not the live ones (r14)
+    val fences = asOf.map(n => graft.cdc.Buckets.readFencesAt(spark, idxDir, n))
     graft.cdc.ChangelogStream
-      .readLayoutBuckets(spark, idxDir, layout, payloadCols, buckets)
+      .readLayoutBuckets(spark, idxDir, layout, payloadCols, buckets, fences)
       .filter(col("tok").isin(terms.distinct: _*))
   }
 

@@ -611,9 +611,11 @@ object Similarity {
     val buckets = cellIds.map(c =>
       graft.cdc.Buckets.bucketOfValues(layout, Seq(c))).distinct.sorted
     // one relation over the probed bucket set (one driver-side listing),
-    // not one spark.read per bucket — the readStateBuckets rationale
+    // not one spark.read per bucket — the readStateBuckets rationale; an
+    // as-of read filters by the PINNED fences, not the live ones (r14)
     val entries = graft.cdc.ChangelogStream.readLayoutBuckets(
-      spark, idxDir, layout, payloadCols, buckets.toSeq)
+      spark, idxDir, layout, payloadCols, buckets.toSeq,
+      asOf.map(n => graft.cdc.Buckets.readFencesAt(spark, idxDir, n)))
     (entries, probed, stateDir)
   }
 

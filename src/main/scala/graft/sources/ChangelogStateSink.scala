@@ -62,6 +62,17 @@ object ChangelogStateSink {
   import org.apache.spark.sql.DataFrame
   val maintainers = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame, Long) => Unit]()
+  /** Driver-side POST-commit hooks (`.option("postCommit", key)`): invoked
+    * with the epoch id AFTER the epoch's state merge (manifest flipped,
+    * maintainer deltas committed) and BEFORE the epoch fence writes — the
+    * boundary where every table of a composed pipeline is mutually
+    * consistent, which is exactly where a cross-derived savepoint
+    * ([[graft.cdc.Pipeline.savepointAll]]) must pin. Ordering makes the
+    * hook crash-safe: a crash after the hook but before the fence replays
+    * the epoch, re-running the idempotent merge and the (idempotent,
+    * re-pinning) hook. */
+  val postCommits = new java.util.concurrent.ConcurrentHashMap[
+    String, Long => Unit]()
 }
 
 class ChangelogStateSink extends TableProvider
@@ -100,6 +111,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     val keyCols = Option(info.options.get("keyCols")).getOrElse("id")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
+    val postCommit = Option(info.options.get("postCommit"))
     val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
     val numBuckets = Option(info.options.get("numBuckets")).map(_.toInt)
     // SupportsStreamingUpdateAsAppend (the same marker Kafka/foreach sinks
@@ -109,7 +121,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
-          info.queryId(), maintainer, maxBucketBytes, numBuckets)
+          info.queryId(), maintainer, maxBucketBytes, numBuckets, postCommit)
     }
   }
 }
@@ -118,14 +130,15 @@ class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[Str
                           confMap: Map[String, String], queryId: String,
                           maintainer: Option[String] = None,
                           maxBucketBytes: Option[Long] = None,
-                          numBuckets: Option[Int] = None) extends Write {
+                          numBuckets: Option[Int] = None,
+                          postCommit: Option[String] = None) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets)
+      maintainer, maxBucketBytes, numBuckets, postCommit)
   override def toStreaming: StreamingWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets)
+      maintainer, maxBucketBytes, numBuckets, postCommit)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -139,7 +152,8 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
                               confMap: Map[String, String], queryId: String,
                               maintainer: Option[String] = None,
                               maxBucketBytes: Option[Long] = None,
-                              numBuckets: Option[Int] = None)
+                              numBuckets: Option[Int] = None,
+                              postCommit: Option[String] = None)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -208,6 +222,14 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
     if (epochId <= committedEpoch()) { dropStaging(epochId); return } // replayed epoch
     graft.cdc.Materialize.timed(s"sink commit epoch=$epochId $stateDir") {
       merge(epochId, messages)
+      // post-commit hooks run AFTER the merge (every derived table of the
+      // epoch committed) and BEFORE the fence — see the registry's doc
+      postCommit.foreach { k =>
+        val h = ChangelogStateSink.postCommits.get(k)
+        if (h == null) throw new IllegalStateException(
+          s"changelog-state sink: no postCommit hook registered under '$k'")
+        h(epochId)
+      }
       writeFence(epochId)
       dropStaging(epochId)
     }

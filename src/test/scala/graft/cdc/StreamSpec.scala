@@ -50,6 +50,31 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(Buckets.read(spark, viaSink).get.entries.size === 4)
   }
 
+  test("a savepoint pins its truncate fences: as-of reads survive a later TRUNCATE") {
+    // r14: a savepoint carries the fence set OF ITS MOMENT — applying the
+    // LIVE fence to pinned buckets would erase rows the pin still owns
+    val stateDir = Files.createTempDirectory("graft-sp-fence-").toString + "/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(
+      mk((1L, 1L, "INSERT", "a"), (2L, 2L, "INSERT", "b"), (3L, 3L, "INSERT", "c")),
+      stateDir, initialBuckets = 4)
+    Buckets.savepoint(spark, stateDir, "pre")
+    // a later batch truncates at seq 10 and inserts key 4 past the fence
+    ChangelogStream.upsertBatch(
+      mk((-1L, 10L, "TRUNCATE", null), (4L, 11L, "INSERT", "d")), stateDir)
+    // live: only the post-fence row
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(4L))
+    // as-of "pre": the pinned fence set is EMPTY, so the pinned rows live
+    assert(ChangelogStream.readStateAt(spark, stateDir, "pre", Seq("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L, 3L))
+    // and a savepoint taken AFTER the fence pins the fence with it
+    Buckets.savepoint(spark, stateDir, "post")
+    assert(Buckets.readFencesAt(spark, stateDir, "post") === Map("" -> 10L))
+    assert(ChangelogStream.readStateAt(spark, stateDir, "post", Seq("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(4L))
+  }
+
   test("upsertBatch merges across batches with tombstones retained") {
     val work = Files.createTempDirectory("graft-upsert-").toString
     val stateDir = s"$work/state"
