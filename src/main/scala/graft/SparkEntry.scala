@@ -110,6 +110,9 @@ object SparkEntry {
     // postCommit hook), read back as a mutually-GATED consistent cut while
     // the live tables have applied the truncate fence and the tail
     "cdc_savepoint_all" -> (graft.cdc.Pipeline.qSavepointAll _),
+    // ES date_histogram (calendar_interval: month) over the maintained
+    // store — a view over the composed pass's live orders state
+    "cdc_date_histogram" -> (graft.cdc.Pipeline.qDateHistogram _),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -414,6 +417,9 @@ object SparkEntry {
     // ES terms AGGREGATION: top-k tokens by document frequency served
     // from the maintained postings state (count per tok IS df)
     "cdc_terms_agg" -> ((s, d) => graft.ops.Search.qCdcTermsAgg(s, d)),
+    // ES `range` aggregation over the match set's doc-length field —
+    // served entirely from the pruned postings (dl is denormalized there)
+    "cdc_range_agg" -> ((s, d) => graft.ops.Search.qCdcRangeAgg(s, d)),
     // ES prefix query, scoring_boolean rewrite: the prefix expands to
     // every matching index term, scored as an OR match
     "cdc_prefix_search" -> ((s, d) => graft.ops.Search.qCdcPrefixSearch(s, d)),
@@ -1907,6 +1913,29 @@ object SparkEntry {
       s"""WITH $docsChangelogCte,
          |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
          |SELECT tok, df FROM d ORDER BY df DESC, tok LIMIT 10""".stripMargin,
+    "cdc_range_agg" ->
+      // ES range agg over the match set's doc length: [from, to) buckets,
+      // empty ranges reported with 0 (the left join)
+      s"""WITH $docsChangelogCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |m AS (SELECT DISTINCT doc_id FROM toks
+         |      WHERE tok IN ('stream', 'merge', 'window')),
+         |b AS (SELECT CASE WHEN dl < 40 THEN 0 WHEN dl < 60 THEN 1 ELSE 2 END AS ord
+         |      FROM dl JOIN m USING (doc_id)),
+         |c AS (SELECT ord, count(*) AS doc_count FROM b GROUP BY 1)
+         |SELECT range_key, coalesce(doc_count, 0) AS doc_count
+         |FROM (VALUES (0, '*-40'), (1, '40-60'), (2, '60-*')) AS rg(ord, range_key)
+         |LEFT JOIN c USING (ord) ORDER BY rg.ord""".stripMargin,
+    "cdc_date_histogram" ->
+      // ES date_histogram (month) over the live maintained orders store
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       count(*) AS doc_count
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_more_like_this" -> bm25Sql(
       s"""$docsChangelogCte,
          |seedtoks AS (SELECT tok, count(*) AS tf2 FROM toks WHERE doc_id = 42 GROUP BY 1),

@@ -245,6 +245,18 @@ object Pipeline {
   def qMvJoinBidi(spark: SparkSession, sfDir: String): DataFrame =
     JoinMv.readMvView(spark, runFull(spark, sfDir).mvBidi)
 
+  /** Oracle-checked query: the ES `date_histogram` AGGREGATION
+    * (`calendar_interval: month`) over the maintained store — live orders
+    * per month of o_orderdate, served as a view over the composed pass's
+    * state (the reference's per-table ES index is what such aggregations
+    * run against, `es.go:13-32`). One map-side-combined groupBy on the
+    * truncated month; |months| groups. */
+  def qDateHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    tableState(spark, runFull(spark, sfDir).state, "orders", Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("month"))
+
   /** The secondary index of the composed pass (shares cdc_secondary_index's
     * oracle): the (status → key) table of the live state. */
   def qIndex(spark: SparkSession, sfDir: String): DataFrame =

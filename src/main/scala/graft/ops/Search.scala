@@ -715,6 +715,41 @@ object Search {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Oracle-checked query: the ES `range` AGGREGATION over a numeric field
+    * of the match set — matching docs bucket into the caller's ranges
+    * ([from, to) like ES, keys "*-40"/"40-60"/"60-*") and report
+    * doc_count per range, EMPTY ranges included (the ES contract). The
+    * numeric field is the document length `dl`, which lives DENORMALIZED
+    * in the postings (Lucene's norms — what ES's own length-based
+    * aggregations read), so the whole aggregation costs the query terms'
+    * pruned buckets: one distinct over the df-sized match set, a
+    * when-chain bucket label, a |ranges|-row fold. All-integer inputs —
+    * deterministic cross-engine by construction. */
+  def qCdcRangeAgg(spark: SparkSession, sfDir: String,
+                   query: Seq[String] = Seq("stream", "merge", "window"),
+                   bounds: Seq[Long] = Seq(40L, 60L)): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    // every posting of a doc carries the same dl — the distinct IS the
+    // match set with its field value
+    val m = maintainedPostings(spark, idxDir, query, Seq("tok", "id", "dl"))
+      .select(col("id").as("doc_id"), col("dl")).distinct()
+    val keys: Seq[(Int, String)] = (s"*-${bounds.head}" +:
+      bounds.sliding(2).filter(_.size == 2).map(p => s"${p(0)}-${p(1)}").toSeq :+
+      s"${bounds.last}-*").zipWithIndex.map(_.swap)
+    val ord = bounds.zipWithIndex.foldRight(lit(bounds.size)) {
+      case ((b, i), els) => when(col("dl") < b, lit(i)).otherwise(els)
+    }
+    val counts = m.select(ord.as("ord"))
+      .groupBy(col("ord")).agg(count(lit(1)).as("doc_count"))
+    keys.toDF("ord", "range_key")
+      .join(counts, Seq("ord"), "left_outer")
+      .select(col("range_key"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("ord"))
+      .orderBy(col("ord"))
+      .select(col("range_key"), col("doc_count"))
+  }
+
   /** Oracle-checked query: the ES `term` SUGGESTER (did-you-mean) — for
     * each input token, the top `size` index terms within `maxEdits`
     * Levenshtein edits, ranked the Lucene DirectSpellChecker way:
