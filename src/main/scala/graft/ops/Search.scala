@@ -309,9 +309,11 @@ object Search {
         .filter(col("ddf") =!= 0)
       // sorted by tok, one file per run at fixture scale (a run is the
       // TOUCHED docs' vocabulary; shard by tok range before maintaining a
-      // run that outgrows one task)
+      // run that outgrows one task). coalesce-then-sortWithinPartitions:
+      // a global orderBy would add a range-sampling pass + shuffle for a
+      // frame that lands in one task anyway
       val name = s"run-$batchId"
-      run.orderBy(col("tok")).coalesce(1)
+      run.coalesce(1).sortWithinPartitions(col("tok"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
       writeDictManifest(spark, idxDir, batchId, runs :+ name)
     }
@@ -341,7 +343,7 @@ object Search {
     if (runs.size <= 1) return
     val name = s"base-$maxB-${java.util.UUID.randomUUID().toString.take(8)}"
     dictTerms(spark, idxDir).select(col("tok"), col("df").as("ddf"))
-      .orderBy(col("tok")).coalesce(1)
+      .coalesce(1).sortWithinPartitions(col("tok"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
     writeDictManifest(spark, idxDir, maxB, Seq(name))
     // lazy sweep of everything the manifest no longer names
@@ -386,6 +388,11 @@ object Search {
   def maintainTextIndexBatch(batch: DataFrame, batchId: Long,
                              stateDir: String, idxDir: String): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
+      // NO warmHookCache here (measured negative, r14): unlike the
+      // composed pass, these branches consume their OWN tokenized tp/tm
+      // caches — only the srcidx delta touches (prev, merged) directly —
+      // so the extra warm job cost more than the contention it removed
+      // (same-box A/B: commit 7.1 s → 8.5 s with the warm)
       beforeCommit = (prev, merged) => {
         // restrict both sides to the batch's OWN keys (r13): prev/merged
         // are whole touched BUCKETS, and an unchanged co-bucketed doc
