@@ -180,7 +180,8 @@ object Bench {
       "cdc_vector_filtered", "cdc_vector_index", "cdc_vector_search",
       "cdc_vector_search_pq", "cdc_vector_time_travel",
       // r14 additions — all views over already-carried passes
-      "cdc_range_agg", "cdc_date_histogram", "cdc_savepoint_all")
+      "cdc_range_agg", "cdc_date_histogram", "cdc_savepoint_all",
+      "cdc_alias_search")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -374,6 +374,10 @@ object SparkEntry {
     // search is served from the maintained index
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
+    // the ES ALIAS surface driven through the zero-downtime reindex: the
+    // alias swaps from the replay-built to the reindexed (bootstrap)
+    // index atomically; pre/post answers gated equal in the hashed result
+    "cdc_alias_search" -> ((s, d) => graft.ops.Search.qCdcAliasSearch(s, d)),
     "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
     // ES match_phrase `slop`: in-order terms with ≤ slop interposed
     // positions, from the same maintained positional postings
@@ -1891,6 +1895,9 @@ object SparkEntry {
     // (shared verbatim by cdc_text_bootstrap: the bootstrapped index must
     // answer identically to the replay-built one)
     "cdc_text_search" -> cdcTextSearchSql,
+    // alias-served search ≡ the maintained search (the swap's pre/post
+    // gates inject alien rows on any divergence)
+    "cdc_alias_search" -> cdcTextSearchSql,
     "cdc_text_bootstrap" -> cdcTextSearchSql,
     // operator:and — the same scoring, docs matching all 3 terms only
     "cdc_match_and" -> cdcMatchSql(3, Seq("dup", "merge", "window")),

@@ -145,8 +145,12 @@ object ChangelogStream {
   def hookBatchHasTruncate: Boolean = hookTruncate.get()
 
   private def withHookFence[T](has: Boolean)(body: => T): T = {
+    // restore the PREVIOUS value, not false: a hook that itself runs a
+    // hooked upsertBatch on the same thread must see its own flag again
+    // (no such nesting exists today — this keeps the invariant local)
+    val prev = hookTruncate.get()
     hookTruncate.set(has)
-    try body finally hookTruncate.set(java.lang.Boolean.FALSE)
+    try body finally hookTruncate.set(prev)
   }
 
   /** The bucket a concrete key tuple hashes to — evaluated driver-side by

@@ -1275,6 +1275,58 @@ object Search {
     maintainedBm25(spark, idxDir, query, k)
   }
 
+  // ── index ALIASES (the ES aliases API — zero-downtime reindex) ────────
+
+  /** Set (create or ATOMICALLY swap) `alias` → `targetIdxDir` in a tiny
+    * alias registry — the ES aliases surface: queries address the alias,
+    * a reindex builds a NEW index and repoints it, readers never see a
+    * half state (one [[graft.cdc.MetaFile]] temp+rename write; resolution
+    * is one tiny file read). */
+  def aliasSet(spark: SparkSession, registryDir: String,
+               alias: String, targetIdxDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$registryDir/$alias")
+    graft.cdc.MetaFile.write(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, targetIdxDir)
+  }
+
+  /** Resolve an alias to its current target index dir; a missing alias
+    * fails loudly (the ES 404, not a silent empty search). */
+  def aliasResolve(spark: SparkSession, registryDir: String,
+                   alias: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$registryDir/$alias")
+    graft.cdc.MetaFile.read(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .map(_.trim)
+      .getOrElse(throw new IllegalStateException(
+        s"no alias '$alias' in registry $registryDir"))
+  }
+
+  /** Oracle-checked query: the ES ALIAS surface driven through its whole
+    * reason to exist — the zero-downtime REINDEX: the alias first serves
+    * the replay-built index, a reindex-from-source (the bootstrap pass)
+    * builds a NEW index, the alias SWAPS atomically, and the same search
+    * now serves the new index. bootstrap ≡ replay, so the pre- and
+    * post-swap answers must be IDENTICAL — the two symmetric exceptAll
+    * legs inject alien rows into the hashed result on any disagreement,
+    * and when coherent the result IS the maintained search (shares
+    * cdc_text_search's oracle). Both index passes are memoized; the alias
+    * machinery itself is two tiny metadata writes + reads. */
+  def qCdcAliasSearch(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      k: Int = 10): DataFrame = {
+    val registry = graft.model.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-alias-").toString)
+    val (_, oldIdx) = textIndexRun(spark, sfDir)
+    aliasSet(spark, registry, "docs", oldIdx)
+    val pre = maintainedBm25(spark, aliasResolve(spark, registry, "docs"), query, k)
+    val (_, newIdx) = textIndexBootstrapRun(spark, sfDir)
+    aliasSet(spark, registry, "docs", newIdx) // the atomic swap
+    val post = maintainedBm25(spark, aliasResolve(spark, registry, "docs"), query, k)
+    post.unionByName(pre.exceptAll(post)).unionByName(post.exceptAll(pre))
+      .orderBy(col("rk"))
+  }
+
   // ── hybrid retrieval (lexical ∪ dense, reciprocal-rank fusion) ────────
 
   /** HYBRID search: the modern two-tower retrieval composition — a

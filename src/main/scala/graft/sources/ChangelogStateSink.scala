@@ -245,6 +245,11 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       "changelog-state sink: .option(\"maintainer\", ...) requires the " +
         "streaming write path (epoch-fenced commits); a batch write has no " +
         "monotone commit id for the derived-table fence to order on")
+    // same contract for postCommit hooks: silently ignoring the option on
+    // the batch path would drop the caller's savepoint without a trace
+    if (postCommit.isDefined) throw new IllegalArgumentException(
+      "changelog-state sink: .option(\"postCommit\", ...) requires the " +
+        "streaming write path (there is no epoch boundary to pin at)")
     merge(-1L, messages)
     dropStaging(-1L)
   }

@@ -215,6 +215,35 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(keep.collect().map(_.getLong(0)).toSet === fromState)
   }
 
+  test("aliases resolve, swap atomically, and fail loudly when missing") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-alias-spec-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    // two indexes with DIFFERENT content — the swap must visibly change
+    // what a search through the alias serves
+    Search.maintainTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "alpha beta"))), 0L, s"$work/s1", s"$work/i1")
+    Search.maintainTextIndexBatch(
+      batch(Seq((2L, 1L, "INSERT", "alpha gamma"))), 0L, s"$work/s2", s"$work/i2")
+    val reg = s"$work/aliases"
+    intercept[IllegalStateException] {
+      Search.aliasResolve(spark, reg, "docs")
+    }
+    Search.aliasSet(spark, reg, "docs", s"$work/i1")
+    assert(Search.aliasResolve(spark, reg, "docs") === s"$work/i1")
+    def ids(): Seq[Long] = graft.cdc.ChangelogStream
+      .readState(spark, Search.aliasResolve(spark, reg, "docs"), Seq("tok", "id"))
+      .filter(col("tok") === "alpha").select(col("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids() === Seq(1L))
+    Search.aliasSet(spark, reg, "docs", s"$work/i2") // the swap
+    assert(ids() === Seq(2L))
+    // idempotent re-set (a replayed reindex finalizer)
+    Search.aliasSet(spark, reg, "docs", s"$work/i2")
+    assert(ids() === Seq(2L))
+  }
+
   test("the term directory tracks postings df through update, delete, truncate — and compaction folds runs") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-dict-spec-").toString
