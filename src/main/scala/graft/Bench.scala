@@ -151,17 +151,17 @@ object Bench {
     // the whole shared streaming cost and the rest time as near-free reads;
     // cross-round per-query comparisons must read these together. Sub-2s
     // queries report the median of 3 runs; the rest are single-rep.
-    // the FIRST maintained-retrieval query in sort order carries BOTH
-    // memoized index passes (warmed concurrently inside it) — r13 that is
-    // cdc_bool_search (was cdc_hybrid_search; both call the same warm
-    // helper, so the carrier follows sort order automatically); the rest
-    // of the family reads the memoized passes near-free.
-    // r13: cdc_apply_customer_dsv2 (now a view over the composed pass)
-    // precedes cdc_apply_sink_dsv2 in sort order and carries that pass;
-    // cdc_text_bootstrap likewise carries BOTH bootstrap passes (warmed
-    // concurrently) for cdc_vector_bootstrap to read memoized
-    val carriers = Seq("cdc_apply_customer_dsv2", "cdc_pipeline_truncate",
-      "cdc_pipeline_dynamic", "cdc_bool_search", "cdc_text_bootstrap")
+    // carrier structure (r13 layout, kept): cdc_bool_search — first of
+    // the maintained family in sort order — warms text ∥ vector and
+    // carries their max; cdc_text_bootstrap likewise carries both
+    // bootstrap passes; cdc_text_reindex_alias is NAMED to sort after
+    // both so it reads four memoized passes (an alias-first carrier
+    // A/B measured worse — PLANS.md r14). cdc_apply_customer_dsv2 (a
+    // view over the composed pass) precedes cdc_apply_sink_dsv2 and
+    // carries that pass.
+    val carriers = Seq("cdc_bool_search", "cdc_text_bootstrap",
+      "cdc_apply_customer_dsv2",
+      "cdc_pipeline_truncate", "cdc_pipeline_dynamic")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",
@@ -179,9 +179,9 @@ object Bench {
       "cdc_text_time_travel", "cdc_vector_bootstrap",
       "cdc_vector_filtered", "cdc_vector_index", "cdc_vector_search",
       "cdc_vector_search_pq", "cdc_vector_time_travel",
-      // r14 additions — all views over already-carried passes
+      // r14 additions — views over already-carried passes
       "cdc_range_agg", "cdc_date_histogram", "cdc_savepoint_all",
-      "cdc_alias_search")
+      "cdc_text_reindex_alias")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -377,7 +377,7 @@ object SparkEntry {
     // the ES ALIAS surface driven through the zero-downtime reindex: the
     // alias swaps from the replay-built to the reindexed (bootstrap)
     // index atomically; pre/post answers gated equal in the hashed result
-    "cdc_alias_search" -> ((s, d) => graft.ops.Search.qCdcAliasSearch(s, d)),
+    "cdc_text_reindex_alias" -> ((s, d) => graft.ops.Search.qCdcAliasSearch(s, d)),
     "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
     // ES match_phrase `slop`: in-order terms with ≤ slop interposed
     // positions, from the same maintained positional postings
@@ -1897,7 +1897,7 @@ object SparkEntry {
     "cdc_text_search" -> cdcTextSearchSql,
     // alias-served search ≡ the maintained search (the swap's pre/post
     // gates inject alien rows on any divergence)
-    "cdc_alias_search" -> cdcTextSearchSql,
+    "cdc_text_reindex_alias" -> cdcTextSearchSql,
     "cdc_text_bootstrap" -> cdcTextSearchSql,
     // operator:and — the same scoring, docs matching all 3 terms only
     "cdc_match_and" -> cdcMatchSql(3, Seq("dup", "merge", "window")),

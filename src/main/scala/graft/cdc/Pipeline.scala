@@ -341,6 +341,10 @@ object Pipeline {
           .option("schema", decoded.schema.toDDL)
           .option("keyCols", "id")
           .option("maintainer", hookKey)
+          // 2-maintainer chain × 3 epochs: the per-epoch warm job costs
+          // more than the contention it relieves at this fan-out (A/B in
+          // PLANS.md r14 — the warm is the COMPOSED pass's lever)
+          .option("warmHook", "false")
           .option("postCommit", pcKey)
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow())

@@ -111,6 +111,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     val keyCols = Option(info.options.get("keyCols")).getOrElse("id")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
+    val warmHook = Option(info.options.get("warmHook")).forall(_.toBoolean)
     val postCommit = Option(info.options.get("postCommit"))
     val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
     val numBuckets = Option(info.options.get("numBuckets")).map(_.toInt)
@@ -121,7 +122,8 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
-          info.queryId(), maintainer, maxBucketBytes, numBuckets, postCommit)
+          info.queryId(), maintainer, maxBucketBytes, numBuckets, postCommit,
+          warmHook)
     }
   }
 }
@@ -131,14 +133,15 @@ class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[Str
                           maintainer: Option[String] = None,
                           maxBucketBytes: Option[Long] = None,
                           numBuckets: Option[Int] = None,
-                          postCommit: Option[String] = None) extends Write {
+                          postCommit: Option[String] = None,
+                          warmHook: Boolean = true) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook)
   override def toStreaming: StreamingWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -153,7 +156,8 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
                               maintainer: Option[String] = None,
                               maxBucketBytes: Option[Long] = None,
                               numBuckets: Option[Int] = None,
-                              postCommit: Option[String] = None)
+                              postCommit: Option[String] = None,
+                              warmHook: Boolean = true)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -211,8 +215,11 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       initialBuckets = numBuckets.getOrElse(graft.cdc.ChangelogStream.NumBuckets),
       // a registered maintainer means a CHAIN fans out over the shared
       // (prev, merged) caches — warm them in one clean job first (r14,
-      // measured on the composed pass; see upsertBatch's doc)
-      warmHookCache = hook.isDefined)
+      // measured on the composed pass; see upsertBatch's doc).
+      // .option("warmHook", "false") opts a pass out: the win scales with
+      // the chain's fan-out, and a 2-maintainer multi-epoch pass pays the
+      // extra job per epoch for little contention relief
+      warmHookCache = hook.isDefined && warmHook)
   }
 
   private def dropStaging(epochId: Long): Unit =
