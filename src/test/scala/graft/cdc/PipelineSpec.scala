@@ -132,6 +132,85 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           sum($"o_totalprice".cast(Materialize.SType)).cast("double").as("s")))
   }
 
+  test("killing the truncate pass mid-run keeps the cross-derived savepoint consistent after resume") {
+    // the savepointAll crash claim, end-to-end: the postCommit pin fires
+    // after epoch 0's merge and before its fence, so ANY stop point —
+    // before epoch 0 commits (resume replays and re-pins), between the
+    // pin and the fence (idempotent re-pin), or later — must leave one
+    // consistent pre-truncate cut across state, index AND MV, while the
+    // live tables converge to the post-truncate answer
+    val clDir = Changelog.stageEnvelopeJsonTruncatePhased(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("graft-trunc-kill-").toString
+    val dirs = Pipeline.Dirs(s"$work/state", s"$work/mv", s"$work/mv_join", s"$work/idx")
+    val hookKey = s"trunc-kill-${java.util.UUID.randomUUID()}"
+    val pcKey = s"$hookKey-pc"
+    graft.sources.ChangelogStateSink.maintainers.put(hookKey,
+      (prev: org.apache.spark.sql.DataFrame, merged: org.apache.spark.sql.DataFrame,
+       epochId: Long) => {
+        Materialize.runConcurrent(
+          () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
+            prev, merged, Seq("o_orderstatus"),
+            Materialize.aggContrib("o_orderstatus", "o_totalprice")),
+          () => Index.commitIndexDelta(prev, merged, epochId,
+            dirs.idx, "o_orderstatus"))
+      })
+    graft.sources.ChangelogStateSink.postCommits.put(pcKey, (epochId: Long) =>
+      if (epochId == 0L)
+        Pipeline.savepointAll(spark, "p0", states = Seq(dirs.state, dirs.idx),
+          mvs = Seq(dirs.mv)))
+    def start() = {
+      val pSchema = Changelog.payloadSchema(spark, sfDir)
+      val decoded = spark.readStream.format("changelog")
+        .option("maxFilesPerTrigger", 1)
+        .load(clDir)
+        .select(Seq(col("id"), col("seq"), col("op")) :+
+          from_json(col("payload"), pSchema).as("p"): _*)
+        .select(Seq(col("id"), col("seq"), col("op")) ++
+          Changelog.payloadCols.map(c => col(s"p.$c").as(c)): _*)
+      decoded.writeStream.format("changelog-state")
+        .option("path", dirs.state)
+        .option("schema", decoded.schema.toDDL)
+        .option("keyCols", "id")
+        .option("maintainer", hookKey)
+        .option("postCommit", pcKey)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try {
+      val q1 = start()
+      q1.awaitTermination(2500) // kill mid-drain (3 files, 1 per epoch)
+      q1.stop()
+      val q2 = start()
+      q2.awaitTermination()
+    } finally {
+      graft.sources.ChangelogStateSink.maintainers.remove(hookKey)
+      graft.sources.ChangelogStateSink.postCommits.remove(pcKey)
+    }
+    // the pinned cut = the insert phase, mutually consistent across all
+    // three derived tables
+    val inserts = Changelog.fromOrdersTruncate(spark, sfDir)
+      .filter($"op" === "INSERT").select(Changelog.payloadCols.map(col): _*)
+    assertSame(
+      ChangelogStream.readStateAt(spark, dirs.state, "p0", Changelog.payloadCols),
+      inserts)
+    assertSame(
+      ChangelogStream.readStateAt(spark, dirs.idx, "p0", Seq("v", "id")),
+      inserts.select($"o_orderstatus".as("v"), $"o_orderkey".as("id")))
+    assertSame(
+      Materialize.readMvAt(spark, dirs.mv, "p0")
+        .select($"o_orderstatus", $"n", $"s".cast("double").as("s")),
+      inserts.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(Materialize.SType)).cast("double").as("s")))
+    // ...while the LIVE tables converged to the post-truncate answer
+    val truncLive = Apply.truncateApply(
+      Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
+    assertSame(
+      ChangelogStream.readState(spark, dirs.state, Changelog.payloadCols),
+      truncLive)
+  }
+
   test("TRUNCATE through the composed pass keeps the MV and index coherent") {
     val truncState = Apply.truncateApply(
       Changelog.fromOrdersTruncate(spark, sfDir), Changelog.payloadCols)
