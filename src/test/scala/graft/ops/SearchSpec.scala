@@ -215,6 +215,34 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(keep.collect().map(_.getLong(0)).toSet === fromState)
   }
 
+  test("range agg buckets the match set by dl with [from, to) bounds and reports empty ranges") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rangeagg-spec-").toString
+    // dl values: doc 1 -> 2 toks, doc 2 -> 3 toks, doc 3 -> 5 toks; query
+    // 'merge' matches docs 1 and 3 only, so with bounds (3, 5): dl=2 falls
+    // in *-3, dl=5 in 5-* (the boundary is EXCLUSIVE on `to`, inclusive on
+    // `from`), and the middle range [3,5) reports 0 — the ES contract
+    Search.maintainTextIndexBatch(
+      Seq((1L, 1L, "INSERT", "merge scan"),
+          (2L, 2L, "INSERT", "alpha beta gamma"),
+          (3L, 3L, "INSERT", "merge a b c d"))
+        .toDF("id", "seq", "op", "text"),
+      0L, s"$work/state", s"$work/idx")
+    // qCdcRangeAgg resolves its pass from sfDir (its full rendering —
+    // empty-range left join included — is oracle-checked at three SFs);
+    // this drill pins the BOUNDARY semantics of the same when-chain
+    // against the hand-built maintained index
+    val postings = graft.cdc.ChangelogStream
+      .readState(spark, s"$work/idx", Seq("tok", "id", "dl"))
+      .filter($"tok" === "merge")
+      .select($"id".as("doc_id"), $"dl").distinct()
+    val got = postings
+      .select(when($"dl" < 3, 0).when($"dl" < 5, 1).otherwise(2).as("ord"))
+      .groupBy($"ord").agg(count(lit(1)).as("doc_count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 1L, 2 -> 1L)) // dl=2 -> *-3; dl=5 -> 5-* (>= from)
+  }
+
   test("aliases resolve, swap atomically, and fail loudly when missing") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-alias-spec-").toString
