@@ -303,13 +303,15 @@ object JoinMv {
       // concurrently; the fence writes only after BOTH commit. Both are
       // customer-cardinality (~3k keys at sf0.1): a 4-bucket fresh layout
       // (manifest-recorded; ignored once a layout exists) quarters each
-      // merge's file/promote fan-out vs the 16 default — the r10
-      // initialBuckets discipline, applied to the bidi advance (r14)
+      // merge's file/promote fan-out vs the 16 default, and `fullMerge`
+      // drops each advance's probe job — at 4 buckets the probe was a
+      // fixed driver round just to learn which dirs to touch, and these
+      // synthesized batches can never carry TRUNCATE markers (r14)
       Materialize.runConcurrent(
         () => ChangelogStream.upsertBatch(newARows(k, batchId), aggDir,
-          initialBuckets = 4),
+          initialBuckets = 4, fullMerge = true),
         () => ChangelogStream.upsertBatch(custEvents.unionByName(vanished), segDir,
-          initialBuckets = 4))
+          initialBuckets = 4, fullMerge = true))
       writeAggFence(spark, aggDir, batchId)
     }
 

@@ -216,7 +216,8 @@ object ChangelogStream {
                   maxBucketBytes: Long = Long.MaxValue,
                   initialBuckets: Int = NumBuckets,
                   warmHookCache: Boolean = false,
-                  cacheBatch: Boolean = true): Unit = {
+                  cacheBatch: Boolean = true,
+                  fullMerge: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -256,14 +257,25 @@ object ChangelogStream {
       val tableCol =
         if (batch.columns.contains("table")) col("table") else lit("")
       val isTrunc = if (hasOp) col("op") === "TRUNCATE" else lit(false)
-      val probe = Materialize.timed(s"probe $stateDir")(withB.agg(
-        collect_set(when(!isTrunc, col("__bucket"))).as("bs"),
-        collect_set(when(isTrunc,
-          struct(tableCol.as("t"), col("seq").as("s")))).as("ts")).head())
-      val touched = probe.getSeq[Int](0).sorted
-      val truncs = probe.getSeq[org.apache.spark.sql.Row](1)
-        .map(r => r.getString(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      // `fullMerge` skips the probe job and merges EVERY bucket: right for
+      // small (few-bucket) states whose batches can never carry TRUNCATE
+      // markers and are non-empty by construction — e.g. the bidi advance's
+      // customer-sized 4-bucket states, where the probe was a fixed
+      // driver-job round per batch just to learn which of 4 dirs to touch.
+      // An (unexpectedly) empty batch stays CORRECT: every bucket rewrites
+      // with identical content.
+      val (touched, truncs) =
+        if (fullMerge) (layout.entries.keys.toSeq.sorted, Map.empty[String, Long])
+        else {
+          val probe = Materialize.timed(s"probe $stateDir")(withB.agg(
+            collect_set(when(!isTrunc, col("__bucket"))).as("bs"),
+            collect_set(when(isTrunc,
+              struct(tableCol.as("t"), col("seq").as("s")))).as("ts")).head())
+          (probe.getSeq[Int](0).sorted,
+            probe.getSeq[org.apache.spark.sql.Row](1)
+              .map(r => r.getString(0) -> r.getLong(1))
+              .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max })
+        }
       // fences BEFORE this batch's markers commit — the view derived tables
       // were maintained against
       val oldFences = Materialize.timed(s"fences $stateDir")(
@@ -423,6 +435,11 @@ object ChangelogStream {
       var entries = layout.entries
       Materialize.timed(s"promote $stateDir")(touched.foreach { b =>
         val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
+        // under fullMerge a bucket with no batch AND no prev rows writes
+        // nothing — leave its pointer as-is (the probe path's touched set
+        // can't contain such a bucket, so a missing dir there stays fatal)
+        if (fullMerge && !fs.exists(from)) ()
+        else {
         val next = layout.version(b) + 1
         val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
         fs.mkdirs(bDir)
@@ -435,6 +452,7 @@ object ChangelogStream {
           throw new IllegalStateException(s"state promote failed: $from -> $to")
         fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
         entries = entries.updated(b, (layout.depth(b), next))
+        }
       })
       // rescale: split any touched bucket that outgrew the target — depth+1
       // per round, rewriting ONLY that bucket's rows into children b and
@@ -445,8 +463,11 @@ object ChangelogStream {
         while (work.nonEmpty) {
           val b = work.head; work = work.tail
           val (d, v) = entries(b)
-          val size = fs.getContentSummary(
-            new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b/v=$v")).getLength
+          // v = -1: a fullMerge-touched bucket nothing ever wrote — no dir
+          val size =
+            if (v < 0) 0L
+            else fs.getContentSummary(
+              new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b/v=$v")).getLength
           if (size > maxBucketBytes && d < MaxDepth) {
             val sibling = b + (1 << d)
             val rows = spark.read.parquet(s"$stateDir/bucket=$b/v=$v")

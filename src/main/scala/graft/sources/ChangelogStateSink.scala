@@ -301,7 +301,12 @@ class ChangelogStateDataWriter(file: String, schema: StructType,
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      if (row.isNullAt(i)) gen.writeNullField(f.name)
+      // null fields are OMITTED, not written: the commit re-reads with the
+      // declared schema, where an absent field IS null — and the
+      // multi-table superset envelope is half nulls per row, so explicit
+      // nulls doubled the staged bytes the commit's probe then re-parsed
+      // (r14)
+      if (row.isNullAt(i)) ()
       else f.dataType match {
         case LongType    => gen.writeNumberField(f.name, row.getLong(i))
         case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
