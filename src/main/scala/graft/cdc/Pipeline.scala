@@ -158,6 +158,12 @@ object Pipeline {
           .option("schema", decoded.schema.toDDL)
           .option("keyCols", "table,id")
           .option("maintainer", hookKey)
+          // the one-epoch drain's batch IS the whole state (touches every
+          // bucket) and the seg-move changelog carries no TRUNCATE — skip
+          // the probe job and pay ONE combined cache fill in the warm
+          // (r14; the multi-epoch probe path stays pinned by PipelineSpec's
+          // kill-resume drill, which runs without the option)
+          .option("fullMerge", "true")
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()

@@ -112,6 +112,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val maintainer = Option(info.options.get("maintainer"))
     val warmHook = Option(info.options.get("warmHook")).forall(_.toBoolean)
+    val fullMerge = Option(info.options.get("fullMerge")).exists(_.toBoolean)
     val postCommit = Option(info.options.get("postCommit"))
     val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
     val numBuckets = Option(info.options.get("numBuckets")).map(_.toInt)
@@ -123,7 +124,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
           info.queryId(), maintainer, maxBucketBytes, numBuckets, postCommit,
-          warmHook)
+          warmHook, fullMerge)
     }
   }
 }
@@ -134,14 +135,15 @@ class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[Str
                           maxBucketBytes: Option[Long] = None,
                           numBuckets: Option[Int] = None,
                           postCommit: Option[String] = None,
-                          warmHook: Boolean = true) extends Write {
+                          warmHook: Boolean = true,
+                          fullMerge: Boolean = false) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge)
   override def toStreaming: StreamingWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -157,7 +159,8 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
                               maxBucketBytes: Option[Long] = None,
                               numBuckets: Option[Int] = None,
                               postCommit: Option[String] = None,
-                              warmHook: Boolean = true)
+                              warmHook: Boolean = true,
+                              fullMerge: Boolean = false)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -219,7 +222,13 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       // .option("warmHook", "false") opts a pass out: the win scales with
       // the chain's fan-out, and a 2-maintainer multi-epoch pass pays the
       // extra job per epoch for little contention relief
-      warmHookCache = hook.isDefined && warmHook)
+      warmHookCache = hook.isDefined && warmHook,
+      // .option("fullMerge", "true"): skip the probe job and merge every
+      // bucket — ONLY for passes whose batches touch ~every bucket anyway
+      // and can never carry TRUNCATE markers (caller-asserted); the
+      // warm/merge then pays ONE combined cache fill instead of
+      // probe-fill + warm-fill
+      fullMerge = fullMerge)
   }
 
   private def dropStaging(epochId: Long): Unit =
