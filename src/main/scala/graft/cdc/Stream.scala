@@ -144,13 +144,27 @@ object ChangelogStream {
     * the batch being committed carry a TRUNCATE fence? */
   def hookBatchHasTruncate: Boolean = hookTruncate.get()
 
-  private def withHookFence[T](has: Boolean)(body: => T): T = {
-    // restore the PREVIOUS value, not false: a hook that itself runs a
-    // hooked upsertBatch on the same thread must see its own flag again
+  private val hookPrevEmpty = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Read by maintainer hooks: is the hook's `prev` frame EMPTY (no state
+    * bucket had ever committed — the first batch)? The merge knows
+    * driver-side for free, and hooks use it to skip work that is an
+    * identity on an empty previous side — e.g. the touched-keys semi-join
+    * (merged ≡ the batch's keys when prev is empty), a corpus × keys
+    * shuffle join on the seed batch of every one-epoch index pass (r14). */
+  def hookPrevIsEmpty: Boolean = hookPrevEmpty.get()
+
+  private def withHookFence[T](has: Boolean, prevEmpty: Boolean)(body: => T): T = {
+    // restore the PREVIOUS values, not defaults: a hook that itself runs a
+    // hooked upsertBatch on the same thread must see its own flags again
     // (no such nesting exists today — this keeps the invariant local)
-    val prev = hookTruncate.get()
+    val pt = hookTruncate.get()
+    val pe = hookPrevEmpty.get()
     hookTruncate.set(has)
-    try body finally hookTruncate.set(prev)
+    hookPrevEmpty.set(prevEmpty)
+    try body finally { hookTruncate.set(pt); hookPrevEmpty.set(pe) }
   }
 
   /** The bucket a concrete key tuple hashes to — evaluated driver-side by
@@ -302,7 +316,8 @@ object ChangelogStream {
         if (beforeCommit != null && truncs.nonEmpty)
           killedRows(layout.paths(stateDir)).foreach { killed =>
             killed.persist()
-            try withHookFence(has = true)(beforeCommit(killed, killed.limit(0)))
+            try withHookFence(has = true, prevEmpty = false)(
+              beforeCommit(killed, killed.limit(0)))
             finally killed.unpersist()
           }
         return
@@ -395,7 +410,12 @@ object ChangelogStream {
                 .mode(SaveMode.Overwrite).parquet(tmp))))(Materialize.stateWriteEc)
           var hookErr: Throwable = null
           try Materialize.timed("hook total")(
-            withHookFence(truncs.nonEmpty)(beforeCommit(hookPrev, merged)))
+            // prevEmpty only when NO fence rode along: a truncate batch's
+            // hookPrev can carry killed rows from UNTOUCHED buckets even
+            // when the touched set's own prev paths are empty
+            withHookFence(truncs.nonEmpty,
+              prevEmpty = prevPaths.isEmpty && truncs.isEmpty)(
+              beforeCommit(hookPrev, merged)))
           catch { case t: Throwable => hookErr = t }
           // ALWAYS join the write before proceeding or unwinding — nothing
           // should still be writing when the batch commits or aborts. A

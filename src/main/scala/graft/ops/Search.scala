@@ -406,10 +406,15 @@ object Search {
         // processes its whole hook frames instead (r13 self-review #1).
         // Fence presence comes from the merge's own probe (ADVICE r13:
         // re-deriving it here cost one eager driver job per micro-batch).
+        // An EMPTY prev (the first batch — the one-epoch passes' whole
+        // life) makes the semi-join an identity (merged ≡ the batch's
+        // keys), so it is skipped outright: on the seed batch it was a
+        // corpus × keys shuffle join for nothing (r14).
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
+        val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
-          if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
+          if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         val (p, m) = (touched(prev), touched(merged))
         // tokenize each side ONCE (cached) — the postings and stats deltas
         // both fold off the same (id, ws) frames

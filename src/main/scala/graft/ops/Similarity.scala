@@ -436,11 +436,14 @@ object Similarity {
         // the hook's fence-killed rows (not batch keys) so their (cell,
         // id) entries retract — it processes the whole hook frames. Fence
         // presence comes from the merge's own probe (ADVICE r13: no extra
-        // eager action on the hot maintain path).
+        // eager action on the hot maintain path). An empty prev (first
+        // batch) makes the semi-join an identity — skipped (r14, the
+        // maintainTextIndexBatch note).
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
+        val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
-          if (hasTrunc) side else side.join(keys, Seq("id"), "left_semi")
+          if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         commitCellDelta(touched(prev), touched(merged), batchId, idxDir,
           cent, book)
       })
