@@ -101,9 +101,23 @@ object Bench {
     // fixture stagings inside whichever query hits them first, and that
     // one-time cost must be separable from the query's steady-state time
     val stagingRebuilt = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query COMPONENT spans (VERDICT r14 #2): delta of the always-on
+    // span registry around each first-pass run — probe / merge write /
+    // hook / per-delta seconds for the epochs the query actually drove, so
+    // a carrier-tier swing decomposes into named components in the same
+    // committed artifact as the number that swung. Concurrent branches'
+    // spans overlap: a query's span-sum can exceed its wall time.
+    val epochSpans = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double, Long)]]()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = graft.model.Staging.rebuildNanos.get()
+      val sp0 = graft.cdc.Materialize.Spans.snapshot()
       val t = timeOne(fn)
+      val spans = graft.cdc.Materialize.Spans.snapshot().toSeq.flatMap {
+        case (k, (sec, n)) =>
+          val (sec0, n0) = sp0.getOrElse(k, (0.0, 0L))
+          if (sec - sec0 >= 0.05) Seq((k, sec - sec0, n - n0)) else Seq.empty
+      }
+      if (spans.nonEmpty) epochSpans(name) = spans.sortBy(-_._2)
       val ds = (graft.model.Staging.rebuildNanos.get() - s0) / 1e9
       if (ds > 0.05) stagingRebuilt(name) = ds
       // a run whose staging rebuild DOMINATED the measurement (an ANN
@@ -161,7 +175,10 @@ object Bench {
     // carries that pass.
     val carriers = Seq("cdc_bool_search", "cdc_text_bootstrap",
       "cdc_apply_customer_dsv2",
-      "cdc_pipeline_truncate", "cdc_pipeline_dynamic")
+      "cdc_pipeline_truncate", "cdc_pipeline_dynamic",
+      // r15: carries the shared two-batch diff pass (sorts before
+      // cdc_state_diff_versions, now a pinned-vs-live view over it)
+      "cdc_savepoint_restore")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",
@@ -181,11 +198,19 @@ object Bench {
       "cdc_vector_search_pq", "cdc_vector_time_travel",
       // r14 additions — views over already-carried passes
       "cdc_range_agg", "cdc_date_histogram", "cdc_savepoint_all",
-      "cdc_text_reindex_alias")
+      "cdc_text_reindex_alias",
+      // r15: the diff now reads the restore carrier's memoized pass
+      "cdc_state_diff_versions")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}")
+    val spansJson = epochSpans.map { case (q, spans) =>
+      val inner = spans.map { case (k, sec, n) =>
+        s""""$k":{"sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sec)},"n":$n}"""
+      }.mkString("{", ",", "}")
+      s""""$q":$inner"""
+    }.mkString("{", ",", "}")
     val accounting = s""""accounting":{"carrier_queries":${arr(carriers)},""" +
       s""""memoized_views":${arr(memoized)},"median3_below_sec":$repTier,""" +
       // epoch-count disclosure (cross-round comparability): queries whose
@@ -205,8 +230,9 @@ object Bench {
       // spec-pinned: StreamAlignmentSpec / StreamSpec)
       s""""rendering_changes":{""" +
       s""""cdc_apply_customer_dsv2":"r13: view over the composed pass",""" +
-      s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream)"},""" +
+      s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream); r15: pinned-vs-live view over the memoized pass cdc_savepoint_restore carries"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
+      s""""epoch_spans":$spansJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +
       s""""spin_ms_start":${"%.1f".formatLocal(java.util.Locale.ROOT, spinStart)},""" +
       s""""spin_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinEnd)},""" +

@@ -110,6 +110,11 @@ object SparkEntry {
     // postCommit hook), read back as a mutually-GATED consistent cut while
     // the live tables have applied the truncate fence and the tail
     "cdc_savepoint_all" -> (graft.cdc.Pipeline.qSavepointAll _),
+    // savepoint RESTORE (r15): roll the shared diff pass's state back to
+    // its mid-stream pin (one manifest flip), gate the restored live read
+    // hash-equal to the as-of read, then RE-APPLY the tail — restore-then-
+    // resume converges to the never-restored state (cdc_apply's oracle)
+    "cdc_savepoint_restore" -> (ChangelogStream.qSavepointRestore _),
     // ES date_histogram (calendar_interval: month) over the maintained
     // store — a view over the composed pass's live orders state
     "cdc_date_histogram" -> (graft.cdc.Pipeline.qDateHistogram _),
@@ -1163,6 +1168,9 @@ object SparkEntry {
     "cdc_apply_truncate" -> truncateOracle,
     "cdc_apply_truncate_stream" -> truncateOracle,
     "cdc_pipeline_truncate" -> truncateOracle,
+    // restore-then-resume ≡ never restored; the restored-vs-asof gate
+    // injects aliens before the tail re-applies
+    "cdc_savepoint_restore" -> cdcApplySql,
     "cdc_savepoint_all" ->
       // the pre-truncate boundary the epoch-0 savepoint pinned: the insert
       // phase IS the state (one INSERT per key, nothing superseded yet);

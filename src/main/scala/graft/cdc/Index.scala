@@ -74,10 +74,12 @@ object Index {
       .select(col("v_new").as("v") +: keyCols.map(col) :+
         lit(batchId).as("seq") :+ lit("INSERT").as("op"): _*)
     val idxEvents = dels.unionByName(ins)
-    // the index is itself a keyed state: key (v, id...), bucketed by v
+    // the index is itself a keyed state: key (v, id...), bucketed by v;
+    // its events are synthesized DELETE/INSERT only, so the seed batch's
+    // probe is skippable (noTruncate — upsertBatch's doc)
     ChangelogStream.upsertBatch(idxEvents, idxDir,
       keyCols = "v" +: keyCols, bucketCols = Seq("v"),
-      initialBuckets = initialBuckets)
+      initialBuckets = initialBuckets, noTruncate = true)
   }
 
   /** Merge one micro-batch into the primary state AND its secondary index

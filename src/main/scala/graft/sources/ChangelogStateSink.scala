@@ -113,6 +113,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
     val maintainer = Option(info.options.get("maintainer"))
     val warmHook = Option(info.options.get("warmHook")).forall(_.toBoolean)
     val fullMerge = Option(info.options.get("fullMerge")).exists(_.toBoolean)
+    val noTruncate = Option(info.options.get("noTruncate")).exists(_.toBoolean)
     val postCommit = Option(info.options.get("postCommit"))
     val maxBucketBytes = Option(info.options.get("maxBucketBytes")).map(_.toLong)
     val numBuckets = Option(info.options.get("numBuckets")).map(_.toInt)
@@ -124,7 +125,7 @@ class ChangelogStateTable(path: String, tableSchema: StructType)
       override def build(): Write =
         new ChangelogStateWrite(path, info.schema(), keyCols, confMap,
           info.queryId(), maintainer, maxBucketBytes, numBuckets, postCommit,
-          warmHook, fullMerge)
+          warmHook, fullMerge, noTruncate)
     }
   }
 }
@@ -136,14 +137,17 @@ class ChangelogStateWrite(stateDir: String, schema: StructType, keyCols: Seq[Str
                           numBuckets: Option[Int] = None,
                           postCommit: Option[String] = None,
                           warmHook: Boolean = true,
-                          fullMerge: Boolean = false) extends Write {
+                          fullMerge: Boolean = false,
+                          noTruncate: Boolean = false) extends Write {
   override def description(): String = s"ChangelogStateWrite(path=$stateDir, keys=$keyCols)"
   override def toBatch: BatchWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge,
+      noTruncate)
   override def toStreaming: StreamingWrite =
     new ChangelogStateCommitter(stateDir, schema, keyCols, confMap, queryId,
-      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge)
+      maintainer, maxBucketBytes, numBuckets, postCommit, warmHook, fullMerge,
+      noTruncate)
 }
 
 case class ChangelogStateCommitMessage(files: Seq[String], rows: Long)
@@ -160,7 +164,8 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
                               numBuckets: Option[Int] = None,
                               postCommit: Option[String] = None,
                               warmHook: Boolean = true,
-                              fullMerge: Boolean = false)
+                              fullMerge: Boolean = false,
+                              noTruncate: Boolean = false)
     extends StreamingWrite with BatchWrite {
 
   // both parent traits default this true; Scala requires the diamond be
@@ -225,10 +230,17 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
       warmHookCache = hook.isDefined && warmHook,
       // .option("fullMerge", "true"): skip the probe job and merge every
       // bucket — ONLY for passes whose batches touch ~every bucket anyway
-      // and can never carry TRUNCATE markers (caller-asserted); the
-      // warm/merge then pays ONE combined cache fill instead of
-      // probe-fill + warm-fill
-      fullMerge = fullMerge)
+      // and can never carry TRUNCATE markers: the probe is what collects
+      // markers, so the probe-free path cannot commit a fence. The
+      // precondition is ENFORCED, not trusted — a marker row under
+      // fullMerge raises in the merge plan (upsertBatch, ADVICE r14)
+      // instead of silently losing the fence. The warm/merge then pays
+      // ONE combined cache fill instead of probe-fill + warm-fill.
+      // .option("noTruncate", "true"): the caller asserts a marker-free
+      // stream — the FIRST epoch into a fresh state then skips its probe
+      // (same enforcement as fullMerge; see upsertBatch's doc)
+      fullMerge = fullMerge,
+      noTruncate = noTruncate)
   }
 
   private def dropStaging(epochId: Long): Unit =
@@ -236,7 +248,7 @@ class ChangelogStateCommitter(stateDir: String, schema: StructType, keyCols: Seq
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (epochId <= committedEpoch()) { dropStaging(epochId); return } // replayed epoch
-    graft.cdc.Materialize.timed(s"sink commit epoch=$epochId $stateDir") {
+    graft.cdc.Materialize.timed("sink commit", s"epoch=$epochId $stateDir") {
       merge(epochId, messages)
       // post-commit hooks run AFTER the merge (every derived table of the
       // epoch committed) and BEFORE the fence — see the registry's doc
