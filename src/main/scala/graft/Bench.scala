@@ -178,7 +178,9 @@ object Bench {
       "cdc_pipeline_truncate", "cdc_pipeline_dynamic",
       // r15: carries the shared two-batch diff pass (sorts before
       // cdc_state_diff_versions, now a pinned-vs-live view over it)
-      "cdc_savepoint_restore")
+      "cdc_savepoint_restore",
+      // r15: carries its own multi-field index pass (sole consumer)
+      "cdc_multi_match")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",

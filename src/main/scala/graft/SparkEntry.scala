@@ -379,6 +379,10 @@ object SparkEntry {
     // search is served from the maintained index
     "cdc_text_index" -> (graft.ops.Search.qCdcTextIndex _),
     "cdc_text_search" -> ((s, d) => graft.ops.Search.qCdcTextSearch(s, d)),
+    // ES multi_match with per-field boosts over the MULTI-FIELD maintained
+    // index ((field, tok)-bucketed postings, per-field stats/dict) —
+    // best_fields: each doc scores as its best boosted field
+    "cdc_multi_match" -> ((s, d) => graft.ops.Search.qCdcMultiMatch(s, d)),
     // the ES ALIAS surface driven through the zero-downtime reindex: the
     // alias swaps from the replay-built to the reindexed (bootstrap)
     // index atomically; pre/post answers gated equal in the hashed result
@@ -580,6 +584,53 @@ object SparkEntry {
     bm25Sql(docsChangelogCte, msm, terms, excludeTerms)
 
   private lazy val cdcTextSearchSql: String = cdcMatchSql(1)
+
+  /** The multi_match oracle: per-FIELD BM25 over the live changelog docs —
+    * `body` = the full text (the shared `toks` CTE), `title` = its first
+    * five tokens — each field with its own dl/stats/df, boost applied as
+    * an exact power of two (binary-exact ×), best_fields = max per doc
+    * with ties to the lexically-later field (`ORDER BY fscore DESC, fld
+    * DESC` mirrors Spark's struct max). The scoring text per field is the
+    * [[bm25Sql]] body verbatim. */
+  private lazy val cdcMultiMatchSql: String = {
+    val terms = Seq("stream", "merge", "window").map("'" + _ + "'").mkString(", ")
+    def fieldCtes(p: String, toksCte: String) =
+      s"""${p}dl AS (SELECT doc_id, count(*) AS dl FROM $toksCte GROUP BY 1),
+         |${p}st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
+         |${p}post AS (SELECT tok, doc_id, count(*) AS tf FROM $toksCte
+         |         WHERE tok IN ($terms) GROUP BY 1, 2),
+         |${p}df AS (SELECT tok, count(*) AS df FROM ${p}post GROUP BY 1),
+         |${p}ts AS (SELECT p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM ${p}post p JOIN ${p}df USING (tok)
+         |       JOIN ${p}dl dl ON dl.doc_id = p.doc_id CROSS JOIN ${p}st)""".stripMargin
+    s"""WITH $docsChangelogCte,
+       |ttoks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+       |          FROM live),
+       |${fieldCtes("b", "toks")},
+       |${fieldCtes("t", "ttoks")},
+       |u AS (SELECT doc_id, 'body' AS fld,
+       |        round(CAST(sum(ts) AS DOUBLE), 6) * 1.0 AS fscore
+       |      FROM bts GROUP BY 1
+       |      UNION ALL
+       |      SELECT doc_id, 'title' AS fld,
+       |        round(CAST(sum(ts) AS DOUBLE), 6) * 2.0 AS fscore
+       |      FROM tts GROUP BY 1),
+       |best AS (SELECT doc_id, fld, fscore,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY fscore DESC, fld DESC) AS brn
+       |         FROM u),
+       |r AS (SELECT doc_id, fld, fscore,
+       |        row_number() OVER (ORDER BY fscore DESC, doc_id) AS rk
+       |      FROM best WHERE brn = 1)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, fld AS field, fscore AS score
+       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
 
   private val cdcApplySql =
     s"""WITH ${Changelog.oracleCte},
@@ -1903,6 +1954,7 @@ object SparkEntry {
     // (shared verbatim by cdc_text_bootstrap: the bootstrapped index must
     // answer identically to the replay-built one)
     "cdc_text_search" -> cdcTextSearchSql,
+    "cdc_multi_match" -> cdcMultiMatchSql,
     // alias-served search ≡ the maintained search (the swap's pre/post
     // gates inject alien rows on any divergence)
     "cdc_text_reindex_alias" -> cdcTextSearchSql,

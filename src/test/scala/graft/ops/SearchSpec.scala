@@ -381,6 +381,78 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(statsRow.getLong(1) === expectStats.getLong(1))
   }
 
+  test("multi-field index: per-field postings/stats/dict follow the data; " +
+    "multi_match prunes to the queried (field, tok) buckets") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mf-").toString
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    // drill fields: title = the first TWO tokens (shorter than default so
+    // title and body genuinely diverge on a 3-token doc)
+    val fields: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "body" -> Text.tokens(col("text")),
+      "title" -> slice(Text.tokens(col("text")), 1, 2))
+    def postings(): Set[(String, String, Long)] =
+      graft.cdc.ChangelogStream.readState(spark, s"$work/idx",
+        Seq("field", "tok", "id"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def stats(): Map[String, (Long, Long)] =
+      Search.fieldStats(spark, s"$work/idx")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def dict(): Set[(String, String, Long)] =
+      Search.fieldDictTerms(spark, s"$work/idx")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    Search.maintainMultiFieldTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "alpha beta gamma"),
+        (2L, 2L, "INSERT", "beta delta"))), 0L,
+      s"$work/state", s"$work/idx", fields)
+    assert(postings() === Set(
+      ("body", "alpha", 1L), ("body", "beta", 1L), ("body", "gamma", 1L),
+      ("body", "beta", 2L), ("body", "delta", 2L),
+      ("title", "alpha", 1L), ("title", "beta", 1L),
+      ("title", "beta", 2L), ("title", "delta", 2L)))
+    assert(stats() === Map("body" -> (2L, 5L), "title" -> (2L, 4L)))
+    assert(dict() === Set(
+      ("body", "alpha", 1L), ("body", "beta", 2L), ("body", "gamma", 1L),
+      ("body", "delta", 1L),
+      ("title", "alpha", 1L), ("title", "beta", 2L), ("title", "delta", 1L)))
+    // the tail: doc 1 rewrites (title AND body postings move), doc 2 dies
+    Search.maintainMultiFieldTextIndexBatch(
+      batch(Seq((1L, 10L, "UPDATE", "epsilon"),
+        (2L, 11L, "DELETE", "beta delta"))), 1L,
+      s"$work/state", s"$work/idx", fields)
+    assert(postings() === Set(
+      ("body", "epsilon", 1L), ("title", "epsilon", 1L)))
+    assert(stats() === Map("body" -> (1L, 1L), "title" -> (1L, 1L)))
+    assert(dict() === Set(
+      ("body", "epsilon", 1L), ("title", "epsilon", 1L)))
+
+    // per-field PRUNING, plan-walked on the fixture run: every non-meta
+    // path the multi_match plan opens is one of the queried
+    // (field, term) pairs' buckets
+    val plan = Search.qCdcMultiMatch(spark, sfDir)
+    val scans = plan.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty)
+    val idxRoot = scans.find(_.contains("/idx/bucket="))
+      .getOrElse(fail(s"no postings bucket read: $scans"))
+      .replaceAll("/idx/.*", "/idx")
+    val layout = graft.cdc.Buckets.read(spark, idxRoot).get
+    val wanted = (for (f <- Seq("title", "body");
+                       t <- Seq("stream", "merge", "window"))
+      yield graft.cdc.Buckets.bucketOfValues(layout, Seq(f, t))).distinct
+    scans.filterNot(p => p.contains("/_stats")).foreach { p =>
+      assert(wanted.exists(b => p.contains(s"/bucket=$b/")),
+        s"non-queried (field, tok) bucket read: $p (wanted: $wanted)")
+    }
+  }
+
   test("stale events cannot resurrect postings (replayed/late changelog order)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-textidx-stale-").toString
