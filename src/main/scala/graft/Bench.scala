@@ -232,7 +232,9 @@ object Bench {
       // spec-pinned: StreamAlignmentSpec / StreamSpec)
       s""""rendering_changes":{""" +
       s""""cdc_apply_customer_dsv2":"r13: view over the composed pass",""" +
-      s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream); r15: pinned-vs-live view over the memoized pass cdc_savepoint_restore carries"},""" +
+      s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream); r15: pinned-vs-live view over the memoized pass cdc_savepoint_restore carries",""" +
+      s""""cdc_text_index":"r15: one ordered batch apply (was a 1-epoch stream; kill-resume drill keeps the streaming shape)",""" +
+      s""""cdc_vector_index":"r15: one ordered batch apply (same rationale)"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""epoch_spans":$spansJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +

@@ -1070,9 +1070,11 @@ object ChangelogStream {
     val cols = Seq("id") ++ Changelog.payloadCols
     // both reads capture their version paths NOW (driver-side resolution),
     // and the "asof" pin keeps those versions retention-proof while the
-    // tail re-applies below — the lazy exceptAll legs stay readable
-    val restored = readState(spark, stateDir, cols)
-    val asof = readStateAt(spark, stateDir, "asof", cols)
+    // tail re-applies below — the lazy exceptAll legs stay readable.
+    // Gate legs on the 8-partition session: two exceptAll shuffles over
+    // ~13k-row frames don't need 32 tasks a stage
+    val restored = readState(s2, stateDir, cols)
+    val asof = readStateAt(s2, stateDir, "asof", cols)
     val gate = restored.exceptAll(asof).unionByName(asof.exceptAll(restored))
       .select(Changelog.payloadCols.map(col): _*)
     // resume: the post-pin tail re-applies through the same merge — the

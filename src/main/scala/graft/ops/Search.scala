@@ -250,13 +250,17 @@ object Search {
   }
 
   /** Upsert a batch's postings events (null-tok stats carriers excluded)
-    * into the tok-bucketed postings state. */
+    * into the tok-bucketed postings state. The maintainer already persists
+    * the events frame (shared with the dict/stats chains), so the upsert's
+    * own batch cache would be a second pin of the same rows
+    * (cacheBatch = false — probe and merge read through the caller's
+    * cache). */
   private def commitPostingsEvents(events: DataFrame, idxDir: String): Unit =
     // synthesized DELETE/INSERT events — the seed batch's probe is
     // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events.filter(col("tok").isNotNull),
       idxDir, keyCols = Seq("tok", "id"), bucketCols = Seq("tok"),
-      noTruncate = true)
+      noTruncate = true, cacheBatch = false)
 
   private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
                                          batchId: Long, idxDir: String): Unit =
@@ -555,20 +559,17 @@ object Search {
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-textidx-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
-      // one-epoch drain (the declared-query coarsening rationale): the
-      // per-batch postings movement — update moves, delete retracts,
-      // replay absorbs — is pinned batch-by-batch by SearchSpec's drill
-      val stream = s2.readStream.schema(s2.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 4).parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainTextIndexBatch(batch, batchId, s"$work/state", s"$work/idx",
-            noTruncate = true) // the documents changelog is marker-free
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // ONE ordered batch apply through the same per-batch maintainer
+      // (r15, the qStateDiffVersions coarsening): the declared query
+      // drained in one epoch since r11, making the Structured Streaming
+      // scaffolding (checkpoint dir, offset log, trigger scheduling —
+      // ~1.5 s) pure fixed overhead around a semantically identical
+      // single merge. The STREAMING rendering — per-batch postings
+      // movement (update moves, delete retracts), offset resume — stays
+      // pinned by SearchSpec's kill-resume drill at 1 file/trigger.
+      maintainTextIndexBatch(s2.read.parquet(clDir), 0L,
+        s"$work/state", s"$work/idx",
+        noTruncate = true) // the documents changelog is marker-free
       (s"$work/state", s"$work/idx")
     }
 
@@ -1526,7 +1527,8 @@ object Search {
             graft.cdc.ChangelogStream.upsertBatch(
               events.filter(col("tok").isNotNull), idxDir,
               keyCols = Seq("field", "tok", "id"),
-              bucketCols = Seq("field", "tok"), noTruncate = true)),
+              bucketCols = Seq("field", "tok"), noTruncate = true,
+              cacheBatch = false)), // events already persisted above
           () => graft.cdc.Materialize.timed("stats delta", idxDir)(
             commitFieldStatsDelta(events, batchId, idxDir)),
           () => graft.cdc.Materialize.timed("dict delta", idxDir)(
@@ -1545,11 +1547,9 @@ object Search {
   private val multiFieldRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** Run (or reuse) the multi-field pass: the documents changelog applied
-    * in two ordered batches (insert phase, then the update/delete tail —
-    * the tail MOVES title and body postings independently) through
-    * [[maintainMultiFieldTextIndexBatch]]. Memoized per (JVM, fixture);
-    * the streaming shape and per-batch movement are pinned by SearchSpec's
-    * multi-field drill. */
+    * through [[maintainMultiFieldTextIndexBatch]]. Memoized per (JVM,
+    * fixture); per-batch movement (the tail moves title and body postings
+    * independently) is pinned by SearchSpec's multi-field drill. */
   private[graft] def multiFieldIndexRun(spark: SparkSession,
                                         sfDir: String): (String, String) =
     multiFieldRuns.getOrRun(sfDir) {
@@ -1558,10 +1558,10 @@ object Search {
           java.nio.file.Paths.get("/tmp"), "graft-mfidx-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
       val cl = s2.read.parquet(graft.cdc.Changelog.stageParquetDocuments(s2, sfDir))
-      val horizon = 1000000L // the bootstrap pair's exclusive horizon
-      maintainMultiFieldTextIndexBatch(cl.filter(col("seq") < horizon), 0L,
-        s"$work/state", s"$work/idx", defaultFields, noTruncate = true)
-      maintainMultiFieldTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
+      // ONE ordered batch apply (the textIndexRun r15 coarsening): the
+      // in-batch max_by collapse yields the same final state/postings;
+      // per-batch field movement is pinned by SearchSpec's drill
+      maintainMultiFieldTextIndexBatch(cl, 0L,
         s"$work/state", s"$work/idx", defaultFields, noTruncate = true)
       (s"$work/state", s"$work/idx")
     }

@@ -475,21 +475,15 @@ object Similarity {
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-vecidx-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
-      // one-epoch drain (the declared-query coarsening rationale): the
-      // batch-by-batch cell movement — update re-quantizes, delete
-      // retracts, replay absorbs — is pinned by KmeansSpec's drill
-      val stream = s2.readStream.schema(s2.read.parquet(clDir).schema)
-        .option("maxFilesPerTrigger", 4).parquet(clDir)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          maintainVectorIndexBatch(batch, batchId,
-            s"$work/state", s"$work/idx", cent, book,
-            noTruncate = true) // the embeddings changelog is marker-free
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // ONE ordered batch apply through the same per-batch maintainer
+      // (r15, the textIndexRun coarsening note): the declared query
+      // drained in one epoch already, so the streaming scaffolding was
+      // fixed overhead; the per-batch cell movement — update
+      // re-quantizes, delete retracts, replay absorbs — stays pinned by
+      // KmeansSpec's drill
+      maintainVectorIndexBatch(s2.read.parquet(clDir), 0L,
+        s"$work/state", s"$work/idx", cent, book,
+        noTruncate = true) // the embeddings changelog is marker-free
       (s"$work/state", s"$work/idx")
     }
 
