@@ -248,6 +248,20 @@ object Buckets {
     // index), and re-running it converges from any crash point.
     ChangelogStream.setTruncateFences(spark, stateDir, fences)
     commit(spark, stateDir, pinned)
+    // sweep the rolled-back versions ABOVE each pinned pointer (unless
+    // another savepoint pins them): ordinary retention only collects
+    // BELOW a bucket's pointer, so without this the abandoned future
+    // would linger forever — it is invisible either way (self-review
+    // r15); a crash mid-sweep just leaves garbage the re-run collects
+    val pins = pinnedVersions(spark, stateDir)
+    val f = fs(spark, stateDir)
+    pinned.entries.toSeq.sortBy(_._1).foreach { case (b, (_, v)) =>
+      val bDir = s"$stateDir/bucket=$b"
+      ChangelogStream.committedVersions(spark, bDir)
+        .filter(x => x > v && !pins.getOrElse(b, Set.empty).contains(x))
+        .foreach(x =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$bDir/v=$x"), true))
+    }
   }
 
   /** RELEASE a savepoint: drop the pin so the versions it held become
