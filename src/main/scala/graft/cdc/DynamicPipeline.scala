@@ -176,7 +176,12 @@ object DynamicPipeline {
         val hook: (DataFrame, DataFrame) => Unit =
           if (maintainers.isEmpty) null
           else (prev, merged) => maintainers.foreach(_(prev, merged))
-        ChangelogStream.upsertBatch(rows, s"$root/state/$t", beforeCommit = hook)
+        // the dynamic fixture's envelope carries RELATION + data ops only —
+        // each table's FIRST batch (the onboarding moment) skips its probe
+        // (noTruncate; a marker would raise in the merge plan, so a
+        // deployment whose stream truncates finds out loudly, not silently)
+        ChangelogStream.upsertBatch(rows, s"$root/state/$t", beforeCommit = hook,
+          noTruncate = true)
       }}
       // per-table stores are independent (own dirs, idempotent merges) —
       // maintain them concurrently, the runConcurrent contract
