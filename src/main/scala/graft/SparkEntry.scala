@@ -436,6 +436,10 @@ object SparkEntry {
     // ES prefix query, scoring_boolean rewrite: the prefix expands to
     // every matching index term, scored as an OR match
     "cdc_prefix_search" -> ((s, d) => graft.ops.Search.qCdcPrefixSearch(s, d)),
+    // ES wildcard under scoring_boolean: *ow* enumerates the term
+    // directory (infix patterns can't range-prune — the Lucene cost
+    // model too), scores the expansion as an OR match
+    "cdc_wildcard_search" -> ((s, d) => graft.ops.Search.qCdcWildcardSearch(s, d)),
     // ES match with fuzziness: misspelled terms expand through the term
     // dictionary (levenshtein <= 1) then read bucket-pruned postings
     "cdc_fuzzy_search" -> ((s, d) => graft.ops.Search.qCdcFuzzySearch(s, d)),
@@ -1970,6 +1974,8 @@ object SparkEntry {
       Seq("stream", "merge", "window"), Seq.empty, Seq("src3", "src7")),
     "cdc_prefix_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok LIKE 's%'"),
+    "cdc_wildcard_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
+      Seq.empty, termsWhere = "tok LIKE '%ow%'"),
     "cdc_fuzzy_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok IN (SELECT DISTINCT t2.tok FROM toks t2" +
         " WHERE levenshtein(t2.tok, 'strem') <= 1" +

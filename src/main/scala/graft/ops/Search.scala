@@ -748,6 +748,35 @@ object Search {
     maintainedBm25(spark, idxDir, expansion, k)
   }
 
+  /** Oracle-checked query: the ES `wildcard` query under the
+    * `scoring_boolean` rewrite — `*`/`?` translate to SQL LIKE `%`/`_`
+    * (identical semantics cross-engine), the pattern EXPANDS against the
+    * sorted TERM DIRECTORY, and the expansion scores as an OR match, each
+    * term with its own df/idf. Unlike [[qCdcPrefixSearch]], an infix
+    * pattern cannot range-prune the directory (Lucene pays the same: a
+    * leading-wildcard term enumerates the dictionary) — the scan is
+    * vocabulary-sized, which is exactly why the directory exists; the
+    * postings reads stay bucket-pruned to the expansion. Expansion capped
+    * at Lucene's maxClauseCount, loud past it (the prefix contract). The
+    * default `*ow*` expands to three terms with genuinely different dfs
+    * (row, slow, window). */
+  def qCdcWildcardSearch(spark: SparkSession, sfDir: String,
+                         pattern: String = "*ow*", k: Int = 10,
+                         maxClauses: Int = 1024): DataFrame = {
+    val like = pattern.replace("%", "\\%").replace("_", "\\_")
+      .replace('*', '%').replace('?', '_')
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val expansion = dictTerms(spark, idxDir)
+      .filter(col("tok").like(like))
+      .select(col("tok")).orderBy(col("tok")).limit(maxClauses + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(expansion.nonEmpty, s"no index term matches wildcard '$pattern'")
+    require(expansion.size <= maxClauses,
+      s"wildcard '$pattern' expands past maxClauseCount=$maxClauses — " +
+        "narrow the pattern (the Lucene scoring_boolean contract)")
+    maintainedBm25(spark, idxDir, expansion, k)
+  }
+
   /** Oracle-checked query: the ES `match` with `fuzziness` — each query
     * term expands to every index term within `maxEdits` Levenshtein edits
     * and the expansion scores as an OR match, each term with its own
