@@ -1075,8 +1075,15 @@ object ChangelogStream {
     // ~13k-row frames don't need 32 tasks a stage
     val restored = readState(s2, stateDir, cols)
     val asof = readStateAt(s2, stateDir, "asof", cols)
-    val gate = restored.exceptAll(asof).unionByName(asof.exceptAll(restored))
-      .select(Changelog.payloadCols.map(col): _*)
+    // both sides are key-unique latest-state reads, so ONE full-outer
+    // null-safe compare (the stateDiffVersions shape — 2 shuffles) gates
+    // as strongly as the symmetric exceptAll pair (4 shuffles): any
+    // added/removed/changed key injects an alien row into the hash
+    val gate = Apply.stateDiffVersions(asof, restored, Changelog.payloadCols,
+        "o_orderkey", diffCols = Seq("o_totalprice"))
+      .select(Changelog.payloadCols.map(c =>
+        if (c == "o_orderkey") col(c)
+        else lit(null).cast(restored.schema(c).dataType).as(c)): _*)
     // resume: the post-pin tail re-applies through the same merge — the
     // MERGE's idempotence-and-associativity is what makes restore a safe
     // recovery point for a re-tailed changelog
