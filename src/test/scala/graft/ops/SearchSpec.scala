@@ -381,6 +381,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(statsRow.getLong(1) === expectStats.getLong(1))
   }
 
+  test("wildcard expands through the term directory: LIKE translation, " +
+    "bounded clauses, loud misses") {
+    // *ow* must resolve exactly the three -ow- vocabulary terms; the
+    // ranking itself is oracle-checked (cdc_wildcard_search)
+    val hits = Search.qCdcWildcardSearch(spark, sfDir).collect()
+    assert(hits.nonEmpty)
+    // a pattern matching nothing fails loudly (the ES 4xx, not empty top-k)
+    val e = intercept[IllegalArgumentException] {
+      Search.qCdcWildcardSearch(spark, sfDir, pattern = "zzz*")
+    }
+    assert(e.getMessage.contains("no index term"))
+    // the maxClauseCount contract: a catch-all pattern over a capped
+    // clause budget fails loudly instead of scoring an unbounded OR
+    val e2 = intercept[IllegalArgumentException] {
+      Search.qCdcWildcardSearch(spark, sfDir, pattern = "*", maxClauses = 2)
+    }
+    assert(e2.getMessage.contains("maxClauseCount"))
+  }
+
   test("multi-field index: per-field postings/stats/dict follow the data; " +
     "multi_match prunes to the queried (field, tok) buckets") {
     import spark.implicits._
