@@ -237,9 +237,32 @@ object Buckets {
     *
     * Idempotent: restoring twice re-commits the same pointers. The pin
     * itself is KEPT (it now names live versions; release it separately
-    * when no longer needed). */
+    * when no longer needed).
+    *
+    * REFUSES when another savepoint pins a version ABOVE a restored
+    * bucket pointer (ADVICE r15): the next merge of that bucket would
+    * write `pinned + 1` and the promote path deletes any populated
+    * next dir it collides with — silently corrupting the later pin
+    * (its file would keep naming the overwritten dir). [[Materialize
+    * .restoreMv]] already fails loudly in the identical situation;
+    * release the later savepoints first, exactly as there. */
   def restore(spark: SparkSession, stateDir: String, name: String): Unit = {
     val (pinned, fences) = readSavepoint(spark, stateDir, name)
+    val blockers = savepointNames(spark, stateDir).filterNot(_ == name)
+      .flatMap { other =>
+        val otherLayout = readSavepoint(spark, stateDir, other)._1
+        val above = otherLayout.entries.collect {
+          case (b, (_, v)) if pinned.entries.get(b).exists(_._2 < v) => (b, v)
+        }
+        if (above.isEmpty) None
+        else Some(s"'$other' (${above.toSeq.sorted.take(3)
+          .map { case (b, v) => s"bucket=$b v=$v" }.mkString(", ")}${
+          if (above.size > 3) ", …" else ""})")
+      }
+    if (blockers.nonEmpty) throw new IllegalStateException(
+      s"cannot restore '$name' at $stateDir: savepoint(s) ${blockers.mkString("; ")} " +
+        "pin versions above the restored pointers — future merges of those " +
+        "buckets would overwrite the pinned dirs; release them first")
     // the fence table must REGRESS to the pinned moment (commitTruncateFence
     // only advances): rewrite it wholesale, then flip the manifest. A crash
     // between the two leaves (old manifest, pinned fences) — a torn pairing
@@ -277,6 +300,15 @@ object Buckets {
     val p = new org.apache.hadoop.fs.Path(savepointPath(stateDir, name))
     val f = fs(spark, stateDir)
     if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** The names of every savepoint of a state (empty when none). */
+  def savepointNames(spark: SparkSession, stateDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_savepoints")
+    val f = fs(spark, stateDir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt")).map(_.stripSuffix(".txt")).sorted
   }
 
   /** Every (bucket, version) any savepoint still pins — retention must not

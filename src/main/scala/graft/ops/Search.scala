@@ -289,7 +289,7 @@ object Search {
     * the batch fence and the LIVE RUN SET, so a delta commit, a crash
     * replay, and a compaction all flip one file and every reader sees a
     * consistent set (no torn multi-dir windows). */
-  private def dictManifest(spark: SparkSession,
+  private[graft] def dictManifest(spark: SparkSession,
                            idxDir: String): (Long, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(s"$idxDir/_dict/runs/latest")
     graft.cdc.MetaFile.read(
@@ -369,8 +369,19 @@ object Search {
     val (maxB, runs) = dictManifest(spark, idxDir)
     if (runs.size <= 1) return
     val name = s"base-$maxB-${java.util.UUID.randomUUID().toString.take(8)}"
-    dictTerms(spark, idxDir).select(col("tok"), col("df").as("ddf"))
-      .coalesce(1).sortWithinPartitions(col("tok"))
+    // the fold must match the run SCHEMA (ADVICE r15): a multi-field
+    // dictionary's runs carry (field, tok, ddf) under the same manifest
+    // protocol, and the tok-only fold would silently merge per-field dfs
+    // and drop the field column — every later per-field read would break.
+    val multiField = spark.read.parquet(s"$dir/${runs.head}")
+      .columns.contains("field")
+    val folded =
+      if (multiField) fieldDictTerms(spark, idxDir)
+        .select(col("field"), col("tok"), col("df").as("ddf"))
+        .coalesce(1).sortWithinPartitions(col("field"), col("tok"))
+      else dictTerms(spark, idxDir).select(col("tok"), col("df").as("ddf"))
+        .coalesce(1).sortWithinPartitions(col("tok"))
+    folded
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
     writeDictManifest(spark, idxDir, maxB, Seq(name))
     // DEFERRED sweep (ADVICE r14): the runs THIS fold just dereferenced
@@ -760,11 +771,38 @@ object Search {
     * at Lucene's maxClauseCount, loud past it (the prefix contract). The
     * default `*ow*` expands to three terms with genuinely different dfs
     * (row, slow, window). */
+  /** The ES wildcard pattern as a SQL LIKE pattern: `*`/`?` map to
+    * `%`/`_`; `\*` and `\?` are ES's escapes for the literal characters
+    * (ADVICE r15: a pass-through backslash became a LIKE escape with
+    * diverging semantics), and literal `%`/`_`/`\` LIKE-escape so they
+    * match themselves. One left-to-right walk — no double-translation. */
+  private[graft] def wildcardToLike(pattern: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          // ES escape: the next char is literal (LIKE-escaped if special)
+          pattern.charAt(i + 1) match {
+            case c @ ('%' | '_' | '\\') => out.append('\\').append(c)
+            case c => out.append(c)
+          }
+          i += 1
+        case '\\' => out.append("\\\\") // trailing backslash: literal
+        case '*' => out.append('%')
+        case '?' => out.append('_')
+        case c @ ('%' | '_') => out.append('\\').append(c)
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   def qCdcWildcardSearch(spark: SparkSession, sfDir: String,
                          pattern: String = "*ow*", k: Int = 10,
                          maxClauses: Int = 1024): DataFrame = {
-    val like = pattern.replace("%", "\\%").replace("_", "\\_")
-      .replace('*', '%').replace('?', '_')
+    val like = wildcardToLike(pattern)
     val (_, idxDir) = textIndexRun(spark, sfDir)
     val expansion = dictTerms(spark, idxDir)
       .filter(col("tok").like(like))

@@ -109,6 +109,39 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(ChangelogStream.truncateFences(spark, stateDir) === Map("" -> 10L))
   }
 
+  test("restore refuses while another savepoint pins a later version — " +
+    "release it and the restore proceeds") {
+    // ADVICE r15: without the guard, the next merge of a restored bucket
+    // writes pinned+1 and the promote path deletes the colliding dir a
+    // LATER savepoint still points at — silent corruption of that pin.
+    // restoreMv already fails loudly here; the keyed state must too.
+    val stateDir = Files.createTempDirectory("graft-restore-guard-").toString + "/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(mk((1L, 1L, "INSERT", "a")), stateDir,
+      initialBuckets = 4)
+    Buckets.savepoint(spark, stateDir, "early")
+    ChangelogStream.upsertBatch(mk((1L, 2L, "UPDATE", "b")), stateDir)
+    Buckets.savepoint(spark, stateDir, "late")
+    val e = intercept[IllegalStateException] {
+      Buckets.restore(spark, stateDir, "early")
+    }
+    assert(e.getMessage.contains("late"))
+    assert(e.getMessage.contains("release"))
+    // the refusal left the live state untouched
+    assert(ChangelogStream.readState(spark, stateDir, Seq("v"))
+      .collect().map(_.getString(0)).toSeq === Seq("b"))
+    // releasing the later pin unblocks; the restored read is the early pin
+    Buckets.releaseSavepoint(spark, stateDir, "late")
+    Buckets.restore(spark, stateDir, "early")
+    assert(ChangelogStream.readState(spark, stateDir, Seq("v"))
+      .collect().map(_.getString(0)).toSeq === Seq("a"))
+    // restoring TO the latest pin never blocks on earlier pins
+    Buckets.savepoint(spark, stateDir, "again")
+    Buckets.restore(spark, stateDir, "again")
+    assert(ChangelogStream.readState(spark, stateDir, Seq("v"))
+      .collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("a TRUNCATE marker on a probe-skipped merge fails loudly instead of " +
     "silently losing the fence") {
     // ADVICE r14: fullMerge forces truncs empty and filters marker rows, so

@@ -400,6 +400,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("maxClauseCount"))
   }
 
+  test("wildcard-to-LIKE honors the ES escape contract: \\* and \\? are " +
+    "literals, and literal LIKE specials escape") {
+    // ADVICE r15: a pass-through backslash became a LIKE escape character
+    // with semantics diverging from the ES wildcard contract
+    assert(Search.wildcardToLike("*ow*") === "%ow%")
+    assert(Search.wildcardToLike("a?c") === "a_c")
+    assert(Search.wildcardToLike("""a\*b""") === "a*b") // escaped star: literal
+    assert(Search.wildcardToLike("""a\?b""") === "a?b") // escaped ?: literal
+    assert(Search.wildcardToLike("""a\\b*""") === """a\\b%""") // literal backslash
+    assert(Search.wildcardToLike("""a\""") === """a\\""") // trailing backslash
+    assert(Search.wildcardToLike("a%b_c") === """a\%b\_c""") // LIKE specials literal
+    // end-to-end: an escaped star matches NOTHING in this corpus (no token
+    // contains a literal '*') and fails loudly, instead of expanding as %
+    val e = intercept[IllegalArgumentException] {
+      Search.qCdcWildcardSearch(spark, sfDir, pattern = """\*ow\*""")
+    }
+    assert(e.getMessage.contains("no index term"))
+  }
+
   test("multi-field index: per-field postings/stats/dict follow the data; " +
     "multi_match prunes to the queried (field, tok) buckets") {
     import spark.implicits._
@@ -470,6 +489,42 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       assert(wanted.exists(b => p.contains(s"/bucket=$b/")),
         s"non-queried (field, tok) bucket read: $p (wanted: $wanted)")
     }
+  }
+
+  test("compactDict folds a multi-field dictionary per (field, tok) — the " +
+    "field column survives and per-field dfs never merge") {
+    // ADVICE r15: the tok-only fold would silently merge per-field dfs and
+    // drop the field column from the base run
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mfcompact-").toString
+    val fields: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "body" -> Text.tokens(col("text")),
+      "title" -> slice(Text.tokens(col("text")), 1, 1))
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "text")
+    Search.maintainMultiFieldTextIndexBatch(
+      batch(Seq((1L, 1L, "INSERT", "alpha beta"))), 0L,
+      s"$work/state", s"$work/idx", fields)
+    Search.maintainMultiFieldTextIndexBatch(
+      batch(Seq((2L, 2L, "INSERT", "alpha gamma"))), 1L,
+      s"$work/state", s"$work/idx", fields)
+    def dict(): Set[(String, String, Long)] =
+      Search.fieldDictTerms(spark, s"$work/idx")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val before = dict()
+    // 'alpha' has DIFFERENT dfs per field (body 2, title 2; beta/gamma
+    // body-only) — a tok-only fold would collapse them
+    assert(before === Set(
+      ("body", "alpha", 2L), ("body", "beta", 1L), ("body", "gamma", 1L),
+      ("title", "alpha", 2L)))
+    assert(Search.dictManifest(spark, s"$work/idx")._2.size === 2)
+    Search.compactDict(spark, s"$work/idx")
+    assert(Search.dictManifest(spark, s"$work/idx")._2.size === 1)
+    assert(dict() === before)
+    // the base run keeps the (field, tok, ddf) schema
+    val base = Search.dictManifest(spark, s"$work/idx")._2.head
+    assert(spark.read.parquet(s"$work/idx/_dict/$base").columns.toSeq ===
+      Seq("field", "tok", "ddf"))
   }
 
   test("stale events cannot resurrect postings (replayed/late changelog order)") {
