@@ -156,6 +156,17 @@ object Bench {
     val spinBest = math.min(spinStart, spinEnd)
     val SpinRef = 166.7
     val totalNorm = total * SpinRef / spinBest
+    // SELF-LABELING quiet-window protocol (VERDICT r15 #6): the par32
+    // probe is the one signal that sees host-level core oversubscription
+    // (guest loadavg and PSI read zero under it). A run whose BEST par32
+    // sample stays above the contended threshold never saw a quiet
+    // window — its wall times are not bench-grade and the flag says so in
+    // the committed artifact, sparing the next reader the adjudication
+    // (the r15 driver run — par32 222→303, every span uniformly 2-4×
+    // inflated — would have self-labeled). Threshold: quiet windows on
+    // this box measure par32 190-230; contended runs 240+.
+    val spinParBest = math.min(spinParStart, spinParEnd)
+    val contended = spinParBest > 240.0
 
     // Full-precision per-query map goes to a file (the harness that captures
     // stdout keeps only a short tail, so the printed line must stay small);
@@ -244,6 +255,7 @@ object Bench {
       s""""spin_par32_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinParEnd)},""" +
       s""""spin_ref_ms":$SpinRef,""" +
       s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
+      s""""contended":$contended,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
@@ -257,7 +269,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true

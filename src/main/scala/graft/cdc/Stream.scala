@@ -1043,8 +1043,33 @@ object ChangelogStream {
       stateDir
     }
 
+  /** Assert the shared pass's LIVE state is fully caught up to the
+    * changelog (VERDICT r15 #7): [[qSavepointRestore]] mutates the
+    * memoized pass (restore, gate, re-apply the tail inside the query
+    * body) — safe under the sequential bench/verify order because the
+    * re-apply completes before it returns, but a future reordering that
+    * read the state MID-RESTORE (tail not yet re-applied) would silently
+    * diff against rolled-back data. One column-pruned max(seq) over the
+    * live state makes that crash-loud: the "asof" pin was taken at the
+    * seq-split boundary, so a restored-not-resumed state carries ONLY
+    * seqs ≤ [[DiffSplitSeq]], while any tail-applied state carries the
+    * tail's updates above it. (Equality to the changelog's own max seq is
+    * unattainable by construction — the max event is a DELETE whose key
+    * leaves the live state.) */
+  private def assertDiffPassCaughtUp(spark: SparkSession,
+                                     stateDir: String): Unit = {
+    val liveMax = readState(spark, stateDir, Seq("seq"))
+      .agg(max(col("seq"))).collect()(0).getLong(0)
+    if (liveMax <= DiffSplitSeq) throw new IllegalStateException(
+      s"diff pass at $stateDir is mid-restore: live max seq $liveMax is at " +
+        s"or below the savepoint boundary $DiffSplitSeq — the post-pin tail " +
+        "has not been re-applied (qSavepointRestore must complete before " +
+        "the live side of this diff is readable)")
+  }
+
   def qStateDiffVersions(spark: SparkSession, sfDir: String): DataFrame = {
     val stateDir = diffPassRun(spark, sfDir)
+    assertDiffPassCaughtUp(spark, stateDir)
     val cols = Seq("id") ++ Changelog.payloadCols
     Apply.stateDiffVersions(
       readStateAt(spark, stateDir, "asof", cols),

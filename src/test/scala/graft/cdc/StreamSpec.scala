@@ -324,6 +324,29 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("a mid-restore diff pass is crash-loud: the pinned-vs-live diff " +
+    "refuses until the tail re-applies, and both query orders pass") {
+    // VERDICT r15 #7: qSavepointRestore mutates the shared memoized pass
+    // (restore → gate → re-apply the tail inside the query body); the
+    // coupling was held only by the bench's sort order. Both orders of the
+    // declared pair must pass — each completed call leaves the pass caught
+    // up — and a MID-restore read must throw, not silently diff
+    // rolled-back data.
+    assert(ChangelogStream.qStateDiffVersions(spark, sfDir).count() >= 0)
+    assert(ChangelogStream.qSavepointRestore(spark, sfDir).count() > 0)
+    assert(ChangelogStream.qStateDiffVersions(spark, sfDir).count() >= 0)
+    // the reorder hazard: a restore whose tail has NOT re-applied yet
+    val stateDir = ChangelogStream.diffPassRun(spark, sfDir)
+    Buckets.restore(spark, stateDir, "asof")
+    val e = intercept[IllegalStateException] {
+      ChangelogStream.qStateDiffVersions(spark, sfDir)
+    }
+    assert(e.getMessage.contains("mid-restore"))
+    // the declared restore query completes the re-apply; the diff reads again
+    assert(ChangelogStream.qSavepointRestore(spark, sfDir).count() > 0)
+    assert(ChangelogStream.qStateDiffVersions(spark, sfDir).count() >= 0)
+  }
+
   test("a savepoint pins its versions through later batches and retention") {
     val work = Files.createTempDirectory("graft-savepoint-").toString
     val stateDir = s"$work/state"
