@@ -210,7 +210,8 @@ object Bench {
       "cdc_vector_filtered", "cdc_vector_index", "cdc_vector_search",
       "cdc_vector_search_pq", "cdc_vector_time_travel",
       // r14 additions — views over already-carried passes
-      "cdc_range_agg", "cdc_date_histogram", "cdc_savepoint_all",
+      "cdc_range_agg", "cdc_date_histogram", "cdc_date_histogram_stats",
+      "cdc_savepoint_all",
       "cdc_text_reindex_alias",
       // r15: the diff now reads the restore carrier's memoized pass
       "cdc_state_diff_versions", "cdc_wildcard_search")

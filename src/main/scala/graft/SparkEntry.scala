@@ -118,6 +118,9 @@ object SparkEntry {
     // ES date_histogram (calendar_interval: month) over the maintained
     // store — a view over the composed pass's live orders state
     "cdc_date_histogram" -> (graft.cdc.Pipeline.qDateHistogram _),
+    // …and with METRIC SUB-AGGREGATIONS: each month bucket carries the
+    // stats (count/sum/avg/min/max) of o_totalprice (VERDICT r15 #2)
+    "cdc_date_histogram_stats" -> (graft.cdc.Pipeline.qDateHistogramStats _),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -2007,6 +2010,24 @@ object SparkEntry {
          |  FROM changelog)
          |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          |       count(*) AS doc_count
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_date_histogram_stats" ->
+      // the bucket agg + stats sub-agg: metrics of the payload field per
+      // month bucket. Sum folds DECIMAL(18,4) (order-independent, the
+      // dsum rule); avg divides the sum's exact double image by the
+      // count — identical expression text to the Spark plan
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       count(*) AS doc_count,
+         |       ${dsum("o_totalprice", "sum_price")},
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         |             / count(*), 6) AS avg_price,
+         |       min(o_totalprice) AS min_price,
+         |       max(o_totalprice) AS max_price
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_more_like_this" -> bm25Sql(
