@@ -201,7 +201,7 @@ object Bench {
       "cdc_hybrid_search", "cdc_collapse", "cdc_function_score",
       "cdc_fuzzy_search", "cdc_highlight",
       "cdc_match_and", "cdc_more_like_this", "cdc_percolate",
-      "cdc_phrase_slop",
+      "cdc_phrase_slop", "cdc_phrase_prefix",
       "cdc_prefix_search", "cdc_rescore", "cdc_search_after",
       "cdc_significant_terms",
       "cdc_suggest", "cdc_term_filter", "cdc_terms_agg",

