@@ -190,8 +190,10 @@ object Bench {
       // r15: carries the shared two-batch diff pass (sorts before
       // cdc_state_diff_versions, now a pinned-vs-live view over it)
       "cdc_savepoint_restore",
-      // r15: carries its own multi-field index pass (sole consumer)
-      "cdc_multi_match")
+      // r16: the multi-field pass's FIRST consumer in sort order (the
+      // analyzer view rides the same mapping since r16; cdc_multi_match
+      // now reads the pass memoized)
+      "cdc_analyzer_search")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",
@@ -216,7 +218,7 @@ object Bench {
       // r15: the diff now reads the restore carrier's memoized pass
       "cdc_state_diff_versions", "cdc_wildcard_search",
       // r16: views over already-carried passes
-      "cdc_range_filter")
+      "cdc_range_filter", "cdc_multi_match")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -386,6 +386,11 @@ object SparkEntry {
     // index ((field, tok)-bucketed postings, per-field stats/dict) —
     // best_fields: each doc scores as its best boosted field
     "cdc_multi_match" -> ((s, d) => graft.ops.Search.qCdcMultiMatch(s, d)),
+    // ES analyzer chain (stop filter + S-stemmer) as a third analyzer
+    // VIEW through the multi-field mapping: plural query terms stem to
+    // roots the raw body field never indexed — recall only the analyzed
+    // field can serve
+    "cdc_analyzer_search" -> ((s, d) => graft.ops.Search.qCdcAnalyzerSearch(s, d)),
     // the ES ALIAS surface driven through the zero-downtime reindex: the
     // alias swaps from the replay-built to the reindexed (bootstrap)
     // index atomically; pre/post answers gated equal in the hashed result
@@ -511,8 +516,8 @@ object SparkEntry {
   /** The synthetic documents changelog → live docs → their tokens, as SQL
     * (mirrors [[graft.cdc.Changelog.fromDocuments]]'s deterministic
     * rules). Shared by the CDC text-index and text-search oracles. */
-  private val docsChangelogCte: String =
-    """dt AS (SELECT CAST(doc_id AS BIGINT) AS k, text, source FROM documents),
+  private def docsChangelogCteWith(toksDef: String): String =
+    s"""dt AS (SELECT CAST(doc_id AS BIGINT) AS k, text, source FROM documents),
       |cl AS (
       |  SELECT k AS id, k AS seq, 'INSERT' AS op, text, source FROM dt
       |  UNION ALL
@@ -523,7 +528,22 @@ object SparkEntry {
       |rnk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
       |        FROM cl),
       |live AS (SELECT id AS doc_id, text, source FROM rnk WHERE rn = 1 AND op <> 'DELETE'),
-      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)""".stripMargin
+      |$toksDef""".stripMargin
+
+  private val docsChangelogCte: String = docsChangelogCteWith(
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)")
+
+  /** The `body_en` analyzer view as SQL: stop filter + the S-stemmer —
+    * the identical table-driven chain the Spark side compiles
+    * ([[graft.ops.Search.analyzedTokens]]). */
+  private val docsAnalyzedCte: String = docsChangelogCteWith(
+    """toks AS (SELECT doc_id,
+      |           CASE WHEN tok LIKE '%s' AND tok NOT LIKE '%ss' AND len(tok) > 3
+      |                THEN substr(tok, 1, len(tok) - 1) ELSE tok END AS tok
+      |         FROM (SELECT doc_id,
+      |                 unnest(list_filter(string_split(text, ' '),
+      |                   t -> t NOT IN ('the', 'a'))) AS tok
+      |               FROM live))""".stripMargin)
 
   /** ONE BM25 oracle template for every lexical-search query — the scoring
     * expression (idf × tf normalization, round-6 DECIMAL association) lives
@@ -1971,6 +1991,11 @@ object SparkEntry {
     // answer identically to the replay-built one)
     "cdc_text_search" -> cdcTextSearchSql,
     "cdc_multi_match" -> cdcMultiMatchSql,
+    // the analyzed-field match: the shared BM25 body over the analyzer
+    // view's tokens, query terms pre-analyzed by the same chain
+    // ('streams','the','merges' → 'stream','merge')
+    "cdc_analyzer_search" -> bm25Sql(docsAnalyzedCte, 1,
+      Seq("stream", "merge"), Seq.empty),
     // alias-served search ≡ the maintained search (the swap's pre/post
     // gates inject alien rows on any divergence)
     "cdc_text_reindex_alias" -> cdcTextSearchSql,
