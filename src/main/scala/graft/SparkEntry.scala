@@ -244,6 +244,9 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_scalar_string" -> (Relational.qScalarString _),
     "q_json_extract" -> (Relational.qJsonExtract _),
+    // ES nested-query semantics: per-element match over an array of
+    // objects vs the flattened cross-match (VERDICT r15 missing #5)
+    "q_nested_match" -> ((s, d) => Relational.qNestedMatch(s, d)),
     "q_date_trunc" -> (Relational.qDateTrunc _),
     "q_date_arith" -> (Relational.qDateArith _),
     "q_stats" -> (Relational.qStats _),
@@ -1434,6 +1437,18 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_nested_match" ->
+      // nested = ONE event satisfies both conditions; flat = each finds
+      // its own event. Report: the flat match set with nested verdicts
+      """WITH n AS (SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'click' AND value >= 300.0
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS nested_match,
+        |  CAST(CASE WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+        |             AND max(CASE WHEN value >= 300.0 THEN 1 ELSE 0 END) = 1
+        |        THEN 1 ELSE 0 END AS BIGINT) AS flat_match
+        |FROM events GROUP BY 1)
+        |SELECT user_id, nested_match, flat_match FROM n
+        |WHERE flat_match = 1 ORDER BY user_id""".stripMargin,
     "q_date_trunc" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

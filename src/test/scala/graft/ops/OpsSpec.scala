@@ -30,6 +30,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nested query scopes conditions to ONE array element; the flattened " +
+    "rendering cross-matches") {
+    // VERDICT r15 missing #5: the ES nested-vs-object semantics gap.
+    // user 1: one event satisfies both conditions → nested AND flat.
+    // user 2: 'click' at 10, 'view' at 500 — flat cross-matches, nested
+    // must not. user 3: neither condition → absent from the report.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested-").toString
+    Seq(
+      (1L, "click", 400.0), (1L, "view", 5.0),
+      (2L, "click", 10.0), (2L, "view", 500.0),
+      (3L, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.qNestedMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === Seq((1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
   test("session windows respect the 30-minute gap") {
     val out = Relational.qSessionWindow(spark, sfDir)
       .select(col("user_id"), col("s_start"), col("s_end")).collect()
