@@ -1055,9 +1055,23 @@ object ChangelogStream {
     * seqs ≤ [[DiffSplitSeq]], while any tail-applied state carries the
     * tail's updates above it. (Equality to the changelog's own max seq is
     * unattainable by construction — the max event is a DELETE whose key
-    * leaves the live state.) */
+    * leaves the live state.)
+    *
+    * Memoized per LAYOUT-MANIFEST VERSION (self-review r16: the max(seq)
+    * scan cost ~0.4 s per diff call for a state that rarely changes):
+    * every merge AND every restore commits a new manifest version, so a
+    * cached verdict can never mask a later mutation — a restore flips the
+    * version, the re-check runs, and the mid-restore read still throws.
+    * Steady-state cost: one tiny manifest read. */
+  private val diffPassVerified =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def assertDiffPassCaughtUp(spark: SparkSession,
                                      stateDir: String): Unit = {
+    val manifestV = committedVersions(spark, s"$stateDir/_layout")
+      .lastOption.getOrElse(-1L)
+    // boxed compare: an absent entry is null, never a false version match
+    if (java.lang.Long.valueOf(manifestV) == diffPassVerified.get(stateDir)) return
     val liveMax = readState(spark, stateDir, Seq("seq"))
       .agg(max(col("seq"))).collect()(0).getLong(0)
     if (liveMax <= DiffSplitSeq) throw new IllegalStateException(
@@ -1065,6 +1079,7 @@ object ChangelogStream {
         s"or below the savepoint boundary $DiffSplitSeq — the post-pin tail " +
         "has not been re-applied (qSavepointRestore must complete before " +
         "the live side of this diff is readable)")
+    diffPassVerified.put(stateDir, manifestV)
   }
 
   def qStateDiffVersions(spark: SparkSession, sfDir: String): DataFrame = {
