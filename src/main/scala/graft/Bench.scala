@@ -218,7 +218,7 @@ object Bench {
       // r15: the diff now reads the restore carrier's memoized pass
       "cdc_state_diff_versions", "cdc_wildcard_search",
       // r16: views over already-carried passes
-      "cdc_range_filter", "cdc_multi_match")
+      "cdc_range_filter", "cdc_multi_match", "cdc_mget")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -447,6 +447,10 @@ object SparkEntry {
     // secondary index (sorted runs, pushed range predicate) — never a
     // doc-state scan (VERDICT r15 missing #1)
     "cdc_range_filter" -> ((s, d) => graft.ops.Search.qCdcRangeFilter(s, d)),
+    // ES _mget: N docs fetched by id from the maintained store — the
+    // consumer's per-id ES lookup, vectorized to the ids' buckets only;
+    // misses report found=0 (the _mget row-per-requested-id contract)
+    "cdc_mget" -> ((s, d) => graft.ops.Search.qCdcMget(s, d)),
     // ES terms AGGREGATION: top-k tokens by document frequency served
     // from the maintained postings state (count per tok IS df)
     "cdc_terms_agg" -> ((s, d) => graft.ops.Search.qCdcTermsAgg(s, d)),
@@ -2029,6 +2033,15 @@ object SparkEntry {
     "cdc_range_filter" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       extraCut = "p.doc_id IN (SELECT doc_id FROM dl WHERE dl >= 40 AND dl < 60)"),
+    "cdc_mget" ->
+      // _mget: one row per REQUESTED id; misses carry found=0, null source
+      s"""WITH $docsChangelogCte,
+         |req AS (SELECT CAST(unnest([1, 7, 39, 42, 300]) AS BIGINT) AS doc_id)
+         |SELECT req.doc_id,
+         |       CAST(CASE WHEN live.source IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found,
+         |       live.source
+         |FROM req LEFT JOIN live USING (doc_id)
+         |ORDER BY req.doc_id""".stripMargin,
     "cdc_prefix_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,
       Seq.empty, termsWhere = "tok LIKE 's%'"),
     "cdc_wildcard_search" -> bm25Sql(docsChangelogCte, 1, Seq.empty, Seq.empty,

@@ -764,6 +764,39 @@ object Search {
       include = sourceKeepIds(spark, stateDir, sources))
   }
 
+  /** Oracle-checked query: the ES `_mget` (multi-get) — N documents
+    * fetched BY ID from the maintained doc state, the reference consumer's
+    * own per-id ES match query (`es.go:50-54,115-119`) as a batched
+    * declared surface. Each id hashes driver-side through the layout
+    * manifest to its bucket; only the DISTINCT buckets' committed files
+    * open (≤ min(N, bucket count) — the [[graft.cdc.ChangelogStream
+    * .readKey]] discipline vectorized), with the id filter pushed inside
+    * them. Misses report `found = 0` with null fields — ES's _mget
+    * contract returns a row per REQUESTED id, found or not (id 39 is
+    * deleted by the %5 rule, so the default list exercises it). At 100 TB
+    * an N-doc mget is N point reads batched into one job over the ids'
+    * buckets — never a state scan. */
+  def qCdcMget(spark: SparkSession, sfDir: String,
+               ids: Seq[Long] = Seq(1L, 7L, 39L, 42L, 300L)): DataFrame = {
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    val layout = graft.cdc.Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"doc state at $stateDir has no layout manifest"))
+    val buckets = ids.distinct
+      .map(id => graft.cdc.Buckets.bucketOfValues(layout, Seq(id)))
+      .distinct.sorted
+    val hits = graft.cdc.ChangelogStream
+      .readLayoutBuckets(spark, stateDir, layout, Seq("id", "source"), buckets)
+      .filter(col("id").isin(ids.distinct: _*))
+      .select(col("id").as("doc_id"), col("source"))
+    ids.distinct.sorted.toDF("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("source").isNotNull, 1L).otherwise(0L).as("found"),
+        col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle-checked query: the ES numeric `range` query in FILTER context
     * (VERDICT r15 missing #1) — `bool: {must: match, filter: {range:
     * {dl: {gte, lt}}}}`: the scored match set cut to documents whose

@@ -579,6 +579,34 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       Seq("field", "tok", "ddf"))
   }
 
+  test("mget opens only the requested ids' buckets and reports misses " +
+    "with found=0") {
+    val got = Search.qCdcMget(spark, sfDir, ids = Seq(1L, 4L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // id 4 is deleted by the %5==4 rule → requested, reported, not found
+    assert(got === Seq((1L, 1L), (3L, 1L), (4L, 0L)))
+    // plan walk: every doc-state path the job opens is one of the
+    // requested ids' buckets
+    val plan = Search.qCdcMget(spark, sfDir, ids = Seq(1L, 4L, 3L))
+    val scans = plan.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.filter(_.contains("/bucket="))
+    assert(scans.nonEmpty)
+    val stateRoot = scans.head.replaceAll("/bucket=.*", "")
+    val layout = graft.cdc.Buckets.read(spark, stateRoot).get
+    val wanted = Seq(1L, 4L, 3L)
+      .map(id => graft.cdc.Buckets.bucketOfValues(layout, Seq(id))).distinct
+    scans.foreach { p =>
+      assert(wanted.exists(b => p.contains(s"/bucket=$b/")),
+        s"non-requested bucket read: $p (wanted $wanted)")
+    }
+  }
+
   test("the ordered dl index tracks value movement across a range boundary; " +
     "the range read pushes its predicate into the sorted runs") {
     // VERDICT r15 missing #1: the ES range filter's serving structure.
