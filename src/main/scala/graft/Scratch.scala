@@ -38,9 +38,20 @@ object Scratch {
       } else {
         // three repetitions: cold (cache fill) vs warm separate cleanly
         for (i <- 1 to 3) {
+          val sp0 = graft.cdc.Materialize.Spans.snapshot()
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
           println(f"[scratch] $name%-28s #$i ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+          if (args.contains("--spans")) {
+            val sp1 = graft.cdc.Materialize.Spans.snapshot()
+            sp1.toSeq.map { case (k, (sec, c)) =>
+                val (s0, c0) = sp0.getOrElse(k, (0.0, 0L))
+                (k, sec - s0, c - c0)
+              }
+              .filter(_._2 >= 0.05).sortBy(-_._2)
+              .foreach { case (k, sec, c) =>
+                println(f"[scratch]   span $k%-28s $sec%7.3f s  n=$c") }
+          }
         }
       }
     }
