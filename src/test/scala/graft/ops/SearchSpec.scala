@@ -721,6 +721,22 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val gotStats = Search.corpusStats(spark, s"$root/idx").head()
     assert(gotStats.getLong(0) === expectStats.getLong(0))
     assert(gotStats.getLong(1) === expectStats.getLong(1))
+    // ...and the manifest-fenced ORDERED dl index (r16): replayed runs
+    // must skip, retractions of moved/deleted lengths must land — the
+    // full-range read equals the live docs' (dl, id) pairs exactly
+    val expectDl = live.select(
+      size(Text.tokens(col("text"))).cast("long").as("v"), col("doc_id").as("id"))
+    val gotDl = graft.cdc.OrderedIndex
+      .lookupRange(spark, s"$root/state/_dlidx", Long.MinValue, Long.MaxValue)
+    assert(gotDl.count() === expectDl.count())
+    // per-id equality via the index's (v, id) fold carrying v
+    val gotPairs = spark.read.parquet(
+        graft.cdc.OrderedIndex.manifest(spark, s"$root/state/_dlidx")._2
+          .map(r => s"$root/state/_dlidx/$r"): _*)
+      .groupBy(col("v"), col("id")).agg(sum(col("d")).as("d"))
+      .filter(col("d") > 0).select(col("v"), col("id"))
+    assert(gotPairs.exceptAll(expectDl).count() === 0)
+    assert(expectDl.exceptAll(gotPairs).count() === 0)
   }
 
   test("hybrid RRF fusion unions the legs and rewards presence in both") {
