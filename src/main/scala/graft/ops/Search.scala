@@ -255,12 +255,13 @@ object Search {
     * own batch cache would be a second pin of the same rows
     * (cacheBatch = false — probe and merge read through the caller's
     * cache). */
-  private def commitPostingsEvents(events: DataFrame, idxDir: String): Unit =
+  private def commitPostingsEvents(events: DataFrame, idxDir: String,
+      initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets): Unit =
     // synthesized DELETE/INSERT events — the seed batch's probe is
     // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events.filter(col("tok").isNotNull),
       idxDir, keyCols = Seq("tok", "id"), bucketCols = Seq("tok"),
-      noTruncate = true, cacheBatch = false)
+      initialBuckets = initialBuckets, noTruncate = true, cacheBatch = false)
 
   private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
                                          batchId: Long, idxDir: String): Unit =
@@ -459,11 +460,19 @@ object Search {
   /** `noTruncate`: the caller asserts a marker-free changelog (the
     * documents fixture streams), letting the seed batch skip the state
     * probe — the default keeps SearchSpec's truncate drills honest. */
+  /** `initialBuckets` sizes a FRESH state + postings layout (the
+    * manifest-recorded creation knob, ignored once one exists): the
+    * fixture passes create at 8 — per-merge fan-out halves vs the
+    * 16-bucket default and a term read is still one bucket; a 100 TB
+    * deployment sizes it to its vocabulary exactly like the doc state
+    * sizes to its keys. */
   def maintainTextIndexBatch(batch: DataFrame, batchId: Long,
                              stateDir: String, idxDir: String,
-                             noTruncate: Boolean = false): Unit =
+                             noTruncate: Boolean = false,
+                             initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       noTruncate = noTruncate,
+      initialBuckets = initialBuckets,
       // NO warmHookCache here (measured negative, r14): unlike the
       // composed pass, these branches consume their OWN tokenized tp/tm
       // caches — only the srcidx delta touches (prev, merged) directly —
@@ -509,7 +518,7 @@ object Search {
           // fullMaintainer argument)
           val deltas = Seq[() => Unit](
             () => graft.cdc.Materialize.timed("postings delta", idxDir)(
-              commitPostingsEvents(events, idxDir)),
+              commitPostingsEvents(events, idxDir, initialBuckets)),
             () => graft.cdc.Materialize.timed("stats delta", idxDir)(
               commitCorpusStatsDelta(events, batchId, idxDir)),
             // the dict and dl-index deltas CHAIN in one lane (r16): both
@@ -613,7 +622,8 @@ object Search {
       // pinned by SearchSpec's kill-resume drill at 1 file/trigger.
       maintainTextIndexBatch(s2.read.parquet(clDir), 0L,
         s"$work/state", s"$work/idx",
-        noTruncate = true) // the documents changelog is marker-free
+        noTruncate = true, // the documents changelog is marker-free
+        initialBuckets = 8) // fixture-sized creation knob (r16)
       (s"$work/state", s"$work/idx")
     }
 
@@ -1450,7 +1460,7 @@ object Search {
       // time-travel oracle: the pinned index must equal the source table)
       val horizon = 1000000L // the insert phase IS the source table
       maintainTextIndexBatch(cl.filter(col("seq") < horizon), 0L,
-        s"$work/state", s"$work/idx", noTruncate = true)
+        s"$work/state", s"$work/idx", noTruncate = true, initialBuckets = 8)
       // pin the freshly-seeded index version (the ES snapshot/PITR
       // story): retention keeps the pinned postings-bucket versions alive
       // however many batches follow, and [[qCdcTextTimeTravel]] serves
@@ -1460,7 +1470,7 @@ object Search {
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
       graft.cdc.Materialize.savepointMv(s2, s"$work/idx/_stats", "seed")
       maintainTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
-        s"$work/state", s"$work/idx", noTruncate = true)
+        s"$work/state", s"$work/idx", noTruncate = true, initialBuckets = 8)
       (s"$work/state", s"$work/idx")
     }
 
@@ -1673,9 +1683,11 @@ object Search {
   def maintainMultiFieldTextIndexBatch(batch: DataFrame, batchId: Long,
                                        stateDir: String, idxDir: String,
                                        fields: Seq[(String, Column)],
-                                       noTruncate: Boolean = false): Unit =
+                                       noTruncate: Boolean = false,
+                                       initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       noTruncate = noTruncate,
+      initialBuckets = initialBuckets,
       beforeCommit = (prev, merged) => {
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
         val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
@@ -1690,7 +1702,8 @@ object Search {
             graft.cdc.ChangelogStream.upsertBatch(
               events.filter(col("tok").isNotNull), idxDir,
               keyCols = Seq("field", "tok", "id"),
-              bucketCols = Seq("field", "tok"), noTruncate = true,
+              bucketCols = Seq("field", "tok"),
+              initialBuckets = initialBuckets, noTruncate = true,
               cacheBatch = false)), // events already persisted above
           () => graft.cdc.Materialize.timed("stats delta", idxDir)(
             commitFieldStatsDelta(events, batchId, idxDir)),
@@ -1767,7 +1780,8 @@ object Search {
       // in-batch max_by collapse yields the same final state/postings;
       // per-batch field movement is pinned by SearchSpec's drill
       maintainMultiFieldTextIndexBatch(cl, 0L,
-        s"$work/state", s"$work/idx", defaultFields, noTruncate = true)
+        s"$work/state", s"$work/idx", defaultFields, noTruncate = true,
+        initialBuckets = 8) // fixture-sized creation knob (r16)
       (s"$work/state", s"$work/idx")
     }
 
