@@ -208,7 +208,7 @@ object Bench {
       "cdc_significant_terms",
       "cdc_suggest", "cdc_term_filter", "cdc_terms_agg",
       "cdc_top_hits",
-      "cdc_text_time_travel", "cdc_vector_bootstrap",
+      "cdc_text_time_travel", "cdc_text_pit", "cdc_vector_bootstrap",
       "cdc_vector_filtered", "cdc_vector_index", "cdc_vector_search",
       "cdc_vector_search_pq", "cdc_vector_time_travel",
       // r14 additions — views over already-carried passes

@@ -497,6 +497,9 @@ object SparkEntry {
     // ES search_after: page 2 via the (score, doc_id) cursor of page 1's
     // last hit — a predicate + TakeOrdered, never a deep rank window
     "cdc_search_after" -> ((s, d) => graft.ops.Search.qCdcSearchAfter(s, d)),
+    // ES point-in-time pagination: search_after page 2 served from the
+    // "seed" savepoint's pinned index + stats while the live index moved on
+    "cdc_text_pit" -> ((s, d) => graft.ops.Search.qCdcTextPit(s, d)),
     // ES highlight: matched-term first positions + occurrence counts for
     // the top-k hits, served from the maintained positional postings
     "cdc_highlight" -> ((s, d) => graft.ops.Search.qCdcHighlight(s, d)),
@@ -613,6 +616,15 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
        |$tailSql""".stripMargin
   }
+
+  /** The search_after page-2 tail shared by the live and PIT pagers. */
+  private val searchAfterTailSql: String =
+    """,cur AS (SELECT score AS cs, doc_id AS cd FROM r WHERE rk = 10),
+      |nxt AS (SELECT r.doc_id, r.n_t, r.score FROM r CROSS JOIN cur
+      |        WHERE r.score < cur.cs OR (r.score = cur.cs AND r.doc_id > cur.cd)),
+      |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM nxt)
+      |SELECT CAST(rk2 + 10 AS BIGINT) AS rk, doc_id, n_t, score
+      |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin
 
   /** BM25 over the raw documents table (the static staged index's corpus —
     * and the bootstrap savepoint's pinned pre-tail corpus). */
@@ -2208,12 +2220,12 @@ object SparkEntry {
     // scored set — the cursor CTE IS page 1's last sort key
     "cdc_search_after" -> bm25Sql(docsChangelogCte,
       1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
-      tail = s""",cur AS (SELECT score AS cs, doc_id AS cd FROM r WHERE rk = 10),
-         |nxt AS (SELECT r.doc_id, r.n_t, r.score FROM r CROSS JOIN cur
-         |        WHERE r.score < cur.cs OR (r.score = cur.cs AND r.doc_id > cur.cd)),
-         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM nxt)
-         |SELECT CAST(rk2 + 10 AS BIGINT) AS rk, doc_id, n_t, score
-         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+      tail = searchAfterTailSql),
+    // PIT page 2: the pinned pre-tail corpus IS the source table
+    "cdc_text_pit" -> bm25Sql(
+      "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = searchAfterTailSql),
     // highlight: matched-term first positions + occurrence counts for the
     // top-5 hits, recomputed from the live text's token subscripts
     "cdc_highlight" -> bm25Sql(docsChangelogCte,

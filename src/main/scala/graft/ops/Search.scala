@@ -1210,8 +1210,17 @@ object Search {
     val postings = maintainedPostings(spark, idxDir, query,
         Seq("tok", "id", "tf", "dl"))
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
-    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
-      .persist()
+    searchAfterPage2(
+      bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75), pageSize)
+  }
+
+  /** The `search_after` cursor protocol over a scored frame: page 1's last
+    * (score, doc_id) becomes the cursor, page 2 is everything strictly
+    * after it in (score desc, doc_id) order. Shared by the live
+    * ([[qCdcSearchAfter]]) and point-in-time ([[qCdcTextPit]]) pagers. */
+  private def searchAfterPage2(scoredIn: DataFrame, pageSize: Int): DataFrame = {
+    val spark = scoredIn.sparkSession
+    val scored = scoredIn.persist()
     try {
       import spark.implicits._
       val page1 = scored.orderBy(col("score").desc, col("doc_id"))
@@ -1235,6 +1244,29 @@ object Search {
       }.toSeq.toDF("rk", "doc_id", "n_t", "score")
         .orderBy(col("rk"))
     } finally scored.unpersist(blocking = false)
+  }
+
+  /** Oracle-checked query: ES POINT-IN-TIME pagination — `search_after`
+    * against a PIT (the recommended deep-pagination contract: a live
+    * index mutating between pages would shift ranks and repeat or drop
+    * hits; the PIT pins the view). Here the PIT is the bootstrap pass's
+    * "seed" savepoint: page 2 serves from the PINNED postings-bucket
+    * versions and the stats row the same savepoint pinned, while the live
+    * index has long since applied the tail (updates moved postings,
+    * deletes retracted). The pinned point is the pre-tail corpus — the
+    * source table exactly — so the oracle is the static-corpus BM25 with
+    * the shared search_after tail. Reads stay bucket-pruned through the
+    * pinned layout ([[maintainedPostings]] asOf). */
+  def qCdcTextPit(spark: SparkSession, sfDir: String,
+                  query: Seq[String] = Seq("stream", "merge", "window"),
+                  pageSize: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexBootstrapRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"), asOf = Some("seed"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val stats = graft.cdc.Materialize.readMvAt(spark, s"$idxDir/_stats", "seed")
+      .select(col("n").as("n_docs"), col("s").cast("long").as("sum_dl"))
+    searchAfterPage2(bm25Scored(postings, stats, 1.2, 0.75), pageSize)
   }
 
   /** Oracle-checked query: ES `highlight` offsets served FROM THE INDEX —

@@ -1183,6 +1183,19 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(sample.getLong(4) === occ.length.toLong)
   }
 
+  test("PIT pagination pins the view: the seed-savepoint page 2 differs " +
+    "from the live page 2 after the tail applied") {
+    // the reason ES recommends PIT + search_after: a live index mutating
+    // between pages shifts ranks (repeats/drops hits); the pinned view
+    // cannot move
+    val pit = Search.qCdcTextPit(spark, sfDir).collect().map(_.getLong(1)).toSeq
+    val live = Search.qCdcSearchAfter(spark, sfDir).collect().map(_.getLong(1)).toSeq
+    assert(pit.nonEmpty)
+    assert(pit !== live) // the tail moved postings; the pinned view didn't
+    // ...and a PIT re-read is STABLE (the pinned versions cannot change)
+    assert(pit === Search.qCdcTextPit(spark, sfDir).collect().map(_.getLong(1)).toSeq)
+  }
+
   test("bootstrap from a mid-changelog doc-state SNAPSHOT + tail equals the replay-built index") {
     // the declared query (cdc_text_bootstrap) seeds from the source table
     // (the pre-changelog snapshot); this drill seeds from a MID-changelog
