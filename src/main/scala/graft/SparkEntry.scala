@@ -121,6 +121,16 @@ object SparkEntry {
     // …and with METRIC SUB-AGGREGATIONS: each month bucket carries the
     // stats (count/sum/avg/min/max) of o_totalprice (VERDICT r15 #2)
     "cdc_date_histogram_stats" -> (graft.cdc.Pipeline.qDateHistogramStats _),
+    // ES terms agg ORDERED BY a metric sub-agg (order: {sum_price: desc},
+    // size 10) — top customers by revenue off the live maintained store
+    "cdc_terms_agg_metric" -> ((s, d) =>
+      graft.cdc.Pipeline.qTermsAggMetricOrder(s, d)),
+    // ES numeric histogram (interval 50000, min_doc_count 0 — empty
+    // buckets between min and max key report) over the maintained store
+    "cdc_histogram_agg" -> ((s, d) => graft.cdc.Pipeline.qHistogramAgg(s, d)),
+    // ES composite agg: source-ordered (month, status) buckets paged with
+    // an `after` cursor — the scalable agg pagination
+    "cdc_composite_agg" -> ((s, d) => graft.cdc.Pipeline.qCompositeAgg(s, d)),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -389,6 +399,9 @@ object SparkEntry {
     // index ((field, tok)-bucketed postings, per-field stats/dict) —
     // best_fields: each doc scores as its best boosted field
     "cdc_multi_match" -> ((s, d) => graft.ops.Search.qCdcMultiMatch(s, d)),
+    // ES dis_max with tie_breaker: best field's score + 0.25 × the other
+    // fields' — the general disjunction-max best_fields is sugar for
+    "cdc_dis_max" -> ((s, d) => graft.ops.Search.qCdcDisMax(s, d)),
     // ES analyzer chain (stop filter + S-stemmer) as a third analyzer
     // VIEW through the multi-field mapping: plural query terms stem to
     // roots the raw body field never indexed — recall only the analyzed
@@ -406,6 +419,10 @@ object SparkEntry {
     // ES match_phrase `slop`: in-order terms with ≤ slop interposed
     // positions, from the same maintained positional postings
     "cdc_phrase_slop" -> ((s, d) => graft.ops.Search.qCdcPhraseSlop(s, d)),
+    // ES span_near in_order:false — unordered proximity from the same
+    // positional postings ('window … merge' matches as well as the
+    // ordered direction)
+    "cdc_span_near" -> ((s, d) => graft.ops.Search.qCdcSpanNear(s, d)),
     // ES match `operator: and`: the BM25 ranking over docs matching EVERY
     // query term (minShouldMatch = |query|), same pruned-postings IO
     "cdc_match_and" -> ((s, d) => graft.ops.Search.qCdcMatchAnd(s, d)),
@@ -647,10 +664,13 @@ object SparkEntry {
     * with ties to the lexically-later field (`ORDER BY fscore DESC, fld
     * DESC` mirrors Spark's struct max). The scoring text per field is the
     * [[bm25Sql]] body verbatim. */
-  private lazy val cdcMultiMatchSql: String = {
+  /** One field's BM25 scoring CTE chain (dl/stats/postings/df/per-term
+    * contributions), prefixed so several fields coexist in one oracle —
+    * shared by the multi_match and dis_max oracles (editing the scoring
+    * text cannot drift between them). */
+  private def fieldCtes(p: String, toksCte: String): String = {
     val terms = Seq("stream", "merge", "window").map("'" + _ + "'").mkString(", ")
-    def fieldCtes(p: String, toksCte: String) =
-      s"""${p}dl AS (SELECT doc_id, count(*) AS dl FROM $toksCte GROUP BY 1),
+    s"""${p}dl AS (SELECT doc_id, count(*) AS dl FROM $toksCte GROUP BY 1),
          |${p}st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
          |${p}post AS (SELECT tok, doc_id, count(*) AS tf FROM $toksCte
          |         WHERE tok IN ($terms) GROUP BY 1, 2),
@@ -664,6 +684,9 @@ object SparkEntry {
          |           6) AS DECIMAL(18,8)) AS ts
          |       FROM ${p}post p JOIN ${p}df USING (tok)
          |       JOIN ${p}dl dl ON dl.doc_id = p.doc_id CROSS JOIN ${p}st)""".stripMargin
+  }
+
+  private lazy val cdcMultiMatchSql: String =
     s"""WITH $docsChangelogCte,
        |ttoks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
        |          FROM live),
@@ -685,7 +708,27 @@ object SparkEntry {
        |      FROM best WHERE brn = 1)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, fld AS field, fscore AS score
        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
-  }
+
+  /** The dis_max oracle: the same per-field scoring text, combined as
+    * `max + tie_breaker × (Σ − max)` (tie_breaker 0.25 — exact power of
+    * two; the two-term double sum commutes, so one final round-6). */
+  private lazy val cdcDisMaxSql: String =
+    s"""WITH $docsChangelogCte,
+       |ttoks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+       |          FROM live),
+       |${fieldCtes("b", "toks")},
+       |${fieldCtes("t", "ttoks")},
+       |u AS (SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS fscore
+       |      FROM bts GROUP BY 1
+       |      UNION ALL
+       |      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS fscore
+       |      FROM tts GROUP BY 1),
+       |c AS (SELECT doc_id, count(*) AS n_fields,
+       |        round(max(fscore) + 0.25 * (sum(fscore) - max(fscore)), 6) AS score
+       |      FROM u GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM c)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_fields, score
+       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private val cdcApplySql =
     s"""WITH ${Changelog.oracleCte},
@@ -2109,6 +2152,59 @@ object SparkEntry {
          |       max(o_totalprice) AS max_price
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_terms_agg_metric" ->
+      // terms agg ordered by the metric sub-agg: the size cut applies
+      // AFTER the metric ordering, ties on the bucket key ascending
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT o_custkey, count(*) AS doc_count,
+         |       ${dsum("o_totalprice", "sum_price")}
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY sum_price DESC, o_custkey LIMIT 10""".stripMargin,
+    "cdc_histogram_agg" ->
+      // numeric histogram, min_doc_count 0: floor(v/interval)*interval
+      // keys, EVERY interval between min and max key reports (the spine)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |c AS (SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_key,
+         |             count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series((SELECT min(bucket_key) FROM c),
+         |                                     (SELECT max(bucket_key) FROM c),
+         |                                     50000)) AS bucket_key)
+         |SELECT sp.bucket_key, coalesce(doc_count, CAST(0 AS BIGINT)) AS doc_count
+         |FROM sp LEFT JOIN c USING (bucket_key) ORDER BY sp.bucket_key""".stripMargin,
+    "cdc_composite_agg" ->
+      // composite agg page 2: buckets strictly after the (month, status)
+      // cursor in source-tuple order, first `size` of them
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             o_orderstatus, count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1, 2)
+         |SELECT month, o_orderstatus, doc_count FROM b
+         |WHERE month > DATE '1995-01-01'
+         |   OR (month = DATE '1995-01-01' AND o_orderstatus > 'F')
+         |ORDER BY month, o_orderstatus LIMIT 10""".stripMargin,
+    "cdc_dis_max" -> cdcDisMaxSql,
+    "cdc_span_near" ->
+      // span_near in_order:false slop 2: any one position per term with
+      // width − (n−1) ≤ slop; hits = distinct min-position span starts
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |t0 AS (SELECT doc_id, p FROM toks2 WHERE tok = 'window'),
+         |t1 AS (SELECT doc_id, p FROM toks2 WHERE tok = 'merge'),
+         |m AS (SELECT DISTINCT t0.doc_id, least(t0.p, t1.p) AS s
+         |      FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id
+         |       AND greatest(t0.p, t1.p) - least(t0.p, t1.p) - 1 <= 2)
+         |SELECT doc_id, count(*) AS hits FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_more_like_this" -> bm25Sql(
       s"""$docsChangelogCte,
          |seedtoks AS (SELECT tok, count(*) AS tf2 FROM toks WHERE doc_id = 42 GROUP BY 1),

@@ -291,6 +291,96 @@ object Pipeline {
       .orderBy(col("month"))
   }
 
+  /** Oracle-checked query: ES `terms` aggregation ORDERED BY A METRIC
+    * SUB-AGG (`order: {sum_price: desc}`, `size: 10`) — the "top customers
+    * by revenue" facet every commerce dashboard issues. ES's contract:
+    * buckets rank by the sub-agg's value (here the revenue sum), the size
+    * cut applies AFTER that ordering, ties break on the bucket key
+    * ascending. On one shard ES's ranking is exact, which is what this
+    * engine computes globally — the multi-shard approximation
+    * (per-shard top `shard_size` then merge) is an ES accuracy trade-off,
+    * not a semantics target. Serving shape: one map-side-combined groupBy
+    * over the live maintained store (|customers| groups), then a top-k by
+    * the aggregated metric — no second pass, the metric rides the same
+    * shuffle. Determinism: the sum folds DECIMAL(18,4) (order-independent)
+    * and rounds once; the ORDER BY reads that rounded value in both
+    * engines. */
+  def qTermsAggMetricOrder(spark: SparkSession, sfDir: String,
+                           k: Int = 10): DataFrame = {
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    tableState(spark, runFull(spark, sfDir).state, "orders", Changelog.payloadCols)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sumDec, 2).cast("double").as("sum_price"))
+      .orderBy(col("sum_price").desc, col("o_custkey")).limit(k)
+  }
+
+  /** Oracle-checked query: the ES numeric `histogram` aggregation
+    * (`interval: 50000`, `min_doc_count: 0`) over a payload field of the
+    * live maintained store. ES's bucketing rule: key = floor(value /
+    * interval) × interval, and with min_doc_count 0 EVERY interval between
+    * the min and max observed key reports — empty buckets included (the
+    * Kibana bar-chart contract; the `extended_bounds` variant just widens
+    * the same spine). The spine is `sequence(min_key, max_key, interval)`
+    * exploded and left-joined to the counted buckets — the bucket-count
+    * frame is |buckets|-sized (two orders under the row count), so the
+    * fill costs nothing at any scale; the one real pass is the same
+    * map-side-combined groupBy as every bucket agg here. All-integer keys
+    * and counts — deterministic cross-engine by construction. */
+  private[cdc] def histogramBuckets(rows: DataFrame, value: org.apache.spark.sql.Column,
+                                    interval: Long): DataFrame = {
+    val counted = rows
+      .groupBy((floor(value / interval) * interval)
+        .cast("long").as("bucket_key"))
+      .agg(count(lit(1)).as("doc_count"))
+    val spine = counted
+      .agg(min(col("bucket_key")).as("mn"), max(col("bucket_key")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), lit(interval)))
+        .as("bucket_key"))
+    spine.join(counted, Seq("bucket_key"), "left_outer")
+      .select(col("bucket_key"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+      .orderBy(col("bucket_key"))
+  }
+
+  def qHistogramAgg(spark: SparkSession, sfDir: String,
+                    interval: Long = 50000L): DataFrame =
+    histogramBuckets(
+      tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols),
+      col("o_totalprice"), interval)
+
+  /** Oracle-checked query: the ES `composite` aggregation — the SCALABLE
+    * agg pagination (unlike `terms`, composite buckets stream in source-key
+    * order and a client pages through ALL of them with `after`). Sources:
+    * `[{month: date_histogram(o_orderdate)}, {status: terms
+    * (o_orderstatus)}]`, `size: 10`, `after: {month: 1995-01-01, status:
+    * 'F'}` — the page-2 request. Contract: buckets order by the source
+    * tuple ascending, the page is the first `size` buckets STRICTLY AFTER
+    * the `after` key (tuple comparison), each carrying doc_count; the last
+    * row's key is the next request's `after` (the same cursor discipline as
+    * [[graft.ops.Search.qCdcSearchAfter]]). Serving shape: the one groupBy
+    * builds |month × status| buckets; the after-cut and LIMIT are
+    * driver-free frame ops on that (tiny) bucket frame — and at 100 TB the
+    * tuple predicate pushes into a bucket-keyed layout, which is exactly
+    * why ES recommends composite over giant-size terms aggs. */
+  def qCompositeAgg(spark: SparkSession, sfDir: String,
+                    afterMonth: String = "1995-01-01",
+                    afterStatus: String = "F",
+                    size: Int = 10): DataFrame = {
+    val buckets = tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("doc_count"))
+    val aM = to_date(lit(afterMonth))
+    buckets
+      .filter(col("month") > aM ||
+        (col("month") === aM && col("o_orderstatus") > afterStatus))
+      .orderBy(col("month"), col("o_orderstatus")).limit(size)
+  }
+
   /** The secondary index of the composed pass (shares cdc_secondary_index's
     * oracle): the (status → key) table of the live state. */
   def qIndex(spark: SparkSession, sfDir: String): DataFrame =

@@ -1877,6 +1877,49 @@ object Search {
       .orderBy(col("rk"))
   }
 
+  /** Oracle-checked query: the ES `dis_max` query with a TIE BREAKER —
+    * the general disjunction-max `multi_match`'s `best_fields` is sugar
+    * for: each sub-query (here the per-field matches over `title` and
+    * `body`) scores independently, and a document's final score is its
+    * best sub-query's score plus `tie_breaker ×` the sum of the OTHERS —
+    * `max + tb × (Σ − max)` — so a doc matching in BOTH fields outranks a
+    * same-max doc matching in one (the signal plain best_fields throws
+    * away, and the reason dis_max exists as its own query type).
+    * `tie_breaker = 0.25`: an exact power of two, so the multiply is
+    * binary-exact in both engines (the boost discipline); the two
+    * per-field scores are round-6 doubles and their two-term sum is
+    * order-independent (IEEE addition commutes), so the one final round-6
+    * is deterministic. Per-query IO: the same fields × terms pruned
+    * buckets + per-field stats rows as [[qCdcMultiMatch]] — the queries
+    * differ only in the combine rule. */
+  def qCdcDisMax(spark: SparkSession, sfDir: String,
+                 query: Seq[String] = Seq("stream", "merge", "window"),
+                 fields: Seq[String] = Seq("title", "body"),
+                 tieBreaker: Double = 0.25, k: Int = 10): DataFrame = {
+    val (_, idxDir) = multiFieldIndexRun(spark, sfDir)
+    val post = maintainedFieldPostings(spark, idxDir, fields, query)
+    val stats = fieldStats(spark, idxDir)
+    val perField = fields.map { f =>
+      bm25Scored(
+        post.filter(col("field") === f)
+          .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl")),
+        stats.filter(col("field") === f).select(col("n_docs"), col("sum_dl")),
+        1.2, 0.75)
+        .select(col("doc_id"), col("score").as("fscore"))
+    }.reduce(_.unionByName(_))
+    val combined = perField.groupBy(col("doc_id"))
+      .agg(max(col("fscore")).as("mx"), sum(col("fscore")).as("sm"),
+        count(lit(1)).as("n_fields"))
+      .select(col("doc_id"), col("n_fields"),
+        round(col("mx") + lit(tieBreaker) * (col("sm") - col("mx")), 6)
+          .as("score"))
+    val topk = combined.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_fields"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   /** Oracle-checked query: `match` over the ANALYZED field (`body_en`) —
     * the analyzer-chain surface (VERDICT r15 missing #3). The query
     * analyzes with the FIELD's own chain (the ES contract): the plural
@@ -2071,6 +2114,51 @@ object Search {
         Seq("tok", "id", "positions"))
       .select(col("tok"), col("id").as("doc_id"), col("positions"))
     slopHits(postings, terms, slop)
+  }
+
+  /** UNORDERED span proximity: one position per term such that the span's
+    * width fits the budget — `max − min − (n−1) ≤ slop`, any term order
+    * (Lucene SpanNearQuery with `in_order: false`; [[slopHits]] is the
+    * in-order twin). A hit counts per DISTINCT span START (the min
+    * position of a within-budget combination) — the per-start discipline
+    * the whole phrase family uses. The n-way position join fans out as
+    * Π tf_i per doc across the matched terms — the same frontier Lucene's
+    * own unordered SpansUnordered walks; each term's list is the df-sized
+    * pruned posting read, never the corpus. MATCH surface only: Lucene's
+    * sloppyFreq scoring (Σ 1/(slop+1) per span) is deliberately not
+    * imitated — the ES-visible contract tested here is which docs match
+    * and where spans start. */
+  private[graft] def spanNearHits(postings: DataFrame, terms: Seq[String],
+                                  slop: Int): DataFrame = {
+    require(terms.size >= 2 && terms.distinct.size == terms.size,
+      s"span_near needs >= 2 distinct terms, got $terms")
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("tok") === t)
+        .select(col("doc_id"), explode(col("positions")).as(s"p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    val (lo, hi) = (least(ps: _*), greatest(ps: _*))
+    joined.filter(hi - lo - (terms.size - 1) <= slop)
+      .select(col("doc_id"), lo.as("start")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checked query: ES `span_near` with `in_order: false` — the
+    * unordered proximity query ([[qCdcPhraseSlop]] covers the in-order
+    * half; this admits `window … merge` as readily as `merge … window`,
+    * which is why the default answer strictly contains the ordered one's
+    * docs). Served from the same maintained positional postings: two
+    * pruned tok-bucket reads + the bounded position join. */
+  def qCdcSpanNear(spark: SparkSession, sfDir: String,
+                   terms: Seq[String] = Seq("window", "merge"),
+                   slop: Int = 2): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    spanNearHits(postings, terms, slop)
   }
 
   /** Oracle-checked query: ES `match_phrase_prefix` — the

@@ -275,4 +275,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           round(sum($"o_totalprice".cast("decimal(18,4)")), 2)
             .cast("double").as("sum_value")))
   }
+
+  test("histogram min_doc_count:0 fills every interval between the min and max keys") {
+    val vals = Seq(5.0, 12.0, 17.0, 49.0, 101.0).toDF("v")
+    val h = Pipeline.histogramBuckets(vals, $"v", 10L).collect()
+    // the spine: EVERY interval key from floor(min) to floor(max), gaps
+    // reported as zero-count buckets (the Kibana bar-chart contract)
+    assert(h.map(_.getLong(0)).toSeq === (0L to 100L by 10L))
+    val m = h.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === 1L && m(10L) === 2L && m(40L) === 1L && m(100L) === 1L)
+    assert((20L to 90L by 10L).filterNot(_ == 40L).forall(m(_) === 0L))
+  }
+
+  test("composite agg pages chain: each page starts strictly after the " +
+    "previous after-key and the pages tile the full bucket list") {
+    // the cursor-before-everything request IS the full source-ordered list
+    val all = Pipeline.qCompositeAgg(spark, sfDir, "1900-01-01", "", 1000000)
+      .collect().toSeq
+    assert(all.size > 20, s"fixture too small to page: ${all.size} buckets")
+    val p1 = Pipeline.qCompositeAgg(spark, sfDir, "1900-01-01", "", 10)
+      .collect().toSeq
+    assert(p1 === all.take(10))
+    // page 2 from page 1's last bucket key — ES's after_key handshake
+    val last = p1.last
+    val p2 = Pipeline.qCompositeAgg(spark, sfDir,
+      last.getDate(0).toString, last.getString(1), 10).collect().toSeq
+    assert(p2 === all.slice(10, 20))
+  }
+
+  test("terms agg ordered by metric: the size cut applies after the metric " +
+    "ordering and picks different buckets than the doc_count ordering") {
+    val top = Pipeline.qTermsAggMetricOrder(spark, sfDir, k = 5).collect().toSeq
+    assert(top.size === 5)
+    val sums = top.map(_.getDouble(2))
+    assert(sums === sums.sortBy(-_), "buckets not in metric order")
+    // the page is a prefix of the full metric-ordered bucket list
+    val full = Pipeline.qTermsAggMetricOrder(spark, sfDir, k = 1000000)
+      .collect().toSeq
+    assert(top === full.take(5))
+    // ...and the metric ordering is a genuinely different knob than the
+    // terms-agg default (doc_count desc): the two top-5 key sets differ
+    val byCount = full.sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .take(5).map(_.getLong(0))
+    assert(byCount !== top.map(_.getLong(0)),
+      "metric ordering coincides with doc_count ordering — pick a better fixture")
+  }
 }

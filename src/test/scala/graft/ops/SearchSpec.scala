@@ -1239,4 +1239,50 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     val b = Search.qCdcTextSearch(spark, sfDir).collect().toSeq
     assert(a === b)
   }
+
+  test("span_near in_order:false matches either direction within the width budget") {
+    import spark.implicits._
+    def posting(rows: (String, Long, Seq[Int])*) =
+      rows.toDF("tok", "doc_id", "positions")
+    val p = posting(
+      ("a", 1L, Seq(1)), ("b", 1L, Seq(2)),        // a b       — adjacent
+      ("b", 2L, Seq(1)), ("a", 2L, Seq(3)),        // b x a     — REVERSED
+      ("a", 3L, Seq(1)), ("b", 3L, Seq(5)),        // a x x x b — 3 gaps
+      ("a", 4L, Seq(1, 6)), ("b", 4L, Seq(3, 8)))  // two spans + a cross pair
+    def hits(slop: Int): Map[Long, Long] =
+      Search.spanNearHits(p, Seq("a", "b"), slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slop 0: only the adjacent pair (order irrelevant but width must be 0)
+    assert(hits(0) === Map(1L -> 1L))
+    // slop 1: the REVERSED doc matches — in_order:false is the point; doc 4
+    // has two within-budget spans (starts 1 and 6)
+    assert(hits(1) === Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+    // slop 3: the wide pair joins; doc 4's cross pair (6,3) adds start 3
+    assert(hits(3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    // the ordered twin refuses the reversed doc at every budget the
+    // unordered surface accepts it — the two query types genuinely differ
+    val ordered = Search.slopHits(p, Seq("a", "b"), 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ordered.contains(2L))
+  }
+
+  test("dis_max tie_breaker credits the runner-up field; single-field docs " +
+    "score exactly their best_fields value") {
+    val dm = Search.qCdcDisMax(spark, sfDir, k = 1000).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // unboosted best_fields over the same two fields = the tie_breaker-0
+    // special case of dis_max
+    val bf = Search.qCdcMultiMatch(spark, sfDir,
+        boosts = Seq("title" -> 1.0, "body" -> 1.0), k = 1000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(dm.keySet === bf.keySet, "dis_max and best_fields match sets differ")
+    assert(dm.values.exists(_._1 === 2L), "no doc matched in both fields — " +
+      "the tie_breaker term is untested")
+    dm.foreach { case (doc, (nFields, score)) =>
+      if (nFields === 1L)
+        assert(score === bf(doc), s"single-field doc $doc: tie_breaker paid")
+      else
+        assert(score > bf(doc), s"two-field doc $doc: runner-up uncredited")
+    }
+  }
 }
