@@ -46,7 +46,8 @@ object Index {
                                     batchId: Long, idxDir: String,
                                     valueCol: String,
                                     keyCols: Seq[String] = Seq("id"),
-                                    initialBuckets: Int = ChangelogStream.NumBuckets): Unit = {
+                                    initialBuckets: Int = ChangelogStream.NumBuckets,
+                                    fullMerge: Boolean = false): Unit = {
     // per-key (old value, new value) via ONE union + ONE key aggregation —
     // the tagged-leg fold [[JoinMv.ensurePendingK]] uses, replacing the
     // previous full_outer join (two shuffled sides + a join stage for the
@@ -79,7 +80,8 @@ object Index {
     // probe is skippable (noTruncate — upsertBatch's doc)
     ChangelogStream.upsertBatch(idxEvents, idxDir,
       keyCols = "v" +: keyCols, bucketCols = Seq("v"),
-      initialBuckets = initialBuckets, noTruncate = true)
+      initialBuckets = initialBuckets, noTruncate = true,
+      fullMerge = fullMerge)
   }
 
   /** Merge one micro-batch into the primary state AND its secondary index

@@ -256,12 +256,14 @@ object Search {
     * (cacheBatch = false — probe and merge read through the caller's
     * cache). */
   private def commitPostingsEvents(events: DataFrame, idxDir: String,
-      initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets): Unit =
+      initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets,
+      fullMerge: Boolean = false): Unit =
     // synthesized DELETE/INSERT events — the seed batch's probe is
     // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events.filter(col("tok").isNotNull),
       idxDir, keyCols = Seq("tok", "id"), bucketCols = Seq("tok"),
-      initialBuckets = initialBuckets, noTruncate = true, cacheBatch = false)
+      initialBuckets = initialBuckets, noTruncate = true, cacheBatch = false,
+      fullMerge = fullMerge)
 
   private[graft] def commitPostingsDelta(prevToks: DataFrame, mergedToks: DataFrame,
                                          batchId: Long, idxDir: String): Unit =
@@ -466,13 +468,22 @@ object Search {
     * 16-bucket default and a term read is still one bucket; a 100 TB
     * deployment sizes it to its vocabulary exactly like the doc state
     * sizes to its keys. */
+  /** `fullMerge`: the caller asserts a marker-free batch into a FEW-BUCKET
+    * state whose buckets the batch touches anyway (the bootstrap TAIL into
+    * the just-seeded 8-bucket layout) — the doc-state, postings and srcidx
+    * upserts all skip their probe job and merge every bucket
+    * ([[graft.cdc.ChangelogStream.upsertBatch]]'s knob; the no-marker
+    * precondition stays enforced in-plan). Wrong for wide layouts, where
+    * the probe IS the touched-bucket contract. */
   def maintainTextIndexBatch(batch: DataFrame, batchId: Long,
                              stateDir: String, idxDir: String,
                              noTruncate: Boolean = false,
-                             initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets): Unit =
+                             initialBuckets: Int = graft.cdc.ChangelogStream.NumBuckets,
+                             fullMerge: Boolean = false): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       noTruncate = noTruncate,
       initialBuckets = initialBuckets,
+      fullMerge = fullMerge,
       // NO warmHookCache here (measured negative, r14): unlike the
       // composed pass, these branches consume their OWN tokenized tp/tm
       // caches — only the srcidx delta touches (prev, merged) directly —
@@ -518,7 +529,7 @@ object Search {
           // fullMaintainer argument)
           val deltas = Seq[() => Unit](
             () => graft.cdc.Materialize.timed("postings delta", idxDir)(
-              commitPostingsEvents(events, idxDir, initialBuckets)),
+              commitPostingsEvents(events, idxDir, initialBuckets, fullMerge)),
             () => graft.cdc.Materialize.timed("stats delta", idxDir)(
               commitCorpusStatsDelta(events, batchId, idxDir)),
             // the dict and dl-index deltas CHAIN in one lane (r16): both
@@ -544,7 +555,7 @@ object Search {
                  graft.cdc.Materialize.timed("srcidx delta", stateDir)(
                    graft.cdc.Index.commitIndexDelta(
                      p, m, batchId, s"$stateDir/_srcidx", "source",
-                     initialBuckets = 4)))
+                     initialBuckets = 4, fullMerge = fullMerge)))
              else Seq.empty)
           graft.cdc.Materialize.runConcurrent(deltas: _*)
         } finally events.unpersist()
@@ -1501,8 +1512,12 @@ object Search {
       // versions + the matching normalization constants).
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
       graft.cdc.Materialize.savepointMv(s2, s"$work/idx/_stats", "seed")
+      // the tail into the just-seeded 8-bucket layout touches every bucket
+      // by construction — fullMerge drops its three probe jobs (state,
+      // postings, srcidx) for the same merges (VERDICT r15 #3)
       maintainTextIndexBatch(cl.filter(col("seq") >= horizon), 1L,
-        s"$work/state", s"$work/idx", noTruncate = true, initialBuckets = 8)
+        s"$work/state", s"$work/idx", noTruncate = true, initialBuckets = 8,
+        fullMerge = true)
       (s"$work/state", s"$work/idx")
     }
 

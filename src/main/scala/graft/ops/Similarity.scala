@@ -383,7 +383,8 @@ object Similarity {
   private[graft] def commitCellDelta(prev: DataFrame, merged: DataFrame,
                                      batchId: Long, idxDir: String,
                                      cent: DataFrame,
-                                     book: DataFrame = null, m: Int = 16): Unit = {
+                                     book: DataFrame = null, m: Int = 16,
+                                     fullMerge: Boolean = false): Unit = {
     def cells(src: DataFrame, opv: String, seqv: Long) = {
       val live = src.filter(col("op") =!= "DELETE")
         .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -419,7 +420,8 @@ object Similarity {
     // synthesized DELETE/INSERT events — the seed batch's probe is
     // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
-      keyCols = Seq("cell", "id"), bucketCols = Seq("cell"), noTruncate = true)
+      keyCols = Seq("cell", "id"), bucketCols = Seq("cell"), noTruncate = true,
+      fullMerge = fullMerge)
   }
 
   /** Merge one embeddings micro-batch into the vector state AND its
@@ -428,12 +430,16 @@ object Similarity {
   /** `noTruncate`: the caller asserts a marker-free changelog (the
     * embeddings fixture streams), letting the seed batch skip the state
     * probe — the default keeps KmeansSpec's truncate drills honest. */
+  /** `fullMerge`: the bootstrap-tail probe skip — see
+    * [[graft.ops.Search.maintainTextIndexBatch]]'s parameter doc. */
   def maintainVectorIndexBatch(batch: DataFrame, batchId: Long,
                                stateDir: String, idxDir: String,
                                cent: DataFrame, book: DataFrame = null,
-                               noTruncate: Boolean = false): Unit =
+                               noTruncate: Boolean = false,
+                               fullMerge: Boolean = false): Unit =
     graft.cdc.ChangelogStream.upsertBatch(batch, stateDir,
       noTruncate = noTruncate,
+      fullMerge = fullMerge,
       beforeCommit = (prev, merged) => {
         // restrict both sides to the batch's own keys (r13, the
         // maintainTextIndexBatch note): an unmoved co-bucketed vector
@@ -452,7 +458,7 @@ object Similarity {
         def touched(side: DataFrame): DataFrame =
           if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         commitCellDelta(touched(prev), touched(merged), batchId, idxDir,
-          cent, book)
+          cent, book, fullMerge = fullMerge)
       })
 
   private val vecRuns = new graft.model.JvmMemo[(String, String)]()
@@ -526,8 +532,11 @@ object Similarity {
       // agree
       graft.cdc.Buckets.savepoint(s2, s"$work/idx", "seed")
       graft.cdc.Buckets.savepoint(s2, s"$work/state", "seed")
+      // the tail's probe pair (state + cell index) skips — fullMerge into
+      // the just-seeded few-bucket layouts (the text tail's rationale)
       maintainVectorIndexBatch(cl.filter(col("seq") >= horizon), 1L,
-        s"$work/state", s"$work/idx", cent, book, noTruncate = true)
+        s"$work/state", s"$work/idx", cent, book, noTruncate = true,
+        fullMerge = true)
       (s"$work/state", s"$work/idx")
     }
 
