@@ -131,6 +131,10 @@ object SparkEntry {
     // ES composite agg: source-ordered (month, status) buckets paged with
     // an `after` cursor — the scalable agg pagination
     "cdc_composite_agg" -> ((s, d) => graft.cdc.Pipeline.qCompositeAgg(s, d)),
+    // ES cardinality sub-agg (unique customers per month) — exact below
+    // precision_threshold, which the fixture's cardinalities all are
+    "cdc_cardinality_agg" -> ((s, d) =>
+      graft.cdc.Pipeline.qCardinalityAgg(s, d)),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -429,6 +433,9 @@ object SparkEntry {
     // ES bool must/must_not: must scores+qualifies, must_not excludes in
     // filter context; IO = the union of the terms' tok-buckets
     "cdc_bool_search" -> ((s, d) => graft.ops.Search.qCdcBoolSearch(s, d)),
+    // ES boosting query: negative matches DEMOTE (score × negative_boost)
+    // instead of excluding — the whole match set re-ranks
+    "cdc_boosting" -> ((s, d) => graft.ops.Search.qCdcBoosting(s, d)),
     // BOOTSTRAP: the index seeded from a source-table snapshot in one
     // batch build + only the changelog tail applied (ES reindex-from-
     // source) — serves queries identically to the replay-built index
@@ -2192,6 +2199,30 @@ object SparkEntry {
          |WHERE month > DATE '1995-01-01'
          |   OR (month = DATE '1995-01-01' AND o_orderstatus > 'F')
          |ORDER BY month, o_orderstatus LIMIT 10""".stripMargin,
+    "cdc_cardinality_agg" ->
+      // cardinality sub-agg: exact distinct below precision_threshold —
+      // the regime every fixture bucket is in (ES's own linear counting)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       count(*) AS doc_count,
+         |       count(DISTINCT o_custkey) AS unique_customers
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_boosting" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      // boosting query: the negative set demotes (× 0.5) and the FULL
+      // match set re-ranks on the demoted scores
+      tail = """,neg AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ('row')),
+        |b AS (SELECT a.doc_id, a.n_t,
+        |        CASE WHEN neg.doc_id IS NOT NULL THEN a.score * 0.5
+        |             ELSE a.score END AS score
+        |      FROM agg a LEFT JOIN neg USING (doc_id)),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM b)
+        |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
+        |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
     "cdc_span_near" ->
       // span_near in_order:false slop 2: any one position per term with

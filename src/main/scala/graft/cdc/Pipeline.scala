@@ -328,6 +328,25 @@ object Pipeline {
     * fill costs nothing at any scale; the one real pass is the same
     * map-side-combined groupBy as every bucket agg here. All-integer keys
     * and counts — deterministic cross-engine by construction. */
+  /** Oracle-checked query: the ES `cardinality` sub-aggregation under a
+    * `date_histogram` — unique customers per month off the live maintained
+    * store (the "unique visitors over time" Kibana staple). ES's
+    * cardinality contract: EXACT up to `precision_threshold` (linear
+    * counting over a hash set; the 40000 maximum), HLL++-approximate only
+    * beyond it — the fixture's per-bucket cardinalities sit far below any
+    * real threshold, so the exact distinct count IS the ES answer, not a
+    * simplification (the engine's HLL rendering for the above-threshold
+    * regime is `q_approx_distinct`, rows-only by the driver contract).
+    * Serving shape: one groupBy carrying count + count_distinct in the
+    * same shuffle; at 100 TB the distinct is a partial-aggregated
+    * two-phase count, never a per-bucket row collection. */
+  def qCardinalityAgg(spark: SparkSession, sfDir: String): DataFrame =
+    tableState(spark, runFull(spark, sfDir).state, "orders", Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        count_distinct(col("o_custkey")).as("unique_customers"))
+      .orderBy(col("month"))
+
   private[cdc] def histogramBuckets(rows: DataFrame, value: org.apache.spark.sql.Column,
                                     interval: Long): DataFrame = {
     val counted = rows

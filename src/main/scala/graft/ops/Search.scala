@@ -2131,6 +2131,39 @@ object Search {
     slopHits(postings, terms, slop)
   }
 
+  /** Oracle-checked query: the ES `boosting` query — the DEMOTE-not-exclude
+    * counterpart of `bool.must_not`: docs matching the `negative` query
+    * keep their positive BM25 score MULTIPLIED by `negative_boost`
+    * (0.5 — exact power of two, binary-exact in both engines) instead of
+    * dropping from the result, and the final ranking re-sorts on the
+    * demoted scores — a doc can fall out of (or into) the top-k without
+    * ever being filtered. The positive scores are the round-6 match-set
+    * frame ([[bm25Scored]] — the function_score discipline: the demotion
+    * applies to the FULL match set, not a rank cut); the negative set is
+    * one more pruned posting read (df-sized), never a doc-state scan. */
+  def qCdcBoosting(spark: SparkSession, sfDir: String,
+                   query: Seq[String] = Seq("stream", "merge", "window"),
+                   negative: Seq[String] = Seq("row"),
+                   negativeBoost: Double = 0.5, k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val post = maintainedPostings(spark, idxDir, query ++ negative,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(post.filter(col("tok").isin(query: _*)),
+      corpusStats(spark, idxDir), 1.2, 0.75)
+    val neg = post.filter(col("tok").isin(negative: _*))
+      .select(col("doc_id")).distinct().withColumn("isneg", lit(true))
+    val demoted = scored.join(neg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_t"),
+        when(col("isneg"), col("score") * negativeBoost)
+          .otherwise(col("score")).as("score"))
+    val topk = demoted.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_t"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   /** UNORDERED span proximity: one position per term such that the span's
     * width fits the budget — `max − min − (n−1) ≤ slop`, any term order
     * (Lucene SpanNearQuery with `in_order: false`; [[slopHits]] is the

@@ -303,6 +303,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(p2 === all.slice(10, 20))
   }
 
+  test("cardinality sub-agg: exact distinct per bucket (the below-threshold ES regime)") {
+    val card = Pipeline.qCardinalityAgg(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    // recompute both aggregates per month from the applied state itself
+    val exp = Pipeline.qState(spark, sfDir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        count_distinct($"o_custkey").as("unique_customers"))
+      .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+    card.foreach { r =>
+      val (n, u) = exp(r.getDate(0))
+      assert(r.getLong(1) === n && r.getLong(2) === u)
+      // cardinality ≤ count, and repeat buyers make it strictly less
+      // somewhere (the sub-agg is not a renamed doc_count)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    assert(card.exists(r => r.getLong(2) < r.getLong(1)),
+      "no month has a repeat customer — cardinality indistinguishable from count")
+  }
+
   test("terms agg ordered by metric: the size cut applies after the metric " +
     "ordering and picks different buckets than the doc_count ordering") {
     val top = Pipeline.qTermsAggMetricOrder(spark, sfDir, k = 5).collect().toSeq

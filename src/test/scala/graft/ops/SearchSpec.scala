@@ -1266,6 +1266,31 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(!ordered.contains(2L))
   }
 
+  test("boosting demotes instead of excluding: negative matches keep half " +
+    "their score and the full match set re-ranks") {
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val boosted = Search.qCdcBoosting(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // demote, never exclude: the match sets are identical
+    assert(boosted.keySet === plain.keySet)
+    // every doc scores either its plain value or exactly half of it
+    val demoted = boosted.collect {
+      case (doc, s) if s == plain(doc) * 0.5 && s != plain(doc) => doc
+    }.toSet
+    boosted.foreach { case (doc, s) =>
+      assert(s === plain(doc) || demoted.contains(doc),
+        s"doc $doc scored $s — neither plain ${plain(doc)} nor its half")
+    }
+    assert(demoted.nonEmpty, "no doc demoted — the negative query never fired")
+    // ...and the demotion is visible in the top-10 (a ranking change,
+    // which must_not could only render as an absence)
+    val top = Search.qCdcBoosting(spark, sfDir).collect().map(_.getLong(1)).toSeq
+    val plainTop = Search.qCdcTextSearch(spark, sfDir).collect()
+      .map(_.getLong(1)).toSeq
+    assert(top !== plainTop, "top-10 unchanged — demotion invisible at k")
+  }
+
   test("dis_max tie_breaker credits the runner-up field; single-field docs " +
     "score exactly their best_fields value") {
     val dm = Search.qCdcDisMax(spark, sfDir, k = 1000).collect()
