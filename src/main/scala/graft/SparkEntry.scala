@@ -135,6 +135,12 @@ object SparkEntry {
     // precision_threshold, which the fixture's cardinalities all are
     "cdc_cardinality_agg" -> ((s, d) =>
       graft.cdc.Pipeline.qCardinalityAgg(s, d)),
+    // ES PIPELINE aggs over the histogram's buckets: derivative (Δ vs the
+    // previous bucket, null for the first) + cumulative_sum
+    "cdc_derivative_agg" -> ((s, d) => graft.cdc.Pipeline.qDerivativeAgg(s, d)),
+    // ...and moving_fn (unweightedAvg, window 3, shift 0: the 3 buckets
+    // strictly before, null until the window fills)
+    "cdc_moving_fn" -> ((s, d) => graft.cdc.Pipeline.qMovingFn(s, d)),
     // DYNAMIC ONBOARDING: no compile-time table set — RELATION events
     // announce schemas in-stream (the pgoutput RelationMessage), each table
     // gets its own store on first write, and nation enters the changelog at
@@ -2211,6 +2217,37 @@ object SparkEntry {
          |       count(DISTINCT o_custkey) AS unique_customers
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_derivative_agg" ->
+      // pipeline aggs on the bucket frame: derivative (null first bucket)
+      // + cumulative_sum, one window pass over |months| rows
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT month, doc_count,
+         |       doc_count - lag(doc_count) OVER (ORDER BY month) AS deriv,
+         |       CAST(sum(doc_count) OVER (ORDER BY month
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count
+         |FROM b ORDER BY month""".stripMargin,
+    "cdc_moving_fn" ->
+      // moving_fn unweightedAvg window 3 shift 0: the 3 buckets strictly
+      // before; null until the window fills (mirrored rule)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT month, doc_count,
+         |       CASE WHEN count(doc_count) OVER w = 3
+         |            THEN round(sum(doc_count) OVER w / 3.0, 6) END AS mov_avg
+         |FROM b
+         |WINDOW w AS (ORDER BY month ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         |ORDER BY month""".stripMargin,
     "cdc_boosting" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       // boosting query: the negative set demotes (× 0.5) and the FULL

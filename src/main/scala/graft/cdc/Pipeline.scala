@@ -328,6 +328,49 @@ object Pipeline {
     * fill costs nothing at any scale; the one real pass is the same
     * map-side-combined groupBy as every bucket agg here. All-integer keys
     * and counts — deterministic cross-engine by construction. */
+  /** Oracle-checked query: ES PIPELINE aggregations — `derivative` and
+    * `cumulative_sum` over the `date_histogram`'s buckets. Pipeline aggs
+    * compute on the OUTPUT of sibling aggregations, not on documents: the
+    * derivative is each bucket's doc_count minus the previous bucket's
+    * (null for the first bucket — the ES contract: no parent to diff
+    * against), the cumulative sum the running total. Both are one window
+    * pass over the |buckets|-sized bucket frame — by the time a pipeline
+    * agg runs, the data-sized work is already done, which is exactly why
+    * ES executes them reduce-side on the coordinating node; here the
+    * window over |months| rows is driver-trivial for the same reason.
+    * All-integer arithmetic — deterministic cross-engine. */
+  def qDerivativeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("month"))
+    qDateHistogram(spark, sfDir)
+      .select(col("month"), col("doc_count"),
+        (col("doc_count") - lag(col("doc_count"), 1).over(w)).as("deriv"),
+        sum(col("doc_count"))
+          .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          .as("cum_count"))
+      .orderBy(col("month"))
+  }
+
+  /** Oracle-checked query: the ES `moving_fn` pipeline aggregation —
+    * `MovingFunctions.unweightedAvg` with `window: 3`, `shift: 0` over the
+    * date_histogram's doc_count: each bucket reports the average of the 3
+    * buckets STRICTLY BEFORE it (shift 0 places the window entirely in the
+    * past — the trailing-indicator shape), null until 3 predecessors
+    * exist (the incomplete-window rule mirrored verbatim in the oracle).
+    * Determinism: the 3-bucket sum is integer; one divide by 3.0 and one
+    * round-6, written identically in both engines. */
+  def qMovingFn(spark: SparkSession, sfDir: String,
+                window: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      .rowsBetween(-window, -1)
+    qDateHistogram(spark, sfDir)
+      .select(col("month"), col("doc_count"),
+        when(count(col("doc_count")).over(w) === window,
+          round(sum(col("doc_count")).over(w) / lit(window.toDouble), 6))
+          .as("mov_avg"))
+      .orderBy(col("month"))
+  }
+
   /** Oracle-checked query: the ES `cardinality` sub-aggregation under a
     * `date_histogram` — unique customers per month off the live maintained
     * store (the "unique visitors over time" Kibana staple). ES's

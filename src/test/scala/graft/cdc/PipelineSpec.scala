@@ -303,6 +303,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(p2 === all.slice(10, 20))
   }
 
+  test("pipeline aggs compute on the bucket frame: derivative telescopes, " +
+    "cumulative_sum runs, moving_fn nulls until its past-only window fills") {
+    val base = Pipeline.qDateHistogram(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    val d = Pipeline.qDerivativeAgg(spark, sfDir).collect()
+    assert(d.map(r => (r.getDate(0), r.getLong(1))).toSeq === base.toSeq)
+    // first bucket has no parent to diff against (the ES null contract)
+    assert(d.head.isNullAt(2))
+    d.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getLong(2) === c.getLong(1) - p.getLong(1)) }
+    // the running sum telescopes to the total
+    assert(d.last.getLong(3) === base.map(_._2).sum)
+    val m = Pipeline.qMovingFn(spark, sfDir).collect()
+    // shift-0 window = strictly-past buckets: null until 3 exist
+    (0 until 3).foreach(i => assert(m(i).isNullAt(2)))
+    (3 until m.length).foreach { i =>
+      val exp = BigDecimal((i - 3 until i).map(base(_)._2).sum / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(m(i).getDouble(2) === exp, s"bucket $i")
+    }
+  }
+
   test("cardinality sub-agg: exact distinct per bucket (the below-threshold ES regime)") {
     val card = Pipeline.qCardinalityAgg(spark, sfDir).collect()
     assert(card.nonEmpty)
