@@ -442,6 +442,10 @@ object SparkEntry {
     // ES boosting query: negative matches DEMOTE (score × negative_boost)
     // instead of excluding — the whole match set re-ranks
     "cdc_boosting" -> ((s, d) => graft.ops.Search.qCdcBoosting(s, d)),
+    // ES _delete_by_query: the index's own posting list drives a bulk
+    // DELETE through the maintainer; the post-delete corpus rescores
+    "cdc_delete_by_query" -> ((s, d) =>
+      graft.ops.Search.qCdcDeleteByQuery(s, d)),
     // BOOTSTRAP: the index seeded from a source-table snapshot in one
     // batch build + only the changelog tail applied (ES reindex-from-
     // source) — serves queries identically to the replay-built index
@@ -572,6 +576,15 @@ object SparkEntry {
 
   private val docsChangelogCte: String = docsChangelogCteWith(
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)")
+
+  /** The post-`_delete_by_query` corpus as SQL: the live changelog docs
+    * MINUS every doc whose text contains the delete query's term — a
+    * corpus-level mutation (dfs, n_docs, sum_dl all shrink), so the
+    * whole BM25 chain recomputes over `live3`. */
+  private val docsDeleteByQueryCte: String = docsChangelogCteWith(
+    """live3 AS (SELECT doc_id, text, source FROM live
+      |          WHERE NOT list_contains(string_split(text, ' '), 'dup')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live3)""".stripMargin)
 
   /** The `body_en` analyzer view as SQL: stop filter + the S-stemmer —
     * the identical table-driven chain the Spark side compiles
@@ -2261,6 +2274,8 @@ object SparkEntry {
         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
+    "cdc_delete_by_query" -> bm25Sql(docsDeleteByQueryCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty),
     "cdc_span_near" ->
       // span_near in_order:false slop 2: any one position per term with
       // width − (n−1) ≤ slop; hits = distinct min-position span starts

@@ -2131,6 +2131,55 @@ object Search {
     slopHits(postings, terms, slop)
   }
 
+  private val dbqRuns = new graft.model.JvmMemo[(String, String)]()
+
+  /** The `_delete_by_query` pass: apply the documents changelog, then
+    * delete EVERY doc matching a term query — the delete set is the
+    * index's OWN pruned posting list (the index serves its own mutation:
+    * ES runs a scroll over the query and bulk-deletes the hits, and the
+    * engine's equivalent of that scroll is one df-sized bucket read),
+    * synthesized as DELETE events above the changelog's seq horizon and
+    * applied through the SAME maintainer — state, postings, stats, dict,
+    * dlidx and srcidx all retract by the ordinary rules, nothing special-
+    * cased. The ids stay a DataFrame end to end (no driver collection —
+    * at 100 TB a delete-by-query's hit set is corpus-scale). */
+  private[graft] def deleteByQueryRun(spark: SparkSession, sfDir: String,
+                                      term: String = "dup"): (String, String) =
+    dbqRuns.getOrRun(sfDir) {
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-dbq-").toString)
+      val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      val cl = s2.read.parquet(graft.cdc.Changelog.stageParquetDocuments(s2, sfDir))
+      maintainTextIndexBatch(cl, 0L, s"$work/state", s"$work/idx",
+        noTruncate = true, initialBuckets = 8)
+      // the "query" half: matching ids from the term's one pruned bucket
+      val hits = maintainedPostings(s2, s"$work/idx", Seq(term), Seq("tok", "id"))
+        .select(col("id")).distinct()
+      // DELETE events above every changelog seq (id + 3e6 > the delete
+      // phase's id + 2e6), same column set as the staged changelog
+      val evs = hits.select(col("id"), (col("id") + 3000000L).as("seq"),
+        lit("DELETE").as("op"), lit("documents").as("table"),
+        col("id").as("doc_id"), lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("source"))
+      maintainTextIndexBatch(evs, 1L, s"$work/state", s"$work/idx",
+        noTruncate = true)
+      (s"$work/state", s"$work/idx")
+    }
+
+  /** Oracle-checked query: ES `_delete_by_query` — BM25 over the index
+    * AFTER a query-driven bulk delete removed every 'dup'-matching doc
+    * from the corpus. This is a corpus-level mutation, not a filter: the
+    * deleted docs leave n_docs, sum_dl and every df, so EVERY surviving
+    * score shifts (the reason _delete_by_query differs from must_not,
+    * which cuts candidates under unchanged corpus statistics). */
+  def qCdcDeleteByQuery(spark: SparkSession, sfDir: String,
+                        query: Seq[String] = Seq("stream", "merge", "window"),
+                        k: Int = 10): DataFrame = {
+    val (_, idxDir) = deleteByQueryRun(spark, sfDir)
+    maintainedBm25(spark, idxDir, query, k)
+  }
+
   /** Oracle-checked query: the ES `boosting` query — the DEMOTE-not-exclude
     * counterpart of `bool.must_not`: docs matching the `negative` query
     * keep their positive BM25 score MULTIPLIED by `negative_boost`

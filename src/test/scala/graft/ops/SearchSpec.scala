@@ -1266,6 +1266,32 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(!ordered.contains(2L))
   }
 
+  test("delete_by_query mutates the corpus: matching docs leave the state, " +
+    "the stats retract, and survivors rescore (unlike must_not)") {
+    val (stateDir, idxDir) = Search.deleteByQueryRun(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    // no live doc contains the delete term any more
+    val live = graft.cdc.ChangelogStream.readState(spark, stateDir,
+      Seq("id", "text"))
+    assert(live.filter(array_contains(Text.tokens(col("text")), "dup"))
+      .count() === 0)
+    // the stats row followed the bulk delete exactly
+    val st = Search.corpusStats(spark, idxDir).head()
+    val exp = live.select(size(Text.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert((st.getLong(0), st.getLong(1)) === (exp.getLong(0), exp.getLong(1)))
+    // corpus-level mutation, not a filter: a surviving doc's score moved
+    // because n_docs/df/sum_dl moved — must_not would have kept it exact
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val after = Search.qCdcDeleteByQuery(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(after.nonEmpty && after.keySet.subsetOf(plain.keySet))
+    assert(after.keySet !== plain.keySet, "no matching doc was deleted")
+    assert(after.exists { case (doc, s) => s != plain(doc) },
+      "survivors kept their scores — the corpus statistics never moved")
+  }
+
   test("boosting demotes instead of excluding: negative matches keep half " +
     "their score and the full match set re-ranks") {
     val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
