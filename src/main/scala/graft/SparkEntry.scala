@@ -135,6 +135,10 @@ object SparkEntry {
     // precision_threshold, which the fixture's cardinalities all are
     "cdc_cardinality_agg" -> ((s, d) =>
       graft.cdc.Pipeline.qCardinalityAgg(s, d)),
+    // ES ILM ROLLOVER: the events month streams through a write alias
+    // rolling on max_docs; a time-range agg through the read alias opens
+    // only the generations whose recorded spans overlap
+    "cdc_rollover" -> ((s, d) => graft.cdc.Rollover.qCdcRollover(s, d)),
     // ES PIPELINE aggs over the histogram's buckets: derivative (Δ vs the
     // previous bucket, null for the first) + cumulative_sum
     "cdc_derivative_agg" -> ((s, d) => graft.cdc.Pipeline.qDerivativeAgg(s, d)),
@@ -2230,6 +2234,13 @@ object SparkEntry {
          |       count(DISTINCT o_custkey) AS unique_customers
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_rollover" ->
+      // the rolled family's read alias answers exactly like the flat
+      // events table cut to the range — generations are a layout, not a
+      // semantics change
+      """SELECT event_type, count(*) AS doc_count FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_derivative_agg" ->
       // pipeline aggs on the bucket frame: derivative (null first bucket)
       // + cumulative_sum, one window pass over |months| rows

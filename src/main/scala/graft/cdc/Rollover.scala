@@ -1,0 +1,162 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ES ILM ROLLOVER surface — the time-series serving pattern the
+  * reference's consumer would grow into the moment its tables were logs
+  * instead of entities (`es.go:13-32` maintains one index per table; a
+  * log table in real ES deployments is an index FAMILY behind a write
+  * alias, rolled on `max_docs`/`max_age` and queried through a read alias
+  * spanning every generation).
+  *
+  * Shape here: each GENERATION is an ordinary keyed state (the bucketed
+  * versioned layout every other table uses); a tiny MetaFile REGISTRY is
+  * the single commit point holding, per generation, the dir plus its
+  * observed `[min_ts, max_ts]` and doc count — the last entry is the
+  * write-alias target. A batch appends into the write target; the
+  * post-batch `max_docs` check (ILM's periodic condition poll) creates
+  * the next generation and flips the write alias by rewriting the one
+  * registry file (the alias-swap atomicity of [[graft.ops.Search
+  * .aliasSet]], generalized to a generation list).
+  *
+  * The scale story is the READ side: a time-range query consults the
+  * registry's per-generation ts spans and opens ONLY overlapping
+  * generations — the index-level time pruning that makes rolled log
+  * indices cheap in ES (a 30-day range over years of generations touches
+  * 30 days of segments). Registry size ∝ generations, driver-trivial;
+  * per-generation IO is the ordinary bucketed state read. */
+object Rollover {
+
+  case class Gen(dir: String, minTs: Long, maxTs: Long, docs: Long)
+
+  private def registryPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/registry")
+
+  private[graft] def readRegistry(spark: SparkSession,
+                                  dir: String): Seq[Gen] = {
+    val p = registryPath(dir)
+    MetaFile.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .map(_.trim.split(';').toSeq.filter(_.nonEmpty).map { line =>
+        val Array(d, mn, mx, n) = line.split('|')
+        Gen(d, mn.toLong, mx.toLong, n.toLong)
+      })
+      .getOrElse(Seq.empty)
+  }
+
+  private def writeRegistry(spark: SparkSession, dir: String,
+                            gens: Seq[Gen]): Unit = {
+    val p = registryPath(dir)
+    MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      gens.map(g => s"${g.dir}|${g.minTs}|${g.maxTs}|${g.docs}").mkString(";"))
+  }
+
+  /** Append one batch (`event_id`-keyed rows carrying a `ts` column)
+    * through the write alias, then run the ILM condition poll: if the
+    * write generation's doc count reached `maxDocs`, the NEXT generation
+    * is created (manifest-first, like any fresh state) and the write
+    * alias flips — one registry rewrite commits the batch's span
+    * bookkeeping and the flip together. Batches must arrive in time
+    * order per the rollover contract (logs do); the generation spans may
+    * still overlap at the boundary (ES makes no gap guarantee either —
+    * pruning uses the RECORDED spans, so overlap costs IO, never
+    * correctness). */
+  def write(spark: SparkSession, familyDir: String, batch: DataFrame,
+            maxDocs: Long, initialBuckets: Int = 4): Unit = {
+    val gens0 = readRegistry(spark, familyDir)
+    val gens =
+      if (gens0.nonEmpty) gens0
+      else Seq(Gen(s"$familyDir/gen-000001", Long.MaxValue, Long.MinValue, 0L))
+    val cur = gens.last
+    // one pass over the (small, batch-sized) frame for span + count —
+    // the ILM bookkeeping the registry records
+    val stats = batch.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts"))), count(lit(1))).head()
+    if (stats.getLong(2) == 0L) return
+    ChangelogStream.upsertBatch(
+      batch.withColumn("seq", col("event_id"))
+        .withColumn("op", lit("INSERT")),
+      cur.dir, keyCols = Seq("event_id"),
+      initialBuckets = initialBuckets, noTruncate = true)
+    val updated = cur.copy(
+      minTs = math.min(cur.minTs, stats.getLong(0)),
+      maxTs = math.max(cur.maxTs, stats.getLong(1)),
+      docs = cur.docs + stats.getLong(2))
+    // the condition poll: roll AFTER the write that crossed the threshold
+    // (ES: the rollover API creates gen N+1 and flips the write alias)
+    val next =
+      if (updated.docs >= maxDocs)
+        Seq(Gen(f"$familyDir/gen-${gens.size + 1}%06d",
+          Long.MaxValue, Long.MinValue, 0L))
+      else Seq.empty
+    writeRegistry(spark, familyDir, gens.init ++ (updated +: next))
+  }
+
+  /** The read alias, time-PRUNED: only generations whose recorded span
+    * overlaps `[loMicros, hiMicros)` open; returns the union of their
+    * state reads (and the pruned generation list, for the plan-walking
+    * drills). Empty-span write targets (a just-rolled generation that
+    * never received a batch) never match. */
+  private[graft] def readOverlapping(spark: SparkSession, familyDir: String,
+                                     loMicros: Long, hiMicros: Long,
+                                     cols: Seq[String]): (DataFrame, Seq[Gen]) = {
+    val gens = readRegistry(spark, familyDir)
+    require(gens.nonEmpty, s"no rollover registry at $familyDir")
+    val hit = gens.filter(g => g.docs > 0 && g.minTs < hiMicros && g.maxTs >= loMicros)
+    val df =
+      if (hit.isEmpty) ChangelogStream.readState(spark, gens.head.dir, cols).limit(0)
+      else hit.map(g => ChangelogStream.readState(spark, g.dir, cols))
+        .reduce(_.unionByName(_))
+    (df, hit)
+  }
+
+  private val runs = new graft.model.JvmMemo[String]()
+
+  private def micros(day: String): Long =
+    java.time.Instant.parse(s"${day}T00:00:00Z").toEpochMilli * 1000L
+
+  /** Run (or reuse) the rolled events family: the fixture month streamed
+    * in four CHRONOLOGICAL weekly batches with `max_docs` low enough that
+    * every week rolls — four generations, each spanning its week. */
+  private[graft] def rolloverRun(spark: SparkSession, sfDir: String): String =
+    runs.getOrRun(sfDir) {
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-rollover-").toString)
+      val s2 = Materialize.sessionWithParts(spark, 4)
+      val ev = graft.model.Tables.events(s2, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+        "2024-01-22", "2024-01-31")
+      weeks.sliding(2).foreach { case Seq(lo, hi) =>
+        write(s2, work,
+          ev.filter(unix_micros(col("ts")) >= micros(lo) &&
+            unix_micros(col("ts")) < micros(hi)), maxDocs = 1L)
+      }
+      work
+    }
+
+  /** Oracle-checked query: a time-range aggregation through the rolled
+    * family's READ alias — events per type over `[lo, hi)`, with the read
+    * PRUNED to the generations whose recorded spans overlap the range
+    * (the default range covers weeks 2-3, so generations 1 and 4 never
+    * open — asserted here, plan-walked in RolloverSpec). The in-range
+    * filter still applies within the hit generations (a generation is a
+    * week, the range need not align to it). */
+  def qCdcRollover(spark: SparkSession, sfDir: String,
+                   lo: String = "2024-01-10",
+                   hi: String = "2024-01-20"): DataFrame = {
+    val fam = rolloverRun(spark, sfDir)
+    val (loM, hiM) = (micros(lo), micros(hi))
+    val (df, hit) = readOverlapping(spark, fam, loM, hiM,
+      Seq("event_id", "ts", "event_type"))
+    val all = readRegistry(spark, fam).count(_.docs > 0)
+    require(hit.size < all,
+      s"range [$lo, $hi) pruned nothing: ${hit.size} of $all generations open")
+    df.filter(unix_micros(col("ts")) >= loM && unix_micros(col("ts")) < hiM)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("event_type"))
+  }
+}

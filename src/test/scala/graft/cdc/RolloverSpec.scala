@@ -1,0 +1,68 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** ILM rollover ([[Rollover]]): the max_docs condition rolls the write
+  * alias, the registry records per-generation ts spans, and a time-range
+  * read opens ONLY overlapping generations. */
+class RolloverSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def work() = graft.model.TempDirs.deleteOnExit(
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft-rolltest-").toString)
+
+  private def batch(ids: Range, dayOfJan: Int) =
+    ids.map(i => (i.toLong, f"2024-01-$dayOfJan%02d 12:00:00", i.toLong % 3))
+      .toDF("event_id", "s", "user_id")
+      .select($"event_id", $"s".cast("timestamp").as("ts"), $"user_id",
+        concat(lit("t"), $"user_id").as("event_type"), lit(1.0).as("value"))
+
+  test("max_docs below the batch size rolls per batch; above it, batches " +
+    "share a generation — and the registry records true spans") {
+    // threshold the batches never reach: everything lands in gen 1
+    val calm = work()
+    Rollover.write(spark, calm, batch(0 until 10, 3), maxDocs = 100L)
+    Rollover.write(spark, calm, batch(10 until 20, 9), maxDocs = 100L)
+    val calmGens = Rollover.readRegistry(spark, calm)
+    assert(calmGens.size === 1 && calmGens.head.docs === 20L)
+    // threshold each batch crosses: one generation per batch + the fresh
+    // write target the last roll created
+    val busy = work()
+    Rollover.write(spark, busy, batch(0 until 10, 3), maxDocs = 5L)
+    Rollover.write(spark, busy, batch(10 until 20, 9), maxDocs = 5L)
+    val busyGens = Rollover.readRegistry(spark, busy)
+    assert(busyGens.count(_.docs > 0) === 2 && busyGens.size === 3)
+    val Seq(g1, g2) = busyGens.filter(_.docs > 0)
+    assert(g1.docs === 10L && g2.docs === 10L)
+    // spans: each generation covers exactly its batch's day
+    def day(micros: Long) =
+      java.time.Instant.ofEpochMilli(micros / 1000L).toString.take(10)
+    assert(day(g1.minTs) === "2024-01-03" && day(g1.maxTs) === "2024-01-03")
+    assert(day(g2.minTs) === "2024-01-09" && day(g2.maxTs) === "2024-01-09")
+  }
+
+  test("the read alias prunes to overlapping generations and the union " +
+    "answers exactly like the flat table") {
+    val fam = work()
+    Rollover.write(spark, fam, batch(0 until 8, 3), maxDocs = 1L)
+    Rollover.write(spark, fam, batch(8 until 16, 9), maxDocs = 1L)
+    Rollover.write(spark, fam, batch(16 until 24, 17), maxDocs = 1L)
+    def micros(day: String) =
+      java.time.Instant.parse(s"${day}T00:00:00Z").toEpochMilli * 1000L
+    // a range covering only days 9 and 17: generation 1 must never open
+    val (df, hit) = Rollover.readOverlapping(spark, fam,
+      micros("2024-01-05"), micros("2024-01-20"), Seq("event_id", "ts"))
+    assert(hit.size === 2 && !hit.exists(_.dir.endsWith("gen-000001")))
+    assert(df.count() === 16L)
+    // ...and the union's rows are exactly the flat in-range rows
+    val ids = df.collect().map(_.getLong(0)).toSet
+    assert(ids === (8 until 24).map(_.toLong).toSet)
+    // a range beyond every span opens nothing
+    val (none, miss) = Rollover.readOverlapping(spark, fam,
+      micros("2024-02-01"), micros("2024-03-01"), Seq("event_id"))
+    assert(miss.isEmpty && none.count() === 0L)
+  }
+}
