@@ -193,7 +193,10 @@ object Bench {
       // r16: the multi-field pass's FIRST consumer in sort order (the
       // analyzer view rides the same mapping since r16; cdc_multi_match
       // now reads the pass memoized)
-      "cdc_analyzer_search")
+      "cdc_analyzer_search",
+      // r16 fourth wave: each carries its OWN pass (a corpus-mutating
+      // text pass; the rolled events family)
+      "cdc_delete_by_query", "cdc_update_by_query", "cdc_rollover")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",

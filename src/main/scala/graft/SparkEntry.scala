@@ -450,6 +450,10 @@ object SparkEntry {
     // DELETE through the maintainer; the post-delete corpus rescores
     "cdc_delete_by_query" -> ((s, d) =>
       graft.ops.Search.qCdcDeleteByQuery(s, d)),
+    // ES _update_by_query: matching docs re-index with a script applied
+    // (text += " reviewed"); the added token is searchable
+    "cdc_update_by_query" -> ((s, d) =>
+      graft.ops.Search.qCdcUpdateByQuery(s, d)),
     // BOOTSTRAP: the index seeded from a source-table snapshot in one
     // batch build + only the changelog tail applied (ES reindex-from-
     // source) — serves queries identically to the replay-built index
@@ -588,6 +592,18 @@ object SparkEntry {
   private val docsDeleteByQueryCte: String = docsChangelogCteWith(
     """live3 AS (SELECT doc_id, text, source FROM live
       |          WHERE NOT list_contains(string_split(text, ' '), 'dup')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live3)""".stripMargin)
+
+  /** The post-`_update_by_query` corpus as SQL: every live doc whose text
+    * contains the query term re-indexed with the script applied
+    * (`text || ' reviewed'`) — dl, sum_dl and the new token's df all
+    * move, so the whole BM25 chain recomputes over `live3`. */
+  private val docsUpdateByQueryCte: String = docsChangelogCteWith(
+    """live3 AS (SELECT doc_id,
+      |            CASE WHEN list_contains(string_split(text, ' '), 'slow')
+      |                 THEN text || ' reviewed' ELSE text END AS text,
+      |            source
+      |          FROM live),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live3)""".stripMargin)
 
   /** The `body_en` analyzer view as SQL: stop filter + the S-stemmer —
@@ -2287,6 +2303,8 @@ object SparkEntry {
     "cdc_dis_max" -> cdcDisMaxSql,
     "cdc_delete_by_query" -> bm25Sql(docsDeleteByQueryCte, 1,
       Seq("stream", "merge", "window"), Seq.empty),
+    "cdc_update_by_query" -> bm25Sql(docsUpdateByQueryCte, 1,
+      Seq("reviewed", "merge"), Seq.empty),
     "cdc_span_near" ->
       // span_near in_order:false slop 2: any one position per term with
       // width − (n−1) ≤ slop; hits = distinct min-position span starts

@@ -2167,6 +2167,63 @@ object Search {
       (s"$work/state", s"$work/idx")
     }
 
+  private val ubqRuns = new graft.model.JvmMemo[(String, String)]()
+
+  /** The `_update_by_query` pass — the mutating sibling of
+    * [[deleteByQueryRun]]: every doc matching a term query re-indexes
+    * with a script applied (`text += " reviewed"`, ES's painless
+    * `ctx._source` mutation). The script's INPUT is the current doc, so
+    * the pass reads the hit ids' buckets ONLY (driver holds the distinct
+    * bucket ids — ≤ the bucket count, the significant_terms discipline —
+    * and the id semi-join stays distributed), synthesizes UPDATE events
+    * above the seq horizon, and applies them through the unmodified
+    * maintainer: postings MOVE (the new token appears, dl grows), stats
+    * credit the longer docs, dict/dlidx/srcidx follow their ordinary
+    * rules. */
+  private[graft] def updateByQueryRun(spark: SparkSession, sfDir: String,
+                                      term: String = "slow",
+                                      suffix: String = " reviewed"): (String, String) =
+    ubqRuns.getOrRun(sfDir) {
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-ubq-").toString)
+      val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      val cl = s2.read.parquet(graft.cdc.Changelog.stageParquetDocuments(s2, sfDir))
+      maintainTextIndexBatch(cl, 0L, s"$work/state", s"$work/idx",
+        noTruncate = true, initialBuckets = 8)
+      val hits = maintainedPostings(s2, s"$work/idx", Seq(term), Seq("tok", "id"))
+        .select(col("id")).distinct()
+      val layout = graft.cdc.Buckets.read(s2, s"$work/state").getOrElse(
+        throw new IllegalStateException(s"no layout at $work/state"))
+      val hitBuckets = hits
+        .select(graft.cdc.Buckets.bucketExpr(layout, Seq("id")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val docs = graft.cdc.ChangelogStream
+        .readLayoutBuckets(s2, s"$work/state", layout,
+          Seq("id", "text", "source"), hitBuckets)
+        .join(hits, Seq("id"), "left_semi")
+      val evs = docs.select(col("id"), (col("id") + 3000000L).as("seq"),
+        lit("UPDATE").as("op"), lit("documents").as("table"),
+        col("id").as("doc_id"), concat(col("text"), lit(suffix)).as("text"),
+        col("source"))
+      maintainTextIndexBatch(evs, 1L, s"$work/state", s"$work/idx",
+        noTruncate = true)
+      (s"$work/state", s"$work/idx")
+    }
+
+  /** Oracle-checked query: ES `_update_by_query` — BM25 after a
+    * query-driven script re-index appended a token to every 'slow'-
+    * matching doc. The script-added token is SEARCHABLE (it exists in no
+    * original doc — its df equals the hit count exactly) and the corpus
+    * statistics moved under everyone (sum_dl grew), so this, like the
+    * delete twin, is a corpus mutation no query-time construct can fake. */
+  def qCdcUpdateByQuery(spark: SparkSession, sfDir: String,
+                        query: Seq[String] = Seq("reviewed", "merge"),
+                        k: Int = 10): DataFrame = {
+    val (_, idxDir) = updateByQueryRun(spark, sfDir)
+    maintainedBm25(spark, idxDir, query, k)
+  }
+
   /** Oracle-checked query: ES `_delete_by_query` — BM25 over the index
     * AFTER a query-driven bulk delete removed every 'dup'-matching doc
     * from the corpus. This is a corpus-level mutation, not a filter: the

@@ -1292,6 +1292,35 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "survivors kept their scores — the corpus statistics never moved")
   }
 
+  test("update_by_query re-indexes matching docs with the script applied: " +
+    "the added token's df equals the hit count and the stats grew with it") {
+    val (stateDir, idxDir) = Search.updateByQueryRun(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val live = graft.cdc.ChangelogStream.readState(spark, stateDir,
+      Seq("id", "text"))
+    val hitDocs = live
+      .filter(array_contains(Text.tokens(col("text")), "slow")).count()
+    assert(hitDocs > 0, "no live doc matches the update query")
+    // every hit (and only hits) carries the script's token, at the end
+    val reviewed = live
+      .filter(array_contains(Text.tokens(col("text")), "reviewed"))
+    assert(reviewed.count() === hitDocs)
+    assert(reviewed.filter(!col("text").endsWith(" reviewed")).count() === 0)
+    // the maintained postings moved with the script: df('reviewed') = hits
+    val df = Search.dictTerms(spark, idxDir)
+      .filter(col("tok") === "reviewed").collect()
+    assert(df.length === 1 && df.head.getLong(1) === hitDocs)
+    // and the stats credit the longer docs exactly
+    val st = Search.corpusStats(spark, idxDir).head()
+    val exp = live.select(size(Text.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert((st.getLong(0), st.getLong(1)) === (exp.getLong(0), exp.getLong(1)))
+    // the script-added token is searchable through the ordinary query path
+    val top = Search.qCdcUpdateByQuery(spark, sfDir, query = Seq("reviewed"),
+      k = 100000).collect()
+    assert(top.length.toLong === hitDocs)
+  }
+
   test("boosting demotes instead of excluding: negative matches keep half " +
     "their score and the full match set re-ranks") {
     val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
