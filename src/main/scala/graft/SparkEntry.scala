@@ -271,6 +271,9 @@ object SparkEntry {
     // ES nested-query semantics: per-element match over an array of
     // objects vs the flattened cross-match (VERDICT r15 missing #5)
     "q_nested_match" -> ((s, d) => Relational.qNestedMatch(s, d)),
+    // ES nested AGGREGATION: parent-scoped (power users), then terms +
+    // metrics over the nested element stream
+    "q_nested_agg" -> ((s, d) => Relational.qNestedAgg(s, d)),
     "q_date_trunc" -> (Relational.qDateTrunc _),
     "q_date_arith" -> (Relational.qDateArith _),
     "q_stats" -> (Relational.qStats _),
@@ -446,6 +449,9 @@ object SparkEntry {
     // ES boosting query: negative matches DEMOTE (score × negative_boost)
     // instead of excluding — the whole match set re-ranks
     "cdc_boosting" -> ((s, d) => graft.ops.Search.qCdcBoosting(s, d)),
+    // ES function_score LINEAR DECAY on a numeric field (prefer docs
+    // whose dl is near the origin) — rational arithmetic end to end
+    "cdc_decay_score" -> ((s, d) => graft.ops.Search.qCdcDecayScore(s, d)),
     // ES _delete_by_query: the index's own posting list drives a bulk
     // DELETE through the maintainer; the post-delete corpus rescores
     "cdc_delete_by_query" -> ((s, d) =>
@@ -1554,6 +1560,16 @@ object SparkEntry {
         |FROM events GROUP BY 1)
         |SELECT user_id, nested_match, flat_match FROM n
         |WHERE flat_match = 1 ORDER BY user_id""".stripMargin,
+    "q_nested_agg" ->
+      // nested agg: parent scope (≥70 nested events), then terms +
+      // metrics over the qualifying parents' element stream
+      s"""WITH p AS (SELECT user_id FROM events GROUP BY 1 HAVING count(*) >= 70)
+         |SELECT event_type, count(*) AS doc_count,
+         |       ${dsum("value", "sum_value")},
+         |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |             / count(*), 6) AS avg_value
+         |FROM events JOIN p USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_date_trunc" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2301,6 +2317,18 @@ object SparkEntry {
         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
+    "cdc_decay_score" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      // linear decay on dl: origin 50, offset 5, scale 20, decay 0.5 →
+      // s = 40; factor = max(0, (s − max(0, |dl−50|−5)) / s); multiply
+      tail = """,dcy AS (SELECT r.doc_id, r.n_t,
+        |         round(r.score * greatest(
+        |           (40.0 - greatest(abs(dl.dl - 50) - 5, 0)) / 40.0, 0.0),
+        |           6) AS score
+        |       FROM r JOIN dl ON dl.doc_id = r.doc_id),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM dcy)
+        |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
+        |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_delete_by_query" -> bm25Sql(docsDeleteByQueryCte, 1,
       Seq("stream", "merge", "window"), Seq.empty),
     "cdc_update_by_query" -> bm25Sql(docsUpdateByQueryCte, 1,

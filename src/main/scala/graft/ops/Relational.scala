@@ -229,6 +229,31 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Oracle-checked query: the ES `nested` AGGREGATION — a parent-level
+    * query scopes the docs (power users: ≥ `minEvents` nested events),
+    * then the agg steps INTO their nested elements (`nested: {path:
+    * "evs"}`) and buckets/aggregates over the element stream: terms on
+    * `event_type`, each bucket carrying doc_count + sum/avg of `value` —
+    * the nested twin of the flat metric sub-agg. The explode runs only
+    * over QUALIFYING parents' arrays (ES collects nested docs of matching
+    * roots the same way), and the one groupBy carries all three
+    * aggregates. Decimal-sum discipline for the float metrics. */
+  def qNestedAgg(spark: SparkSession, dir: String,
+                 minEvents: Int = 70): DataFrame = {
+    val sumDec = sum(col("e.value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("event_type"), col("value"))).as("evs"))
+      .filter(size(col("evs")) >= minEvents)
+      .select(explode(col("evs")).as("e"))
+      .groupBy(col("e.event_type").as("event_type"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sumDec, 2).cast("double").as("sum_value"),
+        round(sumDec.cast("double") / count(lit(1)), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Date/time bucketing: events per hour. */
   def qDateTrunc(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

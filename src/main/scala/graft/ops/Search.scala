@@ -2131,6 +2131,42 @@ object Search {
     slopHits(postings, terms, slop)
   }
 
+  /** Oracle-checked query: `function_score` with a LINEAR DECAY function
+    * on a numeric field — ES's "prefer values near the origin" scoring
+    * (recency/proximity boosts). The decay factor for value v is
+    * `max(0, (s − max(0, |v − origin| − offset)) / s)` with
+    * `s = scale / (1 − decay)` — docs within `offset` of the origin keep
+    * factor 1, the factor falls linearly to `decay` at `origin ± scale`
+    * and to zero beyond `s` (the published ES linear-decay formula; the
+    * linear variant is chosen over gauss/exp precisely because it is
+    * RATIONAL arithmetic — no exp() whose libm could differ across
+    * engines). Field = the doc length dl (denormalized in the postings —
+    * no doc-state read); `boost_mode: multiply` over the full round-6
+    * match frame, one final round-6, the function_score discipline. */
+  def qCdcDecayScore(spark: SparkSession, sfDir: String,
+                     query: Seq[String] = Seq("stream", "merge", "window"),
+                     origin: Long = 50L, offset: Long = 5L,
+                     scale: Double = 20.0, decay: Double = 0.5,
+                     k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val post = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(post, corpusStats(spark, idxDir), 1.2, 0.75)
+    val dls = post.select(col("doc_id"), col("dl")).distinct()
+    val s = scale / (1.0 - decay)
+    val dist = greatest(abs(col("dl") - origin) - offset, lit(0L))
+    val factor = greatest((lit(s) - dist.cast("double")) / lit(s), lit(0.0))
+    val decayed = scored.join(dls, Seq("doc_id"))
+      .select(col("doc_id"), col("n_t"),
+        round(col("score") * factor, 6).as("score"))
+    val topk = decayed.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_t"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   private val dbqRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** The `_delete_by_query` pass: apply the documents changelog, then

@@ -67,6 +67,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nested agg scopes to qualifying parents' elements only") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val agg = Relational.qNestedAgg(spark, sfDir, minEvents = 70).collect()
+    assert(agg.nonEmpty)
+    // independent recomputation with a different plan shape (semi-join
+    // instead of collect_list + explode)
+    val qualifying = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 70)
+    val nQual = qualifying.agg(sum(col("n"))).head().getLong(0)
+    assert(agg.map(_.getLong(1)).sum === nQual,
+      "bucket doc_counts don't tile the qualifying parents' elements")
+    // ...and the scope genuinely cuts: some parent was excluded
+    assert(nQual < ev.count(), "every parent qualified — the scope is vacuous")
+    val exp = ev.join(qualifying.select(col("user_id")), Seq("user_id"),
+        "left_semi")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("doc_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    agg.foreach(r => assert(r.getLong(1) === exp(r.getString(0))))
+  }
+
   test("broadcast hint survives into the q5 physical plan") {
     val plan = Relational.q5NationRevenue(spark, sfDir)
       .queryExecution.executedPlan.toString

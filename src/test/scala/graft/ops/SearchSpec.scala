@@ -1292,6 +1292,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "survivors kept their scores — the corpus statistics never moved")
   }
 
+  test("linear decay keeps scores within the offset, zeroes them beyond s, " +
+    "and scales linearly between") {
+    import org.apache.spark.sql.functions._
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val decayed = Search.qCdcDecayScore(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val dls = graft.cdc.ChangelogStream.readState(spark, idxDir,
+        Seq("id", "dl")).select(col("id"), col("dl")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decayed.nonEmpty)
+    var Seq(inOffset, zeroed, between) = Seq(0, 0, 0)
+    decayed.foreach { case (doc, s) =>
+      val dist = math.max(math.abs(dls(doc) - 50L) - 5L, 0L)
+      if (dist == 0L) { assert(s === plain(doc)); inOffset += 1 }
+      else if (dist >= 40L) { assert(s === 0.0); zeroed += 1 }
+      else {
+        assert(s < plain(doc) && s > 0.0, s"doc $doc: $s vs ${plain(doc)}")
+        between += 1
+      }
+    }
+    // the fixture genuinely exercises all three regimes
+    assert(inOffset > 0 && between > 0,
+      s"regimes uncovered: inOffset=$inOffset zeroed=$zeroed between=$between")
+  }
+
   test("update_by_query re-indexes matching docs with the script applied: " +
     "the added token's df equals the hit count and the stats grew with it") {
     val (stateDir, idxDir) = Search.updateByQueryRun(spark, sfDir)
