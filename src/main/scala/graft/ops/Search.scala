@@ -2167,6 +2167,29 @@ object Search {
       .orderBy(col("rk"))
   }
 
+  /** The ES `_clone` API: fork a read-only source index into a fresh
+    * target by copying its COMMITTED files — every artifact here is
+    * immutable-once-committed (versioned bucket dirs, sorted runs,
+    * MetaFile manifests with relative names), so a clone is a plain
+    * file-level copy (ES hardlinks segments for the same reason; a DFS
+    * copies), after which source and clone share NOTHING mutable.
+    * Used by the mutation passes (`_delete_by_query`/`_update_by_query`)
+    * to fork the memoized base pass instead of replaying the corpus —
+    * exactly what an ES operator does before a destructive bulk op. */
+  private[graft] def cloneIndex(spark: SparkSession, src: (String, String),
+                                work: String): (String, String) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def cp(s: String, d: String): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(s)
+      val dp = new org.apache.hadoop.fs.Path(d)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+    }
+    cp(src._1, s"$work/state")
+    cp(src._2, s"$work/idx")
+    (s"$work/state", s"$work/idx")
+  }
+
   private val dbqRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** The `_delete_by_query` pass: apply the documents changelog, then
@@ -2186,9 +2209,9 @@ object Search {
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-dbq-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
-      val cl = s2.read.parquet(graft.cdc.Changelog.stageParquetDocuments(s2, sfDir))
-      maintainTextIndexBatch(cl, 0L, s"$work/state", s"$work/idx",
-        noTruncate = true, initialBuckets = 8)
+      // fork the memoized base pass (the ES _clone before a bulk op)
+      // instead of replaying the corpus; the source stays pristine
+      cloneIndex(s2, textIndexRun(spark, sfDir), work)
       // the "query" half: matching ids from the term's one pruned bucket
       val hits = maintainedPostings(s2, s"$work/idx", Seq(term), Seq("tok", "id"))
         .select(col("id")).distinct()
@@ -2224,9 +2247,8 @@ object Search {
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-ubq-").toString)
       val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
-      val cl = s2.read.parquet(graft.cdc.Changelog.stageParquetDocuments(s2, sfDir))
-      maintainTextIndexBatch(cl, 0L, s"$work/state", s"$work/idx",
-        noTruncate = true, initialBuckets = 8)
+      // fork the memoized base pass (the ES _clone before a bulk op)
+      cloneIndex(s2, textIndexRun(spark, sfDir), work)
       val hits = maintainedPostings(s2, s"$work/idx", Seq(term), Seq("tok", "id"))
         .select(col("id")).distinct()
       val layout = graft.cdc.Buckets.read(s2, s"$work/state").getOrElse(

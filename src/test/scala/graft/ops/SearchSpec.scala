@@ -1275,6 +1275,13 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       Seq("id", "text"))
     assert(live.filter(array_contains(Text.tokens(col("text")), "dup"))
       .count() === 0)
+    // the pass FORKED the base index (the ES _clone): the mutation never
+    // touched the source — its live docs still carry the term
+    val (srcState, _) = Search.textIndexRun(spark, sfDir)
+    assert(srcState !== stateDir)
+    assert(graft.cdc.ChangelogStream.readState(spark, srcState,
+        Seq("id", "text"))
+      .filter(array_contains(Text.tokens(col("text")), "dup")).count() > 0)
     // the stats row followed the bulk delete exactly
     val st = Search.corpusStats(spark, idxDir).head()
     val exp = live.select(size(Text.tokens(col("text"))).cast("long").as("dl"))
