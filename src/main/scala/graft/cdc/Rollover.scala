@@ -60,7 +60,16 @@ object Rollover {
     * order per the rollover contract (logs do); the generation spans may
     * still overlap at the boundary (ES makes no gap guarantee either —
     * pruning uses the RECORDED spans, so overlap costs IO, never
-    * correctness). */
+    * correctness).
+    *
+    * Crash honesty (self-review r16): a crash between the upsert and the
+    * registry write replays the batch — the STATE merge is idempotent
+    * (same keys, same seqs), the span min/max re-folds identically, but
+    * the doc COUNT re-adds. The count is ILM condition bookkeeping only:
+    * inflation can fire a roll early (a smaller generation), never change
+    * what a read returns (reads scan committed state through the recorded
+    * spans). ES's own rollover conditions are exactly this kind of
+    * best-effort trigger. */
   def write(spark: SparkSession, familyDir: String, batch: DataFrame,
             maxDocs: Long, initialBuckets: Int = 4): Unit = {
     val gens0 = readRegistry(spark, familyDir)
