@@ -419,6 +419,11 @@ object SparkEntry {
     // ES dis_max with tie_breaker: best field's score + 0.25 × the other
     // fields' — the general disjunction-max best_fields is sugar for
     "cdc_dis_max" -> ((s, d) => graft.ops.Search.qCdcDisMax(s, d)),
+    // ES synonym filter (contraction mode): class members map to one
+    // canonical token at index AND query time — 'sluggish' resolves,
+    // 'sort'/'order' postings merge with the union df
+    "cdc_synonym_search" -> ((s, d) =>
+      graft.ops.Search.qCdcSynonymSearch(s, d)),
     // ES analyzer chain (stop filter + S-stemmer) as a third analyzer
     // VIEW through the multi-field mapping: plural query terms stem to
     // roots the raw body field never indexed — recall only the analyzed
@@ -611,6 +616,15 @@ object SparkEntry {
       |            source
       |          FROM live),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live3)""".stripMargin)
+
+  /** The `body_syn` synonym view as SQL: the identical contraction CASE
+    * the Spark side compiles ([[graft.ops.Search.synonymTokens]]). */
+  private val docsSynonymCte: String = docsChangelogCteWith(
+    """toks AS (SELECT doc_id,
+      |           CASE WHEN tok = 'sluggish' THEN 'slow'
+      |                WHEN tok = 'sort' THEN 'order' ELSE tok END AS tok
+      |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |               FROM live))""".stripMargin)
 
   /** The `body_en` analyzer view as SQL: stop filter + the S-stemmer —
     * the identical table-driven chain the Spark side compiles
@@ -2317,6 +2331,9 @@ object SparkEntry {
         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
+    "cdc_synonym_search" -> bm25Sql(docsSynonymCte, 1,
+      // query terms analyzed through the same contraction table
+      Seq("slow", "order"), Seq.empty),
     "cdc_decay_score" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       // linear decay on dl: origin 50, offset 5, scale 20, decay 0.5 →

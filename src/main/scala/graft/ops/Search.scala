@@ -1799,15 +1799,46 @@ object Search {
       filter(Text.tokens(text), t => !t.isin(StopWords: _*)),
       sStem _)
 
+  /** The SYNONYM filter in CONTRACTION mode (ES `"sluggish, slow => slow"`
+    * / `"sort, order => order"`): every position's token maps to its
+    * equivalence class's canonical representative at index AND query
+    * time. The two rules exercise both halves: 'sluggish' exists in no
+    * document — a query on it resolves purely through the class — while
+    * 'sort' and 'order' both live in the corpus, so the index-side
+    * contraction MERGES their postings and the class df is the union df
+    * (the scoring-consistency property contraction buys; ES recommends
+    * the `=>` form precisely because position-stacked expansion skews
+    * idf across class members). Contraction keeps the token stream
+    * one-per-position — tf/dl/phrase positions all stay the plain-field
+    * machinery. Table-driven, so the oracle carries the identical CASE. */
+  private[graft] val Synonyms: Seq[(String, String)] =
+    Seq("sluggish" -> "slow", "sort" -> "order")
+
+  private[graft] def synonymToken(c: Column): Column =
+    Synonyms.foldRight(c) { case ((from, to), els) =>
+      when(c === from, lit(to)).otherwise(els)
+    }
+
+  private[graft] def synonymTokens(text: Column): Column =
+    transform(Text.tokens(text), synonymToken _)
+
+  /** Query-side twin: a term maps through the same contraction table. */
+  private[graft] def synonymQuery(terms: Seq[String]): Seq[String] =
+    terms.map(t => Synonyms.toMap.getOrElse(t, t))
+
   /** The default mapping over the documents fixture: `body` is the full
     * text, `title` its first five tokens, `body_en` the stop-filtered
-    * s-stemmed analyzer view — three genuinely different analyzed views
-    * (different lengths, dfs AND vocabulary) of one stored `_source`, the
-    * shape every real ES mapping has. */
+    * s-stemmed analyzer view, `body_syn` the synonym-contracted view —
+    * four genuinely different analyzed views (different lengths, dfs AND
+    * vocabulary) of one stored `_source`, the shape every real ES
+    * mapping has. The per-side scan count stays ONE however many views
+    * ride (the r16 exploded-struct rewrite — the property this fourth
+    * view exists to keep honest). */
   private[graft] def defaultFields: Seq[(String, Column)] = Seq(
     "body" -> Text.tokens(col("text")),
     "title" -> slice(Text.tokens(col("text")), 1, 5),
-    "body_en" -> analyzedTokens(col("text")))
+    "body_en" -> analyzedTokens(col("text")),
+    "body_syn" -> synonymTokens(col("text")))
 
   private val multiFieldRuns = new graft.model.JvmMemo[(String, String)]()
 
@@ -1955,6 +1986,24 @@ object Search {
       .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
     val stats = fieldStats(spark, idxDir)
       .filter(col("field") === "body_en").select(col("n_docs"), col("sum_dl"))
+    bm25TopK(postings, stats, k, 1.2, 0.75)
+  }
+
+  /** Oracle-checked query: `match` over the SYNONYM field — 'sluggish'
+    * has zero recall on the raw body (the token exists in no document)
+    * and resolves through `body_syn`'s contraction to the 'slow' class;
+    * 'sort' scores against the MERGED 'order' class postings, whose df
+    * is the union df of both members. Same per-field pruned-bucket BM25
+    * as every field; the other views' postings never open. */
+  def qCdcSynonymSearch(spark: SparkSession, sfDir: String,
+                        query: Seq[String] = Seq("sluggish", "sort"),
+                        k: Int = 10): DataFrame = {
+    val (_, idxDir) = multiFieldIndexRun(spark, sfDir)
+    val mapped = synonymQuery(query)
+    val postings = maintainedFieldPostings(spark, idxDir, Seq("body_syn"), mapped)
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val stats = fieldStats(spark, idxDir)
+      .filter(col("field") === "body_syn").select(col("n_docs"), col("sum_dl"))
     bm25TopK(postings, stats, k, 1.2, 0.75)
   }
 

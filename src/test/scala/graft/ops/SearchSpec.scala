@@ -1299,6 +1299,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "survivors kept their scores — the corpus statistics never moved")
   }
 
+  test("synonym contraction merges class postings: the canonical token's df " +
+    "is the union df, members vanish from the view, other fields untouched") {
+    import org.apache.spark.sql.functions._
+    val (_, idxDir) = Search.multiFieldIndexRun(spark, sfDir)
+    val dict = Search.fieldDictTerms(spark, idxDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the member token left the synonym view entirely...
+    assert(!dict.contains(("body_syn", "sort")))
+    // ...and the canonical's df is the UNION df of the class, computed
+    // independently from the live docs
+    val live = graft.cdc.ChangelogStream.readState(spark,
+        Search.multiFieldIndexRun(spark, sfDir)._1, Seq("id", "text"))
+      .select(col("id"), Text.tokens(col("text")).as("ws"))
+    val unionDf = live.filter(array_contains(col("ws"), "sort") ||
+      array_contains(col("ws"), "order")).count()
+    assert(dict(("body_syn", "order")) === unionDf)
+    assert(dict(("body_syn", "order")) >
+      dict(("body", "order")), "the class df must exceed the raw member df")
+    // the raw body view kept both members (views are independent)
+    assert(dict.contains(("body", "sort")) && dict.contains(("body", "order")))
+    // query-side resolution: 'sluggish' scores through the class
+    val top = Search.qCdcSynonymSearch(spark, sfDir,
+      query = Seq("sluggish"), k = 100000).collect()
+    val slowDf = live.filter(array_contains(col("ws"), "slow")).count()
+    assert(top.length.toLong === slowDf)
+  }
+
   test("linear decay keeps scores within the offset, zeroes them beyond s, " +
     "and scales linearly between") {
     import org.apache.spark.sql.functions._
