@@ -221,7 +221,13 @@ object Bench {
       // r15: the diff now reads the restore carrier's memoized pass
       "cdc_state_diff_versions", "cdc_wildcard_search",
       // r16: views over already-carried passes
-      "cdc_range_filter", "cdc_multi_match", "cdc_mget")
+      "cdc_range_filter", "cdc_multi_match", "cdc_mget",
+      // r16 waves 2-6: bucket/pipeline aggs read the composed pass, the
+      // search variants the text or multi-field pass — all carried
+      "cdc_terms_agg_metric", "cdc_histogram_agg", "cdc_composite_agg",
+      "cdc_cardinality_agg", "cdc_derivative_agg", "cdc_moving_fn",
+      "cdc_dis_max", "cdc_synonym_search", "cdc_boosting",
+      "cdc_decay_score", "cdc_span_near")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -316,18 +316,6 @@ object Pipeline {
       .orderBy(col("sum_price").desc, col("o_custkey")).limit(k)
   }
 
-  /** Oracle-checked query: the ES numeric `histogram` aggregation
-    * (`interval: 50000`, `min_doc_count: 0`) over a payload field of the
-    * live maintained store. ES's bucketing rule: key = floor(value /
-    * interval) × interval, and with min_doc_count 0 EVERY interval between
-    * the min and max observed key reports — empty buckets included (the
-    * Kibana bar-chart contract; the `extended_bounds` variant just widens
-    * the same spine). The spine is `sequence(min_key, max_key, interval)`
-    * exploded and left-joined to the counted buckets — the bucket-count
-    * frame is |buckets|-sized (two orders under the row count), so the
-    * fill costs nothing at any scale; the one real pass is the same
-    * map-side-combined groupBy as every bucket agg here. All-integer keys
-    * and counts — deterministic cross-engine by construction. */
   /** Oracle-checked query: ES PIPELINE aggregations — `derivative` and
     * `cumulative_sum` over the `date_histogram`'s buckets. Pipeline aggs
     * compute on the OUTPUT of sibling aggregations, not on documents: the
@@ -406,6 +394,18 @@ object Pipeline {
       .orderBy(col("bucket_key"))
   }
 
+  /** Oracle-checked query: the ES numeric `histogram` aggregation
+    * (`interval: 50000`, `min_doc_count: 0`) over a payload field of the
+    * live maintained store. ES's bucketing rule: key = floor(value /
+    * interval) × interval, and with min_doc_count 0 EVERY interval between
+    * the min and max observed key reports — empty buckets included (the
+    * Kibana bar-chart contract; the `extended_bounds` variant just widens
+    * the same spine). The spine is `sequence(min_key, max_key, interval)`
+    * exploded and left-joined to the counted buckets — the bucket-count
+    * frame is |buckets|-sized (two orders under the row count), so the
+    * fill costs nothing at any scale; the one real pass is the same
+    * map-side-combined groupBy as every bucket agg here. All-integer keys
+    * and counts — deterministic cross-engine by construction. */
   def qHistogramAgg(spark: SparkSession, sfDir: String,
                     interval: Long = 50000L): DataFrame =
     histogramBuckets(

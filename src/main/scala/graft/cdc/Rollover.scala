@@ -158,11 +158,13 @@ object Rollover {
                    hi: String = "2024-01-20"): DataFrame = {
     val fam = rolloverRun(spark, sfDir)
     val (loM, hiM) = (micros(lo), micros(hi))
-    val (df, hit) = readOverlapping(spark, fam, loM, hiM,
+    // NOTE: a range overlapping every generation is a legitimate request
+    // (it just prunes nothing) — the serving path never refuses it; that
+    // the DEFAULT range genuinely prunes 2 of 4 generations is pinned in
+    // RolloverSpec, not asserted here (r16 self-review: a drill invariant
+    // does not belong in a parameterized query).
+    val (df, _) = readOverlapping(spark, fam, loM, hiM,
       Seq("event_id", "ts", "event_type"))
-    val all = readRegistry(spark, fam).count(_.docs > 0)
-    require(hit.size < all,
-      s"range [$lo, $hi) pruned nothing: ${hit.size} of $all generations open")
     df.filter(unix_micros(col("ts")) >= loM && unix_micros(col("ts")) < hiM)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("doc_count"))

@@ -1923,6 +1923,20 @@ object Search {
       .orderBy(col("rk"))
   }
 
+  /** The shared top-k ranking tail (r16 review: four copies had grown):
+    * order by (score desc, doc_id), cut to k, rank with the same window —
+    * `mid` names the caller's pass-through columns between doc_id and
+    * score. Any change to the tie-break or cut discipline lands here
+    * once. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       mid: Seq[String]): DataFrame = {
+    val topk = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk") +: col("doc_id") +: mid.map(col) :+ col("score"): _*)
+      .orderBy(col("rk"))
+  }
+
   /** Oracle-checked query: the ES `dis_max` query with a TIE BREAKER —
     * the general disjunction-max `multi_match`'s `best_fields` is sugar
     * for: each sub-query (here the per-field matches over `title` and
@@ -1959,11 +1973,7 @@ object Search {
       .select(col("doc_id"), col("n_fields"),
         round(col("mx") + lit(tieBreaker) * (col("sm") - col("mx")), 6)
           .as("score"))
-    val topk = combined.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    topk.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("n_fields"), col("score"))
-      .orderBy(col("rk"))
+    rankTopK(combined, k, Seq("n_fields"))
   }
 
   /** Oracle-checked query: `match` over the ANALYZED field (`body_en`) —
@@ -2209,11 +2219,7 @@ object Search {
     val decayed = scored.join(dls, Seq("doc_id"))
       .select(col("doc_id"), col("n_t"),
         round(col("score") * factor, 6).as("score"))
-    val topk = decayed.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    topk.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("n_t"), col("score"))
-      .orderBy(col("rk"))
+    rankTopK(decayed, k, Seq("n_t"))
   }
 
   /** The ES `_clone` API: fork a read-only source index into a fresh
@@ -2231,8 +2237,12 @@ object Search {
     def cp(s: String, d: String): Unit = {
       val sp = new org.apache.hadoop.fs.Path(s)
       val dp = new org.apache.hadoop.fs.Path(d)
-      org.apache.hadoop.fs.FileUtil.copy(
-        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+      // FileUtil.copy reports some failures (e.g. mkdirs) by returning
+      // false rather than throwing — a partial clone must fail HERE, not
+      // as a confusing no-layout error deep in the mutation pass
+      require(org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf),
+        s"clone copy $s -> $d failed")
     }
     cp(src._1, s"$work/state")
     cp(src._2, s"$work/idx")
@@ -2253,7 +2263,9 @@ object Search {
     * at 100 TB a delete-by-query's hit set is corpus-scale). */
   private[graft] def deleteByQueryRun(spark: SparkSession, sfDir: String,
                                       term: String = "dup"): (String, String) =
-    dbqRuns.getOrRun(sfDir) {
+    // memo key carries the parameter: a later caller with a different
+    // delete query must not receive this run's mutated index (r16 review)
+    dbqRuns.getOrRun(s"$sfDir|$term") {
       val work = graft.model.TempDirs.deleteOnExit(
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-dbq-").toString)
@@ -2291,7 +2303,7 @@ object Search {
   private[graft] def updateByQueryRun(spark: SparkSession, sfDir: String,
                                       term: String = "slow",
                                       suffix: String = " reviewed"): (String, String) =
-    ubqRuns.getOrRun(sfDir) {
+    ubqRuns.getOrRun(s"$sfDir|$term|$suffix") {
       val work = graft.model.TempDirs.deleteOnExit(
         java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get("/tmp"), "graft-ubq-").toString)
@@ -2370,11 +2382,7 @@ object Search {
       .select(col("doc_id"), col("n_t"),
         when(col("isneg"), col("score") * negativeBoost)
           .otherwise(col("score")).as("score"))
-    val topk = demoted.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    topk.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("n_t"), col("score"))
-      .orderBy(col("rk"))
+    rankTopK(demoted, k, Seq("n_t"))
   }
 
   /** UNORDERED span proximity: one position per term such that the span's

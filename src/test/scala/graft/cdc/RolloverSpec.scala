@@ -65,4 +65,23 @@ class RolloverSpec extends AnyFunSuite with SparkSpec {
       micros("2024-02-01"), micros("2024-03-01"), Seq("event_id"))
     assert(miss.isEmpty && none.count() === 0L)
   }
+
+  test("the declared query's default range prunes 2 of the fixture's 4 " +
+    "generations; an all-covering range is served, not refused") {
+    def micros(day: String) =
+      java.time.Instant.parse(s"${day}T00:00:00Z").toEpochMilli * 1000L
+    val fam = Rollover.rolloverRun(spark, sfDir)
+    val gens = Rollover.readRegistry(spark, fam)
+    assert(gens.count(_.docs > 0) === 4)
+    val (_, hit) = Rollover.readOverlapping(spark, fam,
+      micros("2024-01-10"), micros("2024-01-20"), Seq("event_id"))
+    assert(hit.size === 2, s"default range must open weeks 2-3, got $hit")
+    // full-month range: overlaps everything — a legitimate query that
+    // must answer (the count equals the whole fixture), never refuse
+    val full = Rollover.qCdcRollover(spark, sfDir,
+      "2024-01-01", "2024-02-01")
+    assert(full.agg(org.apache.spark.sql.functions.sum("doc_count"))
+      .head().getLong(0) ===
+      graft.model.Tables.events(spark, sfDir).count())
+  }
 }
