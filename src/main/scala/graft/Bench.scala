@@ -167,6 +167,15 @@ object Bench {
     // this box measure par32 190-230; contended runs 240+.
     val spinParBest = math.min(spinParStart, spinParEnd)
     val contended = spinParBest > 240.0
+    // ...and the mid-run DEGRADATION case the best-of-run flag misses
+    // (r16: several runs started at par32 ≤185 and ended 270-310 — the
+    // early queries measured quiet, the late alphabet contended; a
+    // best-of-run reader would call the whole run clean). A run is
+    // `degraded` when its two samples straddle the threshold by a wide
+    // margin — per-query times are then mixed-window and only the early
+    // prefix compares cleanly.
+    val degraded = !contended &&
+      math.max(spinParStart, spinParEnd) > 260.0
 
     // Full-precision per-query map goes to a file (the harness that captures
     // stdout keeps only a short tail, so the printed line must stay small);
@@ -269,7 +278,7 @@ object Bench {
       s""""spin_par32_ms_end":${"%.1f".formatLocal(java.util.Locale.ROOT, spinParEnd)},""" +
       s""""spin_ref_ms":$SpinRef,""" +
       s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
-      s""""contended":$contended,""" +
+      s""""contended":$contended,"degraded":$degraded,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
@@ -283,7 +292,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true
