@@ -1299,6 +1299,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "survivors kept their scores — the corpus statistics never moved")
   }
 
+  test("span_near agrees with a brute-force reference on 200 seeded-random " +
+    "docs at every slop 0-4") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "x")
+    val docs = (1L to 200L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(3)))
+    }
+    val p = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.groupBy(_._1).map { case (t, xs) =>
+        (t, id, xs.map(_._2 + 1).sorted)
+      }
+    }.toDF("tok", "doc_id", "positions")
+    for (slop <- 0 to 4) {
+      val got = Search.spanNearHits(p, Seq("a", "b"), slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.flatMap { case (id, ws) =>
+        val pa = ws.zipWithIndex.collect { case ("a", i) => i + 1 }
+        val pb = ws.zipWithIndex.collect { case ("b", i) => i + 1 }
+        val starts = (for { x <- pa; y <- pb; if math.abs(x - y) - 1 <= slop }
+          yield math.min(x, y)).toSet
+        if (starts.nonEmpty) Some(id -> starts.size.toLong) else None
+      }.toMap
+      assert(got === want, s"slop $slop")
+    }
+  }
+
   test("synonym contraction merges class postings: the canonical token's df " +
     "is the union df, members vanish from the view, other fields untouched") {
     import org.apache.spark.sql.functions._
