@@ -457,6 +457,9 @@ object SparkEntry {
     // ES function_score LINEAR DECAY on a numeric field (prefer docs
     // whose dl is near the origin) — rational arithmetic end to end
     "cdc_decay_score" -> ((s, d) => graft.ops.Search.qCdcDecayScore(s, d)),
+    // ES rank_feature in bool.should: boost × v/(v+pivot) ADDS to the
+    // match score — the additive learned-feature composition
+    "cdc_rank_feature" -> ((s, d) => graft.ops.Search.qCdcRankFeature(s, d)),
     // ES _delete_by_query: the index's own posting list drives a bulk
     // DELETE through the maintainer; the post-delete corpus rescores
     "cdc_delete_by_query" -> ((s, d) =>
@@ -2334,6 +2337,16 @@ object SparkEntry {
     "cdc_synonym_search" -> bm25Sql(docsSynonymCte, 1,
       // query terms analyzed through the same contraction table
       Seq("slow", "order"), Seq.empty),
+    "cdc_rank_feature" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      // rank_feature saturation S(v) = v/(v+pivot); should ADDS boost × S
+      tail = """,rf AS (SELECT r.doc_id, r.n_t,
+        |         round(r.score + round(0.5 * (CAST(dl.dl AS DOUBLE)
+        |           / (CAST(dl.dl AS DOUBLE) + 50.0)), 6), 6) AS score
+        |       FROM r JOIN dl ON dl.doc_id = r.doc_id),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM rf)
+        |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
+        |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_decay_score" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       // linear decay on dl: origin 50, offset 5, scale 20, decay 0.5 →

@@ -2222,6 +2222,34 @@ object Search {
     rankTopK(decayed, k, Seq("n_t"))
   }
 
+  /** Oracle-checked query: the ES `rank_feature` query inside a bool
+    * `should` — the learned-feature ranking staple (`pagerank`-style
+    * static signals): the feature scores by the SATURATION function
+    * `S(v) = v / (v + pivot)` (the rank_feature default), the should
+    * clause ADDS `boost × S` to the must clause's BM25 — the additive
+    * composition, beside the multiplicative function_score/decay family
+    * (ES sums a bool's matching clauses' scores). Rational arithmetic
+    * end to end; the feature is dl (denormalized in the postings — no
+    * doc-state read), each term round-6 before the final round-6, both
+    * written identically in the oracle. */
+  def qCdcRankFeature(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      pivot: Double = 50.0, boost: Double = 0.5,
+                      k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val post = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(post, corpusStats(spark, idxDir), 1.2, 0.75)
+    val dls = post.select(col("doc_id"), col("dl")).distinct()
+    val sat = round(lit(boost) * (col("dl").cast("double") /
+      (col("dl").cast("double") + lit(pivot))), 6)
+    val combined = scored.join(dls, Seq("doc_id"))
+      .select(col("doc_id"), col("n_t"),
+        round(col("score") + sat, 6).as("score"))
+    rankTopK(combined, k, Seq("n_t"))
+  }
+
   /** The ES `_clone` API: fork a read-only source index into a fresh
     * target by copying its COMMITTED files — every artifact here is
     * immutable-once-committed (versioned bucket dirs, sorted runs,

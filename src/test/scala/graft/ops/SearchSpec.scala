@@ -1353,6 +1353,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(top.length.toLong === slowDf)
   }
 
+  test("rank_feature ADDS the saturation bonus: every final score is the " +
+    "plain score plus boost × v/(v+pivot), and long docs gain rank") {
+    import org.apache.spark.sql.functions._
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val rf = Search.qCdcRankFeature(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(rf.keySet === plain.keySet, "a should clause must not filter")
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val dls = graft.cdc.ChangelogStream.readState(spark, idxDir,
+        Seq("id", "dl")).select(col("id"), col("dl")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rf.foreach { case (doc, s) =>
+      val sat = r6(0.5 * (dls(doc).toDouble / (dls(doc).toDouble + 50.0)))
+      assert(s === r6(plain(doc) + sat), s"doc $doc")
+    }
+    // the bonus is monotone in dl, so the composed ranking genuinely
+    // differs from the plain one (long docs climb)
+    val topPlain = Search.qCdcTextSearch(spark, sfDir).collect()
+      .map(_.getLong(1)).toSeq
+    val topRf = Search.qCdcRankFeature(spark, sfDir).collect()
+      .map(_.getLong(1)).toSeq
+    assert(topPlain !== topRf, "saturation bonus invisible in the top-10")
+  }
+
   test("linear decay keeps scores within the offset, zeroes them beyond s, " +
     "and scales linearly between") {
     import org.apache.spark.sql.functions._
