@@ -236,7 +236,10 @@ object Bench {
       "cdc_terms_agg_metric", "cdc_histogram_agg", "cdc_composite_agg",
       "cdc_cardinality_agg", "cdc_derivative_agg", "cdc_moving_fn",
       "cdc_dis_max", "cdc_synonym_search", "cdc_boosting",
-      "cdc_decay_score", "cdc_span_near")
+      "cdc_decay_score", "cdc_span_near",
+      // ADVICE r16: rank_feature reads the text pass like its siblings
+      // and was omitted from this disclosure when the wave landed
+      "cdc_rank_feature")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -33,22 +33,41 @@ object Rollover {
   private def registryPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/registry")
 
-  private[graft] def readRegistry(spark: SparkSession,
-                                  dir: String): Seq[Gen] = {
+  /** Registry file format (r17): TWO lines under one MetaFile commit —
+    * `<maxSeq>` (the family-level replay fence, see [[write]]) then the
+    * `|`/`;`-delimited generation list. The generation-list read keeps its
+    * r16 shape for callers that only prune. */
+  private[graft] def readRegistryFenced(spark: SparkSession,
+                                        dir: String): (Long, Seq[Gen]) = {
     val p = registryPath(dir)
     MetaFile.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-      .map(_.trim.split(';').toSeq.filter(_.nonEmpty).map { line =>
-        val Array(d, mn, mx, n) = line.split('|')
-        Gen(d, mn.toLong, mx.toLong, n.toLong)
-      })
-      .getOrElse(Seq.empty)
+      .map { txt =>
+        val Array(fence, genLine) = txt.split('\n')
+        (fence.toLong,
+          genLine.trim.split(';').toSeq.filter(_.nonEmpty).map { line =>
+            val Array(d, mn, mx, n) = line.split('|')
+            Gen(d, mn.toLong, mx.toLong, n.toLong)
+          })
+      }
+      .getOrElse((Long.MinValue, Seq.empty))
   }
 
-  private def writeRegistry(spark: SparkSession, dir: String,
-                            gens: Seq[Gen]): Unit = {
+  private[graft] def readRegistry(spark: SparkSession,
+                                  dir: String): Seq[Gen] =
+    readRegistryFenced(spark, dir)._2
+
+  private[cdc] def writeRegistry(spark: SparkSession, dir: String,
+                                 maxSeq: Long, gens: Seq[Gen]): Unit = {
+    // generation dirs are internally generated (gen-NNNNNN under the
+    // family root) — but the registry's flat delimiters make that an
+    // invariant worth enforcing, not assuming (ADVICE r16): a dir
+    // carrying '|' or ';' would round-trip as a corrupt MatchError later
+    gens.foreach(g => require(!g.dir.exists("|;\n".contains(_)),
+      s"generation dir must not contain registry delimiters: ${g.dir}"))
     val p = registryPath(dir)
     MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
-      gens.map(g => s"${g.dir}|${g.minTs}|${g.maxTs}|${g.docs}").mkString(";"))
+      s"$maxSeq\n" +
+        gens.map(g => s"${g.dir}|${g.minTs}|${g.maxTs}|${g.docs}").mkString(";"))
   }
 
   /** Append one batch (`event_id`-keyed rows carrying a `ts` column)
@@ -62,43 +81,54 @@ object Rollover {
     * pruning uses the RECORDED spans, so overlap costs IO, never
     * correctness).
     *
-    * Crash honesty (self-review r16): a crash between the upsert and the
-    * registry write replays the batch — the STATE merge is idempotent
-    * (same keys, same seqs), the span min/max re-folds identically, but
-    * the doc COUNT re-adds. The count is ILM condition bookkeeping only:
-    * inflation can fire a roll early (a smaller generation), never change
-    * what a read returns (reads scan committed state through the recorded
-    * spans). ES's own rollover conditions are exactly this kind of
-    * best-effort trigger. */
+    * Crash honesty, CLOSED r17 (was a self-disclosed double-count in r16):
+    * the registry's first line is the family-level MAX COMMITTED SEQ, and
+    * a batch whose own max seq does not clear it is a replay of a FULLY
+    * COMMITTED write (the registry flip is strictly after the upsert
+    * returns, so a listed seq proves the state merge landed) — the whole
+    * write skips, so neither the doc count nor the spans re-add. A crash
+    * BETWEEN upsert and registry write leaves the fence unbumped and the
+    * replay re-runs both — the state merge absorbs (same keys, same seqs)
+    * and the bookkeeping lands exactly once. The fence rides the rollover
+    * contract batches already carry (time order ⇒ monotone seqs — a log's
+    * seq IS its LSN). */
   def write(spark: SparkSession, familyDir: String, batch: DataFrame,
             maxDocs: Long, initialBuckets: Int = 4): Unit = {
-    val gens0 = readRegistry(spark, familyDir)
+    val (fence, gens0) = readRegistryFenced(spark, familyDir)
     val gens =
       if (gens0.nonEmpty) gens0
       else Seq(Gen(s"$familyDir/gen-000001", Long.MaxValue, Long.MinValue, 0L))
     val cur = gens.last
-    // one pass over the (small, batch-sized) frame for span + count —
-    // the ILM bookkeeping the registry records
-    val stats = batch.agg(min(unix_micros(col("ts"))),
-      max(unix_micros(col("ts"))), count(lit(1))).head()
-    if (stats.getLong(2) == 0L) return
-    ChangelogStream.upsertBatch(
-      batch.withColumn("seq", col("event_id"))
-        .withColumn("op", lit("INSERT")),
-      cur.dir, keyCols = Seq("event_id"),
-      initialBuckets = initialBuckets, noTruncate = true)
-    val updated = cur.copy(
-      minTs = math.min(cur.minTs, stats.getLong(0)),
-      maxTs = math.max(cur.maxTs, stats.getLong(1)),
-      docs = cur.docs + stats.getLong(2))
-    // the condition poll: roll AFTER the write that crossed the threshold
-    // (ES: the rollover API creates gen N+1 and flips the write alias)
-    val next =
-      if (updated.docs >= maxDocs)
-        Seq(Gen(f"$familyDir/gen-${gens.size + 1}%06d",
-          Long.MaxValue, Long.MinValue, 0L))
-      else Seq.empty
-    writeRegistry(spark, familyDir, gens.init ++ (updated +: next))
+    // one pass over the (small, batch-sized) frame for span + count +
+    // max seq — the ILM bookkeeping and the fence the registry records;
+    // cached around the stats+upsert pair so the source scan and filter
+    // run once, not once per consumer (ADVICE r16)
+    batch.persist()
+    try {
+      val stats = batch.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))), count(lit(1)),
+        max(col("event_id"))).head()
+      if (stats.getLong(2) == 0L) return
+      if (stats.getLong(3) <= fence) return // committed replay — see above
+      ChangelogStream.upsertBatch(
+        batch.withColumn("seq", col("event_id"))
+          .withColumn("op", lit("INSERT")),
+        cur.dir, keyCols = Seq("event_id"),
+        initialBuckets = initialBuckets, noTruncate = true)
+      val updated = cur.copy(
+        minTs = math.min(cur.minTs, stats.getLong(0)),
+        maxTs = math.max(cur.maxTs, stats.getLong(1)),
+        docs = cur.docs + stats.getLong(2))
+      // the condition poll: roll AFTER the write that crossed the threshold
+      // (ES: the rollover API creates gen N+1 and flips the write alias)
+      val next =
+        if (updated.docs >= maxDocs)
+          Seq(Gen(f"$familyDir/gen-${gens.size + 1}%06d",
+            Long.MaxValue, Long.MinValue, 0L))
+        else Seq.empty
+      writeRegistry(spark, familyDir, stats.getLong(3),
+        gens.init ++ (updated +: next))
+    } finally batch.unpersist()
   }
 
   /** The read alias, time-PRUNED: only generations whose recorded span
