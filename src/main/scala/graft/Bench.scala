@@ -239,7 +239,10 @@ object Bench {
       "cdc_decay_score", "cdc_span_near",
       // ADVICE r16: rank_feature reads the text pass like its siblings
       // and was omitted from this disclosure when the wave landed
-      "cdc_rank_feature")
+      "cdc_rank_feature",
+      // r17: completion reads the text pass's directory; the percentiles
+      // sub-agg reads the composed pass's maintained orders state
+      "cdc_completion", "cdc_date_histogram_percentiles")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

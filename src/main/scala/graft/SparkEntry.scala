@@ -121,6 +121,10 @@ object SparkEntry {
     // …and with METRIC SUB-AGGREGATIONS: each month bucket carries the
     // stats (count/sum/avg/min/max) of o_totalprice (VERDICT r15 #2)
     "cdc_date_histogram_stats" -> (graft.cdc.Pipeline.qDateHistogramStats _),
+    // percentiles sub-agg under the date histogram: exact below-threshold
+    // regime, R-7 interpolation written identically in both engines
+    "cdc_date_histogram_percentiles" ->
+      (graft.cdc.Pipeline.qDateHistogramPercentiles _),
     // ES terms agg ORDERED BY a metric sub-agg (order: {sum_price: desc},
     // size 10) — top customers by revenue off the live maintained store
     "cdc_terms_agg_metric" -> ((s, d) =>
@@ -271,6 +275,9 @@ object SparkEntry {
     // ES nested-query semantics: per-element match over an array of
     // objects vs the flattened cross-match (VERDICT r15 missing #5)
     "q_nested_match" -> ((s, d) => Relational.qNestedMatch(s, d)),
+    // inner_hits: the matching nested elements of each qualifying parent,
+    // ranked by the nested sort, size-bounded per parent
+    "q_nested_inner_hits" -> ((s, d) => Relational.qNestedInnerHits(s, d)),
     // ES nested AGGREGATION: parent-scoped (power users), then terms +
     // metrics over the nested element stream
     "q_nested_agg" -> ((s, d) => Relational.qNestedAgg(s, d)),
@@ -537,6 +544,9 @@ object SparkEntry {
     // ES term suggester (did-you-mean): per misspelled input, the closest
     // index terms by (edit distance, df desc, term) within prefix_length=1
     "cdc_suggest" -> ((s, d) => graft.ops.Search.qCdcSuggest(s, d)),
+    // completion suggester: weight-ranked prefix completions from the
+    // sorted term directory (the Lucene FST surface as range reads)
+    "cdc_completion" -> ((s, d) => graft.ops.Search.qCdcCompletion(s, d)),
     // ES function_score: filter+weight functions on the stored keyword
     // field multiply the FULL match set's scores (no window) before top-k
     "cdc_function_score" -> ((s, d) =>
@@ -1577,6 +1587,15 @@ object SparkEntry {
         |FROM events GROUP BY 1)
         |SELECT user_id, nested_match, flat_match FROM n
         |WHERE flat_match = 1 ORDER BY user_id""".stripMargin,
+    "q_nested_inner_hits" ->
+      // inner_hits: matching elements of nested-matching parents, ranked
+      // by value desc (ties on event_type), top 3 per parent
+      """WITH h AS (SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY value DESC, event_type) AS hit_rank
+        |FROM events WHERE event_type = 'click' AND value >= 300.0)
+        |SELECT user_id, CAST(hit_rank AS BIGINT) AS hit_rank, event_type, value
+        |FROM h WHERE hit_rank <= 3 ORDER BY user_id, hit_rank""".stripMargin,
     "q_nested_agg" ->
       // nested agg: parent scope (≥70 nested events), then terms +
       // metrics over the qualifying parents' element stream
@@ -2231,6 +2250,32 @@ object SparkEntry {
          |       max(o_totalprice) AS max_price
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_date_histogram_percentiles" ->
+      // percentiles sub-agg, exact below-threshold regime: per-bucket
+      // sorted arrays, R-7 interpolation h = (n-1)·p + 1 with IDENTICAL
+      // expression text to the Spark plan (same double ops, same bits)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             count(*) AS doc_count,
+         |             list_sort(list(o_totalprice)) AS vals
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT month, doc_count,
+         |  round(vals[CAST(floor((doc_count - 1) * 0.5 + 1.0) AS INT)] +
+         |        ((doc_count - 1) * 0.5 + 1.0 - floor((doc_count - 1) * 0.5 + 1.0)) *
+         |        (vals[CAST(ceil((doc_count - 1) * 0.5 + 1.0) AS INT)] -
+         |         vals[CAST(floor((doc_count - 1) * 0.5 + 1.0) AS INT)]), 6) AS p50,
+         |  round(vals[CAST(floor((doc_count - 1) * 0.95 + 1.0) AS INT)] +
+         |        ((doc_count - 1) * 0.95 + 1.0 - floor((doc_count - 1) * 0.95 + 1.0)) *
+         |        (vals[CAST(ceil((doc_count - 1) * 0.95 + 1.0) AS INT)] -
+         |         vals[CAST(floor((doc_count - 1) * 0.95 + 1.0) AS INT)]), 6) AS p95,
+         |  round(vals[CAST(floor((doc_count - 1) * 0.99 + 1.0) AS INT)] +
+         |        ((doc_count - 1) * 0.99 + 1.0 - floor((doc_count - 1) * 0.99 + 1.0)) *
+         |        (vals[CAST(ceil((doc_count - 1) * 0.99 + 1.0) AS INT)] -
+         |         vals[CAST(floor((doc_count - 1) * 0.99 + 1.0) AS INT)]), 6) AS p99
+         |FROM b ORDER BY month""".stripMargin,
     "cdc_terms_agg_metric" ->
       // terms agg ordered by the metric sub-agg: the size cut applies
       // AFTER the metric ordering, ties on the bucket key ascending
@@ -2419,6 +2464,20 @@ object SparkEntry {
          |        (PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rk
          |      FROM cand)
          |SELECT input, CAST(rk AS BIGINT) AS rk, suggestion, dist, df
+         |FROM r WHERE rk <= 3 ORDER BY input, rk""".stripMargin,
+    "cdc_completion" ->
+      // completion suggester: per prefix, the live vocabulary's matching
+      // terms ranked by weight (maintained df) desc, ties lexicographic,
+      // size 3; the directory is distinct-by-construction (skip_duplicates)
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |ins AS (SELECT * FROM (VALUES ('s'), ('wi'), ('me')) AS t(input)),
+         |cand AS (SELECT i.input, d.tok AS suggestion, d.df AS weight
+         |         FROM d JOIN ins i ON d.tok LIKE i.input || '%'),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY input ORDER BY weight DESC, suggestion) AS rk
+         |      FROM cand)
+         |SELECT input, CAST(rk AS BIGINT) AS rk, suggestion, weight
          |FROM r WHERE rk <= 3 ORDER BY input, rk""".stripMargin,
     // function_score: the weight CASE multiplies the FULL ranked set `r`
     // (rk unrestricted), then re-ranks — no window, unlike rescore

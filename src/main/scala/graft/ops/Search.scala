@@ -1044,6 +1044,45 @@ object Search {
       .orderBy(col("input"), col("rk"))
   }
 
+  /** Oracle-checked query: the ES COMPLETION SUGGESTER (`suggest:
+    * {completion: …}`) — the search-as-you-type surface Lucene serves from
+    * a weight-ranked FST: per input prefix, the top `size` completions
+    * ordered by a stored per-suggestion WEIGHT. Distinct from the term
+    * suggester ([[qCdcSuggest]] — edit-distance corrections) and from
+    * `match_phrase_prefix` ([[qCdcPhrasePrefix]] — returns documents):
+    * completion returns SUGGESTIONS. Here the FST's role is played by the
+    * sorted term directory ([[dictTerms]] — the LSM of tok-ordered runs):
+    * each prefix is one literal `StartsWith` leg pushed into every run's
+    * sorted parquet (row-group range reads — the FST prefix walk's
+    * columnar analog), and the weight is the term's maintained df (ES
+    * stores an explicit weight per suggestion; a deployment that wants
+    * popularity-weighted completions indexes df exactly like this). The
+    * directory is distinct-by-construction (one row per live term), which
+    * IS the `skip_duplicates: true` contract; the `size` cut applies per
+    * input after the weight ordering, ties broken lexicographically. At
+    * 100 TB the read is the prefixes' row-group ranges of a
+    * vocabulary-sized structure — never the postings, never the corpus. */
+  def qCdcCompletion(spark: SparkSession, sfDir: String,
+                     prefixes: Seq[String] = Seq("s", "wi", "me"),
+                     size: Int = 3): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val dict = dictTerms(spark, idxDir)
+    // one leg per prefix: the LITERAL StartsWith is what pushes into the
+    // sorted runs' row-group stats (a column-vs-column predicate would
+    // not) — the union is |prefixes| pruned range reads
+    val cand = prefixes.map(p =>
+        dict.filter(col("tok").startsWith(p))
+          .select(lit(p).as("input"), col("tok").as("suggestion"),
+            col("df").as("weight")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("input"))
+      .orderBy(col("weight").desc, col("suggestion"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= size)
+      .select(col("input"), col("rk"), col("suggestion"), col("weight"))
+      .orderBy(col("input"), col("rk"))
+  }
+
   /** Oracle-checked query: the ES `function_score` query — filter+weight
     * functions over a stored keyword field reweight the WHOLE match set
     * (`boost_mode: multiply`): `final = round6(bm25 × factor)` where the

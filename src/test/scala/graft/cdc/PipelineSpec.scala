@@ -287,6 +287,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert((20L to 90L by 10L).filterNot(_ == 40L).forall(m(_) === 0L))
   }
 
+  test("percentiles sub-agg: exact R-7 interpolation per bucket, ordered " +
+    "p50 ≤ p95 ≤ p99 within [min, max]") {
+    val got = Pipeline.qDateHistogramPercentiles(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // cross-check each bucket against an independent exact recomputation
+    // (driver-side sort + the same R-7 rule in plain Scala)
+    val vals = Pipeline.qState(spark, sfDir)
+      .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+        $"o_totalprice")
+      .collect().groupBy(_.getDate(0))
+      .map { case (m, rs) => m -> rs.map(_.getDouble(1)).sorted }
+    def r7(v: Array[Double], p: Double): Double = {
+      val h = (v.length - 1).toDouble * p + 1.0
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      BigDecimal(v(lo - 1) + (h - math.floor(h)) * (v(hi - 1) - v(lo - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { r =>
+      val v = vals(r.getDate(0))
+      assert(r.getLong(1) === v.length.toLong)
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 === r7(v, 0.5) && p95 === r7(v, 0.95) && p99 === r7(v, 0.99))
+      assert(p50 <= p95 && p95 <= p99)
+      assert(p50 >= v.head && p99 <= v.last)
+    }
+  }
+
   test("composite agg pages chain: each page starts strictly after the " +
     "previous after-key and the pages tile the full bucket list") {
     // the cursor-before-everything request IS the full source-ordered list

@@ -997,6 +997,40 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(rescored.exists(_.getLong(2) > 0), "no phrase hits in the top-10")
   }
 
+  test("completion suggester: weight-ranked prefix completions off the " +
+    "directory, size-cut per input, no-match prefixes absent") {
+    val q = Search.qCdcCompletion(spark, sfDir,
+      prefixes = Seq("s", "wi", "zzz"), size = 3)
+    val out = q.collect()
+    // every completion extends its input; ranks are 1..≤size per input,
+    // ordered by (weight desc, suggestion); a prefix matching nothing
+    // returns no rows (the ES empty-options contract), never a null row
+    assert(!out.exists(_.getString(0) == "zzz"))
+    out.foreach { r =>
+      assert(r.getString(2).startsWith(r.getString(0)))
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L)
+    }
+    out.groupBy(_.getString(0)).foreach { case (in, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq)
+      val keys = sorted.map(r => (-r.getLong(3), r.getString(2)))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq,
+        s"'$in' completions not ranked by (weight desc, suggestion)")
+    }
+    // weights are live dfs: each equals a direct distinct-doc count over
+    // the maintained postings (the directory is the postings' vocabulary
+    // view — skip_duplicates by construction)
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val s01 = out.filter(_.getString(0) == "s")
+    assert(s01.nonEmpty)
+    val dict = Search.dictTerms(spark, idxDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    s01.foreach(r => assert(r.getLong(3) === dict(r.getString(2))))
+    // the size cut genuinely bites: 's' expands well beyond 3 vocabulary
+    // terms (stream/sort/scan/small/…) yet reports exactly 3
+    assert(dict.keys.count(_.startsWith("s")) > 3 && s01.length === 3)
+  }
+
   test("suggest resolves misspellings by (distance, df desc, term) under the prefix-1 contract") {
     val q = Search.qCdcSuggest(spark, sfDir)
     // the prefix_length=1 equality must plan as a broadcast HASH join key
