@@ -241,8 +241,10 @@ object Bench {
       // and was omitted from this disclosure when the wave landed
       "cdc_rank_feature",
       // r17: completion reads the text pass's directory; the percentiles
-      // sub-agg reads the composed pass's maintained orders state
-      "cdc_completion", "cdc_date_histogram_percentiles")
+      // sub-agg reads the composed pass's maintained orders state; the
+      // fragments highlighter reads the text pass's postings + doc state
+      "cdc_completion", "cdc_date_histogram_percentiles",
+      "cdc_highlight_fragments")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -569,6 +569,10 @@ object SparkEntry {
     // ES highlight: matched-term first positions + occurrence counts for
     // the top-k hits, served from the maintained positional postings
     "cdc_highlight" -> ((s, d) => graft.ops.Search.qCdcHighlight(s, d)),
+    // <em>-tagged snippets cut from the stored doc by the postings'
+    // indexed character offsets — never by re-analysis
+    "cdc_highlight_fragments" ->
+      ((s, d) => graft.ops.Search.qCdcHighlightFragments(s, d)),
     // ES filtered kNN: ANN candidates cut (pre-filter) to docs whose
     // stored keyword field matches, composing the two maintained states
     "cdc_vector_filtered" -> ((s, d) => Similarity.qCdcVectorFiltered(s, d)),
@@ -2564,6 +2568,26 @@ object SparkEntry {
          |FROM pt JOIN r ON r.doc_id = pt.doc_id
          |WHERE pt.tok IN ('stream', 'merge', 'window')
          |GROUP BY 1, 2, 3 ORDER BY rk, tok""".stripMargin),
+    // highlight FRAGMENTS: the deterministic character-window rule —
+    // `context`=15 chars either side of the first occurrence, clipped to
+    // doc bounds — with the substring arithmetic written identically to
+    // the Spark plan. The padded position() finds the first TOKEN
+    // occurrence (space boundaries), which equals the index's first
+    // offset by construction
+    "cdc_highlight_fragments" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      tail = s""",top AS (SELECT rk, doc_id FROM r WHERE rk <= 5),
+         |h AS (SELECT t.rk, t.doc_id, p.tok
+         |      FROM top t JOIN post p ON p.doc_id = t.doc_id),
+         |f AS (SELECT h.rk, h.doc_id, h.tok,
+         |        position((' ' || h.tok || ' ') IN (' ' || l.text || ' ')) AS o,
+         |        len(l.text) AS n, l.text AS text
+         |      FROM h JOIN live l ON l.doc_id = h.doc_id)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, tok,
+         |  substr(text, greatest(1, o - 15), o - greatest(1, o - 15)) ||
+         |  '<em>' || tok || '</em>' ||
+         |  substr(text, o + len(tok), least(15, n - (o + len(tok)) + 1)) AS fragment
+         |FROM f ORDER BY rk, tok""".stripMargin),
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

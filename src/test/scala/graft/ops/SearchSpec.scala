@@ -1217,6 +1217,56 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(sample.getLong(4) === occ.length.toLong)
   }
 
+  test("highlight fragments cut from the stored doc by indexed offsets — " +
+    "equal to a direct re-derivation, corpus never re-analyzed") {
+    val q = Search.qCdcHighlightFragments(spark, sfDir)
+    val out = q.collect()
+    assert(out.nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"fragments re-analyzed the corpus:\n$plan")
+    val stateDir = Search.textIndexRun(spark, sfDir)._1
+    out.foreach { r =>
+      val (doc, tok, frag) =
+        (r.getLong(1), r.getString(2), r.getString(3))
+      val text = graft.cdc.ChangelogStream.readKey(spark, stateDir, doc)
+        .get.getAs[String]("text")
+      // re-derive: first token occurrence's char start (1-based), then
+      // the 15-char window rule
+      val toks = text.split(" ", -1)
+      val starts = toks.scanLeft(1)((acc, t) => acc + t.length + 1)
+      val o = toks.indices.collectFirst {
+        case i if toks(i) == tok => starts(i)
+      }.get
+      val preStart = math.max(1, o - 15)
+      val postStart = o + tok.length
+      val expected =
+        text.substring(preStart - 1, o - 1) + "<em>" + tok + "</em>" +
+          text.substring(postStart - 1,
+            math.min(text.length, postStart - 1 + 15))
+      assert(frag === expected, s"doc $doc term '$tok'")
+    }
+    // the indexed offsets themselves align with the positions array: for
+    // a sampled posting, offsets[i] is the char start of the token at
+    // positions[i] in the live text (the Lucene offsets contract)
+    val idxDir = Search.textIndexRun(spark, sfDir)._2
+    val sample = graft.cdc.ChangelogStream
+      .readState(spark, idxDir, Seq("tok", "id", "positions", "offsets"))
+      .filter(size(col("positions")) >= 2).limit(5).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val text = graft.cdc.ChangelogStream
+        .readKey(spark, stateDir, r.getLong(1)).get.getAs[String]("text")
+      val toks = text.split(" ", -1)
+      val starts = toks.scanLeft(1)((acc, t) => acc + t.length + 1)
+      val ps = r.getSeq[Int](2); val os = r.getSeq[Int](3)
+      assert(ps.length === os.length)
+      ps.zip(os).foreach { case (p, o) =>
+        assert(starts(p - 1) === o && toks(p - 1) === r.getString(0))
+      }
+    }
+  }
+
   test("PIT pagination pins the view: the seed-savepoint page 2 differs " +
     "from the live page 2 after the tail applied") {
     // the reason ES recommends PIT + search_after: a live index mutating
