@@ -205,7 +205,10 @@ object Bench {
       "cdc_analyzer_search",
       // r16 fourth wave: each carries its OWN pass (a corpus-mutating
       // text pass; the rolled events family)
-      "cdc_delete_by_query", "cdc_update_by_query", "cdc_rollover")
+      "cdc_delete_by_query", "cdc_update_by_query", "cdc_rollover",
+      // r17: carries the rolled TEXT family (four weekly maintainer
+      // epochs, one generation each)
+      "cdc_rollover_search")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",

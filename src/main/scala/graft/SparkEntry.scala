@@ -143,6 +143,10 @@ object SparkEntry {
     // rolling on max_docs; a time-range agg through the read alias opens
     // only the generations whose recorded spans overlap
     "cdc_rollover" -> ((s, d) => graft.cdc.Rollover.qCdcRollover(s, d)),
+    // cross-generation BM25 over the rolled TEXT family: span-pruned
+    // generations, merged corpus stats, boundary-only range filtering
+    "cdc_rollover_search" ->
+      ((s, d) => graft.ops.Search.qCdcRolloverSearch(s, d)),
     // ES PIPELINE aggs over the histogram's buckets: derivative (Δ vs the
     // previous bucket, null for the first) + cumulative_sum
     "cdc_derivative_agg" -> ((s, d) => graft.cdc.Pipeline.qDerivativeAgg(s, d)),
@@ -2339,6 +2343,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS doc_count FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cross-generation text search: the corpus is the HIT generations'
+    // docs (event day = doc_id % 28, the log's deterministic time axis;
+    // weeks 0-2 overlap [day 5, day 19)), stats and df derive from that
+    // whole corpus (the ES cross-index statistics merge), and the range
+    // cuts candidates in filter context — never rescoring
+    "cdc_rollover_search" -> bm25Sql(
+      "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n" +
+        "         FROM documents WHERE doc_id % 28 <= 20)",
+      1, Seq("stream", "merge", "window"), Seq.empty,
+      extraCut = "(p.doc_id % 28) BETWEEN 5 AND 18"),
     "cdc_derivative_agg" ->
       // pipeline aggs on the bucket frame: derivative (null first bucket)
       // + cumulative_sum, one window pass over |months| rows

@@ -56,8 +56,8 @@ object Rollover {
                                   dir: String): Seq[Gen] =
     readRegistryFenced(spark, dir)._2
 
-  private[cdc] def writeRegistry(spark: SparkSession, dir: String,
-                                 maxSeq: Long, gens: Seq[Gen]): Unit = {
+  private[graft] def writeRegistry(spark: SparkSession, dir: String,
+                                   maxSeq: Long, gens: Seq[Gen]): Unit = {
     // generation dirs are internally generated (gen-NNNNNN under the
     // family root) — but the registry's flat delimiters make that an
     // invariant worth enforcing, not assuming (ADVICE r16): a dir

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.cdc.Rollover
+
+/** The rolled TEXT family ([[TextRollover]] + [[Search
+  * .qCdcRolloverSearch]]): generation formation and spans, the replay
+  * fence, span pruning in the query plan, the boundary `_tsidx` cut, the
+  * cross-generation stats merge, and a generation-TARGETED update (the ES
+  * write-to-concrete-index-name path) moving postings inside its
+  * generation. */
+class TextRolloverSpec extends AnyFunSuite with SparkSpec {
+
+  private def fam = TextRollover.rolloverTextRun(spark, sfDir)
+  private def m(day: String) = TextRollover.micros(day)
+
+  test("four weekly epochs roll into four week-spanning generations; a " +
+    "committed epoch's replay is a registry no-op") {
+    val gens = Rollover.readRegistry(spark, fam)
+    assert(gens.count(_.docs > 0) === 4 && gens.size === 5)
+    def day(micros: Long) =
+      java.time.Instant.ofEpochMilli(micros / 1000L).toString.take(10)
+    gens.filter(_.docs > 0).zipWithIndex.foreach { case (g, w) =>
+      assert(day(g.minTs) >= f"2024-01-${7 * w + 1}%02d")
+      assert(day(g.maxTs) <= f"2024-01-${7 * w + 7}%02d")
+    }
+    // replay week 2 verbatim (the post-registry-commit crash point): the
+    // seq fence must skip the whole write — registry unchanged
+    val before = gens
+    val dayCol = (col("doc_id") % 28).cast("int")
+    val week2 = graft.model.Tables.documents(spark, sfDir)
+      .filter(dayCol >= 7 && dayCol < 14)
+      .select(col("doc_id").as("id"),
+        (dayCol.cast("long") * 1000000L + col("doc_id")).as("seq"),
+        lit("INSERT").as("op"), col("text"), col("source"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), dayCol)
+          .cast("timestamp").as("ts"))
+    TextRollover.write(spark, fam, week2, maxDocs = 1L)
+    assert(Rollover.readRegistry(spark, fam) === before)
+  }
+
+  test("the default range opens generations 1-3 only (2 boundary, 1 " +
+    "interior) and generation 4 never appears in the plan") {
+    val hit = TextRollover.hitGenerations(
+      Rollover.readRegistry(spark, fam), m("2024-01-06"), m("2024-01-20"))
+    assert(hit.map { case (g, i) => (g.dir.takeRight(10), i) } === Seq(
+      ("gen-000001", false), ("gen-000002", true), ("gen-000003", false)))
+    val q = Search.qCdcRolloverSearch(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("gen-000004"), s"pruned generation opened:\n$plan")
+    assert(Seq("gen-000001", "gen-000002", "gen-000003")
+      .forall(plan.contains), s"a hit generation is missing:\n$plan")
+    assert(q.count() === 10L)
+  }
+
+  test("the boundary generation's _tsidx range read returns exactly the " +
+    "in-range docs; merged stats equal the flat hit-corpus stats") {
+    val gens = Rollover.readRegistry(spark, fam).filter(_.docs > 0)
+    val ids = graft.cdc.OrderedIndex
+      .lookupRange(spark, s"${gens.head.dir}/state/_tsidx",
+        m("2024-01-06"), m("2024-01-20"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 28 >= 5 && col("doc_id") % 28 <= 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === expected)
+    // Σ n_docs / Σ sum_dl over generations 1-3 ≡ one flat corpus over
+    // weeks 0-2 (disjoint generation corpora — the stats merge is exact)
+    val merged = gens.take(3)
+      .map(g => Search.corpusStats(spark, s"${g.dir}/idx"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val flat = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 28 <= 20)
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert(merged.getLong(0) === flat.getLong(0))
+    assert(merged.getLong(1) === flat.getLong(1))
+  }
+
+  test("a generation-TARGETED update (the ES concrete-index write) moves " +
+    "postings inside its generation; registry bookkeeping untouched") {
+    val gens0 = Rollover.readRegistry(spark, fam)
+    val g1 = gens0.head
+    // a day-5 doc (in gen 1, inside the default range)
+    val docX = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 28 === 5)
+      .select(col("doc_id")).orderBy(col("doc_id")).head().getLong(0)
+    val oldText = graft.cdc.ChangelogStream
+      .readKey(spark, s"${g1.dir}/state", docX).get.getAs[String]("text")
+    val oldTf = oldText.split(" ").count(_ == "merge").toLong
+    val oldStats = Search.corpusStats(spark, s"${g1.dir}/idx").head()
+    import spark.implicits._
+    val update = Seq((docX, 1000000000L, "UPDATE",
+        oldText + " merge merge merge merge", "srcX"))
+      .toDF("id", "seq", "op", "text", "source")
+      .withColumn("ts", lit("2024-01-06 00:00:00").cast("timestamp"))
+    Search.maintainTextIndexBatch(update, 1000000000L,
+      s"${g1.dir}/state", s"${g1.dir}/idx", noTruncate = true)
+    // postings moved: tf grew by exactly the appended occurrences
+    val newTf = graft.cdc.ChangelogStream
+      .readState(spark, s"${g1.dir}/idx", Seq("tok", "id", "tf"))
+      .filter(col("tok") === "merge" && col("id") === docX)
+      .head().getLong(2)
+    assert(newTf === oldTf + 4L)
+    // the generation's stats row tracked the length growth (+4 tokens),
+    // so the NEXT cross-generation query scores with the updated merge
+    val newStats = Search.corpusStats(spark, s"${g1.dir}/idx").head()
+    assert(newStats.getLong(0) === oldStats.getLong(0))
+    assert(newStats.getLong(1) === oldStats.getLong(1) + 4L)
+    // the registry is ILM bookkeeping, not a write path — untouched by a
+    // targeted index write (exactly like ES writing to a concrete index)
+    assert(Rollover.readRegistry(spark, fam) === gens0)
+    // ...and the served search still answers (the updated doc scores with
+    // its new tf through the merged stats — rank set stays k-sized)
+    assert(Search.qCdcRolloverSearch(spark, sfDir).count() === 10L)
+  }
+}
