@@ -2425,15 +2425,30 @@ object Search {
   private[graft] def cloneIndex(spark: SparkSession, src: (String, String),
                                 work: String): (String, String) = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // HARDLINK fast path (r17, the VERDICT r16 pointer): on a local fs
+    // the clone links every file instead of copying bytes — ES's actual
+    // segment-hardlink behavior, legal on the same immutability argument
+    // as the copy (and safe under later mutation: every write here is a
+    // temp+RENAME manifest flip, a NEW versioned dir, or a delete —
+    // replacing a directory entry never touches the other link's inode).
+    // Non-local filesystems (no link support) keep the byte copy.
+    def linkTree(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) {
+        require(d.mkdirs() || d.isDirectory, s"clone mkdir $d failed")
+        s.listFiles().foreach(f => linkTree(f, new java.io.File(d, f.getName)))
+      } else java.nio.file.Files.createLink(d.toPath, s.toPath)
     def cp(s: String, d: String): Unit = {
       val sp = new org.apache.hadoop.fs.Path(s)
       val dp = new org.apache.hadoop.fs.Path(d)
-      // FileUtil.copy reports some failures (e.g. mkdirs) by returning
-      // false rather than throwing — a partial clone must fail HERE, not
-      // as a confusing no-layout error deep in the mutation pass
-      require(org.apache.hadoop.fs.FileUtil.copy(
-        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf),
-        s"clone copy $s -> $d failed")
+      val (sFs, dFs) = (sp.getFileSystem(conf), dp.getFileSystem(conf))
+      if (sFs.getScheme == "file" && dFs.getScheme == "file")
+        linkTree(new java.io.File(s), new java.io.File(d))
+      else
+        // FileUtil.copy reports some failures (e.g. mkdirs) by returning
+        // false rather than throwing — a partial clone must fail HERE,
+        // not as a confusing no-layout error deep in the mutation pass
+        require(org.apache.hadoop.fs.FileUtil.copy(sFs, sp, dFs, dp, false,
+          conf), s"clone copy $s -> $d failed")
     }
     cp(src._1, s"$work/state")
     cp(src._2, s"$work/idx")
