@@ -247,7 +247,12 @@ object Bench {
       // sub-agg reads the composed pass's maintained orders state; the
       // fragments highlighter reads the text pass's postings + doc state
       "cdc_completion", "cdc_date_histogram_percentiles",
-      "cdc_highlight_fragments")
+      "cdc_highlight_fragments",
+      // r17 second wave: filters/pinned/match_bool_prefix/sliced read the
+      // text pass; the agg quartet reads the composed pass's orders state
+      "cdc_filters_agg", "cdc_pinned_query", "cdc_match_bool_prefix",
+      "cdc_sliced_scroll", "cdc_multi_terms_agg", "cdc_date_range_agg",
+      "cdc_bucket_stats", "cdc_percentile_ranks")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

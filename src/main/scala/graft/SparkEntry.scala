@@ -125,6 +125,14 @@ object SparkEntry {
     // regime, R-7 interpolation written identically in both engines
     "cdc_date_histogram_percentiles" ->
       (graft.cdc.Pipeline.qDateHistogramPercentiles _),
+    // multi_terms: tuple-keyed buckets ranked by count, size after order
+    "cdc_multi_terms_agg" -> ((s, d) => graft.cdc.Pipeline.qMultiTermsAgg(s, d)),
+    // date_range: named [from, to) buckets, empty ranges report 0
+    "cdc_date_range_agg" -> (graft.cdc.Pipeline.qDateRangeAgg _),
+    // sibling pipeline aggs: stats_bucket over the histogram's bucket frame
+    "cdc_bucket_stats" -> (graft.cdc.Pipeline.qBucketStats _),
+    // percentile_ranks: inverse percentiles, exact counting regime
+    "cdc_percentile_ranks" -> ((s, d) => graft.cdc.Pipeline.qPercentileRanks(s, d)),
     // ES terms agg ORDERED BY a metric sub-agg (order: {sum_price: desc},
     // size 10) — top customers by revenue off the live maintained store
     "cdc_terms_agg_metric" -> ((s, d) =>
@@ -282,6 +290,8 @@ object SparkEntry {
     // inner_hits: the matching nested elements of each qualifying parent,
     // ranked by the nested sort, size-bounded per parent
     "q_nested_inner_hits" -> ((s, d) => Relational.qNestedInnerHits(s, d)),
+    // weighted_avg agg: decimal-exact numerator/denominator, one divide
+    "q_weighted_avg" -> (Relational.qWeightedAvg _),
     // ES nested AGGREGATION: parent-scoped (power users), then terms +
     // metrics over the nested element stream
     "q_nested_agg" -> ((s, d) => Relational.qNestedAgg(s, d)),
@@ -551,6 +561,17 @@ object SparkEntry {
     // completion suggester: weight-ranked prefix completions from the
     // sorted term directory (the Lucene FST surface as range reads)
     "cdc_completion" -> ((s, d) => graft.ops.Search.qCdcCompletion(s, d)),
+    // filters agg: named query buckets + _other_, from pruned postings
+    "cdc_filters_agg" -> (graft.ops.Search.qCdcFiltersAgg _),
+    // pinned query: curated docs first in declaration order, organic
+    // BM25 follows with pinned excluded in filter context
+    "cdc_pinned_query" -> ((s, d) => graft.ops.Search.qCdcPinnedQuery(s, d)),
+    // match_bool_prefix: exact terms + last-term prefix expansion, all
+    // scored as OR terms (the search-as-you-type match)
+    "cdc_match_bool_prefix" ->
+      ((s, d) => graft.ops.Search.qCdcMatchBoolPrefix(s, d)),
+    // sliced scroll: one disjoint export slice of the live corpus
+    "cdc_sliced_scroll" -> ((s, d) => graft.ops.Search.qCdcSlicedScroll(s, d)),
     // ES function_score: filter+weight functions on the stored keyword
     // field multiply the FULL match set's scores (no window) before top-k
     "cdc_function_score" -> ((s, d) =>
@@ -743,6 +764,54 @@ object SparkEntry {
     bm25Sql(docsChangelogCte, msm, terms, excludeTerms)
 
   private lazy val cdcTextSearchSql: String = cdcMatchSql(1)
+
+  /** date_range oracle generated from [[graft.cdc.Pipeline.dateRanges]] —
+    * one literal, two renderings (the percolate discipline). */
+  private lazy val cdcDateRangeAggSql: String = {
+    val cases = graft.cdc.Pipeline.dateRanges.map { case (key, from, to) =>
+      s"WHEN o_orderdate >= TIMESTAMP '$from' AND o_orderdate < TIMESTAMP '$to' THEN '$key'"
+    }.mkString("\n         |           ")
+    val vals = graft.cdc.Pipeline.dateRanges.zipWithIndex
+      .map { case ((key, _, _), i) => s"('$key', $i)" }.mkString(", ")
+    s"""WITH ${Changelog.oracleCte},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+       |  FROM changelog),
+       |b AS (SELECT CASE $cases END AS range_key, o_totalprice
+       |      FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+       |c AS (SELECT range_key, count(*) AS doc_count,
+       |             ${dsum("o_totalprice", "sum_price")}
+       |      FROM b WHERE range_key IS NOT NULL GROUP BY 1)
+       |SELECT rg.range_key,
+       |       coalesce(doc_count, CAST(0 AS BIGINT)) AS doc_count,
+       |       coalesce(sum_price, 0.0) AS sum_price
+       |FROM (VALUES $vals) AS rg(range_key, ord)
+       |LEFT JOIN c USING (range_key) ORDER BY rg.ord""".stripMargin
+  }
+
+  /** filters-agg oracle generated from [[graft.ops.Search.namedFilters]]. */
+  private lazy val cdcFiltersAggSql: String = {
+    val vals = graft.ops.Search.namedFilters.zipWithIndex
+      .map { case ((n, t), i) => s"('$n', '$t', $i)" }.mkString(", ")
+    val terms = graft.ops.Search.namedFilters
+      .map("'" + _._2 + "'").mkString(", ")
+    s"""WITH $docsChangelogCte,
+       |f AS (SELECT * FROM (VALUES $vals) AS v(filter_key, tok, ord)),
+       |m AS (SELECT f.filter_key, count(DISTINCT t.doc_id) AS doc_count
+       |      FROM f JOIN toks t ON t.tok = f.tok GROUP BY 1),
+       |named AS (SELECT f.filter_key, f.ord,
+       |            coalesce(m.doc_count, 0) AS doc_count
+       |          FROM f LEFT JOIN m ON m.filter_key = f.filter_key),
+       |oth AS (SELECT '_other_' AS filter_key,
+       |          ${graft.ops.Search.namedFilters.size} AS ord,
+       |          (SELECT count(*) FROM live) -
+       |          (SELECT count(DISTINCT doc_id) FROM toks
+       |           WHERE tok IN ($terms)) AS doc_count)
+       |SELECT filter_key, CAST(doc_count AS BIGINT) AS doc_count
+       |FROM (SELECT filter_key, ord, doc_count FROM named
+       |      UNION ALL SELECT filter_key, ord, doc_count FROM oth)
+       |ORDER BY ord""".stripMargin
+  }
 
   /** The multi_match oracle: per-FIELD BM25 over the live changelog docs —
     * `body` = the full text (the shared `toks` CTE), `title` = its first
@@ -1614,6 +1683,15 @@ object SparkEntry {
          |             / count(*), 6) AS avg_value
          |FROM events JOIN p USING (user_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_avg" ->
+      // weighted_avg: decimal-exact numerator (product of decimal casts)
+      // and denominator, one double divide + round-6
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+        |        6) AS weighted_avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_date_trunc" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2284,6 +2362,50 @@ object SparkEntry {
          |        (vals[CAST(ceil((doc_count - 1) * 0.99 + 1.0) AS INT)] -
          |         vals[CAST(floor((doc_count - 1) * 0.99 + 1.0) AS INT)]), 6) AS p99
          |FROM b ORDER BY month""".stripMargin,
+    "cdc_multi_terms_agg" ->
+      // multi_terms: tuple-keyed buckets by count desc, key-tuple ties,
+      // size cut after the ordering (exact one-shard ES semantics)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT o_orderstatus, o_orderpriority, count(*) AS doc_count
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1, 2
+         |ORDER BY doc_count DESC, o_orderstatus, o_orderpriority
+         |LIMIT 10""".stripMargin,
+    "cdc_date_range_agg" -> cdcDateRangeAggSql,
+    "cdc_bucket_stats" ->
+      // sibling pipeline aggs: one row summarizing the histogram's
+      // bucket frame (sum cast BIGINT — DuckDB sums to HUGEINT)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |c AS (SELECT date_trunc('month', o_orderdate) AS month,
+         |             count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT count(*) AS n_buckets,
+         |       CAST(sum(doc_count) AS BIGINT) AS sum_bucket,
+         |       min(doc_count) AS min_bucket,
+         |       max(doc_count) AS max_bucket,
+         |       round(CAST(sum(doc_count) AS DOUBLE) / count(*), 6) AS avg_bucket
+         |FROM c""".stripMargin,
+    "cdc_percentile_ranks" ->
+      // percentile_ranks: the exact counting definition 100·|{x ≤ v}|/n
+      // per bucket, identical expression text to the Spark plan
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       count(*) AS doc_count,
+         |       round(CAST(sum(CASE WHEN o_totalprice <= 100000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             * 100.0 / count(*), 6) AS rank_100k,
+         |       round(CAST(sum(CASE WHEN o_totalprice <= 300000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             * 100.0 / count(*), 6) AS rank_300k
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_terms_agg_metric" ->
       // terms agg ordered by the metric sub-agg: the size cut applies
       // AFTER the metric ordering, ties on the bucket key ascending
@@ -2602,6 +2724,33 @@ object SparkEntry {
          |  '<em>' || tok || '</em>' ||
          |  substr(text, o + len(tok), least(15, n - (o + len(tok)) + 1)) AS fragment
          |FROM f ORDER BY rk, tok""".stripMargin),
+    "cdc_filters_agg" -> cdcFiltersAggSql,
+    // pinned query: declaration-ordered pinned rows (live only) + the
+    // organic ranking with pinned excluded in filter context, k total
+    "cdc_pinned_query" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+      extraCut = "p.doc_id NOT IN (42, 3)",
+      tail = """,org AS (SELECT rk + 2 AS rk, doc_id,
+         |         CAST(0 AS BIGINT) AS pinned, score
+         |       FROM r WHERE rk <= 8),
+         |pin AS (SELECT CAST(v.rk AS BIGINT) AS rk,
+         |          CAST(v.doc_id AS BIGINT) AS doc_id,
+         |          CAST(1 AS BIGINT) AS pinned, CAST(NULL AS DOUBLE) AS score
+         |        FROM (VALUES (1, 42), (2, 3)) AS v(rk, doc_id)
+         |        JOIN live l ON l.doc_id = v.doc_id)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, pinned, score
+         |FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
+         |ORDER BY rk""".stripMargin),
+    // match_bool_prefix: exact terms OR the last term's prefix expansion,
+    // every expanded term scored with its own df/idf
+    "cdc_match_bool_prefix" -> bm25Sql(docsChangelogCte,
+      1, Seq("stream"), Seq.empty, Seq.empty,
+      termsWhere = "(tok = 'stream' OR tok LIKE 'mer%')"),
+    // sliced scroll: one disjoint id-partition of the live corpus
+    "cdc_sliced_scroll" ->
+      s"""WITH $docsChangelogCte
+         |SELECT doc_id, source FROM live
+         |WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
     "cdc_significant_terms" ->
       s"""WITH $docsChangelogCte,
          |fg_ids AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),

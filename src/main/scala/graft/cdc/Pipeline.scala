@@ -394,6 +394,106 @@ object Pipeline {
       .orderBy(col("month"))
   }
 
+  /** Oracle-checked query: the ES `multi_terms` aggregation — buckets
+    * keyed by a TUPLE of fields (`terms: [{field: o_orderstatus}, {field:
+    * o_orderpriority}]`), ranked by doc_count desc with ties on the key
+    * tuple ascending, `size` cut after the ordering — the
+    * "status × priority" facet `terms` alone cannot express without a
+    * script concat (the reason ES added multi_terms in 7.12). Serving
+    * shape: ONE map-side-combined groupBy on the composite key over the
+    * live maintained store, then a TakeOrdered on (count desc, keys) — no
+    * extra pass vs single-key terms. Exact global ranking (the one-shard
+    * ES semantics, the engine's contract since cdc_terms_agg_metric). */
+  def qMultiTermsAgg(spark: SparkSession, sfDir: String,
+                     k: Int = 10): DataFrame =
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("o_orderstatus"),
+        col("o_orderpriority"))
+      .limit(k)
+
+  /** Oracle-checked query: the ES `date_range` aggregation — NAMED
+    * `[from, to)` date buckets (half-open at `to`, the ES contract) over
+    * the live maintained store, each with doc_count + a sum sub-agg, and
+    * EVERY declared range reporting even when empty (the left join back
+    * to the declaration — the `range` agg's min_doc_count-less rule).
+    * The declaration is ONE Scala literal shared with the oracle-SQL
+    * generator, so the two renderings cannot drift. */
+  private[graft] val dateRanges: Seq[(String, String, String)] = Seq(
+    ("early_95", "1995-01-01", "1995-07-01"),
+    ("late_95", "1995-07-01", "1996-01-01"),
+    ("y96", "1996-01-01", "1997-01-01"),
+    ("far_future", "2030-01-01", "2031-01-01")) // empty — must report 0
+
+  def qDateRangeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    val st = tableState(spark, runFull(spark, sfDir).state, "orders",
+      Changelog.payloadCols)
+    val bucket = dateRanges.foldRight(lit(null).cast("string")) {
+      case ((key, from, to), e) =>
+        when(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"), lit(key))
+          .otherwise(e)
+    }
+    val counts = st.select(bucket.as("range_key"), col("o_totalprice"))
+      .filter(col("range_key").isNotNull)
+      .groupBy(col("range_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sumDec, 2).cast("double").as("sum_price"))
+    dateRanges.map { case (key, _, _) => key }.zipWithIndex
+      .toDF("range_key", "ord")
+      .join(counts, Seq("range_key"), "left_outer")
+      .select(col("range_key"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"),
+        col("ord"))
+      .orderBy(col("ord")).drop("ord")
+  }
+
+  /** Oracle-checked query: the ES SIBLING pipeline aggregations —
+    * `avg_bucket` / `min_bucket` / `max_bucket` / `sum_bucket` (the
+    * `stats_bucket` composite) over the `date_histogram`'s doc_count:
+    * one row summarizing the bucket frame, computed reduce-side on the
+    * |buckets|-sized output exactly like their `derivative`/`moving_fn`
+    * siblings (data-sized work already done — ES runs these on the
+    * coordinating node). Integer sums/extrema; one divide + round-6 for
+    * the avg, identical text in the oracle. */
+  def qBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    qDateHistogram(spark, sfDir)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("doc_count")).as("sum_bucket"),
+        min(col("doc_count")).as("min_bucket"),
+        max(col("doc_count")).as("max_bucket"),
+        round(sum(col("doc_count")).cast("double") / count(lit(1)), 6)
+          .as("avg_bucket"))
+
+  /** Oracle-checked query: the ES `percentile_ranks` sub-aggregation
+    * under the `date_histogram` — the INVERSE of percentiles: per month
+    * bucket and per given value v, the percentage of documents whose
+    * o_totalprice is ≤ v. EXACT below-threshold regime (the
+    * [[qDateHistogramPercentiles]] honesty pattern): the rank is the
+    * plain counting definition `100 · |{x : x ≤ v}| / n` with one
+    * round-6, written identically in the oracle — the regime where ES's
+    * own TDigest rank is exact. Rides the SAME bucket groupBy shuffle as
+    * every metric sub-agg (conditional counts, no second pass). */
+  def qPercentileRanks(spark: SparkSession, sfDir: String,
+                       v1: Double = 100000.0,
+                       v2: Double = 300000.0): DataFrame = {
+    def rank(v: Double) =
+      round(sum(when(col("o_totalprice") <= v, 1L).otherwise(0L))
+        .cast("double") * 100.0 / count(lit(1)), 6)
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        rank(v1).as("rank_100k"), rank(v2).as("rank_300k"))
+      .orderBy(col("month"))
+  }
+
   /** Oracle-checked query: the ES `cardinality` sub-aggregation under a
     * `date_histogram` — unique customers per month off the live maintained
     * store (the "unique visitors over time" Kibana staple). ES's

@@ -290,6 +290,27 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Oracle-checked query: the ES `weighted_avg` aggregation — value
+    * o_extendedprice weighted by l_quantity per return flag (`weighted_avg:
+    * {value: {field: l_extendedprice}, weight: {field: l_quantity}}`) —
+    * the unit-price-of-volume metric a plain avg misstates. Determinism:
+    * numerator and denominator both fold DECIMALs (the product of two
+    * DECIMAL(18,4) casts is exact and order-independent; the dsum rule
+    * extended to a product), ONE double divide + round-6 written
+    * identically in the oracle. Rides the groupBy's single shuffle like
+    * every metric agg. */
+  def qWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val num = sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+      col("l_quantity").cast(DecimalType(18, 4)))
+    val den = sum(col("l_quantity").cast(DecimalType(18, 4)))
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(num.cast("double") / den.cast("double"), 6)
+          .as("weighted_avg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Date/time bucketing: events per hour. */
   def qDateTrunc(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

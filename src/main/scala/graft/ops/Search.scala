@@ -1196,6 +1196,123 @@ object Search {
       .orderBy(col("query_id"))
   }
 
+  /** The named filters of [[qCdcFiltersAgg]] — ONE literal shared with
+    * the oracle-SQL generator ('nomatch' matches no corpus term, so the
+    * all-filters contract is exercised). */
+  private[graft] val namedFilters: Seq[(String, String)] = Seq(
+    ("streaming", "stream"), ("merging", "merge"), ("rare", "dup"),
+    ("nomatch", "zzznope"))
+
+  /** Oracle-checked query: the ES `filters` AGGREGATION (`aggs: {f:
+    * {filters: {filters: {name: {match: …}}, other_bucket: true}}}`) —
+    * the Kibana "split series by queries" staple: per NAMED filter, the
+    * live doc count matching it, every declared filter reporting (zero
+    * included), plus the `_other_` bucket counting docs matching NO
+    * filter. Served from the maintained postings read bucket-pruned to
+    * the union of the filters' terms ([[qCdcPercolate]]'s incidence
+    * discipline — each live (tok, id) row is one match); `_other_` =
+    * the stats row's n_docs minus the distinct matched docs, so the
+    * whole agg costs the named terms' buckets + one stats row, never a
+    * corpus scan. Bucket order is declaration order (the ES contract for
+    * the keyed-filters form rendered as a stable output ordering). */
+  def qCdcFiltersAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    val defs = namedFilters.zipWithIndex
+      .map { case ((name, term), i) => (name, term, i) }
+      .toDF("filter_key", "tok", "ord")
+    val inc = maintainedPostings(spark, idxDir, namedFilters.map(_._2),
+        Seq("tok", "id"))
+      .select(col("tok"), col("id").as("doc_id"))
+    val counts = inc.join(broadcast(defs), Seq("tok"))
+      .groupBy(col("filter_key")).agg(count(lit(1)).as("doc_count"))
+    val named = defs.select(col("filter_key"), col("ord"))
+      .join(counts, Seq("filter_key"), "left_outer")
+      .select(col("filter_key"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("ord"))
+    val other = corpusStats(spark, idxDir)
+      .crossJoin(broadcast(inc.agg(
+        count_distinct(col("doc_id")).as("matched"))))
+      .select(lit("_other_").as("filter_key"),
+        (col("n_docs") - col("matched")).as("doc_count"),
+        lit(namedFilters.size).as("ord"))
+    named.unionByName(other).orderBy(col("ord")).drop("ord")
+  }
+
+  /** Oracle-checked query: the ES `pinned` query — curated documents rank
+    * FIRST in declaration order (matching the text query or not — the
+    * whole point of the surface), the organic BM25 ranking follows with
+    * the pinned ids EXCLUDED in filter context (no rescoring, dfs
+    * unchanged — ES dedupes exactly so), and the page stays `k` total.
+    * Liveness of each pinned id checks via a point read of its one state
+    * bucket ([[graft.cdc.ChangelogStream.readKey]], bounded by the
+    * declaration size); dead pinned ids drop and the organic tail grows —
+    * the ES behavior for a pinned id that no longer exists. Pinned rows
+    * carry a null score (ES synthesizes sort-only scores there; null is
+    * the honest rendering of "not a relevance value"). */
+  def qCdcPinnedQuery(spark: SparkSession, sfDir: String,
+                      pinned: Seq[Long] = Seq(42L, 3L),
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    import spark.implicits._
+    val livePinned = pinned.filter(id =>
+      graft.cdc.ChangelogStream.readKey(spark, stateDir, id).isDefined)
+    val p = livePinned.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }.toDF("rk", "doc_id")
+      .select(col("rk"), col("doc_id"), lit(1L).as("pinned"),
+        lit(null).cast("double").as("score"))
+    val organic = maintainedBm25(spark, idxDir, query, k,
+        exclude = livePinned.toDF("doc_id"))
+      .filter(col("rk") <= k - livePinned.size)
+      .select((col("rk") + livePinned.size).as("rk"), col("doc_id"),
+        lit(0L).as("pinned"), col("score"))
+    p.unionByName(organic).orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `match_bool_prefix` query — the
+    * search-as-you-type MATCH: every term but the last matches exactly,
+    * the LAST term is a prefix whose directory expansion scores as
+    * ordinary OR terms, each with its own df/idf (the `bool` of term
+    * queries + one prefix ES documents it as — unlike `match_phrase_prefix`
+    * there is no position constraint, and unlike the `prefix` query the
+    * exact terms contribute too). Phase 1 is the sorted-directory range
+    * read bounded by maxClauseCount ([[qCdcPrefixSearch]]'s contract);
+    * phase 2 is the expansion ∪ exact terms' bucket-pruned postings. */
+  def qCdcMatchBoolPrefix(spark: SparkSession, sfDir: String,
+                          exact: Seq[String] = Seq("stream"),
+                          prefix: String = "mer", k: Int = 10,
+                          maxClauses: Int = 1024): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val expansion = dictTerms(spark, idxDir)
+      .filter(col("tok").startsWith(prefix))
+      .select(col("tok")).orderBy(col("tok")).limit(maxClauses + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(expansion.nonEmpty, s"no index term with prefix '$prefix'")
+    require(expansion.size <= maxClauses,
+      s"prefix '$prefix' expands past maxClauseCount=$maxClauses")
+    maintainedBm25(spark, idxDir, (exact ++ expansion).distinct, k)
+  }
+
+  /** Oracle-checked query: the ES SLICED SCROLL — the parallel-export
+    * contract: `slice: {id, max}` partitions the live corpus into `max`
+    * DISJOINT, EXHAUSTIVE slices each scanned independently (N workers ×
+    * no coordination — how a 100 TB index exports in parallel). ES slices
+    * on a hash of `_id`; the modulo on the numeric id is the
+    * oracle-expressible rendering of the same contract (disjointness and
+    * exhaustiveness are what the drills pin, not the hash function).
+    * Output: one slice's documents in id order — at scale each slice is a
+    * bucket-subset scan; slices never overlap, their union is the corpus. */
+  def qCdcSlicedScroll(spark: SparkSession, sfDir: String,
+                       slice: Int = 1, max: Int = 4): DataFrame = {
+    require(slice >= 0 && slice < max, s"slice $slice outside [0, $max)")
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id", "source"))
+      .filter(col("id") % max === slice)
+      .select(col("id").as("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle-checked query: ES field COLLAPSING (`collapse`) — the BM25
     * match set keeps only each stored-field group's best hit (here one doc
     * per `source`), then the collapsed winners rank globally for the final

@@ -287,6 +287,67 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert((20L to 90L by 10L).filterNot(_ == 40L).forall(m(_) === 0L))
   }
 
+  test("multi_terms buckets are the count-ranked prefix of the full " +
+    "tuple-keyed list") {
+    val got = Pipeline.qMultiTermsAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val full = Pipeline.qState(spark, sfDir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (s, p, n) => (-n, s, p) }
+    assert(got.toSeq === full.take(got.length).toSeq)
+    assert(got.length === math.min(10, full.length))
+  }
+
+  test("date_range agg: half-open [from, to) buckets, the empty declared " +
+    "range reports 0, declaration order holds") {
+    val out = Pipeline.qDateRangeAgg(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Pipeline.dateRanges.map(_._1))
+    val m = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("far_future") === 0L)
+    // recount each range off the state (half-open semantics); the column
+    // reads back as LocalDateTime (TimestampNTZ)
+    val rows = Pipeline.qState(spark, sfDir)
+      .select($"o_orderdate".cast("string")).collect().map(_.getString(0))
+    Pipeline.dateRanges.foreach { case (key, from, to) =>
+      assert(m(key) === rows.count(d => d >= from && d < to).toLong, key)
+    }
+  }
+
+  test("bucket_stats equals a driver-side recomputation over the " +
+    "histogram's bucket frame") {
+    val counts = Pipeline.qDateHistogram(spark, sfDir).collect()
+      .map(_.getLong(1))
+    val r = Pipeline.qBucketStats(spark, sfDir).head()
+    assert(r.getLong(0) === counts.length.toLong)
+    assert(r.getLong(1) === counts.sum)
+    assert(r.getLong(2) === counts.min && r.getLong(3) === counts.max)
+    assert(r.getDouble(4) ===
+      BigDecimal(counts.sum.toDouble / counts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("percentile_ranks: the exact counting rule per bucket, monotone " +
+    "in the value and bounded by 100") {
+    val got = Pipeline.qPercentileRanks(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val vals = Pipeline.qState(spark, sfDir)
+      .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+        $"o_totalprice")
+      .collect().groupBy(_.getDate(0))
+      .map { case (mth, rs) => mth -> rs.map(_.getDouble(1)) }
+    got.foreach { r =>
+      val v = vals(r.getDate(0))
+      def rank(t: Double) = BigDecimal(v.count(_ <= t).toDouble * 100.0 / v.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === rank(100000.0))
+      assert(r.getDouble(3) === rank(300000.0))
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= 100.0)
+    }
+  }
+
   test("percentiles sub-agg: exact R-7 interpolation per bucket, ordered " +
     "p50 ≤ p95 ≤ p99 within [min, max]") {
     val got = Pipeline.qDateHistogramPercentiles(spark, sfDir).collect()

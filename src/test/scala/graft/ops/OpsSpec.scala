@@ -80,6 +80,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       (3L, 3L, "click", 302.0)))
   }
 
+  test("weighted_avg differs from the plain avg and equals the exact " +
+    "weighted recomputation") {
+    val got = Relational.qWeightedAvg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { case (flag, rs) =>
+      val num = rs.map(r => BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      val den = rs.map(r => BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(flag) === want, flag)
+      // a quantity-weighted price is not the plain mean (heavier lines
+      // genuinely pull it) — the agg is not a renamed avg
+      val plain = rs.map(_.getDouble(1)).sum / rs.length
+      assert(math.abs(got(flag) - plain) > 1e-6, flag)
+    }
+  }
+
   test("session windows respect the 30-minute gap") {
     val out = Relational.qSessionWindow(spark, sfDir)
       .select(col("user_id"), col("s_start"), col("s_end")).collect()

@@ -1031,6 +1031,74 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(dict.keys.count(_.startsWith("s")) > 3 && s01.length === 3)
   }
 
+  test("filters agg: every declared filter reports (zero included), " +
+    "_other_ counts the no-match docs, declaration order holds") {
+    val out = Search.qCdcFiltersAgg(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Search.namedFilters.map(_._1) :+ "_other_")
+    val m = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("nomatch") === 0L)
+    // recount independently off the live doc state
+    val live = graft.cdc.ChangelogStream
+      .readState(spark, Search.textIndexRun(spark, sfDir)._1, Seq("id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    Search.namedFilters.foreach { case (name, term) =>
+      assert(m(name) === live.count(_._2.contains(term)).toLong, name)
+    }
+    val terms = Search.namedFilters.map(_._2).toSet
+    assert(m("_other_") === live.count(d => terms.forall(!d._2.contains(_))).toLong)
+  }
+
+  test("pinned query: curated ids rank first in declaration order, a dead " +
+    "pinned id drops, the organic tail excludes pinned without rescoring") {
+    val out = Search.qCdcPinnedQuery(spark, sfDir).collect()
+    assert(out.length === 10)
+    assert(out.take(2).map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((42L, 1L), (3L, 1L)))
+    assert(out.take(2).forall(_.isNullAt(3)), "pinned rows carry null scores")
+    // organic rows: the plain ranking minus the pinned ids, scores equal
+    val organic = out.drop(2)
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 12).collect()
+      .filterNot(r => Seq(42L, 3L).contains(r.getLong(1)))
+    organic.zip(plain).foreach { case (o, p) =>
+      assert(o.getLong(1) === p.getLong(1))
+      assert(o.getDouble(3) === p.getDouble(3),
+        "filter-context exclusion must not rescore")
+    }
+    // a DEAD pinned id (39 — the %5 delete) drops and the tail grows
+    val dead = Search.qCdcPinnedQuery(spark, sfDir, pinned = Seq(39L, 42L))
+      .collect()
+    assert(dead.head.getLong(1) === 42L && dead.head.getLong(0) === 1L)
+    assert(dead.count(_.getLong(2) == 1L) === 1)
+  }
+
+  test("match_bool_prefix equals the OR match over exact terms plus the " +
+    "concrete prefix expansion") {
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val expansion = Search.dictTerms(spark, idxDir)
+      .filter(col("tok").startsWith("mer")).collect().map(_.getString(0)).toSeq
+    assert(expansion.contains("merge"))
+    val got = Search.qCdcMatchBoolPrefix(spark, sfDir).collect()
+    val want = Search.qCdcTextSearch(spark, sfDir,
+      query = ("stream" +: expansion).distinct).collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+  }
+
+  test("sliced scroll: slices are disjoint and exhaustive over the live corpus") {
+    val slices = (0 until 4).map(i =>
+      Search.qCdcSlicedScroll(spark, sfDir, slice = i, max = 4)
+        .collect().map(_.getLong(0)).toSet)
+    // pairwise disjoint…
+    slices.combinations(2).foreach { case Seq(a, b) =>
+      assert((a & b).isEmpty)
+    }
+    // …and the union is exactly the live doc set
+    val live = graft.cdc.ChangelogStream
+      .readState(spark, Search.textIndexRun(spark, sfDir)._1, Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(slices.reduce(_ ++ _) === live)
+  }
+
   test("suggest resolves misspellings by (distance, df desc, term) under the prefix-1 contract") {
     val q = Search.qCdcSuggest(spark, sfDir)
     // the prefix_length=1 equality must plan as a broadcast HASH join key
