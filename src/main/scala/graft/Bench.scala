@@ -193,7 +193,15 @@ object Bench {
     // A/B measured worse — PLANS.md r14). cdc_apply_customer_dsv2 (a
     // view over the composed pass) precedes cdc_apply_sink_dsv2 and
     // carries that pass.
-    val carriers = Seq("cdc_bool_search", "cdc_text_bootstrap",
+    val carriers = Seq(
+      // r17: sorts before cdc_bool_search and is now the maintained
+      // family's first consumer — it warms text ∥ vector (the structure
+      // bool_search carried r13-r16; bool_search is a view now)
+      "cdc_adjacency_matrix",
+      // r17: sorts before cdc_rollover_search and carries the rolled
+      // text family's four maintainer epochs (rollover_search is a view)
+      "cdc_distance_feature",
+      "cdc_text_bootstrap",
       "cdc_apply_customer_dsv2",
       "cdc_pipeline_truncate", "cdc_pipeline_dynamic",
       // r15: carries the shared two-batch diff pass (sorts before
@@ -205,10 +213,7 @@ object Bench {
       "cdc_analyzer_search",
       // r16 fourth wave: each carries its OWN pass (a corpus-mutating
       // text pass; the rolled events family)
-      "cdc_delete_by_query", "cdc_update_by_query", "cdc_rollover",
-      // r17: carries the rolled TEXT family (four weekly maintainer
-      // epochs, one generation each)
-      "cdc_rollover_search")
+      "cdc_delete_by_query", "cdc_update_by_query", "cdc_rollover")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",
@@ -252,7 +257,12 @@ object Bench {
       // text pass; the agg quartet reads the composed pass's orders state
       "cdc_filters_agg", "cdc_pinned_query", "cdc_match_bool_prefix",
       "cdc_sliced_scroll", "cdc_multi_terms_agg", "cdc_date_range_agg",
-      "cdc_bucket_stats", "cdc_percentile_ranks")
+      "cdc_bucket_stats", "cdc_percentile_ranks",
+      // r17 third wave: rare_terms reads the directory; bool_search and
+      // rollover_search are views since the r17 carrier shift (their
+      // passes ride cdc_adjacency_matrix / cdc_distance_feature, which
+      // sort first)
+      "cdc_rare_terms", "cdc_bool_search", "cdc_rollover_search")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
@@ -284,7 +294,9 @@ object Bench {
       s""""cdc_apply_customer_dsv2":"r13: view over the composed pass",""" +
       s""""cdc_state_diff_versions":"r13: two ordered batch applies + savepoint (was a 2-epoch stream); r15: pinned-vs-live view over the memoized pass cdc_savepoint_restore carries",""" +
       s""""cdc_text_index":"r15: one ordered batch apply (was a 1-epoch stream; kill-resume drill keeps the streaming shape)",""" +
-      s""""cdc_vector_index":"r15: one ordered batch apply (same rationale)"},""" +
+      s""""cdc_vector_index":"r15: one ordered batch apply (same rationale)",""" +
+      s""""cdc_bool_search":"r17: view — cdc_adjacency_matrix sorts first and carries the text∥vector warm",""" +
+      s""""cdc_rollover_search":"r17: view — cdc_distance_feature sorts first and carries the rolled family"},""" +
       s""""staging_rebuilt_sec":$stagingJson,""" +
       s""""epoch_spans":$spansJson,""" +
       s""""io_pressure_start":"$ioStart","io_pressure_end":"${ioPressure()}",""" +

@@ -563,6 +563,15 @@ object SparkEntry {
     "cdc_completion" -> ((s, d) => graft.ops.Search.qCdcCompletion(s, d)),
     // filters agg: named query buckets + _other_, from pruned postings
     "cdc_filters_agg" -> (graft.ops.Search.qCdcFiltersAgg _),
+    // rare_terms: the long-tail cut off the term directory, rare-first
+    "cdc_rare_terms" -> ((s, d) => graft.ops.Search.qCdcRareTerms(s, d)),
+    // adjacency_matrix: singles + pairwise intersections off the same
+    // incidence frame; empty intersections omitted (the ES contract)
+    "cdc_adjacency_matrix" -> (graft.ops.Search.qCdcAdjacencyMatrix _),
+    // distance_feature: BM25 + the recency saturation bonus over the
+    // whole rolled family (merged stats, doc-values ts read)
+    "cdc_distance_feature" ->
+      ((s, d) => graft.ops.Search.qCdcDistanceFeature(s, d)),
     // pinned query: curated docs first in declaration order, organic
     // BM25 follows with pinned excluded in filter context
     "cdc_pinned_query" -> ((s, d) => graft.ops.Search.qCdcPinnedQuery(s, d)),
@@ -2725,6 +2734,44 @@ object SparkEntry {
          |  substr(text, o + len(tok), least(15, n - (o + len(tok)) + 1)) AS fragment
          |FROM f ORDER BY rk, tok""".stripMargin),
     "cdc_filters_agg" -> cdcFiltersAggSql,
+    "cdc_rare_terms" ->
+      // rare_terms: df ≤ max_doc_count over the live vocabulary,
+      // rare-first (df asc, term)
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+         |SELECT tok, df FROM d WHERE df <= 25
+         |ORDER BY df, tok LIMIT 20""".stripMargin,
+    "cdc_adjacency_matrix" ->
+      // adjacency_matrix: singles + lexicographically-keyed pairwise
+      // intersections; empty buckets omitted (the ES contract)
+      s"""WITH $docsChangelogCte,
+         |f AS (SELECT * FROM (VALUES ('streaming', 'stream'),
+         |        ('merging', 'merge'), ('rare', 'dup')) AS v(fkey, tok)),
+         |inc AS (SELECT DISTINCT f.fkey, t.doc_id
+         |        FROM f JOIN toks t ON t.tok = f.tok),
+         |s AS (SELECT fkey AS bucket_key, count(*) AS doc_count
+         |      FROM inc GROUP BY 1),
+         |p AS (SELECT a.fkey || '&' || b.fkey AS bucket_key,
+         |             count(*) AS doc_count
+         |      FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.fkey < b.fkey
+         |      GROUP BY 1)
+         |SELECT bucket_key, doc_count
+         |FROM (SELECT * FROM s UNION ALL SELECT * FROM p)
+         |ORDER BY bucket_key""".stripMargin,
+    "cdc_distance_feature" ->
+      // distance_feature over the whole rolled family (insert-only log →
+      // corpus = raw documents): BM25 + the recency saturation bonus,
+      // day distances exact integers, identical arithmetic text
+      bm25Sql(
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
+        tail = """,db AS (SELECT doc_id, n_t,
+           |  round(score + 2.0 * (7.0 / (7.0 +
+           |    CAST(30 - (doc_id % 28) AS DOUBLE))), 6) AS score
+           |FROM r),
+           |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM db)
+           |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
+           |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     // pinned query: declaration-ordered pinned rows (live only) + the
     // organic ranking with pinned excluded in filter context, k total
     "cdc_pinned_query" -> bm25Sql(docsChangelogCte,

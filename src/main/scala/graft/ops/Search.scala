@@ -1239,6 +1239,114 @@ object Search {
     named.unionByName(other).orderBy(col("ord")).drop("ord")
   }
 
+  /** Oracle-checked query: the ES `rare_terms` aggregation — the LONG
+    * TAIL: terms whose document frequency is ≤ `maxDocCount` (ES's
+    * "what terms appear in almost no documents" facet, the inverse of
+    * `terms`' most-common ranking — added to ES precisely because
+    * running `terms` with a huge size and re-sorting ascending is both
+    * wrong and explosive). Serving shape: the sorted term DIRECTORY
+    * scanned whole (vocabulary-∝ — orders of magnitude under the
+    * postings, the structure's purpose) with the df cut applied in the
+    * merge-on-read fold; output ordered (df asc, term) — ES's rare-first
+    * contract. Exact, not the CuckooFilter approximation ES uses
+    * above-threshold (the fixture regime is exact — the cardinality-agg
+    * honesty pattern). The fixture vocabulary is DENSE (a few dozen
+    * terms, none hapax), so the default threshold sits at the tail of
+    * that distribution — the CONTRACT (the df cut, rare-first ordering,
+    * directory-only IO) is the drilled semantic, not the absolute
+    * number. */
+  def qCdcRareTerms(spark: SparkSession, sfDir: String,
+                    maxDocCount: Long = 25L, k: Int = 20): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    dictTerms(spark, idxDir)
+      .filter(col("df") <= maxDocCount)
+      .orderBy(col("df"), col("tok")).limit(k)
+  }
+
+  /** Oracle-checked query: the ES `adjacency_matrix` aggregation — named
+    * filters A, B, C… report their own doc counts AND every pairwise
+    * intersection (`A&B` keys) — the co-occurrence matrix behind graph
+    * exploration UIs. Served from the SAME pruned postings incidences as
+    * [[qCdcFiltersAgg]]: singles are per-term counts, intersections a
+    * self-join of the (df-sized) incidence frame on doc_id with key
+    * order fixed lexicographically (the ES `&`-key convention). Empty
+    * intersections are OMITTED — the ES contract (`adjacency_matrix`
+    * returns only non-zero buckets). */
+  def qCdcAdjacencyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    // first of the maintained family in bench sort order since r17 (it
+    // sorts before cdc_bool_search) — warm both memoized passes
+    // concurrently so the family's carrier cost stays max(text, vector),
+    // the structure cdc_bool_search carried r13-r16
+    val (_, idxDir) = warmMaintainedPasses(spark, sfDir)
+    import spark.implicits._
+    val filters = namedFilters.take(3) // streaming, merging, rare
+    val defs = filters.toDF("fkey", "tok")
+    val inc = maintainedPostings(spark, idxDir, filters.map(_._2),
+        Seq("tok", "id"))
+      .select(col("tok"), col("id").as("doc_id"))
+      .join(broadcast(defs), Seq("tok"))
+      .select(col("fkey"), col("doc_id"))
+    val singles = inc.groupBy(col("fkey")).agg(count(lit(1)).as("doc_count"))
+      .select(col("fkey").as("bucket_key"), col("doc_count"))
+    val a = inc.toDF("ka", "doc_id")
+    val b = inc.toDF("kb", "doc_id")
+    val pairs = a.join(b, Seq("doc_id")).filter(col("ka") < col("kb"))
+      .groupBy(col("ka"), col("kb")).agg(count(lit(1)).as("doc_count"))
+      .select(concat(col("ka"), lit("&"), col("kb")).as("bucket_key"),
+        col("doc_count"))
+    singles.unionByName(pairs).orderBy(col("bucket_key"))
+  }
+
+  /** Oracle-checked query: the ES `distance_feature` query over the
+    * ROLLED text family — the log-search ranking composition the two
+    * features exist for: BM25 relevance PLUS a recency bonus
+    * `boost · pivot / (pivot + |origin − ts|)` (the published ES
+    * distance_feature formula — rational arithmetic, the rank_feature
+    * saturation shape with distance as the variable), origin = the
+    * "now" end of the log. The match spans ALL generations (a full-range
+    * [[qCdcRolloverSearch]] — stats merged, nothing pruned: recency
+    * queries want the whole family, the bonus does the time weighting);
+    * each candidate's timestamp reads as a DOC VALUE from its
+    * generation's stored `ts` column (id-keyed, column-pruned — the ES
+    * doc-values read), joined to the df-sized candidate set. Day
+    * distances are exact integers (midnight-aligned micros), so the
+    * bonus is exact rational before the one round-6. */
+  def qCdcDistanceFeature(spark: SparkSession, sfDir: String,
+                          origin: String = "2024-01-31",
+                          pivotDays: Double = 7.0, boost: Double = 2.0,
+                          query: Seq[String] = Seq("stream", "merge", "window"),
+                          k: Int = 10): DataFrame = {
+    val fam = TextRollover.rolloverTextRun(spark, sfDir)
+    val gens = graft.cdc.Rollover.readRegistry(spark, fam).filter(_.docs > 0)
+    val postings = gens.map(g =>
+        maintainedPostings(spark, s"${g.dir}/idx", query,
+            Seq("tok", "id", "tf", "dl"))
+          .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl")))
+      .reduce(_.unionByName(_))
+    val stats = gens.map(g => corpusStats(spark, s"${g.dir}/idx"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val scored = bm25Scored(postings, stats, 1.2, 0.75)
+    // doc values: each generation's stored ts, column-pruned, unioned —
+    // candidate-joined so the read is df-sized per hit generation
+    val ts = gens.map(g => graft.cdc.ChangelogStream
+        .readState(spark, s"${g.dir}/state", Seq("id", "ts"))
+        .select(col("id").as("doc_id"), col("ts")))
+      .reduce(_.unionByName(_))
+    val originM = TextRollover.micros(origin)
+    val distDays = ((lit(originM) - unix_micros(col("ts"))) / 86400000000L)
+      .cast("double")
+    val bonus = lit(boost) * (lit(pivotDays) / (lit(pivotDays) + distDays))
+    val combined = scored.join(ts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_t"),
+        round(col("score") + bonus, 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    combined.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_t"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   /** Oracle-checked query: the ES `pinned` query — curated documents rank
     * FIRST in declaration order (matching the text query or not — the
     * whole point of the surface), the organic BM25 ranking follows with

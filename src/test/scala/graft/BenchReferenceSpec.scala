@@ -13,10 +13,10 @@ class BenchReferenceSpec extends AnyFunSuite {
   test("the committed BENCH_DETAIL.json covers exactly HEAD's query set") {
     val f = new java.io.File("BENCH_DETAIL.json")
     assume(f.exists, "no committed bench reference beside the build")
-    val txt = {
-      val src = scala.io.Source.fromFile(f)
-      try src.mkString finally src.close()
-    }
+    // explicit UTF-8: the artifact may carry non-ASCII accounting notes
+    // and the forked JVM's default charset is not guaranteed
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
     val qObj = txt.substring(txt.indexOf("\"queries\":{"))
     val named = "\"([A-Za-z0-9_]+)\":".r.findAllMatchIn(qObj)
       .map(_.group(1)).toSet - "queries"

@@ -1049,6 +1049,74 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(m("_other_") === live.count(d => terms.forall(!d._2.contains(_))).toLong)
   }
 
+  test("rare_terms: the df cut off the directory, rare-first ordering") {
+    // threshold at the lower quartile of the corpus's df distribution so
+    // the cut genuinely bites both ways at every fixture SF (the fixture
+    // vocabulary is dense — the CONTRACT, not an absolute count, is what
+    // this pins)
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val dict = Search.dictTerms(spark, idxDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val thr = dict.map(_._2).sorted.apply(dict.length / 4)
+    val out = Search.qCdcRareTerms(spark, sfDir, maxDocCount = thr).collect()
+    assert(out.nonEmpty)
+    assert(dict.exists(_._2 > thr), "threshold excluded nothing")
+    val keys = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq, "not rare-first")
+    assert(out.forall(_.getLong(1) <= thr))
+    // equals the directory's own cut exactly
+    val want = dict.filter(_._2 <= thr)
+      .sortBy { case (t, df) => (df, t) }.take(20)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === want.toSeq)
+  }
+
+  test("adjacency_matrix: singles match the filters agg, intersections " +
+    "match an independent recount and never exceed their singles") {
+    val out = Search.qCdcAdjacencyMatrix(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = graft.cdc.ChangelogStream
+      .readState(spark, Search.textIndexRun(spark, sfDir)._1, Seq("id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val fs = Search.namedFilters.take(3)
+    fs.foreach { case (name, term) =>
+      assert(out(name) === live.count(_._2.contains(term)).toLong)
+    }
+    for {
+      (na, ta) <- fs; (nb, tb) <- fs if na < nb
+    } {
+      val n = live.count(d => d._2.contains(ta) && d._2.contains(tb)).toLong
+      val key = s"$na&$nb"
+      if (n == 0) assert(!out.contains(key), s"$key must be omitted when empty")
+      else {
+        assert(out(key) === n)
+        assert(n <= math.min(out(na), out(nb)))
+      }
+    }
+  }
+
+  test("distance_feature: final score ≡ the cross-generation BM25 plus " +
+    "the exact recency saturation bonus") {
+    val out = Search.qCdcDistanceFeature(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the bm25-only scores over the same whole-family view
+    val bm25 = Search.qCdcRolloverSearch(spark, sfDir,
+        "2024-01-01", "2024-02-01", k = 1000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      val (doc, score) = (r.getLong(1), r.getDouble(3))
+      val bonus = 2.0 * (7.0 / (7.0 + (30 - (doc % 28)).toDouble))
+      val want = BigDecimal(bm25(doc) + bonus)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score === want, s"doc $doc")
+    }
+    // recency genuinely reorders: the top doc's BM25-only rank is not 1
+    // for at least one of the top-3 (otherwise the bonus is invisible)
+    val topBm25 = bm25.toSeq.sortBy { case (d, s) => (-s, d) }
+      .take(3).map(_._1).toSet
+    assert(out.take(3).map(_.getLong(1)).exists(!topBm25.contains(_)),
+      "the recency bonus never changed the head ranking")
+  }
+
   test("pinned query: curated ids rank first in declaration order, a dead " +
     "pinned id drops, the organic tail excludes pinned without rescoring") {
     val out = Search.qCdcPinnedQuery(spark, sfDir).collect()
