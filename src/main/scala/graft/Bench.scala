@@ -262,7 +262,8 @@ object Bench {
       // rollover_search are views since the r17 carrier shift (their
       // passes ride cdc_adjacency_matrix / cdc_distance_feature, which
       // sort first)
-      "cdc_rare_terms", "cdc_bool_search", "cdc_rollover_search")
+      "cdc_rare_terms", "cdc_bool_search", "cdc_rollover_search",
+      "cdc_top_metrics")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -133,6 +133,8 @@ object SparkEntry {
     "cdc_bucket_stats" -> (graft.cdc.Pipeline.qBucketStats _),
     // percentile_ranks: inverse percentiles, exact counting regime
     "cdc_percentile_ranks" -> ((s, d) => graft.cdc.Pipeline.qPercentileRanks(s, d)),
+    // top_metrics: the sort-first doc's metric per bucket, one max_by pass
+    "cdc_top_metrics" -> (graft.cdc.Pipeline.qTopMetrics _),
     // ES terms agg ORDERED BY a metric sub-agg (order: {sum_price: desc},
     // size 10) — top customers by revenue off the live maintained store
     "cdc_terms_agg_metric" -> ((s, d) =>
@@ -2415,6 +2417,23 @@ object SparkEntry {
          |             * 100.0 / count(*), 6) AS rank_300k
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_top_metrics" ->
+      // top_metrics: the (sort desc, key desc) total order makes the
+      // window rendering equal to Spark's max_by — key is unique
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |w AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |        o_orderkey, o_totalprice,
+         |        row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
+         |                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn2,
+         |        count(*) OVER (PARTITION BY date_trunc('month', o_orderdate)) AS doc_count
+         |      FROM live)
+         |SELECT month, doc_count, o_orderkey AS top_orderkey,
+         |       o_totalprice AS top_price
+         |FROM w WHERE rn2 = 1 ORDER BY month""".stripMargin,
     "cdc_terms_agg_metric" ->
       // terms agg ordered by the metric sub-agg: the size cut applies
       // AFTER the metric ordering, ties on the bucket key ascending

@@ -494,6 +494,29 @@ object Pipeline {
       .orderBy(col("month"))
   }
 
+  /** Oracle-checked query: the ES `top_metrics` aggregation under the
+    * `date_histogram` — per bucket, the metric values of the SINGLE doc
+    * ranked first by a sort field (`top_metrics: {metrics: {field:
+    * o_totalprice}, sort: {o_orderdate: desc}}` — "the latest order's
+    * price per month", the lightweight top_hits ES added precisely
+    * because a full top_hits fetch is overkill for one metric). Serving
+    * shape: `max_by` over a composite (sort-field, key) ordering riding
+    * the bucket groupBy's ONE pass — a streaming per-bucket max, never a
+    * per-bucket sort (ES's own collector does the same); the unique key
+    * in the ordering makes the tie-break total, so the answer is
+    * deterministic in both engines (the oracle's row_number rendering is
+    * equal BECAUSE the order is total). */
+  def qTopMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        max_by(struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("t"))
+      .select(col("month"), col("doc_count"),
+        col("t.k").as("top_orderkey"), col("t.p").as("top_price"))
+      .orderBy(col("month"))
+
   /** Oracle-checked query: the ES `cardinality` sub-aggregation under a
     * `date_histogram` — unique customers per month off the live maintained
     * store (the "unique visitors over time" Kibana staple). ES's

@@ -329,6 +329,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("top_metrics picks each bucket's sort-first doc exactly (total " +
+    "order via the unique key)") {
+    val got = Pipeline.qTopMetrics(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val rows = Pipeline.qState(spark, sfDir)
+      .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+        $"o_orderdate".cast("string").as("d"), $"o_orderkey", $"o_totalprice")
+      .collect().groupBy(_.getDate(0))
+    got.foreach { r =>
+      val bucket = rows(r.getDate(0))
+      assert(r.getLong(1) === bucket.length.toLong)
+      val top = bucket.maxBy(x => (x.getString(1), x.getLong(2)))
+      assert(r.getLong(2) === top.getLong(2))
+      assert(r.getDouble(3) === top.getDouble(3))
+    }
+  }
+
   test("percentile_ranks: the exact counting rule per bucket, monotone " +
     "in the value and bounded by 100") {
     val got = Pipeline.qPercentileRanks(spark, sfDir).collect()
