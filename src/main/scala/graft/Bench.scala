@@ -263,7 +263,7 @@ object Bench {
       // passes ride cdc_adjacency_matrix / cdc_distance_feature, which
       // sort first)
       "cdc_rare_terms", "cdc_bool_search", "cdc_rollover_search",
-      "cdc_top_metrics")
+      "cdc_top_metrics", "cdc_serial_diff", "cdc_bucket_script")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

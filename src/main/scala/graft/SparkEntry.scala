@@ -135,6 +135,10 @@ object SparkEntry {
     "cdc_percentile_ranks" -> ((s, d) => graft.cdc.Pipeline.qPercentileRanks(s, d)),
     // top_metrics: the sort-first doc's metric per bucket, one max_by pass
     "cdc_top_metrics" -> (graft.cdc.Pipeline.qTopMetrics _),
+    // serial_diff: lag-n differencing over the bucket frame
+    "cdc_serial_diff" -> ((s, d) => graft.cdc.Pipeline.qSerialDiff(s, d)),
+    // bucket_script + bucket_selector: per-bucket script value + cut
+    "cdc_bucket_script" -> ((s, d) => graft.cdc.Pipeline.qBucketScript(s, d)),
     // ES terms agg ORDERED BY a metric sub-agg (order: {sum_price: desc},
     // size 10) — top customers by revenue off the live maintained store
     "cdc_terms_agg_metric" -> ((s, d) =>
@@ -2417,6 +2421,40 @@ object SparkEntry {
          |             * 100.0 / count(*), 6) AS rank_300k
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_serial_diff" ->
+      // serial_diff: lag-3 differencing, null until 3 predecessors (the
+      // ES incomplete-lag contract), all-integer
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             count(*) AS doc_count
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT month, doc_count,
+         |       doc_count - lag(doc_count, 3) OVER (ORDER BY month) AS serial_diff
+         |FROM c ORDER BY month""".stripMargin,
+    "cdc_bucket_script" ->
+      // bucket_script (the share divide) + bucket_selector (the >= cut):
+      // conditional decimal sums, identical divide text
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |        count(*) AS doc_count,
+         |        CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |          THEN CAST(o_totalprice AS DECIMAL(18,4))
+         |          ELSE CAST(0.0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS urgent_price,
+         |        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+         |        round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |                THEN CAST(o_totalprice AS DECIMAL(18,4))
+         |                ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |              / CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+         |              6) AS urgent_share
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1)
+         |SELECT month, doc_count, urgent_price, total_price, urgent_share
+         |FROM c WHERE urgent_share >= 0.19 ORDER BY month""".stripMargin,
     "cdc_top_metrics" ->
       // top_metrics: the (sort desc, key desc) total order makes the
       // window rendering equal to Spark's max_by — key is unique

@@ -374,6 +374,51 @@ object Pipeline {
       .orderBy(col("month"))
   }
 
+  /** Oracle-checked query: the ES `serial_diff` pipeline aggregation —
+    * the lag-n differencing (`serial_diff: {buckets_path: doc_count,
+    * lag: 12}` deseasonalizes a monthly series; here lag 3 over the
+    * fixture's months) beside its lag-1 special case `derivative`
+    * ([[qDerivativeAgg]]): each bucket's doc_count minus the bucket n
+    * positions earlier, null until n predecessors exist (the ES
+    * incomplete-lag contract). One window pass over the |buckets| frame,
+    * all-integer — the reduce-side pipeline-agg shape throughout. */
+  def qSerialDiff(spark: SparkSession, sfDir: String, lagN: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    qDateHistogram(spark, sfDir)
+      .select(col("month"), col("doc_count"),
+        (col("doc_count") - lag(col("doc_count"), lagN).over(w))
+          .as("serial_diff"))
+      .orderBy(col("month"))
+  }
+
+  /** Oracle-checked query: the ES `bucket_script` + `bucket_selector`
+    * pipeline aggregations — per-bucket SCRIPT arithmetic over sibling
+    * sub-agg outputs, then a selector CUT on the scripted value (the
+    * Kibana "computed column + threshold filter" pair): per month, the
+    * URGENT REVENUE SHARE `round6(urgent_price / total_price)` (two
+    * conditional decimal sums riding the one bucket pass; the divide is
+    * the script), keeping only buckets where the share clears `minShare`
+    * (the bucket_selector — ES drops non-qualifying buckets from the
+    * response exactly like this). Decimal sums, one double divide,
+    * identical text in the oracle. */
+  def qBucketScript(spark: SparkSession, sfDir: String,
+                    minShare: Double = 0.19): DataFrame = {
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val urgent = sum(when(col("o_orderpriority") === "1-URGENT",
+      dec(col("o_totalprice"))).otherwise(dec(lit(0.0))))
+    val total = sum(dec(col("o_totalprice")))
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(urgent, 2).cast("double").as("urgent_price"),
+        round(total, 2).cast("double").as("total_price"),
+        round(urgent.cast("double") / total.cast("double"), 6)
+          .as("urgent_share"))
+      .filter(col("urgent_share") >= minShare)
+      .orderBy(col("month"))
+  }
+
   /** Oracle-checked query: the ES `moving_fn` pipeline aggregation —
     * `MovingFunctions.unweightedAvg` with `window: 3`, `shift: 0` over the
     * date_histogram's doc_count: each bucket reports the average of the 3

@@ -329,6 +329,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("serial_diff telescopes at lag n and is null until n predecessors") {
+    val rows = Pipeline.qSerialDiff(spark, sfDir, lagN = 3).collect()
+    assert(rows.length > 3)
+    rows.take(3).foreach(r => assert(r.isNullAt(2), "lag shorter than n"))
+    rows.drop(3).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) === r.getLong(1) - rows(i).getLong(1))
+    }
+  }
+
+  test("bucket_script computes the share; bucket_selector genuinely cuts") {
+    val all = Pipeline.qBucketScript(spark, sfDir, minShare = 0.0).collect()
+    val cut = Pipeline.qBucketScript(spark, sfDir).collect()
+    assert(cut.length < all.length, "the selector kept every bucket")
+    assert(cut.forall(_.getDouble(4) >= 0.19))
+    // the script value is the advertised divide of its own sibling sums
+    // (up to the independent round-6 of the exposed rounded columns)
+    all.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getDouble(2) / r.getDouble(3)) < 1e-4)
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("top_metrics picks each bucket's sort-first doc exactly (total " +
     "order via the unique key)") {
     val got = Pipeline.qTopMetrics(spark, sfDir).collect()
