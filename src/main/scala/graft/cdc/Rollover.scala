@@ -42,12 +42,21 @@ object Rollover {
     val p = registryPath(dir)
     MetaFile.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
       .map { txt =>
-        val Array(fence, genLine) = txt.split('\n')
-        (fence.toLong,
+        def gens(genLine: String) =
           genLine.trim.split(';').toSeq.filter(_.nonEmpty).map { line =>
             val Array(d, mn, mx, n) = line.split('|')
             Gen(d, mn.toLong, mx.toLong, n.toLong)
-          })
+          }
+        // format tolerance (ADVICE r17): a pre-r17 registry is ONE line
+        // (no fence header) — read it as unfenced rather than throwing an
+        // opaque MatchError; anything else is a loud format error
+        txt.split('\n') match {
+          case Array(genLine) => (Long.MinValue, gens(genLine))
+          case Array(fence, genLine) => (fence.toLong, gens(genLine))
+          case other => throw new IllegalStateException(
+            s"unrecognized rollover registry format at $p " +
+              s"(${other.length} lines; expected 1 or 2)")
+        }
       }
       .getOrElse((Long.MinValue, Seq.empty))
   }
@@ -107,9 +116,17 @@ object Rollover {
     try {
       val stats = batch.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts"))), count(lit(1)),
-        max(col("event_id"))).head()
+        max(col("event_id")), min(col("event_id"))).head()
       if (stats.getLong(2) == 0L) return
       if (stats.getLong(3) <= fence) return // committed replay — see above
+      // a batch that RUNS must be wholly above the fence (ADVICE r17: a
+      // contract-violating re-chunked/out-of-order batch straddling it
+      // would re-apply its committed prefix's bookkeeping — fail loudly
+      // instead of half-replaying)
+      require(stats.getLong(4) > fence,
+        s"batch straddles the family fence $fence " +
+          s"(seq range [${stats.getLong(4)}, ${stats.getLong(3)}]) — " +
+          "rollover batches must arrive in monotone seq order")
       ChangelogStream.upsertBatch(
         batch.withColumn("seq", col("event_id"))
           .withColumn("op", lit("INSERT")),

@@ -1357,22 +1357,39 @@ object Search {
     * declaration size); dead pinned ids drop and the organic tail grows —
     * the ES behavior for a pinned id that no longer exists. Pinned rows
     * carry a null score (ES synthesizes sort-only scores there; null is
-    * the honest rendering of "not a relevance value"). */
+    * the honest rendering of "not a relevance value"). Liveness checks
+    * in ONE batched read (ADVICE r17: the per-id readKey loop ran
+    * |pinned| sequential driver point reads — fine at 2-5 ids, wrong for
+    * a long curation list; the mget discipline reads the pinned ids'
+    * distinct buckets in one job), and the page caps at `k` even when
+    * the pin list itself exceeds it (ADVICE r17: ES truncates pins to
+    * `size`; the organic cut clamps at 0 instead of going negative). */
   def qCdcPinnedQuery(spark: SparkSession, sfDir: String,
                       pinned: Seq[Long] = Seq(42L, 3L),
                       query: Seq[String] = Seq("stream", "merge", "window"),
                       k: Int = 10): DataFrame = {
     val (stateDir, idxDir) = textIndexRun(spark, sfDir)
     import spark.implicits._
-    val livePinned = pinned.filter(id =>
-      graft.cdc.ChangelogStream.readKey(spark, stateDir, id).isDefined)
+    val layout = graft.cdc.Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"doc state at $stateDir has no layout manifest"))
+    val pinBuckets = pinned.distinct
+      .map(id => graft.cdc.Buckets.bucketOfValues(layout, Seq(id)))
+      .distinct.sorted
+    // ≤ |pinned| ids collected — the mget bound; declaration order is the
+    // pin rank, so the live set materializes as a set and the original
+    // sequence keeps its order
+    val liveSet = graft.cdc.ChangelogStream
+      .readLayoutBuckets(spark, stateDir, layout, Seq("id"), pinBuckets)
+      .filter(col("id").isin(pinned.distinct: _*))
+      .collect().map(_.getLong(0)).toSet
+    val livePinned = pinned.filter(liveSet.contains).take(k)
     val p = livePinned.zipWithIndex
       .map { case (id, i) => (i + 1L, id) }.toDF("rk", "doc_id")
       .select(col("rk"), col("doc_id"), lit(1L).as("pinned"),
         lit(null).cast("double").as("score"))
     val organic = maintainedBm25(spark, idxDir, query, k,
         exclude = livePinned.toDF("doc_id"))
-      .filter(col("rk") <= k - livePinned.size)
+      .filter(col("rk") <= math.max(0, k - livePinned.size))
       .select((col("rk") + livePinned.size).as("rk"), col("doc_id"),
         lit(0L).as("pinned"), col("score"))
     p.unionByName(organic).orderBy(col("rk"))
@@ -2660,20 +2677,33 @@ object Search {
     def linkTree(s: java.io.File, d: java.io.File): Unit =
       if (s.isDirectory) {
         require(d.mkdirs() || d.isDirectory, s"clone mkdir $d failed")
-        s.listFiles().foreach(f => linkTree(f, new java.io.File(d, f.getName)))
+        // listFiles() is null on a racing delete or an IO error — surface
+        // that as a clone failure, not an NPE (ADVICE r17)
+        val kids = s.listFiles()
+        require(kids != null, s"clone listing $s failed")
+        kids.foreach(f => linkTree(f, new java.io.File(d, f.getName)))
       } else java.nio.file.Files.createLink(d.toPath, s.toPath)
     def cp(s: String, d: String): Unit = {
       val sp = new org.apache.hadoop.fs.Path(s)
       val dp = new org.apache.hadoop.fs.Path(d)
       val (sFs, dFs) = (sp.getFileSystem(conf), dp.getFileSystem(conf))
-      if (sFs.getScheme == "file" && dFs.getScheme == "file")
-        linkTree(new java.io.File(s), new java.io.File(d))
-      else
+      def byteCopy(): Unit =
         // FileUtil.copy reports some failures (e.g. mkdirs) by returning
         // false rather than throwing — a partial clone must fail HERE,
         // not as a confusing no-layout error deep in the mutation pass
         require(org.apache.hadoop.fs.FileUtil.copy(sFs, sp, dFs, dp, false,
           conf), s"clone copy $s -> $d failed")
+      if (sFs.getScheme == "file" && dFs.getScheme == "file")
+        try linkTree(new java.io.File(s), new java.io.File(d))
+        catch {
+          // same scheme ≠ same mount: createLink throws EXDEV across
+          // devices (tmpfs /tmp vs disk — ADVICE r17). Sweep the partial
+          // link tree and fall back to the byte copy.
+          case _: java.io.IOException =>
+            org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d))
+            byteCopy()
+        }
+      else byteCopy()
     }
     cp(src._1, s"$work/state")
     cp(src._2, s"$work/idx")

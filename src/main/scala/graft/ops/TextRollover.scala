@@ -56,9 +56,16 @@ object TextRollover {
     batch.persist()
     try {
       val stats = batch.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts"))), count(lit(1)), max(col("seq"))).head()
+        max(unix_micros(col("ts"))), count(lit(1)), max(col("seq")),
+        min(col("seq"))).head()
       if (stats.getLong(2) == 0L) return
       if (stats.getLong(3) <= fence) return // committed replay — registry no-op
+      // loud on a fence-straddling batch (ADVICE r17, the Rollover.write
+      // guard): a half-committed re-chunk must fail, not half-replay
+      require(stats.getLong(4) > fence,
+        s"batch straddles the family fence $fence " +
+          s"(seq range [${stats.getLong(4)}, ${stats.getLong(3)}]) — " +
+          "rollover batches must arrive in monotone seq order")
       val batchId = stats.getLong(3)
       Search.maintainTextIndexBatch(batch, batchId,
         s"${cur.dir}/state", s"${cur.dir}/idx",

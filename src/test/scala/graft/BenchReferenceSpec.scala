@@ -13,13 +13,20 @@ class BenchReferenceSpec extends AnyFunSuite {
   test("the committed BENCH_DETAIL.json covers exactly HEAD's query set") {
     val f = new java.io.File("BENCH_DETAIL.json")
     assume(f.exists, "no committed bench reference beside the build")
-    // explicit UTF-8: the artifact may carry non-ASCII accounting notes
-    // and the forked JVM's default charset is not guaranteed
-    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val qObj = txt.substring(txt.indexOf("\"queries\":{"))
-    val named = "\"([A-Za-z0-9_]+)\":".r.findAllMatchIn(qObj)
-      .map(_.group(1)).toSet - "queries"
+    // strict JSON parse (ADVICE r17: the regex scan from '"queries":{' to
+    // EOF was only correct while queries stayed the LAST top-level key —
+    // any section added after it, or a nested key inside a query value,
+    // would fail spuriously). Jackson rides in from the Spark classpath.
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val qNode = node.get("queries")
+    assert(qNode != null && qNode.isObject,
+      "bench reference has no top-level \"queries\" object")
+    val named = {
+      val it = qNode.fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
     val head = SparkEntry.queries.keySet
     val missing = (head -- named).toSeq.sorted
     val stale = (named -- head).toSeq.sorted

@@ -91,6 +91,36 @@ class RolloverSpec extends AnyFunSuite with SparkSpec {
     assert(Rollover.readRegistry(spark, busy) === rolled)
   }
 
+  test("a fence-straddling batch fails loudly instead of half-replaying " +
+    "(ADVICE r17); a one-line pre-fence registry reads as unfenced") {
+    val fam = work()
+    Rollover.write(spark, fam, batch(0 until 10, 3), maxDocs = 100L)
+    // a re-chunked batch mixing committed seqs (0-9) with new ones (10-14)
+    // violates the monotone-seq contract — silent skip would LOSE 10-14,
+    // silent run would double-count 0-9; the guard refuses it
+    val e = intercept[IllegalArgumentException] {
+      Rollover.write(spark, fam, batch(5 until 15, 9), maxDocs = 100L)
+    }
+    assert(e.getMessage.contains("straddles the family fence"))
+    assert(Rollover.readRegistry(spark, fam).head.docs === 10L,
+      "the refused batch must leave the registry untouched")
+    // format tolerance: a pre-r17 single-line registry (no fence header)
+    // reads as (unfenced, gens) instead of throwing a MatchError
+    val old = work()
+    val p = new org.apache.hadoop.fs.Path(s"$old/registry")
+    MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, s"$old/gen-000001|100|200|5")
+    val (fence, gens) = Rollover.readRegistryFenced(spark, old)
+    assert(fence === Long.MinValue && gens.size === 1 && gens.head.docs === 5L)
+    // ...and garbage fails with the explicit format message
+    MetaFile.write(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, "1\n2\n3")
+    val e2 = intercept[IllegalStateException] {
+      Rollover.readRegistryFenced(spark, old)
+    }
+    assert(e2.getMessage.contains("unrecognized rollover registry format"))
+  }
+
   test("the declared query's default range prunes 2 of the fixture's 4 " +
     "generations; an all-covering range is served, not refused") {
     def micros(day: String) =

@@ -1138,6 +1138,14 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(dead.head.getLong(1) === 42L && dead.head.getLong(0) === 1L)
     assert(dead.count(_.getLong(2) == 1L) === 1)
+    // a pin list LONGER than the page truncates to size (ADVICE r17: ES
+    // caps pinned hits at `size`; the organic cut clamps at 0) — the live
+    // pins among the first k declarations fill the whole page in order
+    val wide = Search.qCdcPinnedQuery(spark, sfDir,
+      pinned = Seq(42L, 3L, 7L, 1L), k = 3).collect()
+    assert(wide.length === 3, s"page must stay k=3, got ${wide.length}")
+    assert(wide.map(_.getLong(1)).toSeq === Seq(42L, 3L, 7L))
+    assert(wide.forall(_.getLong(2) == 1L), "no organic row fits on the page")
   }
 
   test("match_bool_prefix equals the OR match over exact terms plus the " +
