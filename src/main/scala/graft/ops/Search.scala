@@ -448,6 +448,34 @@ object Search {
     graft.cdc.OrderedIndex.commitDelta(events.sparkSession, dir, batchId, delta)
   }
 
+  /** FIELD-PARAMETERIZED ordered-index movement delta (r18, VERDICT r17
+    * wrong #2's seam): the ±1 fold over the hook's (prev, merged) state
+    * frames for any numeric doc field — per touched doc, the previous
+    * live value retracts (−1) and the merged live value credits (+1),
+    * cancelling exactly when the value didn't move; a delete retracts
+    * only, an insert credits only. The dl index keeps its events-frame
+    * rendering above (dl rides every event row — the cheaper by-product);
+    * fields the events frame does NOT carry (the rolled family's event
+    * time) fold here, off the same key-restricted frames the srcidx delta
+    * consumes. This is what lets a CRUD rolled family maintain `_tsidx`
+    * correctly — the r17 INSERT-only commit was honest only under the
+    * append-only log contract. */
+  private[graft] def commitValueIndexDelta(prev: DataFrame, merged: DataFrame,
+                                           batchId: Long, dir: String,
+                                           value: Column): Unit = {
+    def live(side: DataFrame) = side.filter(col("op") =!= "DELETE")
+      .select(col("id"), value.as("v"))
+    val moved = live(prev).select(col("id"), col("v").as("v_old"))
+      .join(live(merged).select(col("id"), col("v").as("v_new")),
+        Seq("id"), "full_outer")
+      .filter(!(col("v_old") <=> col("v_new")))
+    val delta = moved.filter(col("v_old").isNotNull)
+        .select(col("v_old").as("v"), col("id"), lit(-1L).as("d"))
+      .unionByName(moved.filter(col("v_new").isNotNull)
+        .select(col("v_new").as("v"), col("id"), lit(1L).as("d")))
+    graft.cdc.OrderedIndex.commitDelta(prev.sparkSession, dir, batchId, delta)
+  }
+
   /** The maintained index's CORPUS STATS table: `(n_docs, sum_dl)` as a
     * one-row batch-fenced aggregate under `<idxDir>/_stats` — Lucene's
     * CollectionStatistics, kept IN the index (the underscore prefix hides
@@ -571,6 +599,16 @@ object Search {
               // by-product of the same cached events frame
               graft.cdc.Materialize.timed("dlidx delta", stateDir)(
                 commitDlIndexDelta(events, batchId, s"$stateDir/_dlidx"))
+              // the EVENT-TIME ordered index (r18) — maintained INSIDE the
+              // maintainer so a CRUD rolled family folds ±1 movements
+              // (VERDICT r17's _tsidx seam; the r17 INSERT-only commit
+              // lived in TextRollover.write). Only for corpora that carry
+              // the field; chained in this lane like dlidx (a fourth
+              // concurrent lane measured worse than the work it hid, r16)
+              if (merged.columns.contains("ts"))
+                graft.cdc.Materialize.timed("tsidx delta", stateDir)(
+                  commitValueIndexDelta(p, m, batchId, s"$stateDir/_tsidx",
+                    unix_micros(col("ts"))))
             }) ++
             // the SOURCE secondary index (value → doc ids) — the ES
             // filter-context keep set served from one bucket (r14,
@@ -1327,14 +1365,18 @@ object Search {
       .reduce(_.unionByName(_))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val scored = bm25Scored(postings, stats, 1.2, 0.75)
-    // doc values: each generation's stored ts, column-pruned, unioned —
-    // candidate-joined so the read is df-sized per hit generation
-    val ts = gens.map(g => graft.cdc.ChangelogStream
-        .readState(spark, s"${g.dir}/state", Seq("id", "ts"))
-        .select(col("id").as("doc_id"), col("ts")))
+    // doc values served from each generation's `_tsidx` (r18, VERDICT r17
+    // wrong #2: the state-stripe scan + join was the one r17 plan whose
+    // IO did not shrink to index/candidate size — at an extreme
+    // corpus:candidate ratio it was corpus-∝ column IO per query). The
+    // ordered index already holds every live (ts, id) pair sorted: the
+    // liveValues read is two index columns, never the doc state.
+    val ts = gens.map(g => graft.cdc.OrderedIndex
+        .liveValues(spark, s"${g.dir}/state/_tsidx"))
       .reduce(_.unionByName(_))
+      .select(col("id").as("doc_id"), col("v"))
     val originM = TextRollover.micros(origin)
-    val distDays = ((lit(originM) - unix_micros(col("ts"))) / 86400000000L)
+    val distDays = ((lit(originM) - col("v")) / 86400000000L)
       .cast("double")
     val bonus = lit(boost) * (lit(pivotDays) / (lit(pivotDays) + distDays))
     val combined = scored.join(ts, Seq("doc_id"))

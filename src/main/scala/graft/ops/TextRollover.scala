@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{OrderedIndex, Rollover}
+import graft.cdc.Rollover
 
 /** ILM rollover for the TEXT index family (VERDICT r16 missing #1) — the
   * use case ES rollover exists for: LOG SEARCH. `cdc_rollover` rolls a
@@ -67,16 +67,15 @@ object TextRollover {
           s"(seq range [${stats.getLong(4)}, ${stats.getLong(3)}]) — " +
           "rollover batches must arrive in monotone seq order")
       val batchId = stats.getLong(3)
+      // the event-time ordered index (`_tsidx`) rides INSIDE the shared
+      // maintainer since r18 (Search.commitValueIndexDelta — the CRUD
+      // ±1 movement fold off the hook's (prev, merged) frames, fenced on
+      // the same batchId): an UPDATE that moves a doc's ts retracts the
+      // old value and credits the new one, a DELETE retracts — the r17
+      // INSERT-only commit here was honest only for append-only logs
       Search.maintainTextIndexBatch(batch, batchId,
         s"${cur.dir}/state", s"${cur.dir}/idx",
         noTruncate = true, initialBuckets = initialBuckets)
-      // the event-time ordered index (INSERT-only — a log's timestamps
-      // never move; a CRUD family would emit the ±1 movement rows like
-      // the dl index does). Fenced on the same batchId, so a replay skips.
-      OrderedIndex.commitDelta(spark, s"${cur.dir}/state/_tsidx", batchId,
-        batch.filter(col("op") =!= "DELETE")
-          .select(unix_micros(col("ts")).as("v"), col("id"),
-            lit(1L).as("d")))
       val updated = cur.copy(
         minTs = math.min(cur.minTs, stats.getLong(0)),
         maxTs = math.max(cur.maxTs, stats.getLong(1)),

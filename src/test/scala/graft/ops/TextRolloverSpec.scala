@@ -80,6 +80,64 @@ class TextRolloverSpec extends AnyFunSuite with SparkSpec {
     assert(merged.getLong(1) === flat.getLong(1))
   }
 
+  test("a CRUD family maintains _tsidx through ±1 movements: an UPDATE " +
+    "moving a doc's ts retracts the old value, a DELETE retracts (r18)") {
+    val work = graft.model.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-tsroll-").toString)
+    import spark.implicits._
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("id", "seq", "op", "day")
+        .select($"id", $"seq", $"op",
+          concat(lit("doc "), $"id").as("text"), lit("src1").as("source"),
+          to_timestamp($"day").as("ts"))
+    // epoch 1: docs 1-3 on days 2, 5, 9
+    TextRollover.write(spark, work, batch(Seq(
+      (1L, 1L, "INSERT", "2024-01-02"), (2L, 2L, "INSERT", "2024-01-05"),
+      (3L, 3L, "INSERT", "2024-01-09"))), maxDocs = 100L)
+    val gen = Rollover.readRegistry(spark, work).head.dir
+    def live() = graft.cdc.OrderedIndex
+      .liveValues(spark, s"$gen/state/_tsidx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live() === Map(1L -> m("2024-01-02"), 2L -> m("2024-01-05"),
+      3L -> m("2024-01-09")))
+    // epoch 2 (CRUD): doc 2's ts MOVES to day 20, doc 3 deletes, doc 4
+    // inserts — the movement fold must retract the old values exactly
+    TextRollover.write(spark, work, batch(Seq(
+      (2L, 11L, "UPDATE", "2024-01-20"), (3L, 12L, "DELETE", "2024-01-09"),
+      (4L, 13L, "INSERT", "2024-01-12"))), maxDocs = 100L)
+    assert(live() === Map(1L -> m("2024-01-02"), 2L -> m("2024-01-20"),
+      4L -> m("2024-01-12")))
+    // the range read agrees: [Jan 4, Jan 10) holds nobody now (doc 2
+    // moved out, doc 3 deleted)
+    assert(graft.cdc.OrderedIndex.lookupRange(spark, s"$gen/state/_tsidx",
+      m("2024-01-04"), m("2024-01-10")).count() === 0L)
+    // replayed CRUD epoch: the ordered index's batch fence skips it
+    TextRollover.write(spark, work, batch(Seq(
+      (2L, 11L, "UPDATE", "2024-01-20"), (3L, 12L, "DELETE", "2024-01-09"),
+      (4L, 13L, "INSERT", "2024-01-12"))), maxDocs = 100L)
+    assert(live().size === 3)
+  }
+
+  test("distance_feature serves its ts doc-values from _tsidx — no state " +
+    "stripe scan in the plan (r18, VERDICT r17 wrong #2)") {
+    val df = Search.qCdcDistanceFeature(spark, sfDir)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    val statePaths = scans.filter(_.contains("/state/"))
+    assert(statePaths.nonEmpty, "expected _tsidx reads under the gen states")
+    assert(statePaths.forall(_.contains("/_tsidx/")),
+      s"doc-values read touched the doc state outside _tsidx:\n" +
+        statePaths.mkString("\n"))
+    assert(df.count() === 10L)
+  }
+
   test("the family built through a foreachBatch STREAM (one file per " +
     "trigger, restarted mid-family) equals the batch-applied family") {
     import org.apache.spark.sql.streaming.Trigger
