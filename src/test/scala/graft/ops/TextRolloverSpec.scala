@@ -138,6 +138,38 @@ class TextRolloverSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() === 10L)
   }
 
+  test("ILM retention: the expired generation deletes, the savepoint-" +
+    "pinned one survives, forcemerge folds to single runs idempotently (r18)") {
+    val fam = TextRollover.retentionRun(spark, sfDir)
+    val gens = Rollover.readRegistry(spark, fam)
+    val names = gens.map(g => new java.io.File(g.dir).getName)
+    assert(!names.contains("gen-000001"), "week 0 must expire")
+    assert(names.contains("gen-000002"), "the pinned week must survive")
+    assert(!new java.io.File(s"$fam/gen-000001").exists(),
+      "the expired generation's dir must be swept")
+    assert(graft.cdc.Buckets
+      .savepointNames(spark, s"$fam/gen-000002/state").nonEmpty)
+    // forcemerge converged: term directory + ordered indexes hold ONE run
+    gens.filter(_.docs > 0).foreach { g =>
+      assert(Search.dictManifest(spark, s"${g.dir}/idx")._2.size === 1,
+        s"${g.dir} dict not folded")
+      assert(graft.cdc.OrderedIndex
+        .manifest(spark, s"${g.dir}/state/_tsidx")._2.size === 1,
+        s"${g.dir} _tsidx not folded")
+    }
+    // idempotent second forcemerge: the query answers identically
+    val before = Search.qCdcRolloverRetention(spark, sfDir).collect().toSeq
+    gens.filter(_.docs > 0).foreach(g => TextRollover.forcemerge(spark, g.dir))
+    assert(Search.qCdcRolloverRetention(spark, sfDir).collect().toSeq === before)
+    // a second expire is a registry no-op; the pin still blocks week 2
+    val (exp2, pin2) = Rollover.expire(spark, fam,
+      TextRollover.micros("2024-01-15"), keepLast = 1,
+      isPinned = g => graft.cdc.Buckets
+        .savepointNames(spark, s"${g.dir}/state").nonEmpty)
+    assert(exp2.isEmpty)
+    assert(pin2.map(g => new java.io.File(g.dir).getName) === Seq("gen-000002"))
+  }
+
   test("the family built through a foreachBatch STREAM (one file per " +
     "trigger, restarted mid-family) equals the batch-applied family") {
     import org.apache.spark.sql.streaming.Trigger
