@@ -452,6 +452,10 @@ object SparkEntry {
     // ES dis_max with tie_breaker: best field's score + 0.25 × the other
     // fields' — the general disjunction-max best_fields is sugar for
     "cdc_dis_max" -> ((s, d) => graft.ops.Search.qCdcDisMax(s, d)),
+    // ...and cross_fields (r18): the TERM-centric mode — blended per-term
+    // statistics (max-df over fields), best field per (doc, term), terms
+    // sum; a doc matching different terms in different fields accrues all
+    "cdc_cross_fields" -> ((s, d) => graft.ops.Search.qCdcCrossFields(s, d)),
     // ES synonym filter (contraction mode): class members map to one
     // canonical token at index AND query time — 'sluggish' resolves,
     // 'sort'/'order' postings merge with the union df
@@ -905,6 +909,49 @@ object SparkEntry {
        |      FROM u GROUP BY 1),
        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM c)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_fields, score
+       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** The cross_fields oracle: per-field dl/st/post CTEs (the shared
+    * [[fieldCtes]] text — its per-field `ts` CTEs go unused here), then
+    * the blended-statistics scoring: df_b = max over fields, n_b = max
+    * field doc count, per-(doc, field, term) score = blended idf × the
+    * field's own tf norm (identical arithmetic text to [[fieldCtes]]),
+    * best field per (doc, term), terms sum. */
+  private lazy val cdcCrossFieldsSql: String =
+    s"""WITH $docsChangelogCte,
+       |ttoks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+       |          FROM live),
+       |${fieldCtes("b", "toks")},
+       |${fieldCtes("t", "ttoks")},
+       |alldf AS (SELECT tok, df FROM bdf UNION ALL SELECT tok, df FROM tdf),
+       |dfb AS (SELECT tok, max(df) AS df_b FROM alldf GROUP BY 1),
+       |nb AS (SELECT greatest((SELECT n_docs FROM bst),
+       |                       (SELECT n_docs FROM tst)) AS n_b),
+       |bx AS (SELECT p.doc_id, p.tok,
+       |         CAST(round(
+       |           ((CAST(n_b - df_b AS DOUBLE) + 0.5) / (CAST(df_b AS DOUBLE) + 0.5)) *
+       |           ((CAST(tf AS DOUBLE) * 2.2) /
+       |            (CAST(tf AS DOUBLE) +
+       |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+       |           6) AS DECIMAL(18,8)) AS s
+       |       FROM bpost p JOIN dfb USING (tok)
+       |       JOIN bdl dl ON dl.doc_id = p.doc_id CROSS JOIN bst CROSS JOIN nb),
+       |tx AS (SELECT p.doc_id, p.tok,
+       |         CAST(round(
+       |           ((CAST(n_b - df_b AS DOUBLE) + 0.5) / (CAST(df_b AS DOUBLE) + 0.5)) *
+       |           ((CAST(tf AS DOUBLE) * 2.2) /
+       |            (CAST(tf AS DOUBLE) +
+       |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+       |           6) AS DECIMAL(18,8)) AS s
+       |       FROM tpost p JOIN dfb USING (tok)
+       |       JOIN tdl dl ON dl.doc_id = p.doc_id CROSS JOIN tst CROSS JOIN nb),
+       |pt AS (SELECT doc_id, tok, max(s) AS ts
+       |       FROM (SELECT * FROM bx UNION ALL SELECT * FROM tx) GROUP BY 1, 2),
+       |c AS (SELECT doc_id, count(*) AS n_t,
+       |        round(CAST(sum(ts) AS DOUBLE), 6) AS score
+       |      FROM pt GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM c)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(n_t AS BIGINT) AS n_t, score
        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private val cdcApplySql =
@@ -2599,6 +2646,7 @@ object SparkEntry {
         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
+    "cdc_cross_fields" -> cdcCrossFieldsSql,
     "cdc_synonym_search" -> bm25Sql(docsSynonymCte, 1,
       // query terms analyzed through the same contraction table
       Seq("slow", "order"), Seq.empty),

@@ -2451,6 +2451,62 @@ object Search {
     rankTopK(combined, k, Seq("n_fields"))
   }
 
+  /** Oracle-checked query: `multi_match` `type: cross_fields` (r18,
+    * VERDICT r17 missing #2) — the TERM-centric mode completing the
+    * family (`best_fields` and `dis_max` are field-centric): the query
+    * asks "does each term appear in ANY field", and scoring BLENDS the
+    * per-field term statistics so fields with skewed dfs stop distorting
+    * the ranking (Lucene's BlendedTermQuery, the machinery ES builds this
+    * mode on). Rendering, scoped and disclosed: per term the blended
+    * df is the MAX over the queried fields' dfs (the BlendedTermQuery df
+    * blend) with n taken as the max field doc count; each (doc, field,
+    * term) scores that blended idf × the FIELD's own tf normalization
+    * (per-field dl and avgdl — lengths stay field-local, exactly why the
+    * mode exists); per (doc, term) the best field's score wins
+    * (`tie_breaker: 0`, the default); per doc the term scores SUM. A doc
+    * matching different terms in different fields accrues every term —
+    * the signal `best_fields` throws away (its score is one field's
+    * total). Determinism: the blended idf and field tf-norms follow the
+    * [[bm25Scored]] arithmetic text verbatim, round-6 decimal per
+    * (doc, field, term), decimal max per term, order-free decimal sum
+    * per doc. Per-query IO: the same fields × terms pruned buckets +
+    * per-field stats rows as [[qCdcMultiMatch]]. */
+  def qCdcCrossFields(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      fields: Seq[String] = Seq("title", "body"),
+                      k: Int = 10): DataFrame = {
+    val (_, idxDir) = multiFieldIndexRun(spark, sfDir)
+    val post = maintainedFieldPostings(spark, idxDir, fields, query)
+    val stats = fieldStats(spark, idxDir)
+      .filter(col("field").isin(fields: _*))
+    // blended per-term statistics: df_b = max over the queried fields
+    val dfb = post.groupBy(col("field"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("tok")).agg(max(col("df")).as("df_b"))
+    val nb = stats.agg(max(col("n_docs")).as("n_b"))
+    val idfB = ((col("n_b") - col("df_b")).cast("double") + 0.5) /
+      (col("df_b").cast("double") + 0.5)
+    val k1 = 1.2; val b = 0.75
+    val tfs = (col("tf").cast("double") * (k1 + 1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) *
+          (col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+    val perFieldTerm = post.join(broadcast(dfb), Seq("tok"))
+      .join(broadcast(stats), Seq("field"))
+      .crossJoin(broadcast(nb))
+      .select(col("id").as("doc_id"), col("tok"),
+        round(idfB * tfs, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("s"))
+    // term-centric combine: the best FIELD per (doc, term), then the
+    // terms sum — both over df-sized frames
+    val perTerm = perFieldTerm.groupBy(col("doc_id"), col("tok"))
+      .agg(max(col("s")).as("ts"))
+    val combined = perTerm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_t"),
+        round(sum(col("ts")).cast("double"), 6).as("score"))
+    rankTopK(combined, k, Seq("n_t"))
+  }
+
   /** Oracle-checked query: `match` over the ANALYZED field (`body_en`) —
     * the analyzer-chain surface (VERDICT r15 missing #3). The query
     * analyzes with the FIELD's own chain (the ES contract): the plural

@@ -1708,4 +1708,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
         assert(score > bf(doc), s"two-field doc $doc: runner-up uncredited")
     }
   }
+
+  test("cross_fields blends term statistics (max-df over fields) and " +
+    "disagrees with field-centric best_fields on ranking (r18)") {
+    val cross = Search.qCdcCrossFields(spark, sfDir).collect()
+    assert(cross.length === 10)
+    // the modes genuinely disagree: same fields, same terms, different
+    // combine rule — the ranked lists must differ
+    val bf = Search.qCdcMultiMatch(spark, sfDir,
+      boosts = Seq("title" -> 1.0, "body" -> 1.0)).collect()
+    assert(cross.map(_.getLong(1)).toSeq !== bf.map(_.getLong(1)).toSeq,
+      "cross_fields ranked identically to best_fields — the blend is untested")
+    // the blend's df side: title is a PREFIX view of body here, so every
+    // term's body df dominates and the blended df must equal body's —
+    // which is why a title match scores with body's (lower) idf instead
+    // of title's inflated one (the skew the mode exists to remove)
+    val (_, idxDir) = Search.multiFieldIndexRun(spark, sfDir)
+    val dfs = Search.fieldDictTerms(spark, idxDir)
+      .filter(col("tok").isin("stream", "merge", "window") &&
+        col("field").isin("title", "body"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    Seq("stream", "merge", "window").foreach { t =>
+      assert(dfs(("body", t)) >= dfs.getOrElse(("title", t), 0L),
+        s"fixture drift: title df exceeds body df for '$t'")
+    }
+    // term-centric accrual: the top hit matched every query term
+    // somewhere across the fields
+    assert(cross.head.getLong(2) === 3L)
+  }
 }
