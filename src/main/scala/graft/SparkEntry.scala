@@ -577,6 +577,11 @@ object SparkEntry {
     // completion suggester: weight-ranked prefix completions from the
     // sorted term directory (the Lucene FST surface as range reads)
     "cdc_completion" -> ((s, d) => graft.ops.Search.qCdcCompletion(s, d)),
+    // ...and the PHRASE suggester (r18): per-token direct_generator
+    // shortlists composed into whole-phrase corrections ranked by the
+    // corpus unigram LM (the maintained dfs), integer order statistic
+    "cdc_phrase_suggest" ->
+      ((s, d) => graft.ops.Search.qCdcPhraseSuggest(s, d)),
     // filters agg: named query buckets + _other_, from pruned postings
     "cdc_filters_agg" -> (graft.ops.Search.qCdcFiltersAgg _),
     // rare_terms: the long-tail cut off the term directory, rare-first
@@ -2733,6 +2738,29 @@ object SparkEntry {
          |      FROM cand)
          |SELECT input, CAST(rk AS BIGINT) AS rk, suggestion, dist, df
          |FROM r WHERE rk <= 3 ORDER BY input, rk""".stripMargin,
+    "cdc_phrase_suggest" ->
+      // phrase suggester: per-token candidate shortlists (first-char cut,
+      // edit ≤ 2, top 3 by (dist, df desc, term) — the original token
+      // qualifies when live), whole-phrase lattice ranked by the integer
+      // Laplace-LM order statistic Π(df+1), ties lexicographic
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |c0 AS (SELECT tok, df, row_number() OVER
+         |         (ORDER BY levenshtein(tok, 'slon'), df DESC, tok) AS crk
+         |       FROM d WHERE substr(tok, 1, 1) = 's'
+         |         AND levenshtein(tok, 'slon') <= 2),
+         |c1 AS (SELECT tok, df, row_number() OVER
+         |         (ORDER BY levenshtein(tok, 'ro'), df DESC, tok) AS crk
+         |       FROM d WHERE substr(tok, 1, 1) = 'r'
+         |         AND levenshtein(tok, 'ro') <= 2),
+         |l AS (SELECT c0.tok || ' ' || c1.tok AS suggestion,
+         |             CAST((c0.df + 1) * (c1.df + 1) AS BIGINT) AS score
+         |      FROM c0 CROSS JOIN c1 WHERE c0.crk <= 3 AND c1.crk <= 3),
+         |r AS (SELECT *, row_number() OVER
+         |        (ORDER BY score DESC, suggestion) AS rk FROM l)
+         |SELECT 'slon ro' AS input, CAST(rk AS BIGINT) AS rk,
+         |       suggestion, score
+         |FROM r WHERE rk <= 3 ORDER BY rk""".stripMargin,
     "cdc_completion" ->
       // completion suggester: per prefix, the live vocabulary's matching
       // terms ranked by weight (maintained df) desc, ties lexicographic,

@@ -1737,4 +1737,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // somewhere across the fields
     assert(cross.head.getLong(2) === 3L)
   }
+
+  test("phrase suggester: per-token direct_generator shortlists compose " +
+    "into LM-ranked whole phrases with exact integer scores (r18)") {
+    val out = Search.qCdcPhraseSuggest(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 3)
+    val scores = out.map(_.getLong(3)).toSeq
+    assert(scores === scores.sorted.reverse, "LM ranking must be desc")
+    // composition: every suggestion's score is exactly Π(df+1) over its
+    // tokens' maintained dfs — the Laplace unigram order statistic
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val dfs = Search.dictTerms(spark, idxDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val toks = r.getString(2).split(' ')
+      assert(toks.length === 2, s"phrase shape: ${r.getString(2)}")
+      assert(toks.map(t => dfs(t) + 1L).product === r.getLong(3),
+        s"score of '${r.getString(2)}' is not the df product")
+    }
+    // the lattice genuinely branched (a 1×1 lattice ranks nothing)
+    assert(out.map(_.getString(2)).distinct.length > 1)
+  }
 }
