@@ -540,6 +540,13 @@ object SparkEntry {
     // secondary index (sorted runs, pushed range predicate) — never a
     // doc-state scan (VERDICT r15 missing #1)
     "cdc_range_filter" -> ((s, d) => graft.ops.Search.qCdcRangeFilter(s, d)),
+    // GEO rational subset (r18): the bounding-box filter-context cut over
+    // the derived centi-degree points, and the geohash_grid bucket agg
+    // (real base-32 bit interleave, integer arithmetic end to end);
+    // geo_distance scoped out (haversine trig is libm-dependent)
+    "cdc_geo_bounding_box" ->
+      ((s, d) => graft.ops.Search.qCdcGeoBoundingBox(s, d)),
+    "cdc_geohash_grid" -> ((s, d) => graft.ops.Search.qCdcGeohashGrid(s, d)),
     // ES _mget: N docs fetched by id from the maintained store — the
     // consumer's per-id ES lookup, vectorized to the ids' buckets only;
     // misses report found=0 (the _mget row-per-requested-id contract)
@@ -2345,6 +2352,34 @@ object SparkEntry {
     "cdc_range_filter" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       extraCut = "p.doc_id IN (SELECT doc_id FROM dl WHERE dl >= 40 AND dl < 60)"),
+    // geo_bounding_box: the derived centi-degree point (identical integer
+    // hash + the same /100.0 − offset double text) inside the box, in
+    // filter context — never rescoring
+    "cdc_geo_bounding_box" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      extraCut =
+        """CAST((p.doc_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 >= 0.0
+          |         AND CAST((p.doc_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 < 60.0
+          |         AND CAST((p.doc_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 >= -90.0
+          |         AND CAST((p.doc_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 < 90.0""".stripMargin),
+    "cdc_geohash_grid" ->
+      // geohash_grid precision 1: the 5-bit lon/lat interleave into the
+      // base-32 alphabet — integer shifts/masks both engines
+      s"""WITH $docsChangelogCte,
+         |g AS (SELECT
+         |        CAST(floor(CAST((doc_id * 104729) % 36000 AS DOUBLE) * 8 / 36000) AS BIGINT) AS lon3,
+         |        CAST(floor(CAST((doc_id * 7919) % 18000 AS DOUBLE) * 4 / 18000) AS BIGINT) AS lat2
+         |      FROM live),
+         |c AS (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |        CAST(((lon3 >> 2) & 1) * 16 + ((lat2 >> 1) & 1) * 8 +
+         |             ((lon3 >> 1) & 1) * 4 + (lat2 & 1) * 2 + (lon3 & 1)
+         |             + 1 AS INT), 1) AS bucket_key
+         |      FROM g),
+         |b AS (SELECT bucket_key, count(*) AS doc_count FROM c GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER
+         |        (ORDER BY doc_count DESC, bucket_key) AS rk FROM b)
+         |SELECT bucket_key, doc_count FROM r WHERE rk <= 10
+         |ORDER BY doc_count DESC, bucket_key""".stripMargin,
     "cdc_mget" ->
       // _mget: one row per REQUESTED id; misses carry found=0, null source
       s"""WITH $docsChangelogCte,

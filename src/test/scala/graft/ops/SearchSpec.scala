@@ -1758,4 +1758,32 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     // the lattice genuinely branched (a 1×1 lattice ranks nothing)
     assert(out.map(_.getString(2)).distinct.length > 1)
   }
+
+  test("geo: the geohash interleave matches hand-computed cells at both " +
+    "precisions; the bbox cuts in filter context without rescoring (r18)") {
+    import spark.implicits._
+    // doc 1: latE2 = 7919 (lat −10.81), lonE2 = 104729 % 36000 = 32729
+    // (lon 147.29 — off Papua New Guinea, which real geohashes put in
+    // 'r'). p1: lon3 = ⌊32729·8/36000⌋ = 7 (111), lat2 = ⌊7919·4/18000⌋
+    // = 1 (01) → interleave l₂a₁l₁a₀l₀ = 10111 = 23 → 'r'. p2: lon5 =
+    // 29 (11101), lat5 = 14 (01110) → chars 23, 22 → "rq".
+    val gh = Seq(1L).toDF("id")
+      .select(Search.geohashCol(col("id"), 1), Search.geohashCol(col("id"), 2))
+      .head()
+    assert(gh.getString(0) === "r" && gh.getString(1) === "rq")
+    // filter context: every kept doc carries its UNFILTERED match score
+    val bbox = Search.qCdcGeoBoundingBox(spark, sfDir).collect()
+    assert(bbox.nonEmpty)
+    val full = Search.qCdcTextSearch(spark, sfDir, k = 10000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    bbox.foreach(r => assert(full(r.getLong(1)) === r.getDouble(3),
+      s"bbox rescored doc ${r.getLong(1)}"))
+    // ...and the box genuinely cut: the bbox top-1 is not the plain top-1
+    // unless the plain top-1 happens to sit inside the box — assert the
+    // cut dropped at least one higher-ranked outsider from the page
+    val plainTop = Search.qCdcTextSearch(spark, sfDir).collect()
+      .map(_.getLong(1)).toSet
+    assert(bbox.map(_.getLong(1)).toSet !== plainTop,
+      "bbox page equals the unfiltered page — the cut is untested")
+  }
 }
