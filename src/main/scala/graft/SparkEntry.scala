@@ -547,6 +547,9 @@ object SparkEntry {
     "cdc_geo_bounding_box" ->
       ((s, d) => graft.ops.Search.qCdcGeoBoundingBox(s, d)),
     "cdc_geohash_grid" -> ((s, d) => graft.ops.Search.qCdcGeohashGrid(s, d)),
+    // the _explain API (r18): the top hit's per-term BM25 decomposition —
+    // (tf, dl, df, idf, contribution) rows whose decimal sum IS the score
+    "cdc_explain" -> ((s, d) => graft.ops.Search.qCdcExplain(s, d)),
     // ES _mget: N docs fetched by id from the maintained store — the
     // consumer's per-id ES lookup, vectorized to the ids' buckets only;
     // misses report found=0 (the _mget row-per-requested-id contract)
@@ -2362,6 +2365,36 @@ object SparkEntry {
           |         AND CAST((p.doc_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 < 60.0
           |         AND CAST((p.doc_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 >= -90.0
           |         AND CAST((p.doc_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 < 90.0""".stripMargin),
+    "cdc_explain" ->
+      // _explain: the shared scoring CTE text with the per-term factors
+      // PROJECTED (idf round-6, contribution as the round-6 decimal)
+      // instead of discarded, cut to the top-1 hit
+      s"""WITH $docsChangelogCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+         |         WHERE tok IN ('stream', 'merge', 'window')
+         |         GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+         |x AS (SELECT p.doc_id, p.tok, p.tf, dl.dl, df.df,
+         |        round((CAST(n_docs - df AS DOUBLE) + 0.5) /
+         |              (CAST(df AS DOUBLE) + 0.5), 6) AS idf,
+         |        CAST(round(
+         |          ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |          ((CAST(tf AS DOUBLE) * 2.2) /
+         |           (CAST(tf AS DOUBLE) +
+         |            1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |          6) AS DECIMAL(18,8)) AS contrib
+         |      FROM post p JOIN df USING (tok)
+         |      JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st),
+         |agg AS (SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+         |        FROM x GROUP BY 1),
+         |top AS (SELECT doc_id, score FROM agg
+         |        ORDER BY score DESC, doc_id LIMIT 1)
+         |SELECT x.doc_id, x.tok, x.tf, CAST(x.dl AS BIGINT) AS dl, x.df,
+         |       x.idf, CAST(x.contrib AS DOUBLE) AS contrib, t.score
+         |FROM x JOIN top t ON t.doc_id = x.doc_id
+         |ORDER BY x.tok""".stripMargin,
     "cdc_geohash_grid" ->
       // geohash_grid precision 1: the 5-bit lon/lat interleave into the
       // base-32 alphabet — integer shifts/masks both engines

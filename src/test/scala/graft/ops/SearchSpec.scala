@@ -1786,4 +1786,22 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(bbox.map(_.getLong(1)).toSet !== plainTop,
       "bbox page equals the unfiltered page — the cut is untested")
   }
+
+  test("_explain: per-term contributions sum exactly to the hit's score, " +
+    "and the explained hit IS text_search's rank 1 (r18)") {
+    val out = Search.qCdcExplain(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val score = out.head.getDouble(7)
+    assert(out.forall(_.getDouble(7) === score), "one hit, one score")
+    // exact decimal sum of the round-6 contributions re-rounds to the
+    // score — the decomposition IS the score, not an approximation of it
+    val sum = out.map(r => BigDecimal(r.getDouble(6).toString)).sum
+    assert(BigDecimal(sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue === score,
+      s"contributions sum $sum != score $score")
+    val top = Search.qCdcTextSearch(spark, sfDir, k = 1).head()
+    assert(out.head.getLong(0) === top.getLong(1),
+      "explain decomposed a different doc than the search's top hit")
+    assert(score === top.getDouble(3))
+  }
 }
