@@ -281,7 +281,12 @@ object Bench {
       // pass's postings, state or directory (carried by
       // cdc_adjacency_matrix)
       "cdc_cross_fields", "cdc_explain", "cdc_geo_bounding_box",
-      "cdc_geohash_grid", "cdc_phrase_suggest")
+      "cdc_geohash_grid", "cdc_phrase_suggest",
+      // r18 second wave: the agg quartet reads the composed pass's
+      // maintained orders state (carried by cdc_apply_customer_dsv2,
+      // which sorts first)
+      "cdc_extended_stats", "cdc_auto_date_histogram", "cdc_sampler_agg",
+      "cdc_global_agg")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -118,6 +118,15 @@ object SparkEntry {
     // ES date_histogram (calendar_interval: month) over the maintained
     // store — a view over the composed pass's live orders state
     "cdc_date_histogram" -> (graft.cdc.Pipeline.qDateHistogram _),
+    // r18 agg breadth: extended_stats (second moments, exact decimal
+    // folds, IEEE sqrt), auto_date_histogram (the span-driven ladder
+    // walk), sampler (first-N bound before the sub-agg), global (the
+    // query-context escape as one conditional pass)
+    "cdc_extended_stats" -> (graft.cdc.Pipeline.qExtendedStats _),
+    "cdc_auto_date_histogram" ->
+      ((s, d) => graft.cdc.Pipeline.qAutoDateHistogram(s, d)),
+    "cdc_sampler_agg" -> ((s, d) => graft.cdc.Pipeline.qSamplerAgg(s, d)),
+    "cdc_global_agg" -> ((s, d) => graft.cdc.Pipeline.qGlobalAgg(s, d)),
     // …and with METRIC SUB-AGGREGATIONS: each month bucket carries the
     // stats (count/sum/avg/min/max) of o_totalprice (VERDICT r15 #2)
     "cdc_date_histogram_stats" -> (graft.cdc.Pipeline.qDateHistogramStats _),
@@ -2477,6 +2486,73 @@ object SparkEntry {
          |       max(o_totalprice) AS max_price
          |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_extended_stats" ->
+      // extended_stats: decimal-exact sum; the SQUARE folds as exact
+      // integer cents² in DECIMAL(38,0) (DuckDB rejects the
+      // DECIMAL(18)×DECIMAL(18) route); variance in doubles with
+      // identical text (explicit multiply, no pow), sqrt of the
+      // unrounded variance (IEEE-required op, engine-independent)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |live AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |         FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       count(*) AS doc_count,
+         |       ${dsum("o_totalprice", "sum_price")},
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         |             / count(*), 6) AS avg_price,
+         |       min(o_totalprice) AS min_price,
+         |       max(o_totalprice) AS max_price,
+         |       CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE)
+         |             / 10000.0 AS sum_squares,
+         |       CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE)
+         |             / 10000.0 / count(*)
+         |             - (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+         |             * (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS variance,
+         |       sqrt(CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE)
+         |             / 10000.0 / count(*)
+         |             - (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+         |             * (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))) AS std_deviation
+         |FROM live
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_auto_date_histogram" ->
+      // auto_date_histogram, target 10: the fixture span (7 years) walks
+      // the {1d, 1M, 3M, 1y} ladder to the year interval — the choice is
+      // data-determined; the ladder walk itself is drilled in PipelineSpec
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT '1y' AS interval, CAST(date_trunc('year', o_orderdate) AS DATE) AS bucket,
+         |       count(*) AS doc_count
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY 2 ORDER BY 2""".stripMargin,
+    "cdc_sampler_agg" ->
+      // sampler shard_size 200 in deterministic key order, then the
+      // status terms sub-agg over the sample only
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |s AS (SELECT o_orderstatus FROM ranked
+         |      WHERE rn = 1 AND op <> 'DELETE'
+         |      ORDER BY o_orderkey LIMIT 200)
+         |SELECT o_orderstatus, count(*) AS doc_count FROM s
+         |GROUP BY 1 ORDER BY doc_count DESC, o_orderstatus""".stripMargin,
+    "cdc_global_agg" ->
+      // global agg: the query-scoped count beside corpus-wide metrics,
+      // one conditional pass
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog)
+         |SELECT count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS query_count,
+         |       count(*) AS global_count,
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         |             / count(*), 6) AS global_avg_price
+         |FROM ranked WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
     "cdc_date_histogram_percentiles" ->
       // percentiles sub-agg, exact below-threshold regime: per-bucket
       // sorted arrays, R-7 interpolation h = (n-1)·p + 1 with IDENTICAL

@@ -326,6 +326,118 @@ object Pipeline {
       .orderBy(col("month"))
   }
 
+  /** Oracle-checked query: the ES `extended_stats` sub-aggregation (r18)
+    * — the stats sub-agg grown by `sum_of_squares`, `variance` and
+    * `std_deviation`, ES's one-pass second-moment bundle. Determinism:
+    * prices carry two decimals, so the square folds as EXACT INTEGER
+    * CENTS² (round(v·100) recovers the exact cent integer from the
+    * binary double in both engines; a per-row square stays < 2⁶³; the
+    * sum rides DECIMAL(38,0) — a bare BIGINT sum would overflow at scale
+    * in Spark while DuckDB silently promotes to HUGEINT, the mismatch
+    * the decimal avoids, and DuckDB rejects the DECIMAL(18)×DECIMAL(18)
+    * route outright). Variance derives in doubles with IDENTICAL
+    * expression text both engines (`ssq/10⁴/n − (s/n)·(s/n)` — an
+    * explicit multiply, never libm `pow`), and std_deviation is `sqrt`
+    * of the unrounded variance — sqrt is an IEEE-754 REQUIRED
+    * correctly-rounded op, engine-independent unlike the
+    * transcendentals. All eight metrics ride the bucket groupBy's
+    * single pass. */
+  def qExtendedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val ssqDec = sum((cents * cents)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val cnt = count(lit(1))
+    val mean = sumDec.cast("double") / cnt
+    val varRaw = ssqDec.cast("double") / 10000.0 / cnt - mean * mean
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(cnt.as("doc_count"),
+        round(sumDec, 2).cast("double").as("sum_price"),
+        round(mean, 6).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (ssqDec.cast("double") / 10000.0).as("sum_squares"),
+        varRaw.as("variance"),
+        sqrt(varRaw).as("std_deviation"))
+      .orderBy(col("month"))
+  }
+
+  /** Oracle-checked query: the ES `auto_date_histogram` (r18) — the
+    * "give me about N buckets" histogram Kibana issues when the user
+    * hasn't picked an interval: the engine reads the data's time SPAN
+    * (one 2-value aggregate — the coordinating-node step ES itself
+    * performs), walks the calendar ladder {1d, 1M, 3M, 1y} smallest-
+    * first, and buckets by the first interval whose calendar bucket
+    * count fits `targetBuckets` (the ES contract: never more than the
+    * target; the ladder here is the calendar subset of ES's rounding
+    * ladder — sub-day rungs are degenerate against the fixture span and
+    * the 7d rung is omitted because ISO-week anchoring differs across
+    * engines). The chosen interval is REPORTED as a column, as ES
+    * returns `interval` in the response. Driver-side state: two dates. */
+  def qAutoDateHistogram(spark: SparkSession, sfDir: String,
+                         targetBuckets: Int = 10): DataFrame = {
+    val st = tableState(spark, runFull(spark, sfDir).state, "orders",
+      Changelog.payloadCols)
+    val mm = st.agg(
+      min(date_trunc("day", col("o_orderdate")).cast("date")),
+      max(date_trunc("day", col("o_orderdate")).cast("date"))).head()
+    val (lo, hi) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+    val days = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+    val months = (hi.getYear - lo.getYear) * 12 +
+      (hi.getMonthValue - lo.getMonthValue) + 1
+    val quarters = (hi.getYear * 4 + (hi.getMonthValue - 1) / 3) -
+      (lo.getYear * 4 + (lo.getMonthValue - 1) / 3) + 1
+    val years = hi.getYear - lo.getYear + 1
+    val ladder = Seq(("1d", "day", days), ("1M", "month", months.toLong),
+      ("3M", "quarter", quarters.toLong), ("1y", "year", years.toLong))
+    val (label, unit, _) = ladder.find(_._3 <= targetBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"span $years years exceeds $targetBuckets yearly buckets — " +
+          "extend the ladder before raising the span"))
+    st.groupBy(date_trunc(unit, col("o_orderdate")).cast("date").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .select(lit(label).as("interval"), col("bucket"), col("doc_count"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle-checked query: the ES `sampler` aggregation (r18) — bound
+    * the docs feeding an expensive sub-agg to the first `shard_size`
+    * hits: ES keeps the first N in `_doc` (index) order; the
+    * deterministic rendering is KEY order (disclosed — `_doc` order is
+    * an implementation accident ES itself tells users not to rely on).
+    * The sample is a TakeOrdered (per-partition heaps, never a global
+    * sort), then the sub-agg (`terms` on status) runs over N rows. */
+  def qSamplerAgg(spark: SparkSession, sfDir: String,
+                  shardSize: Int = 200): DataFrame = {
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .orderBy(col("o_orderkey")).limit(shardSize)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("o_orderstatus"))
+  }
+
+  /** Oracle-checked query: the ES `global` aggregation (r18) — an agg
+    * that ESCAPES the query context: the search is status-filtered, but
+    * the global wrapper's metrics cover EVERY document (the
+    * "show the filtered count against the corpus total" pattern). Spark
+    * folds both contexts into ONE conditional aggregate pass over the
+    * live store — no second scan, which is exactly the fused plan ES's
+    * two collectors amount to. */
+  def qGlobalAgg(spark: SparkSession, sfDir: String,
+                 status: String = "F"): DataFrame = {
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .agg(count(when(col("o_orderstatus") === status, 1)).as("query_count"),
+        count(lit(1)).as("global_count"),
+        round(sumDec.cast("double") / count(lit(1)), 6).as("global_avg_price"))
+  }
+
   /** Oracle-checked query: ES `terms` aggregation ORDERED BY A METRIC
     * SUB-AGG (`order: {sum_price: desc}`, `size: 10`) — the "top customers
     * by revenue" facet every commerce dashboard issues. ES's contract:

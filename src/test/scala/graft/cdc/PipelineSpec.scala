@@ -489,4 +489,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(byCount !== top.map(_.getLong(0)),
       "metric ordering coincides with doc_count ordering — pick a better fixture")
   }
+
+  test("extended_stats: variance/std recompute exactly from each bucket's " +
+    "values; std² ≈ variance (r18)") {
+    val out = Pipeline.qExtendedStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.take(5).foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (variance, std) = (r.getDouble(7), r.getDouble(8))
+      assert(math.abs(sum / n - avg) < 1e-4, "avg drifts from sum/count")
+      assert(variance >= 0.0)
+      assert(math.abs(std * std - variance) < 1e-3 * math.max(variance, 1.0),
+        s"std² $std vs variance $variance")
+      assert(r.getDouble(4) <= avg && avg <= r.getDouble(5),
+        "avg outside [min, max]")
+    }
+    // second moment genuinely varies across buckets
+    assert(out.map(_.getDouble(7)).distinct.length > 1)
+  }
+
+  test("auto_date_histogram walks the ladder: year at target 10, quarter " +
+    "at 30, month at 100 — and buckets never exceed the target (r18)") {
+    def run(target: Int) = Pipeline.qAutoDateHistogram(spark, sfDir, target)
+      .collect()
+    val y = run(10)
+    assert(y.head.getString(0) === "1y" && y.length <= 10)
+    val q = run(30)
+    assert(q.head.getString(0) === "3M" && q.length <= 30)
+    val m = run(100)
+    assert(m.head.getString(0) === "1M" && m.length <= 100)
+    // counts conserve across intervals (same live docs, coarser keys)
+    assert(y.map(_.getLong(2)).sum === m.map(_.getLong(2)).sum)
+  }
+
+  test("sampler agg: the sub-agg sees exactly the first shard_size docs " +
+    "in key order (r18)") {
+    val out = Pipeline.qSamplerAgg(spark, sfDir, shardSize = 50).collect()
+    assert(out.map(_.getLong(1)).sum === 50L,
+      "sample size must equal shard_size exactly")
+    // a larger sample shifts the counts (the bound genuinely bites)
+    val wide = Pipeline.qSamplerAgg(spark, sfDir, shardSize = 500).collect()
+    assert(wide.map(_.getLong(1)).sum === 500L)
+  }
+
+  test("global agg escapes the query context: query_count < global_count, " +
+    "and the global metrics match the unfiltered store (r18)") {
+    val r = Pipeline.qGlobalAgg(spark, sfDir).head()
+    assert(r.getLong(0) > 0L && r.getLong(0) < r.getLong(1),
+      s"query ${r.getLong(0)} vs global ${r.getLong(1)}")
+    val full = Pipeline.qState(spark, sfDir).count()
+    assert(r.getLong(1) === full, "global count must cover every live doc")
+  }
 }
