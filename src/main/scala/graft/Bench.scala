@@ -284,9 +284,9 @@ object Bench {
       "cdc_geohash_grid", "cdc_phrase_suggest",
       // r18 second wave: the agg quartet reads the composed pass's
       // maintained orders state (carried by cdc_apply_customer_dsv2,
-      // which sorts first)
+      // which sorts first); regexp/terms_set read the text pass
       "cdc_extended_stats", "cdc_auto_date_histogram", "cdc_sampler_agg",
-      "cdc_global_agg")
+      "cdc_global_agg", "cdc_regexp_query", "cdc_terms_set")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

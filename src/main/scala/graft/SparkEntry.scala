@@ -549,6 +549,10 @@ object SparkEntry {
     // secondary index (sorted runs, pushed range predicate) — never a
     // doc-state scan (VERDICT r15 missing #1)
     "cdc_range_filter" -> ((s, d) => graft.ops.Search.qCdcRangeFilter(s, d)),
+    // r18: the regexp rewrite (anchored directory expansion, OR-scored)
+    // and terms_set (per-doc minimum_should_match off a derived field)
+    "cdc_regexp_query" -> ((s, d) => graft.ops.Search.qCdcRegexpQuery(s, d)),
+    "cdc_terms_set" -> ((s, d) => graft.ops.Search.qCdcTermsSet(s, d)),
     // GEO rational subset (r18): the bounding-box filter-context cut over
     // the derived centi-degree points, and the geohash_grid bucket agg
     // (real base-32 bit interleave, integer arithmetic end to end);
@@ -2364,6 +2368,21 @@ object SparkEntry {
     "cdc_range_filter" -> bm25Sql(docsChangelogCte, 1,
       Seq("stream", "merge", "window"), Seq.empty,
       extraCut = "p.doc_id IN (SELECT doc_id FROM dl WHERE dl >= 40 AND dl < 60)"),
+    // regexp: the anchored expansion as a regexp_full_match predicate —
+    // every expanded term scored with its own df/idf
+    "cdc_regexp_query" -> bm25Sql(docsChangelogCte, 1,
+      Seq.empty, Seq.empty,
+      termsWhere = "regexp_full_match(tok, 's[ct].*')"),
+    // terms_set: the per-doc required count (1 + doc_id % 3) cuts each
+    // candidate against its OWN matched-term count, after scoring
+    "cdc_terms_set" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window", "slow"), Seq.empty,
+      tail = """,ts2 AS (SELECT doc_id, n_t, 1 + doc_id % 3 AS required, score
+         |        FROM agg WHERE n_t >= 1 + doc_id % 3),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM ts2)
+         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t,
+         |       CAST(required AS BIGINT) AS required, score
+         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
     // geo_bounding_box: the derived centi-degree point (identical integer
     // hash + the same /100.0 − offset double text) inside the box, in
     // filter context — never rescoring

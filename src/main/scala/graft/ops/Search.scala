@@ -991,6 +991,56 @@ object Search {
     maintainedBm25(spark, idxDir, expansion, k)
   }
 
+  /** Oracle-checked query: the ES `regexp` query (r18) — the last
+    * term-level rewrite query beside prefix/wildcard/fuzzy: the pattern
+    * expands against the sorted term directory and the expansion scores
+    * as an OR match, each term with its own df/idf (the scoring_boolean
+    * shape all four share). ES regexp is implicitly ANCHORED — rendered
+    * as a fully-anchored match in both engines. Dialect scope, disclosed:
+    * the supported operator subset is the one Java regex and RE2 agree
+    * on (literals, `[...]` classes, `.`, `*`, `+`, `?`, `|`, grouping) —
+    * ES's optional operators (`~`, `<>` intervals) are out. Like the
+    * wildcard, an unanchored-prefix pattern enumerates the
+    * vocabulary-sized directory (the reason it exists); postings reads
+    * stay bucket-pruned to the expansion; maxClauseCount loud. */
+  def qCdcRegexpQuery(spark: SparkSession, sfDir: String,
+                      pattern: String = "s[ct].*", k: Int = 10,
+                      maxClauses: Int = 1024): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val expansion = dictTerms(spark, idxDir)
+      .filter(col("tok").rlike("^(?:" + pattern + ")$"))
+      .select(col("tok")).orderBy(col("tok")).limit(maxClauses + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(expansion.nonEmpty, s"no index term matches regexp '$pattern'")
+    require(expansion.size <= maxClauses,
+      s"regexp '$pattern' expands past maxClauseCount=$maxClauses — " +
+        "narrow the pattern (the Lucene scoring_boolean contract)")
+    maintainedBm25(spark, idxDir, expansion, k)
+  }
+
+  /** Oracle-checked query: the ES `terms_set` query (r18) — the terms
+    * match whose minimum_should_match is PER-DOCUMENT
+    * (`minimum_should_match_field`: each doc stores how many of the
+    * terms it requires — the "match enough of my skills" query). The
+    * static-msm `match` ([[qCdcMatchAnd]]) cannot express this: the cut
+    * compares each candidate's matched-term count against ITS OWN
+    * required count. The required field derives from the id here (the
+    * established derived-fixture pattern; a stored-field deployment
+    * reads doc values), the scoring is the ordinary per-term BM25 sum
+    * over the terms' pruned buckets, and the cut adds no IO. */
+  def qCdcTermsSet(spark: SparkSession, sfDir: String,
+                   terms: Seq[String] = Seq("stream", "merge", "window", "slow"),
+                   k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val kept = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+      .withColumn("required", lit(1L) + col("doc_id") % 3)
+      .filter(col("n_t") >= col("required"))
+    rankTopK(kept, k, Seq("n_t", "required"))
+  }
+
   /** Oracle-checked query: the ES `match` with `fuzziness` — each query
     * term expands to every index term within `maxEdits` Levenshtein edits
     * and the expansion scores as an OR match, each term with its own

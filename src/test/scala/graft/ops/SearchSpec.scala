@@ -1787,6 +1787,48 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "bbox page equals the unfiltered page — the cut is untested")
   }
 
+  test("regexp query: the anchored expansion matches exactly the directory " +
+    "terms, and scoring equals the explicit OR match (r18)") {
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val expansion = Search.dictTerms(spark, idxDir).collect()
+      .map(_.getString(0)).filter(_.matches("s[ct].*")).sorted.toSeq
+    assert(expansion.size >= 2, s"fixture drift: expansion $expansion")
+    val out = Search.qCdcRegexpQuery(spark, sfDir).collect()
+    val explicit = Search.qCdcTextSearch(spark, sfDir,
+      query = expansion).collect()
+    assert(out.map(r => (r.getLong(1), r.getDouble(3))).toSeq ===
+      explicit.map(r => (r.getLong(1), r.getDouble(3))).toSeq,
+      "regexp must score as the explicit expansion's OR match")
+    // anchoring: 'c[ct].*'-style UNanchored side matches must be absent —
+    // every scored term genuinely full-matches the pattern
+    assert(expansion.forall(_.matches("^(?:s[ct].*)$")))
+  }
+
+  test("terms_set: each candidate cuts against its OWN required count; " +
+    "the static-msm match cannot express the result (r18)") {
+    val out = Search.qCdcTermsSet(spark, sfDir, k = 100000).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3),
+        s"doc ${r.getLong(1)}: n_t ${r.getLong(2)} < required ${r.getLong(3)}")
+      assert(r.getLong(3) === 1L + r.getLong(1) % 3)
+    }
+    // the per-doc rule genuinely varies the cut: required values 1, 2, 3
+    // all appear, and the result differs from every static msm
+    val reqs = out.map(_.getLong(3)).toSet
+    assert(reqs === Set(1L, 2L, 3L), s"required values seen: $reqs")
+    val ids = out.map(_.getLong(1)).toSet
+    // static msm=m over the same terms = the full match cut at n_t >= m;
+    // the per-doc rule must coincide with none of them
+    val full = Search.qCdcTextSearch(spark, sfDir,
+        query = Seq("stream", "merge", "window", "slow"), k = 100000)
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    (1 to 3).foreach { msm =>
+      val static = full.filter(_._2 >= msm).map(_._1).toSet
+      assert(ids !== static, s"terms_set coincides with static msm=$msm")
+    }
+  }
+
   test("_explain: per-term contributions sum exactly to the hit's score, " +
     "and the explained hit IS text_search's rank 1 (r18)") {
     val out = Search.qCdcExplain(spark, sfDir).collect()
