@@ -225,7 +225,10 @@ object Bench {
       // r18: carries the retention pass — a hardlink clone of the rolled
       // text family (memoized by cdc_distance_feature, which sorts first)
       // + the ILM expire + per-generation forcemerge
-      "cdc_rollover_retention")
+      "cdc_rollover_retention",
+      // r18: carries the shrink pass — a clone of the retention family
+      // with every retained generation folded to 2-bucket states
+      "cdc_rollover_shrink")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",
@@ -286,7 +289,8 @@ object Bench {
       // maintained orders state (carried by cdc_apply_customer_dsv2,
       // which sorts first); regexp/terms_set read the text pass
       "cdc_extended_stats", "cdc_auto_date_histogram", "cdc_sampler_agg",
-      "cdc_global_agg", "cdc_regexp_query", "cdc_terms_set")
+      "cdc_global_agg", "cdc_regexp_query", "cdc_terms_set",
+      "cdc_span_first")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

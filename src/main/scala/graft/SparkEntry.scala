@@ -176,6 +176,11 @@ object SparkEntry {
     // search over what's live
     "cdc_rollover_retention" ->
       ((s, d) => graft.ops.Search.qCdcRolloverRetention(s, d)),
+    // ...and the ILM SHRINK phase (r18): retained generations fold to
+    // 2-bucket states (the ES _shrink shard-count reduction); layout
+    // changes, the answer doesn't
+    "cdc_rollover_shrink" ->
+      ((s, d) => graft.ops.Search.qCdcRolloverShrink(s, d)),
     // ES PIPELINE aggs over the histogram's buckets: derivative (Δ vs the
     // previous bucket, null for the first) + cumulative_sum
     "cdc_derivative_agg" -> ((s, d) => graft.cdc.Pipeline.qDerivativeAgg(s, d)),
@@ -553,6 +558,9 @@ object SparkEntry {
     // and terms_set (per-doc minimum_should_match off a derived field)
     "cdc_regexp_query" -> ((s, d) => graft.ops.Search.qCdcRegexpQuery(s, d)),
     "cdc_terms_set" -> ((s, d) => graft.ops.Search.qCdcTermsSet(s, d)),
+    // span_first: the term within the first N positions, per-doc hit
+    // counts off the stored positional postings
+    "cdc_span_first" -> ((s, d) => graft.ops.Search.qCdcSpanFirst(s, d)),
     // GEO rational subset (r18): the bounding-box filter-context cut over
     // the derived centi-degree points, and the geohash_grid bucket agg
     // (real base-32 bit interleave, integer arithmetic end to end);
@@ -2770,6 +2778,12 @@ object SparkEntry {
       "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n" +
         "         FROM documents WHERE doc_id % 28 >= 7)",
       1, Seq("stream", "merge", "window"), Seq.empty),
+    // shrink: layout-only — the same retained corpus answers (the oracle
+    // pins content invariance; the drills pin the 2-bucket layouts)
+    "cdc_rollover_shrink" -> bm25Sql(
+      "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n" +
+        "         FROM documents WHERE doc_id % 28 >= 7)",
+      1, Seq("filter", "join", "scan"), Seq.empty),
     "cdc_derivative_agg" ->
       // pipeline aggs on the bucket frame: derivative (null first bucket)
       // + cumulative_sum, one window pass over |months| rows
@@ -2844,6 +2858,14 @@ object SparkEntry {
       Seq("stream", "merge", "window"), Seq.empty),
     "cdc_update_by_query" -> bm25Sql(docsUpdateByQueryCte, 1,
       Seq("reviewed", "merge"), Seq.empty),
+    "cdc_span_first" ->
+      // span_first: occurrences of the term at position <= 5, per doc
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w)
+         |SELECT doc_id, count(*) AS hits FROM toks2
+         |WHERE tok = 'stream' AND p <= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_span_near" ->
       // span_near in_order:false slop 2: any one position per term with
       // width − (n−1) ≤ slop; hits = distinct min-position span starts

@@ -597,6 +597,83 @@ object ChangelogStream {
     * from splitting forever. */
   private val MaxDepth = 24
 
+  /** The ILM SHRINK phase (r18, the ladder rung after forcemerge): rewrite
+    * a write-retired state into a UNIFORM layout of `targetBuckets` — the
+    * ES `_shrink` API's shard-count reduction for old read-mostly indices
+    * (a year-old generation does not need the write-sized bucket count;
+    * fewer buckets = fewer files opened per read and per clone at 100 TB).
+    * One Spark job rewrites every live row into the new bucket space (the
+    * extendible-hash family makes re-bucketing a plain pmod change), new
+    * version dirs stay invisible until the ONE manifest flip (the
+    * [[compactState]] crash protocol: a crashed shrink is invisible and a
+    * re-run overwrites), and the sweep afterwards honors savepoint pins —
+    * a pinned manifest carries its own layout copy, so time travel keeps
+    * resolving the PRE-shrink buckets as long as their pinned versions
+    * survive, which the sweep guarantees exactly like compactState's.
+    * Rows pass through raw (truncate fences and tombstones keep applying
+    * at read — shrink changes layout, never content). */
+  def shrinkState(spark: SparkSession, stateDir: String,
+                  targetBuckets: Int): Unit = {
+    val layout = Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest at $stateDir — shrink a state written by upsertBatch"))
+    require(targetBuckets >= 1 && Integer.bitCount(targetBuckets) == 1,
+      s"targetBuckets must be a power of two, got $targetBuckets")
+    require(targetBuckets <= layout.entries.size,
+      s"shrink to $targetBuckets: the layout has only ${layout.entries.size} " +
+        "buckets — shrink reduces, the split path grows")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = layout.paths(stateDir)
+    val d = Integer.numberOfTrailingZeros(targetBuckets)
+    val target = Buckets.initial(layout.bucketCols, targetBuckets)
+    val tmp = s"$stateDir/.shrink-tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    if (paths.isEmpty) { Buckets.commit(spark, stateDir, target); return }
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    raw.withColumn("__bucket", Buckets.bucketExpr(target, target.bucketCols))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(tmp)
+    var entries = target.entries
+    (0 until targetBuckets).foreach { b =>
+      // the new version must clear any EXISTING version of this bucket id
+      // (ids < target exist in the old layout) so readers holding the old
+      // manifest never see their pointed version replaced
+      val vNew = layout.entries.get(b).map(_._2).getOrElse(-1L) + 1
+      val from = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
+      val to = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b/v=$vNew")
+      if (fs.exists(to)) fs.delete(to, true)
+      if (fs.exists(from)) {
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(from, to))
+          throw new IllegalStateException(s"shrink promote failed: $from -> $to")
+      } else
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw.schema)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(to.toString)
+      fs.create(new org.apache.hadoop.fs.Path(to, "_SUCCESS")).close()
+      entries = entries.updated(b, (d, vNew))
+    }
+    Buckets.commit(spark, stateDir, target.copy(entries = entries))
+    // sweep: pre-shrink versions of kept bucket ids, and the whole dirs of
+    // disappearing ids — except anything a savepoint pins (its manifest
+    // copy still names those (bucket, version) paths)
+    val pinned = Buckets.pinnedVersions(spark, stateDir)
+    layout.entries.toSeq.sortBy(_._1).foreach { case (b, (_, _)) =>
+      val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
+      if (fs.exists(bDir)) {
+        val keepFrom = if (b < targetBuckets) entries(b)._2 else Long.MaxValue
+        committedVersions(spark, bDir.toString)
+          .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+        if (b >= targetBuckets &&
+            fs.listStatus(bDir).forall(!_.getPath.getName.startsWith("v=")))
+          fs.delete(bDir, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** State OPTIMIZE: rewrite every bucket's pointed version in ONE Spark
     * job — dropping truncate-fenced rows (physically purging what readers
     * were filtering) and collapsing the per-merge file accretion to one

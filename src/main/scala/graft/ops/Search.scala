@@ -991,6 +991,24 @@ object Search {
     maintainedBm25(spark, idxDir, expansion, k)
   }
 
+  /** Oracle-checked query: the ES `span_first` query (r18) — the
+    * positional constraint "the term occurs within the first `end`
+    * positions" (title-ish matching without a separate field): per doc,
+    * the occurrences whose maintained position is ≤ `end`, docs with at
+    * least one reported with their in-window hit count — the span_near
+    * output shape. IO: the term's one pruned postings bucket; the filter
+    * is an array lambda over the stored positions, codegen'd, no
+    * explode. */
+  def qCdcSpanFirst(spark: SparkSession, sfDir: String,
+                    term: String = "stream", end: Int = 5): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    maintainedPostings(spark, idxDir, Seq(term), Seq("tok", "id", "positions"))
+      .select(col("id").as("doc_id"),
+        size(filter(col("positions"), p => p <= end)).cast("long").as("hits"))
+      .filter(col("hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle-checked query: the ES `regexp` query (r18) — the last
     * term-level rewrite query beside prefix/wildcard/fuzzy: the pattern
     * expands against the sorted term directory and the expansion scores
@@ -1563,6 +1581,32 @@ object Search {
     require(expansion.size <= maxClauses,
       s"prefix '$prefix' expands past maxClauseCount=$maxClauses")
     maintainedBm25(spark, idxDir, (exact ++ expansion).distinct, k)
+  }
+
+  /** Oracle-checked query: search over the rolled family AFTER the full
+    * cold path — rollover, ILM delete, forcemerge, and now SHRINK (r18):
+    * every retained generation's doc and postings states folded to
+    * 2-bucket layouts ([[graft.cdc.ChangelogStream.shrinkState]] — the ES
+    * `_shrink` shard-count reduction for read-mostly indices). The query
+    * is the ordinary read-alias BM25 with merged stats over the shrunk
+    * clone; shrink changes LAYOUT only — same corpus, same statistics,
+    * same answer as the retention family — which is exactly what the
+    * oracle pins, while the drills pin the 2-bucket layouts, the
+    * pre≡post results, and the savepoint pin surviving the sweep. */
+  def qCdcRolloverShrink(spark: SparkSession, sfDir: String,
+                         query: Seq[String] = Seq("filter", "join", "scan"),
+                         k: Int = 10): DataFrame = {
+    val fam = TextRollover.shrinkRun(spark, sfDir)
+    val gens = graft.cdc.Rollover.readRegistry(spark, fam).filter(_.docs > 0)
+    val postings = gens.map(g =>
+        maintainedPostings(spark, s"${g.dir}/idx", query,
+            Seq("tok", "id", "tf", "dl"))
+          .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl")))
+      .reduce(_.unionByName(_))
+    val stats = gens.map(g => corpusStats(spark, s"${g.dir}/idx"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    bm25TopK(postings, stats, k, 1.2, 0.75)
   }
 
   /** Oracle-checked query: the ES `_explain` API (r18, VERDICT r17

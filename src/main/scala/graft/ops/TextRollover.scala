@@ -141,6 +141,41 @@ object TextRollover {
       graft.cdc.ChangelogStream.compactState(spark, srcidx)
   }
 
+  /** The ILM SHRINK phase at generation granularity: both bucketed
+    * states of a write-retired generation (doc state and postings) fold
+    * to `targetBuckets` ([[graft.cdc.ChangelogStream.shrinkState]]); the
+    * run-structured artifacts (`_dict`, `_tsidx`, `_dlidx`) have no
+    * bucket dimension to shrink and the srcidx follows when present.
+    * Query-side nothing changes: bucket pruning reads the CURRENT layout
+    * manifest, so a (field-)term lookup is still one (smaller-space)
+    * bucket. */
+  def shrink(spark: SparkSession, genRoot: String, targetBuckets: Int): Unit = {
+    graft.cdc.ChangelogStream.shrinkState(spark, s"$genRoot/state", targetBuckets)
+    graft.cdc.ChangelogStream.shrinkState(spark, s"$genRoot/idx", targetBuckets)
+    val srcidx = s"$genRoot/state/_srcidx"
+    if (graft.cdc.Buckets.read(spark, srcidx).isDefined)
+      graft.cdc.ChangelogStream.shrinkState(spark, srcidx, targetBuckets)
+  }
+
+  private val shrinkRuns = new graft.model.JvmMemo[String]()
+
+  /** Run (or reuse) the SHRINK pass: a fork of the retention family with
+    * every retained populated generation folded to 2-bucket states — the
+    * full cold path (rollover → expire → forcemerge → shrink). The clone
+    * carries generation 2's savepoint pin, so the shrink drills the
+    * pin-preserving sweep live. */
+  private[graft] def shrinkRun(spark: SparkSession, sfDir: String): String =
+    shrinkRuns.getOrRun(sfDir) {
+      val work = graft.model.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft-textshrink-").toString)
+      val s2 = graft.cdc.Materialize.sessionWithParts(spark, 8)
+      cloneFamily(s2, retentionRun(spark, sfDir), work)
+      graft.cdc.Rollover.readRegistry(s2, work).filter(_.docs > 0)
+        .foreach(g => shrink(s2, g.dir, 2))
+      work
+    }
+
   private val retRuns = new graft.model.JvmMemo[String]()
 
   /** Run (or reuse) the RETENTION pass over a fork of the rolled family:

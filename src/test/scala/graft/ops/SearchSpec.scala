@@ -1787,6 +1787,26 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "bbox page equals the unfiltered page — the cut is untested")
   }
 
+  test("span_first: only in-window occurrences count, and a doc whose term " +
+    "sits past the boundary is absent (r18)") {
+    val out = Search.qCdcSpanFirst(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val live = graft.cdc.ChangelogStream.readState(spark,
+        Search.textIndexRun(spark, sfDir)._1, Seq("id", "text")).collect()
+    val expect = live.map(r => r.getLong(0) ->
+        r.getString(1).split(' ').take(5).count(_ == "stream"))
+      .filter(_._2 > 0).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1).toInt).toMap === expect)
+    // boundary: docs carrying 'stream' only PAST position 5 never report
+    val beyond = live.filter { r =>
+      val t = r.getString(1).split(' ')
+      t.contains("stream") && !t.take(5).contains("stream")
+    }
+    assert(beyond.nonEmpty, "fixture degenerate: no doc has 'stream' only late")
+    val ids = out.map(_.getLong(0)).toSet
+    assert(beyond.forall(r => !ids.contains(r.getLong(0))))
+  }
+
   test("regexp query: the anchored expansion matches exactly the directory " +
     "terms, and scoring equals the explicit OR match (r18)") {
     val (_, idxDir) = Search.textIndexRun(spark, sfDir)

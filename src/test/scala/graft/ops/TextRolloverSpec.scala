@@ -170,6 +170,32 @@ class TextRolloverSpec extends AnyFunSuite with SparkSpec {
     assert(pin2.map(g => new java.io.File(g.dir).getName) === Seq("gen-000002"))
   }
 
+  test("ILM shrink: retained generations fold to 2-bucket layouts, the " +
+    "answer is layout-invariant, and the savepoint pin survives (r18)") {
+    val fam = TextRollover.shrinkRun(spark, sfDir)
+    val gens = Rollover.readRegistry(spark, fam).filter(_.docs > 0)
+    assert(gens.nonEmpty)
+    gens.foreach { g =>
+      assert(graft.cdc.Buckets.read(spark, s"${g.dir}/state").get
+        .entries.size === 2, s"${g.dir} state not shrunk")
+      assert(graft.cdc.Buckets.read(spark, s"${g.dir}/idx").get
+        .entries.size === 2, s"${g.dir} idx not shrunk")
+    }
+    // layout-only: the shrunk family answers exactly like the (unshrunk)
+    // retention family on the same query
+    val pre = Search.qCdcRolloverRetention(spark, sfDir,
+      query = Seq("filter", "join", "scan")).collect().toSeq
+    val post = Search.qCdcRolloverShrink(spark, sfDir).collect().toSeq
+    assert(post === pre, "shrink changed the answer — layout leaked into content")
+    // the pinned savepoint still resolves: its manifest copy names
+    // PRE-shrink buckets, which the pin-honoring sweep preserved
+    val g2 = gens.find(_.dir.endsWith("gen-000002")).get
+    assert(graft.cdc.Buckets
+      .savepointNames(spark, s"${g2.dir}/state") === Seq("ret-pin"))
+    assert(graft.cdc.ChangelogStream.readStateAt(spark, s"${g2.dir}/state",
+      "ret-pin", Seq("id")).count() > 0L)
+  }
+
   test("the family built through a foreachBatch STREAM (one file per " +
     "trigger, restarted mid-family) equals the batch-applied family") {
     import org.apache.spark.sql.streaming.Trigger
