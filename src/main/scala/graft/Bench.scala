@@ -56,6 +56,31 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
+    // FLOOR CHECK inputs (r18, the run-4 lesson): three probes bound only
+    // the instants they sample — a ~2-minute loaded phase fit between
+    // adjacent samples and produced a fully flag-clean run whose body was
+    // 37% slow. The committed reference's values for the four most
+    // window-sensitive carriers are read BEFORE this run overwrites the
+    // file; afterwards any carrier > 1.5× its committed value on an
+    // otherwise clean run flags `body_suspect` — the mechanical rendering
+    // of the body-against-floors promotion criterion.
+    val floorCarriers = Seq("cdc_text_bootstrap", "cdc_distance_feature",
+      "cdc_adjacency_matrix", "cdc_pipeline_truncate")
+    val committedFloors: Map[String, Double] =
+      try {
+        val f = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
+        if (!f.exists) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val qn = node.get("queries")
+          // floors only compare within one scale: a reference measured at
+          // a different SF would make every comparison meaningless
+          val sameSf = Option(node.get("sf")).exists(_.asText == sfDir)
+          if (qn == null || !sameSf) Map.empty
+          else floorCarriers
+            .flatMap(c => Option(qn.get(c)).map(c -> _.asDouble)).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
     val loadStart = loadavg()
     val ioStart = ioPressure()
     spinMs() // discarded JIT warm-up: the measured samples must compare
@@ -184,6 +209,13 @@ object Bench {
     // prefix compares cleanly. Since r18 the mid-run sample participates,
     // so a loaded middle between two quiet boundaries degrades the run.
     val degraded = !contended && spinParSamples.max > 260.0
+    // the run-body check itself (see the floor-carrier note above): fires
+    // on runs the probes called clean — a flagged run already says "bad
+    // window" and per-query comparisons are already off the table there
+    val resultsMap = results.toMap
+    val bodySuspects = floorCarriers.filter(c =>
+      committedFloors.get(c).exists(ref => resultsMap.get(c).exists(_ > 1.5 * ref)))
+    val bodySuspect = !contended && !degraded && bodySuspects.nonEmpty
 
     // Full-precision per-query map goes to a file (the harness that captures
     // stdout keeps only a short tail, so the printed line must stay small);
@@ -337,6 +369,8 @@ object Bench {
       s""""spin_ref_ms":$SpinRef,""" +
       s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
       s""""contended":$contended,"degraded":$degraded,""" +
+      s""""body_suspect":$bodySuspect,""" +
+      s""""body_suspect_carriers":${arr(bodySuspects)},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
@@ -350,7 +384,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"body_suspect":$bodySuspect,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true
