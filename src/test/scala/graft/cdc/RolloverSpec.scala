@@ -121,6 +121,44 @@ class RolloverSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("unrecognized rollover registry format"))
   }
 
+  test("expire on the keyed events family: old generations retire, a " +
+    "savepoint-pinned one survives, the write tail is untouchable (r18)") {
+    val fam = work()
+    Rollover.write(spark, fam, batch(0 until 8, 3), maxDocs = 1L)
+    Rollover.write(spark, fam, batch(8 until 16, 9), maxDocs = 1L)
+    Rollover.write(spark, fam, batch(16 until 24, 17), maxDocs = 1L)
+    val gens = Rollover.readRegistry(spark, fam)
+    assert(gens.count(_.docs > 0) === 3)
+    // pin generation 2 (a keyed-state family: the gen dir IS the state)
+    Buckets.savepoint(spark, gens(1).dir, "hold")
+    def micros(day: String) =
+      java.time.Instant.parse(s"${day}T00:00:00Z").toEpochMilli * 1000L
+    // cutoff past generations 1-2: gen 1 deletes, gen 2 survives its pin
+    val (expired, pinned) = Rollover.expire(spark, fam,
+      minKeepTs = micros("2024-01-15"), keepLast = 1,
+      isPinned = g => Buckets.savepointNames(spark, g.dir).nonEmpty)
+    assert(expired.map(_.dir) === Seq(gens.head.dir))
+    assert(pinned.map(_.dir) === Seq(gens(1).dir))
+    val after = Rollover.readRegistry(spark, fam)
+    assert(!after.exists(_.dir == gens.head.dir))
+    assert(after.exists(_.dir == gens(1).dir))
+    assert(!new java.io.File(gens.head.dir).exists())
+    // the read alias serves the retained rows only
+    val (df, _) = Rollover.readOverlapping(spark, fam,
+      micros("2024-01-01"), micros("2024-02-01"), Seq("event_id"))
+    assert(df.collect().map(_.getLong(0)).toSet ===
+      (8 until 24).map(_.toLong).toSet)
+    // an aggressive cutoff can never take the write tail: gen 3 is the
+    // last POPULATED entry but the empty write target is the tail — gen 3
+    // expires only if unpinned and aged out; the TAIL entry never does
+    val (exp2, _) = Rollover.expire(spark, fam,
+      minKeepTs = Long.MaxValue, keepLast = 1,
+      isPinned = g => Buckets.savepointNames(spark, g.dir).nonEmpty)
+    assert(exp2.map(_.dir) === Seq(gens(2).dir),
+      "only the aged unpinned generation goes; the tail survives")
+    assert(Rollover.readRegistry(spark, fam).last.docs === 0L)
+  }
+
   test("the declared query's default range prunes 2 of the fixture's 4 " +
     "generations; an all-covering range is served, not refused") {
     def micros(day: String) =
