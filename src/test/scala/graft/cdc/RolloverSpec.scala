@@ -159,6 +159,26 @@ class RolloverSpec extends AnyFunSuite with SparkSpec {
     assert(Rollover.readRegistry(spark, fam).last.docs === 0L)
   }
 
+  test("a crash between the expire registry flip and the dir deletes " +
+    "converges on the next expire — even a no-op one (the orphan sweep)") {
+    val fam = work()
+    Rollover.write(spark, fam, batch(0 until 8, 3), maxDocs = 1L)
+    Rollover.write(spark, fam, batch(8 until 16, 9), maxDocs = 1L)
+    val (fence, gens) = Rollover.readRegistryFenced(spark, fam)
+    // simulate the crash point: the registry committed the retirement of
+    // generation 1 but the process died before its dir was deleted
+    Rollover.writeRegistry(spark, fam, fence, gens.tail)
+    assert(new java.io.File(gens.head.dir).exists(), "orphan precondition")
+    // the replayed expire finds NOTHING eligible (cutoff below every
+    // span) — yet the sweep still collects the unreferenced dir
+    val (expired, pinned) = Rollover.expire(spark, fam,
+      minKeepTs = Long.MinValue, keepLast = 1, isPinned = _ => false)
+    assert(expired.isEmpty && pinned.isEmpty)
+    assert(!new java.io.File(gens.head.dir).exists(),
+      "the orphaned generation dir must be swept")
+    assert(Rollover.readRegistryFenced(spark, fam) === (fence, gens.tail))
+  }
+
   test("the declared query's default range prunes 2 of the fixture's 4 " +
     "generations; an all-covering range is served, not refused") {
     def micros(day: String) =
