@@ -56,31 +56,49 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
-    // FLOOR CHECK inputs (r18, the run-4 lesson): three probes bound only
-    // the instants they sample — a ~2-minute loaded phase fit between
-    // adjacent samples and produced a fully flag-clean run whose body was
-    // 37% slow. The committed reference's values for the four most
-    // window-sensitive carriers are read BEFORE this run overwrites the
-    // file; afterwards any carrier > 1.5× its committed value on an
+    // FLOOR CHECK inputs (r18, the run-4 lesson; r19, VERDICT r18 wrong
+    // #1): three probes bound only the instants they sample — a ~2-minute
+    // loaded phase fit between adjacent samples and produced a fully
+    // flag-clean run whose body was 37% slow. The per-carrier floors are
+    // a COMMITTED artifact, BENCH_FLOORS.json — promoted by hand under its
+    // own update rule (only from a contended=false, degraded=false,
+    // body_suspect=false run), never overwritten by a run like
+    // BENCH_DETAIL.json is — and consumed by BOTH this check and
+    // BenchReferenceSpec. Any carrier > threshold_ratio × its floor on an
     // otherwise clean run flags `body_suspect` — the mechanical rendering
-    // of the body-against-floors promotion criterion.
-    val floorCarriers = Seq("cdc_text_bootstrap", "cdc_distance_feature",
-      "cdc_adjacency_matrix", "cdc_pipeline_truncate")
-    val committedFloors: Map[String, Double] =
+    // of the body-against-floors promotion criterion. An unreadable or
+    // corrupt floors file DISABLES the gate loudly
+    // (`body_suspect_floors_unavailable`: the silent-disable was itself a
+    // false-clean class — ADVICE r18); fatal JVM errors propagate.
+    val (committedFloors, floorThreshold, floorsUnavailable):
+        (Map[String, Double], Double, Boolean) =
       try {
-        val f = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
-        if (!f.exists) Map.empty
+        val f = new java.io.File(sys.props("user.dir"), "BENCH_FLOORS.json")
+        if (!f.exists) (Map.empty[String, Double], 1.5, true)
         else {
           val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-          val qn = node.get("queries")
           // floors only compare within one scale: a reference measured at
-          // a different SF would make every comparison meaningless
+          // a different SF would make every comparison meaningless (this
+          // is a scale mismatch, not a corrupt file — no unavailable flag)
           val sameSf = Option(node.get("sf")).exists(_.asText == sfDir)
-          if (qn == null || !sameSf) Map.empty
-          else floorCarriers
-            .flatMap(c => Option(qn.get(c)).map(c -> _.asDouble)).toMap
+          val fl = node.get("floors_sec")
+          val thr = Option(node.get("threshold_ratio")).map(_.asDouble).getOrElse(1.5)
+          if (fl == null || !fl.isObject) (Map.empty[String, Double], thr, true)
+          else if (!sameSf) (Map.empty[String, Double], thr, false)
+          else {
+            val it = fl.fieldNames()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val k = it.next(); b += k -> fl.get(k).asDouble }
+            (b.result(), thr, false)
+          }
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WARN: BENCH_FLOORS.json unreadable — " +
+            s"body_suspect gate disabled: $e")
+          (Map.empty[String, Double], 1.5, true)
+      }
+    val floorCarriers = committedFloors.keys.toSeq.sorted
     val loadStart = loadavg()
     val ioStart = ioPressure()
     spinMs() // discarded JIT warm-up: the measured samples must compare
@@ -214,7 +232,8 @@ object Bench {
     // window" and per-query comparisons are already off the table there
     val resultsMap = results.toMap
     val bodySuspects = floorCarriers.filter(c =>
-      committedFloors.get(c).exists(ref => resultsMap.get(c).exists(_ > 1.5 * ref)))
+      committedFloors.get(c).exists(ref =>
+        resultsMap.get(c).exists(_ > floorThreshold * ref)))
     val bodySuspect = !contended && !degraded && bodySuspects.nonEmpty
 
     // Full-precision per-query map goes to a file (the harness that captures
@@ -370,6 +389,7 @@ object Bench {
       s""""value_spin_normalized":${"%.3f".formatLocal(java.util.Locale.ROOT, totalNorm)},""" +
       s""""contended":$contended,"degraded":$degraded,""" +
       s""""body_suspect":$bodySuspect,""" +
+      s""""body_suspect_floors_unavailable":$floorsUnavailable,""" +
       s""""body_suspect_carriers":${arr(bodySuspects)},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
@@ -384,7 +404,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"body_suspect":$bodySuspect,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"body_suspect":$bodySuspect,"body_suspect_floors_unavailable":$floorsUnavailable,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true

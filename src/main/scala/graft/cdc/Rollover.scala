@@ -165,7 +165,12 @@ object Rollover {
              keepLast: Int, isPinned: Gen => Boolean): (Seq[Gen], Seq[Gen]) = {
     val (fence, gens) = readRegistryFenced(spark, familyDir)
     require(gens.nonEmpty, s"no rollover registry at $familyDir")
-    val protectedTail = gens.takeRight(math.max(keepLast, 1)).map(_.dir).toSet
+    // loud contract (ADVICE r18): the write target always survives, so a
+    // caller asking to keep fewer than 1 generation holds a wrong model —
+    // fail rather than silently clamping to tail protection
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the write target always survives), got $keepLast")
+    val protectedTail = gens.takeRight(keepLast).map(_.dir).toSet
     val (eligible, kept) = gens.partition(g =>
       !protectedTail.contains(g.dir) && g.docs > 0 && g.maxTs < minKeepTs)
     val (pinnedPast, expired) = eligible.partition(isPinned)

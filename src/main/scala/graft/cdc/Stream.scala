@@ -629,6 +629,10 @@ object ChangelogStream {
     val target = Buckets.initial(layout.bucketCols, targetBuckets)
     val tmp = s"$stateDir/.shrink-tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // age out a PREVIOUS shrink's orphaned bucket ids (dirs the current
+    // layout no longer names) — they were kept one cycle for readers that
+    // had resolved the pre-shrink manifest (see the sweep below)
+    sweepOrphanBuckets(spark, stateDir, layout)
     if (paths.isEmpty) { Buckets.commit(spark, stateDir, target); return }
     val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     raw.withColumn("__bucket", Buckets.bucketExpr(target, target.bucketCols))
@@ -655,23 +659,52 @@ object ChangelogStream {
       entries = entries.updated(b, (d, vNew))
     }
     Buckets.commit(spark, stateDir, target.copy(entries = entries))
-    // sweep: pre-shrink versions of kept bucket ids, and the whole dirs of
-    // disappearing ids — except anything a savepoint pins (its manifest
-    // copy still names those (bucket, version) paths)
+    // sweep: only versions below the PRE-shrink pointed version — the
+    // just-superseded version survives one cycle, exactly like
+    // compactState's sweep, so a reader that resolved the pre-shrink
+    // manifest before the flip (a lazy Spark plan collected after it)
+    // never hits deleted files (ADVICE r18). Kept ids age the survivor
+    // out at the next compact/shrink through the ordinary keepFrom;
+    // disappearing ids (b >= targetBuckets) keep their pointed version
+    // too and the whole dir ages out through sweepOrphanBuckets on the
+    // next compact/shrink. Savepoint pins survive as always (a pinned
+    // manifest copy still names its (bucket, version) paths).
     val pinned = Buckets.pinnedVersions(spark, stateDir)
     layout.entries.toSeq.sortBy(_._1).foreach { case (b, (_, _)) =>
       val bDir = new org.apache.hadoop.fs.Path(stateDir, s"bucket=$b")
       if (fs.exists(bDir)) {
-        val keepFrom = if (b < targetBuckets) entries(b)._2 else Long.MaxValue
+        val keepFrom = math.max(layout.version(b), 0L)
         committedVersions(spark, bDir.toString)
           .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
           .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
-        if (b >= targetBuckets &&
-            fs.listStatus(bDir).forall(!_.getPath.getName.startsWith("v=")))
-          fs.delete(bDir, true)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Delete bucket dirs a previous [[shrinkState]] orphaned — ids the
+    * current layout no longer names. Their pointed versions were kept one
+    * cycle for readers holding the pre-shrink manifest; by the time the
+    * NEXT compact/shrink runs, that manifest is two flips stale and the
+    * dirs can go — except versions a savepoint still pins (the pinned
+    * manifest's own layout copy keeps resolving them). */
+  private def sweepOrphanBuckets(spark: SparkSession, stateDir: String,
+                                 layout: Buckets.Layout): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val pinned = Buckets.pinnedVersions(spark, stateDir)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toInt))
+      .filter(_._2 >= layout.entries.size)
+      .foreach { case (bDir, b) =>
+        committedVersions(spark, bDir.toString)
+          .filterNot(pinned.getOrElse(b, Set.empty).contains)
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
+        if (fs.listStatus(bDir).forall(!_.getPath.getName.startsWith("v=")))
+          fs.delete(bDir, true)
+      }
   }
 
   /** State OPTIMIZE: rewrite every bucket's pointed version in ONE Spark
@@ -747,6 +780,9 @@ object ChangelogStream {
           .filter(v => v < keepFrom && !pinned.getOrElse(b, Set.empty).contains(v))
           .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(bDir, s"v=$v"), true))
     }
+    // ...and age out any bucket ids a previous shrink orphaned (kept one
+    // cycle for pre-shrink-manifest readers — see shrinkState's sweep)
+    sweepOrphanBuckets(spark, stateDir, layout)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 

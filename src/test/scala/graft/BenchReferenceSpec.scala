@@ -34,4 +34,70 @@ class BenchReferenceSpec extends AnyFunSuite {
       s"bench reference stale vs HEAD — unbenched: ${missing.mkString(", ")};" +
         s" no-longer-declared: ${stale.mkString(", ")}")
   }
+
+  /** The carrier-floor table (VERDICT r18 wrong #1) is a COMMITTED
+    * artifact — BENCH_FLOORS.json — consumed by Bench's `body_suspect`
+    * gate AND by this spec, not PLANS.md prose. This test pins: (a) the
+    * file parses with every field the gate reads, so a corrupted table
+    * can't silently disable the check (the ADVICE r18 false-clean class);
+    * (b) every floor carrier is a declared query, so a renamed/retired
+    * carrier can't make the gate quietly blind; (c) the PROMOTION
+    * CRITERION itself — a committed reference claiming flag-clean
+    * (contended=false, degraded=false, body_suspect=false) must actually
+    * satisfy the floors it was promoted under. A reference that violates
+    * a floor while claiming clean is a false-clean promotion and the
+    * build says so. */
+  test("BENCH_FLOORS.json parses, names declared queries, and the " +
+    "committed reference honors it when claiming flag-clean") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ff = new java.io.File("BENCH_FLOORS.json")
+    assert(ff.exists, "no committed BENCH_FLOORS.json beside the build — " +
+      "the body_suspect gate has no floors to read")
+    val floors = mapper.readTree(ff)
+    val sf = floors.get("sf")
+    val thr = floors.get("threshold_ratio")
+    val fl = floors.get("floors_sec")
+    val rule = floors.get("update_rule")
+    assert(sf != null && sf.isTextual, "floors: missing/non-text \"sf\"")
+    assert(thr != null && thr.isNumber && thr.asDouble > 1.0,
+      "floors: missing or nonsensical \"threshold_ratio\"")
+    assert(rule != null && rule.isTextual && rule.asText.nonEmpty,
+      "floors: the update rule must travel with the table")
+    assert(fl != null && fl.isObject && fl.size > 0,
+      "floors: missing/empty \"floors_sec\"")
+    val carriers = {
+      val it = fl.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    carriers.foreach { c =>
+      assert(SparkEntry.queries.contains(c),
+        s"floor carrier $c is not a declared query — the gate is blind on it")
+      assert(fl.get(c).isNumber && fl.get(c).asDouble > 0.0,
+        s"floor for $c is not a positive number")
+    }
+    val df = new java.io.File("BENCH_DETAIL.json")
+    assume(df.exists, "no committed bench reference beside the build")
+    val detail = mapper.readTree(df)
+    val sameSf = Option(detail.get("sf")).exists(_.asText == sf.asText)
+    if (sameSf) {
+      val acc = detail.get("accounting")
+      def flag(k: String): Boolean =
+        acc != null && Option(acc.get(k)).exists(_.asBoolean)
+      val claimsClean =
+        !flag("contended") && !flag("degraded") && !flag("body_suspect")
+      if (claimsClean) {
+        val qn = detail.get("queries")
+        val over = carriers.flatMap { c =>
+          Option(qn.get(c)).map(_.asDouble)
+            .filter(_ > thr.asDouble * fl.get(c).asDouble)
+            .map(v => f"$c=$v%.2f (floor ${fl.get(c).asDouble}%.2f)")
+        }
+        assert(over.isEmpty,
+          "committed reference claims flag-clean but violates its floors — " +
+            s"a false-clean promotion: ${over.mkString(", ")}")
+      }
+    }
+  }
 }

@@ -765,4 +765,72 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).getLong(2) === 1 && rows(1).getDouble(3) === 5.0)
     q.stop()
   }
+
+  test("shrink keeps pre-shrink pointed versions ONE cycle — a reader " +
+    "holding the old manifest survives the flip; the next compact ages " +
+    "orphans out, pins excepted (ADVICE r18)") {
+    val stateDir = Files.createTempDirectory("graft-shrink-grace-").toString + "/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(
+      mk((1 to 16).map(i => (i.toLong, i.toLong, "INSERT", s"v$i")): _*),
+      stateDir, initialBuckets = 8)
+    val pre = Buckets.read(spark, stateDir).get
+    val prePaths = pre.paths(stateDir)
+    assert(prePaths.size === 8)
+    ChangelogStream.shrinkState(spark, stateDir, 2)
+    // every path the PRE-shrink manifest names still resolves — the
+    // compactState one-cycle grace (a lazy plan that resolved the old
+    // manifest before the flip collects after it without hitting
+    // deleted files); the old sweep used the NEW pointed version as
+    // keepFrom and deleted these immediately
+    prePaths.foreach(p =>
+      assert(new java.io.File(p).exists, s"pre-shrink path swept early: $p"))
+    assert(spark.read.option("mergeSchema", "true").parquet(prePaths: _*)
+      .count() === 16, "old-manifest reader lost rows")
+    // the new layout answers identically
+    assert(Buckets.read(spark, stateDir).get.entries.size === 2)
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 16)
+    // a savepoint ON THE SHRUNK layout must not block the orphan aging;
+    // pin one orphan version by hand-copying a pre-shrink manifest pin:
+    // use the real protocol — savepoint BEFORE a second shrink cycle
+    ChangelogStream.compactState(spark, stateDir)
+    // the next compact aged the grace versions out: the pre-shrink
+    // pointed versions of kept ids are gone and the orphan dirs
+    // (bucket ids the 2-bucket layout no longer names) are deleted
+    prePaths.foreach(p =>
+      assert(!new java.io.File(p).exists, s"grace version leaked: $p"))
+    (2 until 8).foreach(b => assert(
+      !new java.io.File(s"$stateDir/bucket=$b").exists,
+      s"orphan dir bucket=$b leaked past its grace cycle"))
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 16)
+  }
+
+  test("a savepoint pinned BEFORE a shrink keeps its orphan buckets " +
+    "through later compacts; release frees them (ADVICE r18)") {
+    val stateDir = Files.createTempDirectory("graft-shrink-pin-").toString + "/state"
+    def mk(rows: (Long, Long, String, String)*) = rows.toDF("id", "seq", "op", "v")
+    ChangelogStream.upsertBatch(
+      mk((1 to 16).map(i => (i.toLong, i.toLong, "INSERT", s"v$i")): _*),
+      stateDir, initialBuckets = 4)
+    // only orphan ids the savepoint actually pins (nonempty at pin time)
+    // must survive the sweeps — an empty orphan bucket pins nothing
+    val pinnedOrphans = Buckets.read(spark, stateDir).get.entries.toSeq
+      .collect { case (b, (_, v)) if b >= 2 && v >= 0 => b }.sorted
+    assert(pinnedOrphans.nonEmpty, "fixture left every orphan bucket empty")
+    Buckets.savepoint(spark, stateDir, "pre-shrink")
+    ChangelogStream.shrinkState(spark, stateDir, 2)
+    ChangelogStream.compactState(spark, stateDir)
+    // the pinned manifest still resolves the 4-bucket view in full
+    assert(ChangelogStream.readStateAt(spark, stateDir, "pre-shrink",
+      Seq("id", "v")).count() === 16)
+    pinnedOrphans.foreach(b => assert(
+      new java.io.File(s"$stateDir/bucket=$b").exists,
+      s"pinned orphan bucket=$b swept"))
+    Buckets.releaseSavepoint(spark, stateDir, "pre-shrink")
+    ChangelogStream.compactState(spark, stateDir)
+    pinnedOrphans.foreach(b => assert(
+      !new java.io.File(s"$stateDir/bucket=$b").exists,
+      s"released orphan bucket=$b leaked"))
+    assert(ChangelogStream.readState(spark, stateDir, Seq("id", "v")).count() === 16)
+  }
 }
