@@ -341,7 +341,11 @@ object Bench {
       // which sorts first); regexp/terms_set read the text pass
       "cdc_extended_stats", "cdc_auto_date_histogram", "cdc_sampler_agg",
       "cdc_global_agg", "cdc_regexp_query", "cdc_terms_set",
-      "cdc_span_first")
+      "cdc_span_first",
+      // r19: geotile/centroid read the text pass's id column, and
+      // significant_text its postings + doc state + directory — all
+      // carried by cdc_adjacency_matrix, which sorts first
+      "cdc_geotile_grid", "cdc_geo_centroid", "cdc_significant_text")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

@@ -568,6 +568,13 @@ object SparkEntry {
     "cdc_geo_bounding_box" ->
       ((s, d) => graft.ops.Search.qCdcGeoBoundingBox(s, d)),
     "cdc_geohash_grid" -> ((s, d) => graft.ops.Search.qCdcGeohashGrid(s, d)),
+    // geotile_grid (r19): the z/x/y map-tile sibling — integer tile
+    // divisions of the centi-degree grid (Mercator y needs ln/tan, so the
+    // rational subset renders the equirectangular row, disclosed); and
+    // geo_centroid riding the tile buckets — exact integer centi-degree
+    // sums, one double divide + round-6 (the emb_centroids rule)
+    "cdc_geotile_grid" -> ((s, d) => graft.ops.Search.qCdcGeotileGrid(s, d)),
+    "cdc_geo_centroid" -> ((s, d) => graft.ops.Search.qCdcGeoCentroid(s, d)),
     // the _explain API (r18): the top hit's per-term BM25 decomposition —
     // (tf, dl, df, idf, contribution) rows whose decimal sum IS the score
     "cdc_explain" -> ((s, d) => graft.ops.Search.qCdcExplain(s, d)),
@@ -595,6 +602,12 @@ object SparkEntry {
     // in a query's foreground vs the corpus background
     "cdc_significant_terms" -> ((s, d) =>
       graft.ops.Search.qCdcSignificantTerms(s, d)),
+    // ES significant_text (r19): foreground = the sampler-cut top hits of
+    // a scored BM25 match, their TEXT re-analyzed from the doc state
+    // (never an indexed field); background dfs from the term directory;
+    // JLH shared with significant_terms; filter_duplicate_text scoped out
+    "cdc_significant_text" -> ((s, d) =>
+      graft.ops.Search.qCdcSignificantText(s, d)),
     // ES more_like_this: the seed doc's top tf-idf terms as an OR match,
     // seed excluded — one doc-state point read + its terms' buckets
     "cdc_more_like_this" -> ((s, d) =>
@@ -2449,6 +2462,38 @@ object SparkEntry {
          |        (ORDER BY doc_count DESC, bucket_key) AS rk FROM b)
          |SELECT bucket_key, doc_count FROM r WHERE rk <= 10
          |ORDER BY doc_count DESC, bucket_key""".stripMargin,
+    "cdc_geotile_grid" ->
+      // geotile_grid zoom 3: x = the integer lon-grid division, y = the
+      // rational equirectangular row (2^z−1−⌊latIdx·2^z/18000⌋ — row 0
+      // north, the tile-scheme orientation; Mercator y is libm-scoped-out)
+      s"""WITH $docsChangelogCte,
+         |g AS (SELECT
+         |        CAST(floor(CAST((doc_id * 104729) % 36000 AS DOUBLE) * 8 / 36000) AS BIGINT) AS x,
+         |        7 - CAST(floor(CAST((doc_id * 7919) % 18000 AS DOUBLE) * 8 / 18000) AS BIGINT) AS y
+         |      FROM live),
+         |c AS (SELECT '3/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS bucket_key FROM g),
+         |b AS (SELECT bucket_key, count(*) AS doc_count FROM c GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER
+         |        (ORDER BY doc_count DESC, bucket_key) AS rk FROM b)
+         |SELECT bucket_key, doc_count FROM r WHERE rk <= 10
+         |ORDER BY doc_count DESC, bucket_key""".stripMargin,
+    "cdc_geo_centroid" ->
+      // geo_centroid under geotile zoom 1: exact integer centi-degree
+      // sums, one double divide + /100 − offset, round-6 (identical text
+      // to the Spark side)
+      s"""WITH $docsChangelogCte,
+         |g AS (SELECT
+         |        CAST(floor(CAST((doc_id * 104729) % 36000 AS DOUBLE) * 2 / 36000) AS BIGINT) AS x,
+         |        1 - CAST(floor(CAST((doc_id * 7919) % 18000 AS DOUBLE) * 2 / 18000) AS BIGINT) AS y,
+         |        (doc_id * 7919) % 18000 AS lat_e2,
+         |        (doc_id * 104729) % 36000 AS lon_e2
+         |      FROM live),
+         |c AS (SELECT '1/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS bucket_key,
+         |             lat_e2, lon_e2 FROM g)
+         |SELECT bucket_key, count(*) AS doc_count,
+         |       round(CAST(sum(lat_e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 - 90.0, 6) AS centroid_lat,
+         |       round(CAST(sum(lon_e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 - 180.0, 6) AS centroid_lon
+         |FROM c GROUP BY 1 ORDER BY doc_count DESC, bucket_key""".stripMargin,
     "cdc_mget" ->
       // _mget: one row per REQUESTED id; misses carry found=0, null source
       s"""WITH $docsChangelogCte,
@@ -2827,6 +2872,26 @@ object SparkEntry {
         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM b)
         |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+    "cdc_significant_text" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      // significant_text: fg = the sampler-cut top-100 hits of the scored
+      // match, their text re-analyzed (per-doc distinct terms); bg dfs =
+      // the corpus; JLH text identical to cdc_significant_terms
+      tail = """,fg AS (SELECT doc_id FROM r WHERE rk <= 100),
+        |fgn AS (SELECT count(*) AS fg_n FROM fg),
+        |ftk AS (SELECT tok, count(DISTINCT t.doc_id) AS fg_df
+        |        FROM toks t JOIN fg USING (doc_id) GROUP BY 1),
+        |bgt AS (SELECT tok, count(DISTINCT doc_id) AS bg_df FROM toks GROUP BY 1),
+        |bgn AS (SELECT n_docs AS bg_n FROM st),
+        |sc AS (SELECT f.tok, f.fg_df, b.bg_df,
+        |         round((CAST(f.fg_df AS DOUBLE) / fg_n - CAST(b.bg_df AS DOUBLE) / bg_n)
+        |           * (CAST(f.fg_df AS DOUBLE) / fg_n) / (CAST(b.bg_df AS DOUBLE) / bg_n),
+        |           6) AS score
+        |       FROM ftk f JOIN bgt b USING (tok) CROSS JOIN fgn CROSS JOIN bgn
+        |       WHERE CAST(f.fg_df AS DOUBLE) / fg_n > CAST(b.bg_df AS DOUBLE) / bg_n),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, tok) AS rk2 FROM sc)
+        |SELECT CAST(rk2 AS BIGINT) AS rk, tok, fg_df, bg_df, score
+        |FROM r2 WHERE rk2 <= 10 ORDER BY rk""".stripMargin),
     "cdc_dis_max" -> cdcDisMaxSql,
     "cdc_cross_fields" -> cdcCrossFieldsSql,
     "cdc_synonym_search" -> bm25Sql(docsSynonymCte, 1,

@@ -1743,6 +1743,63 @@ object Search {
       .limit(size)
   }
 
+  /** The GEOTILE cell key "z/x/y" of the doc's derived point at `zoom` —
+    * the map-tile sibling of [[geohashCol]] (Kibana maps issue
+    * `geotile_grid` by default). x is the standard integer division of
+    * the lon grid into 2^z columns; y is the RATIONAL equirectangular
+    * row (2^z − 1 − ⌊latIdx·2^z/18000⌋ — row 0 at the north edge, the
+    * tile-scheme orientation). The Web Mercator y of real geotile keys
+    * needs ln/tan — libm-dependent across engines — so the rational
+    * subset renders the equirectangular row instead, disclosed exactly
+    * like the geo_distance scope-out; x, the key shape, the bucket
+    * ordering and the zoom laddering are the real contract. Pure integer
+    * divisions/shifts end to end. */
+  private[graft] def geotileCol(id: Column, zoom: Int): Column = {
+    require(zoom >= 0 && zoom <= 8,
+      s"geotile zoom $zoom: fixture cells are degenerate past 8")
+    val n = 1L << zoom
+    val x = floor(lonE2(id).cast("double") * n / 36000).cast("long")
+    val y = lit(n - 1) - floor(latE2(id).cast("double") * n / 18000).cast("long")
+    concat(lit(s"$zoom/"), x.cast("string"), lit("/"), y.cast("string"))
+  }
+
+  /** Oracle-checked query: the ES `geotile_grid` aggregation — the live
+    * corpus bucketed by z/x/y map tile at `zoom`, top cells by
+    * (doc_count desc, key asc). Same IO as [[qCdcGeohashGrid]]: one
+    * id-column state read, the tile a codegen'd expression over it. */
+  def qCdcGeotileGrid(spark: SparkSession, sfDir: String,
+                      zoom: Int = 3, size: Int = 10): DataFrame = {
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id"))
+      .select(geotileCol(col("id"), zoom).as("bucket_key"))
+      .groupBy(col("bucket_key")).agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("bucket_key"))
+      .limit(size)
+  }
+
+  /** Oracle-checked query: the ES `geo_centroid` sub-aggregation riding a
+    * `geotile_grid` bucket agg — per tile, the mean point of its members
+    * plus doc_count (the Kibana cluster-marker query). Determinism (the
+    * emb_centroids rounding rule): the means fold EXACT INTEGER
+    * centi-degrees (sums of longs), and the only double arithmetic is one
+    * divide + the /100 − offset rendering, round-6 with identical
+    * expression text in the oracle. One pass: both sums and the count
+    * ride the bucket groupBy. */
+  def qCdcGeoCentroid(spark: SparkSession, sfDir: String,
+                      zoom: Int = 1): DataFrame = {
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id"))
+      .select(geotileCol(col("id"), zoom).as("bucket_key"),
+        latE2(col("id")).as("lat_e2"), lonE2(col("id")).as("lon_e2"))
+      .groupBy(col("bucket_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sum(col("lat_e2")).cast("double") /
+          count(lit(1)).cast("double") / 100.0 - 90.0, 6).as("centroid_lat"),
+        round(sum(col("lon_e2")).cast("double") /
+          count(lit(1)).cast("double") / 100.0 - 180.0, 6).as("centroid_lon"))
+      .orderBy(col("doc_count").desc, col("bucket_key"))
+  }
+
   /** Oracle-checked query: the ES SLICED SCROLL — the parallel-export
     * contract: `slice: {id, max}` partitions the live corpus into `max`
     * DISJOINT, EXHAUSTIVE slices each scanned independently (N workers ×
@@ -2148,6 +2205,65 @@ object Search {
         round((fgPct - bgPct) * fgPct / bgPct, 6).as("score"))
     val w = Window.orderBy(col("score").desc, col("tok"))
     scored.orderBy(col("score").desc, col("tok")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("tok"), col("fg_df"), col("bg_df"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `significant_text` AGGREGATION (VERDICT
+    * r18 missing #5) — the free-text sibling of [[qCdcSignificantTerms]]:
+    * the foreground is the HIT SET of a real scored query (a multi-term
+    * BM25 match, not one term's posting list), sampled to the top
+    * `sampleSize` hits by (score, id) — the `sampler`-wrapped composition
+    * the ES docs prescribe for significant_text, since re-analyzing every
+    * hit is exactly the cost the sampler exists to bound — and the hit
+    * docs' TEXT RE-ANALYZES from the doc state (significant_text never
+    * reads an indexed field; `filter_duplicate_text` is scoped out with
+    * this disclosure — its near-dup suppression needs the dedup family's
+    * machinery, not an aggregation). Background dfs come from the
+    * maintained TERM DIRECTORY; the JLH arithmetic, the fgPct > bgPct
+    * qualification and the (score desc, tok) ordering are shared verbatim
+    * with significant_terms. IO: the match's pruned postings + one stats
+    * row for scoring, the sampled ids' doc-state buckets for the
+    * re-analysis (∝ sample, never corpus), the fg terms' directory rows
+    * for bg dfs. */
+  def qCdcSignificantText(spark: SparkSession, sfDir: String,
+                          query: Seq[String] = Seq("stream", "merge", "window"),
+                          sampleSize: Int = 100, k: Int = 10): DataFrame = {
+    val (stateDir, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val stats = corpusStats(spark, idxDir)
+    val scored = bm25Scored(postings, stats, 1.2, 0.75)
+    // the sampler cut: top sampleSize hits by (score desc, doc_id)
+    val fgIds = scored.orderBy(col("score").desc, col("doc_id"))
+      .limit(sampleSize).select(col("doc_id").as("id"))
+    // re-analyze the SAMPLED docs' text, bucket-pruned like sig_terms
+    val layout = graft.cdc.Buckets.read(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"doc state at $stateDir has no layout manifest"))
+    val fgBuckets = fgIds
+      .select(graft.cdc.Buckets.bucketExpr(layout, Seq("id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val fgToks = graft.cdc.ChangelogStream
+      .readLayoutBuckets(spark, stateDir, layout, Seq("id", "text"), fgBuckets)
+      .join(fgIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+    val fg = fgToks.groupBy(col("tok")).agg(count(lit(1)).as("fg_df"))
+    val bg = dictTerms(spark, idxDir)
+      .join(fg.select(col("tok")), Seq("tok"), "left_semi")
+      .select(col("tok"), col("df").as("bg_df"))
+    val bgN = stats.select(col("n_docs").as("bg_n"))
+    val fgN = fgIds.agg(count(lit(1)).as("fg_n"))
+    val fgPct = col("fg_df").cast("double") / col("fg_n").cast("double")
+    val bgPct = col("bg_df").cast("double") / col("bg_n").cast("double")
+    val jlh = fg.join(bg, Seq("tok"))
+      .crossJoin(broadcast(fgN)).crossJoin(broadcast(bgN))
+      .filter(fgPct > bgPct)
+      .select(col("tok"), col("fg_df"), col("bg_df"),
+        round((fgPct - bgPct) * fgPct / bgPct, 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("tok"))
+    jlh.orderBy(col("score").desc, col("tok")).limit(k)
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("tok"), col("fg_df"), col("bg_df"), col("score"))
       .orderBy(col("rk"))

@@ -1866,4 +1866,94 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "explain decomposed a different doc than the search's top hit")
     assert(score === top.getDouble(3))
   }
+
+  test("geotile: zoom-3 tile hand-pinned for doc 1, counts conserve, and " +
+    "parent tiles are the child's halved coordinates (r19)") {
+    import spark.implicits._
+    // doc 1: lonIdx = 32729 → x₃ = ⌊32729·8/36000⌋ = 7; latIdx = 7919 →
+    // y₃ = 7 − ⌊7919·8/18000⌋ = 7 − 3 = 4 (row 0 north). zoom 1: x₁ = 1,
+    // y₁ = 1 − ⌊7919·2/18000⌋ = 1.
+    val gt = Seq(1L).toDF("id")
+      .select(Search.geotileCol(col("id"), 3), Search.geotileCol(col("id"), 1))
+      .head()
+    assert(gt.getString(0) === "3/7/4" && gt.getString(1) === "1/1/1")
+    // the tile pyramid: every doc's zoom-(z−1) tile is its zoom-z tile
+    // with both coordinates halved — the property map clients zoom on
+    val live = graft.cdc.ChangelogStream.readState(spark,
+      Search.textIndexRun(spark, sfDir)._1, Seq("id"))
+    val pyr = live.select(Search.geotileCol(col("id"), 3).as("c"),
+      Search.geotileCol(col("id"), 2).as("p")).collect()
+    pyr.foreach { r =>
+      val Array(_, cx, cy) = r.getString(0).split('/')
+      val Array(_, px, py) = r.getString(1).split('/')
+      assert(px.toLong === cx.toLong / 2 && py.toLong === cy.toLong / 2,
+        s"tile ${r.getString(0)} does not nest under ${r.getString(1)}")
+    }
+    // counts conserve: an uncut grid sums to the live corpus
+    val total = Search.qCdcGeotileGrid(spark, sfDir, size = 1000000)
+      .agg(sum(col("doc_count"))).head().getLong(0)
+    assert(total === live.count())
+  }
+
+  test("geo_centroid: one bucket recomputed driver-side from the live ids; " +
+    "counts conserve (r19)") {
+    val out = Search.qCdcGeoCentroid(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val live = graft.cdc.ChangelogStream.readState(spark,
+        Search.textIndexRun(spark, sfDir)._1, Seq("id"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_.getLong(1)).sum === live.length)
+    val top = out.head
+    val members = live.filter { id =>
+      val x = (id * 104729L) % 36000L * 2 / 36000
+      val y = 1 - (id * 7919L) % 18000L * 2 / 18000
+      s"1/$x/$y" == top.getString(0)
+    }
+    assert(members.length === top.getLong(1))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val latMean = r6(members.map(id => (id * 7919L) % 18000L).sum.toDouble /
+      members.length / 100.0 - 90.0)
+    val lonMean = r6(members.map(id => (id * 104729L) % 36000L).sum.toDouble /
+      members.length / 100.0 - 180.0)
+    assert(top.getDouble(2) === latMean && top.getDouble(3) === lonMean)
+  }
+
+  test("significant_text: JLH recomputed for the top term, every reported " +
+    "term is overrepresented, and the sampler cut bites (r19)") {
+    val out = Search.qCdcSignificantText(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val (stateDir, idxDir) = Search.textIndexRun(spark, sfDir)
+    val nDocs = graft.cdc.ChangelogStream.readState(spark, stateDir, Seq("id")).count()
+    // fg = top hits of the scored match (all of them at this fixture size
+    // under the default sample), re-analyzed per-doc-distinct
+    val hits = Search.qCdcTextSearch(spark, sfDir, k = 1000000).collect()
+    val fgIds = hits.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+      .take(100).map(_.getLong(1)).toSet
+    val fgDocs = graft.cdc.ChangelogStream
+      .readState(spark, stateDir, Seq("id", "text")).collect()
+      .filter(r => fgIds.contains(r.getLong(0)))
+    val fgN = fgIds.size
+    out.foreach { r =>
+      val tok = r.getString(1)
+      val fgDf = fgDocs.count(_.getString(1).split(' ').distinct.contains(tok))
+      assert(fgDf.toLong === r.getLong(2), s"fg_df($tok)")
+      val fgPct = fgDf.toDouble / fgN
+      val bgPct = r.getLong(3).toDouble / nDocs
+      assert(fgPct > bgPct, s"$tok not overrepresented")
+      val jlh = BigDecimal((fgPct - bgPct) * fgPct / bgPct)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(r.getDouble(4) === jlh, s"JLH($tok)")
+    }
+    // the sampler is real: a biting cut changes the foreground and with it
+    // the ranking (fixture has > 10 hits, so sampleSize 10 genuinely cuts)
+    assert(hits.length > 10, "fixture degenerate: <= 10 hits")
+    val sampled = Search.qCdcSignificantText(spark, sfDir, sampleSize = 10)
+      .collect().map(r => (r.getString(1), r.getDouble(4))).toSeq
+    val unsampled = Search.qCdcSignificantText(spark, sfDir,
+      sampleSize = 1000000).collect()
+      .map(r => (r.getString(1), r.getDouble(4))).toSeq
+    assert(sampled !== unsampled,
+      "sampleSize 10 and the full foreground agree — the sampler is untested")
+  }
 }
