@@ -416,6 +416,10 @@ object SparkEntry {
     "emb_pq_topk" -> ((s, d) => Similarity.qPqTopK(s, d)),
     "emb_ann_ivfpq" -> ((s, d) => Similarity.qAnnIvfPq(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
+    // SemDeDup-style semantic dedup (r19): staged-quantizer clusters block
+    // the pairwise cosine (never doc×doc), threshold edges, drop every
+    // non-canonical component member (min-id rule, disclosed)
+    "emb_semantic_dedup" -> ((s, d) => graft.ops.Dedup.qSemanticDedup(s, d)),
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample" -> (Multimodal.qFrameSample _),
@@ -2130,6 +2134,31 @@ object SparkEntry {
          |sc AS (SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS score
          |  FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b)
          |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "emb_semantic_dedup" ->
+      // the staged quantizer re-derived from scratch (kmeansRounds — the
+      // emb_kmeans discipline), pairs blocked within final-round clusters,
+      // components via recursive CTE, canonical = min reachable id
+      s"""WITH RECURSIVE $embX,
+         |a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+         |${kmeansRounds(3)},
+         |asg AS (SELECT vec_id, cl FROM a3),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |       FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.id_a, p.id_b, sum(xa.e * xb.e) AS dot
+         |  FROM pr p JOIN x xa ON xa.vec_id = p.id_a
+         |  JOIN x xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT d.id_a, d.id_b FROM dots d
+         |  JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+         |  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM sp UNION SELECT id_b, id_a FROM sp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |c AS (SELECT a AS vec_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a)
+         |SELECT c.vec_id, c.keep_id, asg.cl AS cell FROM c JOIN asg USING (vec_id)
+         |WHERE c.vec_id <> c.keep_id ORDER BY c.vec_id""".stripMargin,
     "q_skew_salted" ->
       s"""SELECT event_type AS key, count(*) AS n, ${dsum("value", "sum_value")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -283,6 +283,61 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val b = Dedup.simhash(spark, sfDir).collect()
     assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
   }
+
+  test("semantic dedup: blocked within-cluster pairs equal a brute-force " +
+    "recomputation, and the drop list is exactly the non-canonical " +
+    "component members (r19)") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.qSemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // from scratch, driver-side: the staged assignment + ALL within-cluster
+    // pairs by brute force + union-find components + min-id canonical
+    val asg = Similarity.ivfAssignments(spark, sfDir, 3, 1)
+      .filter(col("crk") === 1).select(col("vec_id"), col("cl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val edges = for {
+      a <- ids; b <- ids
+      if a < b && asg(a) == asg(b) && cos(vecs(a), vecs(b)) >= 0.4
+    } yield (a, b)
+    assert(edges.nonEmpty, "fixture degenerate: no within-cluster near-dups")
+    // union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = members.map(m => (m, find(m)))
+      .filter { case (m, r) => m != r }
+      .map { case (m, r) => (m, r, asg(m)) }
+      .sortBy(_._1)
+    assert(out.toSeq === expect, "blocked result != brute-force recompute")
+    // cross-cluster near-dups are OUT by design (the blocking contract):
+    // no reported pair spans clusters
+    out.foreach { case (v, k, cell) =>
+      assert(asg(v) === cell && asg(k) === cell,
+        s"component ($v, $k) spans clusters")
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
