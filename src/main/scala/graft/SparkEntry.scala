@@ -313,6 +313,11 @@ object SparkEntry {
     // ES nested-query semantics: per-element match over an array of
     // objects vs the flattened cross-match (VERDICT r15 missing #5)
     "q_nested_match" -> ((s, d) => Relational.qNestedMatch(s, d)),
+    // parent/child join field (r19): has_child = one child groupBy on the
+    // parent key with score_mode sum over the LIVE keyed state's orders;
+    // has_parent = the inverse semi-join against qualifying parents
+    "q_has_child" -> ((s, d) => Relational.qHasChild(s, d)),
+    "q_has_parent" -> ((s, d) => Relational.qHasParent(s, d)),
     // inner_hits: the matching nested elements of each qualifying parent,
     // ranked by the nested sort, size-bounded per parent
     "q_nested_inner_hits" -> ((s, d) => Relational.qNestedInnerHits(s, d)),
@@ -1773,6 +1778,38 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_has_child" ->
+      // has_child score_mode sum over the LIVE orders state: children
+      // group on the parent key, decimal-exact sum round-2, parents join
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |kids AS (SELECT o_custkey AS c_custkey, count(*) AS n_children,
+         |           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS score
+         |         FROM state WHERE o_orderstatus = 'O'
+         |         GROUP BY 1 HAVING count(*) >= 2),
+         |sc AS (SELECT k.c_custkey, c.c_mktsegment, k.n_children, k.score
+         |       FROM kids k JOIN customer c USING (c_custkey)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, c_custkey) AS rk FROM sc)
+         |SELECT CAST(rk AS BIGINT) AS rk, c_custkey, c_mktsegment, n_children, score
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "q_has_parent" ->
+      // has_parent (score: false — the ES default): live child orders cut
+      // to qualifying parents, ranked by their own sort field
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |ch AS (SELECT o_orderkey, o_custkey, o_totalprice FROM state
+         |       WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |                           WHERE c_mktsegment = 'BUILDING')),
+         |r AS (SELECT *, row_number() OVER
+         |        (ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM ch)
+         |SELECT CAST(rk AS BIGINT) AS rk, o_orderkey, o_custkey, o_totalprice
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q_nested_match" ->
       // nested = ONE event satisfies both conditions; flat = each finds
       // its own event. Report: the flat match set with nested verdicts

@@ -142,6 +142,67 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("parent/child vs nested: two has_child conditions AND'd match a " +
+    "parent whose DIFFERENT children satisfy each — the shape nested " +
+    "cannot express; score modes recompute exactly (r19)") {
+    import org.apache.spark.sql.functions._
+    val live = graft.cdc.Apply.latestState(
+        graft.cdc.Changelog.fromOrders(spark, sfDir),
+        graft.cdc.Changelog.payloadCols)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"))
+      .collect()
+    val byParent = live.groupBy(_.getLong(0))
+    val priceCut = 150000.0
+    // parent/child: each condition is its own has_child — independent
+    // children may satisfy them
+    val pcMatch = byParent.filter { case (_, ch) =>
+      ch.exists(_.getString(1) == "O") &&
+        ch.exists(_.getDouble(2) >= priceCut)
+    }.keySet
+    // nested rendering: ONE element must satisfy both
+    val nestedMatch = byParent.filter { case (_, ch) =>
+      ch.exists(r => r.getString(1) == "O" && r.getDouble(2) >= priceCut)
+    }.keySet
+    assert(nestedMatch.subsetOf(pcMatch))
+    val disagree = pcMatch -- nestedMatch
+    assert(disagree.nonEmpty,
+      "fixture degenerate: parent/child and nested agree everywhere")
+    // ...and for a disagreeing parent, the satisfying children genuinely
+    // differ (the cross-match nested exists to kill is has_child's POINT:
+    // independent child docs)
+    val p0 = disagree.min
+    val ch0 = byParent(p0)
+    assert(ch0.filter(_.getString(1) == "O")
+      .forall(_.getDouble(2) < priceCut))
+    // score modes recompute: the query's top parent under sum/min/max
+    Seq("sum", "min", "max").foreach { mode =>
+      val top = Relational.qHasChild(spark, sfDir, scoreMode = mode).head()
+      val kids = byParent(top.getLong(1)).filter(_.getString(1) == "O")
+        .map(_.getDouble(2))
+      assert(top.getLong(3) === kids.length.toLong, s"$mode n_children")
+      val expect = mode match {
+        case "sum" => BigDecimal(kids.map(v => BigDecimal(v.toString)).sum
+          .toDouble).setScale(2, BigDecimal.RoundingMode.HALF_UP).doubleValue
+        case "min" => kids.min
+        case "max" => kids.max
+      }
+      assert(top.getDouble(4) === expect, s"$mode score")
+    }
+    // has_parent liveness: every returned child is a LIVE order of a
+    // BUILDING-segment parent
+    val hp = Relational.qHasParent(spark, sfDir).collect()
+    assert(hp.nonEmpty)
+    val liveKeys = live.map(_.getLong(3)).toSet
+    val building = graft.model.Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    hp.foreach { r =>
+      assert(liveKeys.contains(r.getLong(1)), "dead child returned")
+      assert(building.contains(r.getLong(2)), "non-qualifying parent")
+    }
+  }
 }
 
 class TextSpec extends AnyFunSuite with SparkSpec {
