@@ -279,7 +279,10 @@ object Bench {
       "cdc_rollover_retention",
       // r18: carries the shrink pass — a clone of the retention family
       // with every retained generation folded to 2-bucket states
-      "cdc_rollover_shrink")
+      "cdc_rollover_shrink",
+      // r19: carries the ingest pass — the processor chain applied to the
+      // dirty changelog's two batches before their merges
+      "cdc_ingest_pipeline")
     val memoized = Seq("cdc_pipeline_full", "cdc_pipeline_customer",
       "cdc_apply_sink_dsv2", "cdc_mv_agg", "cdc_mv_join",
       "cdc_mv_join_bidi", "cdc_secondary_index",

@@ -237,6 +237,11 @@ object SparkEntry {
     "stream_interval_join" -> (graft.streaming.StreamQueries.qStreamingIntervalJoin _),
     "cdc_apply_stateful" -> (graft.streaming.Stateful.qApplyStateful _),
     "cdc_op_counts" -> ((s, d) => Apply.opCounts(Changelog.fromOrders(s, d))),
+    // ES ingest pipeline (r19): the declarative processor chain (rename /
+    // split / set / convert / date) applied to each batch's events BEFORE
+    // the merge, with on_failure: drop — the transform-on-write surface in
+    // front of the consumer's verbatim index path (es.go:88-110)
+    "cdc_ingest_pipeline" -> (graft.cdc.Ingest.qCdcIngestPipeline _),
     "cdc_insert_dedup" -> { (s, d) =>
       val ins = Changelog.fromOrders(s, d).filter(col("op") === "INSERT")
       val replayed = ins.unionByName(ins.withColumn("seq", col("seq") + 5000000L))
@@ -1656,6 +1661,29 @@ object SparkEntry {
       // the corpus is replayed twice across a batch boundary; every replay
       // falls within the delay, so the surviving set is exactly DISTINCT
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "cdc_ingest_pipeline" ->
+      // the identical chain in SQL: rename (alias) → split → set (part 1)
+      // → TRY_CAST convert (null = the processor failure) → set tag →
+      // date round-trip; on_failure drop = the `ok` cut; then the
+      // ordinary LWW merge over the SURVIVING events
+      s"""WITH ${Changelog.dirtyOracleCte},
+         |proc AS (SELECT id, seq, op, o_custkey, o_orderstatus,
+         |           o_totalprice, o_orderdate,
+         |           o_orderpriority AS priority,
+         |           string_split(o_orderpriority, '-') AS pr_parts
+         |         FROM dirty),
+         |p2 AS (SELECT *, pr_parts[1] AS code_str FROM proc),
+         |p3 AS (SELECT *, TRY_CAST(code_str AS BIGINT) AS code,
+         |         pr_parts[2] AS tag,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS odate_str FROM p2),
+         |p4 AS (SELECT *, CAST(odate_str AS DATE) AS o_date FROM p3),
+         |ok AS (SELECT * FROM p4 WHERE op = 'DELETE' OR code IS NOT NULL),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY id ORDER BY seq DESC) AS rn FROM ok),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT id, o_custkey, o_orderstatus, o_totalprice, priority,
+         |       code, tag, o_date
+         |FROM state ORDER BY id""".stripMargin,
     "cdc_insert_dedup" ->
       s"SELECT $payloadList FROM orders ORDER BY o_orderkey",
     "cdc_delete_antijoin" ->

@@ -90,6 +90,31 @@ object Changelog {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** [[fromOrders]] with a DIRTY twist for the ingest pipeline: UPDATE
+    * events whose id % 15 == 0 (a deterministic subset of the % 5 == 0
+    * updates) carry `o_orderpriority = 'CORRUPT'` — a value the chain's
+    * `convert` processor cannot parse, so those events exercise the
+    * `on_failure` routing (dropped events leave their keys at the
+    * pre-update values, which the oracle pins). Everything else is
+    * byte-identical to [[fromOrders]]. */
+  def fromOrdersDirty(spark: SparkSession, sfDir: String): DataFrame =
+    fromOrders(spark, sfDir).withColumn("o_orderpriority",
+      when(col("op") === "UPDATE" && col("id") % 15 === 0, lit("CORRUPT"))
+        .otherwise(col("o_orderpriority")))
+
+  /** The oracle-side rendering of [[fromOrdersDirty]] (composes after
+    * [[oracleCte]]'s `changelog`). Lazy: `oracleCte` is declared further
+    * down the object body and would read null at strict-init time. */
+  lazy val dirtyOracleCte: String =
+    s"""$oracleCte,
+       |dirty AS (
+       |  SELECT id, seq, op, "table", o_orderkey, o_custkey, o_orderstatus,
+       |         o_totalprice, o_orderdate,
+       |         CASE WHEN op = 'UPDATE' AND id % 15 = 0 THEN 'CORRUPT'
+       |              ELSE o_orderpriority END AS o_orderpriority
+       |  FROM changelog
+       |)""".stripMargin
+
   /** The orders changelog with transaction envelopes: every event carries
     * `txn = id % 50`, and each transaction that committed (txn % 7 != 3 —
     * the rest are "in flight" when the stream stops) contributes one
