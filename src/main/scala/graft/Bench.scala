@@ -348,7 +348,12 @@ object Bench {
       // r19: geotile/centroid read the text pass's id column, and
       // significant_text its postings + doc state + directory — all
       // carried by cdc_adjacency_matrix, which sorts first
-      "cdc_geotile_grid", "cdc_geo_centroid", "cdc_significant_text")
+      "cdc_geotile_grid", "cdc_geo_centroid", "cdc_significant_text",
+      // r19 second wave: constant_score/random_score/msearch read the
+      // text pass; cumulative_cardinality/diversified_sampler the
+      // composed pass's orders state (carried by cdc_apply_customer_dsv2)
+      "cdc_constant_score", "cdc_random_score", "cdc_msearch",
+      "cdc_cumulative_cardinality", "cdc_diversified_sampler")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

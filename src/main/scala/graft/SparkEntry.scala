@@ -126,7 +126,16 @@ object SparkEntry {
     "cdc_auto_date_histogram" ->
       ((s, d) => graft.cdc.Pipeline.qAutoDateHistogram(s, d)),
     "cdc_sampler_agg" -> ((s, d) => graft.cdc.Pipeline.qSamplerAgg(s, d)),
+    // diversified_sampler (r19): the sampler with a de-duplication field —
+    // at most max_docs_per_value docs per o_custkey enter the sample
+    "cdc_diversified_sampler" ->
+      ((s, d) => graft.cdc.Pipeline.qDiversifiedSampler(s, d)),
     "cdc_global_agg" -> ((s, d) => graft.cdc.Pipeline.qGlobalAgg(s, d)),
+    // cumulative_cardinality (r19): running distinct customers per month —
+    // distinct counts don't sum, so the scalable first-occurrence
+    // rendering replaces the naive per-month distinct union
+    "cdc_cumulative_cardinality" ->
+      ((s, d) => graft.cdc.Pipeline.qCumulativeCardinality(s, d)),
     // …and with METRIC SUB-AGGREGATIONS: each month bucket carries the
     // stats (count/sum/avg/min/max) of o_totalprice (VERDICT r15 #2)
     "cdc_date_histogram_stats" -> (graft.cdc.Pipeline.qDateHistogramStats _),
@@ -455,6 +464,7 @@ object SparkEntry {
     "q_bloom_semijoin" -> (graft.ops.Prune.qBloomSemiJoin _),
     "q_range_join" -> (graft.ops.RangeJoin.qRangeJoin _),
     // ── Dataset curation (hash-deterministic sampling/splitting) ────────
+    "doc_pii_scrub" -> (graft.ops.Curate.qPiiScrub _),
     "doc_sample_hash" -> (graft.ops.Curate.qSampleHash _),
     "doc_train_split" -> (graft.ops.Curate.qTrainTestSplit _),
     "doc_quality_filter" -> (graft.ops.Curate.qQualityFilter _),
@@ -622,6 +632,16 @@ object SparkEntry {
     // JLH shared with significant_terms; filter_duplicate_text scoped out
     "cdc_significant_text" -> ((s, d) =>
       graft.ops.Search.qCdcSignificantText(s, d)),
+    // constant_score (r19): filter-context match, every hit scores the
+    // boost — the posting list and NOTHING else opens (no stats, no df)
+    "cdc_constant_score" -> ((s, d) =>
+      graft.ops.Search.qCdcConstantScore(s, d)),
+    // function_score random_score (r19): seeded hash-of-(id, seed) factor
+    // multiplied into BM25 — reproducible result shuffling
+    "cdc_random_score" -> ((s, d) => graft.ops.Search.qCdcRandomScore(s, d)),
+    // _msearch (r19): N queries off ONE pruned postings read — the
+    // union-of-terms scan + a broadcast (query, term) map
+    "cdc_msearch" -> ((s, d) => graft.ops.Search.qCdcMsearch(s, d)),
     // ES more_like_this: the seed doc's top tf-idf terms as an OR match,
     // seed excluded — one doc-state point read + its terms' buckets
     "cdc_more_like_this" -> ((s, d) =>
@@ -2305,6 +2325,27 @@ object SparkEntry {
         |SELECT lang, CAST(rate AS BIGINT) AS rate, count(*) AS n_total,
         |       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM x GROUP BY lang, rate ORDER BY lang""".stripMargin,
+    "doc_pii_scrub" ->
+      // PII scrub: the derived-PII layer + RE2∩Java-regex patterns; the
+      // 'g' flag matches Spark's replace-all default
+      """WITH wp AS (SELECT doc_id,
+        |       text ||
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |            ELSE '' END ||
+        |       CASE WHEN doc_id % 4 = 0
+        |            THEN ' ref ' || CAST((doc_id * 7919) % 100000 AS VARCHAR)
+        |            ELSE '' END AS text
+        |     FROM documents),
+        |sc AS (SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, 'user[0-9]+@example[.]com')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'ref [0-9]+')) AS BIGINT) AS n_codes,
+        |       regexp_replace(regexp_replace(text, 'user[0-9]+@example[.]com', '<EMAIL>', 'g'),
+        |         'ref [0-9]+', 'ref <ID>', 'g') AS clean
+        |     FROM wp)
+        |SELECT doc_id, n_emails, n_codes,
+        |       CAST(len(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "doc_sample_hash" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
@@ -2880,6 +2921,43 @@ object SparkEntry {
          |WHERE month > DATE '1995-01-01'
          |   OR (month = DATE '1995-01-01' AND o_orderstatus > 'F')
          |ORDER BY month, o_orderstatus LIMIT 10""".stripMargin,
+    "cdc_cumulative_cardinality" ->
+      // cumulative_cardinality: a customer counts toward month m iff
+      // their FIRST month <= m (distinct counts don't sum); the window
+      // sum CASTs to BIGINT (DuckDB promotes to HUGEINT, Spark stays long)
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |              o_custkey
+         |       FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |months AS (SELECT month, count(*) AS doc_count FROM mo GROUP BY 1),
+         |firsts AS (SELECT month, count(*) AS new_customers FROM (
+         |    SELECT o_custkey, min(month) AS month FROM mo GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT m.month, m.doc_count,
+         |       COALESCE(f.new_customers, 0) AS new_customers,
+         |       CAST(sum(COALESCE(f.new_customers, 0)) OVER
+         |         (ORDER BY m.month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cumulative_unique_customers
+         |FROM months m LEFT JOIN firsts f USING (month)
+         |ORDER BY m.month""".stripMargin,
+    "cdc_diversified_sampler" ->
+      // diversified sampler: per-value rank <= budget over the fixed
+      // collection order, then the shard_size cut, then the terms sub-agg
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |dv AS (SELECT *, row_number() OVER
+         |         (PARTITION BY o_custkey ORDER BY o_orderkey) AS vrk
+         |       FROM state),
+         |samp AS (SELECT * FROM dv WHERE vrk <= 1
+         |         ORDER BY o_orderkey LIMIT 100)
+         |SELECT o_orderstatus, count(*) AS doc_count FROM samp
+         |GROUP BY 1 ORDER BY doc_count DESC, o_orderstatus""".stripMargin,
     "cdc_cardinality_agg" ->
       // cardinality sub-agg: exact distinct below precision_threshold —
       // the regime every fixture bucket is in (ES's own linear counting)
@@ -2986,6 +3064,59 @@ object SparkEntry {
         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, tok) AS rk2 FROM sc)
         |SELECT CAST(rk2 AS BIGINT) AS rk, tok, fg_df, bg_df, score
         |FROM r2 WHERE rk2 <= 10 ORDER BY rk""".stripMargin),
+    "cdc_constant_score" ->
+      // constant_score: the filter's distinct doc ids, constant boost —
+      // no stats row, no df, no scoring arithmetic anywhere
+      s"""WITH $docsChangelogCte,
+         |m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge'),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk FROM m)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(1.5 AS DOUBLE) AS score
+         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "cdc_random_score" -> bm25Sql(docsChangelogCte, 1,
+      Seq("stream", "merge", "window"), Seq.empty,
+      // random_score: the seeded multiplicative hash of the id scaled to
+      // [0, 1), multiplied into the match score (boost_mode: multiply)
+      tail = """,rs AS (SELECT doc_id, n_t,
+        |         round(score * (CAST(((doc_id + 42) * 2654435761) % 2147483648 AS DOUBLE)
+        |           / 2147483648), 6) AS score
+        |       FROM agg),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM rs)
+        |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, n_t, score
+        |FROM r2 WHERE rk2 <= 10 ORDER BY rk2""".stripMargin),
+    "cdc_msearch" -> {
+      // _msearch: the same BM25 arithmetic text as bm25Sql, with the term
+      // kept so the (query_id, tok) VALUES map — generated from the ONE
+      // Scala literal the Spark side uses — assembles per-query scores
+      val vals = graft.ops.Search.MsearchDefaults
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val terms = graft.ops.Search.MsearchDefaults.flatMap(_._2).distinct
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH $docsChangelogCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+         |         WHERE tok IN ($terms)
+         |         GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+         |ts AS (SELECT p.tok, p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM post p JOIN df USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+         |       CROSS JOIN st),
+         |qm AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok
+         |       FROM (VALUES $vals) AS v(query_id, tok)),
+         |agg AS (SELECT qm.query_id, t.doc_id, count(*) AS n_t,
+         |          round(CAST(sum(t.ts) AS DOUBLE), 6) AS score
+         |        FROM ts t JOIN qm USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM agg)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_t, score
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
     "cdc_dis_max" -> cdcDisMaxSql,
     "cdc_cross_fields" -> cdcCrossFieldsSql,
     "cdc_synonym_search" -> bm25Sql(docsSynonymCte, 1,

@@ -2,6 +2,7 @@ package graft.cdc
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.ChangelogStateSink
@@ -414,6 +415,64 @@ object Pipeline {
                   shardSize: Int = 200): DataFrame = {
     tableState(spark, runFull(spark, sfDir).state, "orders",
         Changelog.payloadCols)
+      .orderBy(col("o_orderkey")).limit(shardSize)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("o_orderstatus"))
+  }
+
+  /** Oracle-checked query: the ES `cumulative_cardinality` PIPELINE
+    * aggregation (r19) — the running count of DISTINCT customers seen
+    * through each month. The agg exists because distinct counts don't
+    * sum: a cumulative_sum over per-bucket cardinalities overcounts
+    * repeat customers, so ES ships a dedicated pipeline agg ("total
+    * unique visitors to date" — its canonical example). The SCALABLE
+    * rendering (and the one both engines compute exactly): a customer
+    * contributes to month m iff their FIRST month ≤ m — one
+    * groupBy(customer)→min(month) over the store (the only data-sized
+    * shuffle), one count per first-month, one running sum over the
+    * \|months\|-sized bucket frame (the pipeline-agg reduce-side
+    * cheapness, [[qDerivativeAgg]]); the naive per-month distinct-union
+    * would hold month-count × customers state. `new_customers` rides
+    * along — ES surfaces the same derivative as its own example. */
+  def qCumulativeCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_custkey"))
+    val months = st.groupBy(col("month")).agg(count(lit(1)).as("doc_count"))
+    val firsts = st.groupBy(col("o_custkey")).agg(min(col("month")).as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("new_customers"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    months.join(firsts, Seq("month"), "left_outer")
+      .select(col("month"), col("doc_count"),
+        coalesce(col("new_customers"), lit(0L)).as("new_customers"))
+      .withColumn("cumulative_unique_customers",
+        sum(col("new_customers")).over(w))
+      .orderBy(col("month"))
+  }
+
+  /** Oracle-checked query: the ES `diversified_sampler` aggregation
+    * (r19) — [[qSamplerAgg]] with a DE-DUPLICATION field: at most
+    * `maxDocsPerValue` documents per o_custkey enter the sample, then
+    * the first `shardSize` of the surviving stream (collection order =
+    * the deterministic key order, the sampler disclosure) bound the
+    * terms sub-agg. The agg exists to de-bias samples a few hot values
+    * would otherwise dominate (the ES docs pair it with significant_text
+    * for exactly that reason). Collection-order semantics: ES skips a
+    * doc whose value already spent its budget, which over a fixed scan
+    * order is precisely "per-value rank ≤ budget" — one window per
+    * (value) + the size cut. */
+  def qDiversifiedSampler(spark: SparkSession, sfDir: String,
+                          shardSize: Int = 100,
+                          maxDocsPerValue: Int = 1): DataFrame = {
+    val st = tableState(spark, runFull(spark, sfDir).state, "orders",
+      Changelog.payloadCols)
+    val perValue = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+    st.withColumn("vrk", row_number().over(perValue))
+      .filter(col("vrk") <= maxDocsPerValue)
       .orderBy(col("o_orderkey")).limit(shardSize)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("doc_count"))

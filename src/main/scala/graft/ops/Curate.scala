@@ -23,6 +23,46 @@ object Curate {
   def hashBucket(key: Column, m: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % m
 
+  /** Oracle-checked query: PII SCRUBBING (r19) — the redaction pass every
+    * production training-data pipeline (C4, Dolma, FineWeb) runs before
+    * anything else: pattern-matched spans (emails, numeric reference
+    * codes) replace with typed placeholders, and the pipeline reports
+    * per-document redaction counts for auditing. The fixture corpus
+    * carries no PII, so a deterministic derived layer injects it (the
+    * geo-points discipline): docs with doc_id % 3 == 0 gain an email,
+    * % 4 == 0 a numeric ref code — so the counts genuinely vary 0/1 and
+    * the scrubbed output differs per class. Patterns stay in the
+    * Java-regex/RE2 intersection (the regexp_query scoping) so both
+    * engines match identical spans; DuckDB's regexp_replace needs the
+    * explicit 'g' flag to match Spark's replace-all default. Zero
+    * shuffles: per-row expressions over the pruned (doc_id, text) scan;
+    * the audit hash is md5 of the scrubbed text. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" ref "),
+              pmod(col("doc_id") * 7919, lit(100000)).cast("string")))
+            .otherwise(lit(""))).as("text"))
+    val emailRe = "user[0-9]+@example[.]com"
+    val codeRe = "ref [0-9]+"
+    withPii.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(codeRe)).cast("long").as("n_codes"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          codeRe, "ref <ID>").as("clean"))
+      .select(col("doc_id"), col("n_emails"), col("n_codes"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 10% deterministic sample of documents (bucket < 10 of 100). */
   def qSampleHash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -2269,6 +2269,111 @@ object Search {
       .orderBy(col("rk"))
   }
 
+  /** Oracle-checked query: the ES `constant_score` query (r19) — a
+    * FILTER-context match where every qualifying document scores exactly
+    * `boost`: the "I want these docs, not a ranking" staple (and the
+    * fastest query in ES for the same reason this plan is the engine's
+    * cheapest retrieval: a pure filter reads the TERM'S POSTING LIST AND
+    * NOTHING ELSE — no corpus stats row, no df aggregation, no tf/dl
+    * columns, no per-doc arithmetic; Lucene skips the scorer entirely).
+    * Plan-walked in the drill: the `_stats` path never opens. Ordering
+    * with equal scores follows the ES secondary sort (doc id). */
+  def qCdcConstantScore(spark: SparkSession, sfDir: String,
+                        term: String = "merge", boost: Double = 1.5,
+                        k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val ids = maintainedPostings(spark, idxDir, Seq(term), Seq("tok", "id"))
+      .select(col("id").as("doc_id")).distinct()
+    val w = Window.orderBy(col("doc_id"))
+    ids.orderBy(col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), lit(boost).as("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: `function_score` with `random_score` (r19) —
+    * the deterministic-given-a-seed pseudo-random factor ES computes by
+    * hashing (seed, doc id): result SHUFFLING that is reproducible across
+    * pages (the A/B-bucketing / randomized-sampling staple; ES documents
+    * exactly this hash-of-seed-and-id contract). Rendering: the factor is
+    * a multiplicative integer hash of (id, seed) scaled to [0, 1) — exact
+    * integers, one double divide — multiplied into the BM25 score
+    * (`boost_mode: multiply`) and rounded 6 with identical text in the
+    * oracle. Same-seed reproducibility and seed-sensitivity drilled. */
+  def qCdcRandomScore(spark: SparkSession, sfDir: String,
+                      query: Seq[String] = Seq("stream", "merge", "window"),
+                      seed: Long = 42L, k: Int = 10): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, query,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val scored = bm25Scored(postings, corpusStats(spark, idxDir), 1.2, 0.75)
+    // seed mixes BEFORE the multiply: an additive-only seed shifts every
+    // hash by the same constant and barely reorders (drilled)
+    val rnd = pmod((col("doc_id") + lit(seed)) * 2654435761L, lit(1L << 31))
+      .cast("double") / (1L << 31).toDouble
+    val shuffled = scored.select(col("doc_id"), col("n_t"),
+      round(col("score") * rnd, 6).as("score"))
+    rankTopK(shuffled, k, Seq("n_t"))
+  }
+
+  /** Oracle-checked query: `_msearch` — N queries answered from ONE
+    * index read (r19). ES's multi-search exists to amortize request
+    * overhead; on this engine the batching goes deeper: the postings
+    * scan prunes to the UNION of all queries' terms ONCE, per-term dfs
+    * compute once over the shared read, and each query's scoring is a
+    * broadcast join against the tiny (query_id, term) map + one
+    * per-(query, doc) aggregation — N searches for one index scan
+    * instead of N (the workload-batching shape a 100 TB query fleet
+    * runs on). Per-query results are the ordinary BM25 top-k, drilled
+    * ≡ the standalone searches. */
+  def qCdcMsearch(spark: SparkSession, sfDir: String,
+                  queries: Seq[(Int, Seq[String])] = MsearchDefaults,
+                  k: Int = 5): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val allTerms = queries.flatMap(_._2).distinct
+    val postings = maintainedPostings(spark, idxDir, allTerms,
+        Seq("tok", "id", "tf", "dl"))
+      .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl"))
+    val stats = corpusStats(spark, idxDir)
+    val dfs = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-(doc, term) BM25 contribution — the bm25Scored arithmetic with
+    // the term kept (the query map joins on it)
+    val (k1, b) = (1.2, 0.75)
+    val idf = ((col("n_docs") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfs = (col("tf").cast("double") * (k1 + 1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+    val perTerm = postings.join(broadcast(dfs), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        round(idf * tfs, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("ts"))
+    val qmap = {
+      import spark.implicits._
+      broadcast(queries.flatMap { case (qid, ts) => ts.map(t => (qid.toLong, t)) }
+        .toDF("query_id", "tok"))
+    }
+    val agg = perTerm.join(qmap, Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_t"),
+        round(sum(col("ts")).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_t"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The msearch fixture batch — one Scala literal shared with the
+    * oracle generator. */
+  val MsearchDefaults: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("stream", "merge"),
+    2 -> Seq("window", "slow"),
+    3 -> Seq("order", "filter"))
+
   private val textBootRuns = new graft.model.JvmMemo[(String, String)]()
 
   /** BOOTSTRAP the maintained text index from a SNAPSHOT (VERDICT r12

@@ -540,4 +540,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val full = Pipeline.qState(spark, sfDir).count()
     assert(r.getLong(1) === full, "global count must cover every live doc")
   }
+
+  test("cumulative_cardinality: equals a true running-distinct recompute, " +
+    "and DIFFERS from the cumulative sum of per-month cardinalities — " +
+    "the agg's reason to exist (r19)") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.qCumulativeCardinality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rows = Pipeline.qState(spark, sfDir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        col("o_custkey"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val months = out.map(_.getDate(0).toString)
+    var seen = Set.empty[Long]
+    months.zipWithIndex.foreach { case (m, i) =>
+      seen = seen ++ rows.filter(_._1 <= m).map(_._2)
+      assert(out(i).getLong(3) === seen.size.toLong,
+        s"month $m: cumulative distinct mismatch")
+    }
+    // distinct counts don't sum: the naive cumulative_sum over per-month
+    // cardinalities must overcount somewhere on this fixture
+    val perMonth = rows.groupBy(_._1).map { case (m, xs) =>
+      m -> xs.map(_._2).distinct.size }.toMap
+    val naive = months.scanLeft(0L)((acc, m) => acc + perMonth(m)).drop(1)
+    assert(months.indices.exists(i => naive(i) !== out(i).getLong(3)),
+      "fixture degenerate: no repeat customers across months")
+  }
+
+  test("diversified_sampler: at most one doc per customer enters the " +
+    "sample, and the result differs from the plain sampler (r19)") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.qDiversifiedSampler(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.map(_._2).sum <= 100L)
+    // recompute: dedup by customer in key order, first 100, count status
+    val st = Pipeline.qState(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val sample = st.foldLeft((Set.empty[Long], Vector.empty[String])) {
+      case ((used, acc), (_, ck, status)) =>
+        if (acc.size >= 100 || used.contains(ck)) (used, acc)
+        else (used + ck, acc :+ status)
+    }._2
+    val expect = sample.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.toMap === expect)
+    // the diversification bites: the PLAIN sampler's status mix differs
+    val plain = Pipeline.qSamplerAgg(spark, sfDir, shardSize = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.toMap !== plain,
+      "fixture degenerate: dedup by customer changed nothing")
+  }
 }

@@ -141,4 +141,34 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
         s"$lang sampled $sampled/$total at target $rate%")
     }
   }
+
+  test("pii scrub: counts follow the injection rule, the scrubbed text " +
+    "carries no residual matches, and placeholders land (r19)") {
+    import org.apache.spark.sql.functions._
+    val out = Curate.qPiiScrub(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 3 == 0) 1L else 0L), s"emails@$id")
+      assert(r.getLong(2) === (if (id % 4 == 0) 1L else 0L), s"codes@$id")
+    }
+    // re-derive one scrubbed doc and pin the md5 + residual-free contract
+    val doc = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 12 === 0) // both patterns present
+      .select(col("doc_id"), col("text")).head()
+    val id = doc.getLong(0)
+    val injected = doc.getString(1) +
+      s" contact user$id@example.com" +
+      s" ref ${(id * 7919) % 100000}"
+    val clean = injected
+      .replaceAll("user[0-9]+@example[.]com", "<EMAIL>")
+      .replaceAll("ref [0-9]+", "ref <ID>")
+    assert(!clean.matches(".*user[0-9]+@example[.]com.*"))
+    assert(clean.contains("<EMAIL>") && clean.contains("ref <ID>"))
+    val row = out.find(_.getLong(0) == id).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(4) === md, s"scrubbed md5 mismatch for doc $id")
+    assert(row.getLong(3) === clean.length.toLong)
+  }
 }

@@ -1956,4 +1956,65 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(sampled !== unsampled,
       "sampleSize 10 and the full foreground agree — the sampler is untested")
   }
+
+  test("constant_score: every hit scores the boost, the hit set IS the " +
+    "posting list, and NO stats/df path opens (r19)") {
+    val out = Search.qCdcConstantScore(spark, sfDir, k = 100000).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) === 1.5), "non-constant score")
+    val (_, idxDir) = Search.textIndexRun(spark, sfDir)
+    val postingIds = Search.qCdcTextSearch(spark, sfDir,
+      query = Seq("merge"), k = 100000).collect().map(_.getLong(1)).toSet
+    assert(out.map(_.getLong(1)).toSet === postingIds)
+    // filter context reads the posting list and NOTHING else: the plan's
+    // scan locations never touch the stats row (scoring IO skipped)
+    val scans = Search.qCdcConstantScore(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.contains("/_stats")),
+      s"constant_score opened the stats row: $scans")
+  }
+
+  test("random_score: same seed reproduces, a different seed reorders, " +
+    "and the factor recomputes exactly (r19)") {
+    val a = Search.qCdcRandomScore(spark, sfDir).collect()
+    val b = Search.qCdcRandomScore(spark, sfDir).collect()
+    assert(a.map(r => (r.getLong(1), r.getDouble(3))).toSeq ===
+      b.map(r => (r.getLong(1), r.getDouble(3))).toSeq,
+      "same seed must reproduce the identical page")
+    val other = Search.qCdcRandomScore(spark, sfDir, seed = 7L).collect()
+    assert(a.map(_.getLong(1)).toSeq !== other.map(_.getLong(1)).toSeq,
+      "a different seed left the ranking untouched — the factor is untested")
+    // factor recompute for every returned hit
+    val plain = Search.qCdcTextSearch(spark, sfDir, k = 100000).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    a.foreach { r =>
+      val id = r.getLong(1)
+      val rnd = (((id + 42L) * 2654435761L) % (1L << 31)).toDouble / (1L << 31)
+      val expect = BigDecimal(plain(id) * rnd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(r.getDouble(3) === expect, s"factor mismatch for doc $id")
+    }
+  }
+
+  test("msearch: each query's page equals its standalone search (r19)") {
+    val out = Search.qCdcMsearch(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(out.keySet === Search.MsearchDefaults.map(_._1.toLong).toSet)
+    Search.MsearchDefaults.foreach { case (qid, terms) =>
+      val standalone = Search.qCdcTextSearch(spark, sfDir, query = terms,
+        k = 5).collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val batched = out(qid.toLong).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(batched.toSeq === standalone.toSeq,
+        s"query $qid: batched page differs from the standalone search")
+    }
+  }
 }
