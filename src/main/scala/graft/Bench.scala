@@ -353,7 +353,8 @@ object Bench {
       // text pass; cumulative_cardinality/diversified_sampler the
       // composed pass's orders state (carried by cdc_apply_customer_dsv2)
       "cdc_constant_score", "cdc_random_score", "cdc_msearch",
-      "cdc_cumulative_cardinality", "cdc_diversified_sampler")
+      "cdc_cumulative_cardinality", "cdc_diversified_sampler",
+      "cdc_max_bucket")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

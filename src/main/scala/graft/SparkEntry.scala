@@ -131,6 +131,9 @@ object SparkEntry {
     "cdc_diversified_sampler" ->
       ((s, d) => graft.cdc.Pipeline.qDiversifiedSampler(s, d)),
     "cdc_global_agg" -> ((s, d) => graft.cdc.Pipeline.qGlobalAgg(s, d)),
+    // max_bucket + min_bucket (r19): WHICH buckets, not just the values —
+    // keys arrive as the tie-naming array the ES aggs return
+    "cdc_max_bucket" -> ((s, d) => graft.cdc.Pipeline.qBucketExtrema(s, d)),
     // cumulative_cardinality (r19): running distinct customers per month —
     // distinct counts don't sum, so the scalable first-occurrence
     // rendering replaces the naive per-month distinct union
@@ -435,6 +438,10 @@ object SparkEntry {
     "emb_pq_topk" -> ((s, d) => Similarity.qPqTopK(s, d)),
     "emb_ann_ivfpq" -> ((s, d) => Similarity.qAnnIvfPq(s, d)),
     "emb_near_dup" -> ((s, d) => Similarity.qEmbeddingNearDup(s, d)),
+    // SQ8 / int8 scalar quantization (r19): per-dim (min,max) ranges,
+    // dequantized approximate scoring, shortlist + exact rerank — the
+    // quantization ES applies to dense vectors by default
+    "emb_sq8_topk" -> ((s, d) => Similarity.qSq8TopK(s, d)),
     // SemDeDup-style semantic dedup (r19): staged-quantizer clusters block
     // the pairwise cosine (never doc×doc), threshold edges, drop every
     // non-canonical component member (min-id rule, disclosed)
@@ -442,6 +449,10 @@ object SparkEntry {
     // ── Multimodal plumbing (stub codec; oracles mirror its arithmetic) ─
     "mm_media_features" -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample" -> (Multimodal.qFrameSample _),
+    // perceptual-hash near-dup over the media column (r19): the stub
+    // codec's 32-bit average-hash, exact 4×8-bit LSH banding, hamming
+    // verify — the image-dedup rung, never media×media
+    "mm_phash_neardup" -> (Multimodal.qPhashNearDup(_, _)),
     // ── Scale machinery as first-class queries ──────────────────────────
     "q_skew_salted" -> ((s, d) =>
       graft.ops.Skew.saltedCountSum(Tables.events(s, d), col("event_type"), col("value"))
@@ -2219,6 +2230,37 @@ object SparkEntry {
          |sc AS (SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS score
          |  FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b)
          |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "emb_sq8_topk" ->
+      // SQ8: per-dim ranges → codes → dequantized approximate rank →
+      // shortlist 40 → exact raw rerank, all re-derived from scratch
+      s"""WITH $embX,
+         |mm AS (SELECT i, min(e) AS mn, max(e) AS mx FROM x GROUP BY 1),
+         |dq AS (SELECT x.vec_id, x.i,
+         |         mn + (CASE WHEN mx = mn THEN 0
+         |               ELSE round((x.e - mn) * 255 / (mx - mn)) END)
+         |           * (mx - mn) / 255 AS v
+         |       FROM x JOIN mm USING (i)),
+         |dqn AS (SELECT vec_id, sqrt(sum(v*v)) AS dqnrm FROM dq GROUP BY 1),
+         |ad AS (SELECT xq.vec_id AS q_id, dq.vec_id, sum(xq.e * dq.v) AS dot
+         |       FROM x xq JOIN dq ON dq.i = xq.i AND dq.vec_id <> xq.vec_id
+         |       WHERE xq.vec_id < 10 GROUP BY 1, 2),
+         |ap AS (SELECT a.q_id, a.vec_id, round(a.dot / (n.nrm * d.dqnrm), 6) AS ascore
+         |       FROM ad a JOIN nrm n ON n.vec_id = a.q_id
+         |       JOIN dqn d ON d.vec_id = a.vec_id),
+         |sl AS (SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS ark
+         |    FROM ap) WHERE ark <= 40),
+         |ed AS (SELECT s.q_id, s.vec_id, sum(xa.e * xb.e) AS dot
+         |       FROM sl s JOIN x xa ON xa.vec_id = s.q_id
+         |       JOIN x xb ON xb.vec_id = s.vec_id AND xb.i = xa.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT e.q_id, e.vec_id, round(e.dot / (na.nrm * nb.nrm), 6) AS score
+         |       FROM ed e JOIN nrm na ON na.vec_id = e.q_id
+         |       JOIN nrm nb ON nb.vec_id = e.vec_id),
+         |r AS (SELECT q_id, vec_id, score, row_number() OVER
+         |        (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "emb_semantic_dedup" ->
       // the staged quantizer re-derived from scratch (kmeansRounds — the
       // emb_kmeans discipline), pairs blocked within final-round clusters,
@@ -2958,6 +3000,52 @@ object SparkEntry {
          |         ORDER BY o_orderkey LIMIT 100)
          |SELECT o_orderstatus, count(*) AS doc_count FROM samp
          |GROUP BY 1 ORDER BY doc_count DESC, o_orderstatus""".stripMargin,
+    "cdc_max_bucket" ->
+      // max_bucket/min_bucket: the extrema VALUES plus the tie-naming
+      // keys array the ES aggs return
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1),
+         |ext AS (SELECT max(revenue) AS mx, min(revenue) AS mn FROM b)
+         |SELECT 'max_bucket' AS metric, mx AS value,
+         |       list_sort(list(CAST(month AS VARCHAR))) AS keys
+         |FROM b, ext WHERE revenue = mx GROUP BY mx
+         |UNION ALL
+         |SELECT 'min_bucket', mn, list_sort(list(CAST(month AS VARCHAR)))
+         |FROM b, ext WHERE revenue = mn GROUP BY mn
+         |ORDER BY metric""".stripMargin,
+    "mm_phash_neardup" ->
+      // the fingerprint rederived per byte (integer cross-multiply bits),
+      // pairs by BRUTE FORCE — the gate itself proves the Spark side's
+      // 4×8-bit banding is exact for hamming <= 3
+      """WITH d AS (SELECT doc_id AS media_id, coalesce(text, '') AS t,
+        |                  strlen(coalesce(text, '')) AS n FROM documents),
+        |ch AS (SELECT media_id, n, i,
+        |              ord(substr(t, CAST(i AS INT), 1)) AS b,
+        |              (i - 1) // greatest(1, n // 32) AS w
+        |       FROM (SELECT media_id, t, n,
+        |               unnest(generate_series(1, n)) AS i
+        |             FROM d WHERE n > 0)),
+        |tot AS (SELECT media_id, max(n) AS n, sum(b) AS total FROM ch GROUP BY 1),
+        |wins AS (SELECT media_id, w, sum(b) AS s, count(*) AS c
+        |         FROM ch WHERE w < 32 GROUP BY 1, 2),
+        |bits AS (SELECT wi.media_id,
+        |           CAST(sum(CASE WHEN wi.s * t.n > t.total * wi.c
+        |                THEN (CAST(1 AS BIGINT) << CAST(wi.w AS INT))
+        |                ELSE 0 END) AS BIGINT) AS fp
+        |         FROM wins wi JOIN tot t USING (media_id) GROUP BY 1),
+        |fps AS (SELECT media_id, fp FROM bits
+        |        UNION ALL
+        |        SELECT media_id, CAST(0 AS BIGINT) FROM d WHERE n = 0),
+        |p AS (SELECT a.media_id AS id_a, b2.media_id AS id_b,
+        |             CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS dist
+        |      FROM fps a JOIN fps b2 ON a.media_id < b2.media_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "cdc_cardinality_agg" ->
       // cardinality sub-agg: exact distinct below precision_threshold —
       // the regime every fixture bucket is in (ES's own linear counting)

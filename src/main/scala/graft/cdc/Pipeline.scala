@@ -479,6 +479,34 @@ object Pipeline {
       .orderBy(col("doc_count").desc, col("o_orderstatus"))
   }
 
+  /** Oracle-checked query: the ES `max_bucket` + `min_bucket` PIPELINE
+    * aggregations (r19) — [[qBucketStats]] reports the VALUES; these
+    * report WHICH buckets ("the best month") — the half users actually
+    * read, and the reason the aggs return a `keys` ARRAY: ties are a
+    * real outcome and ES names every tied bucket. One bucket pass
+    * (monthly revenue, the dsum discipline), one 2-value extrema
+    * reduce, one filter back over the \|months\|-sized frame for the
+    * keys — reduce-side like every pipeline agg. Keys sort
+    * lexicographically so the collect_list nondeterminism is
+    * hash-invisible. */
+  def qBucketExtrema(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    val buckets = tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sumDec, 2).cast("double").as("revenue"))
+    val ext = buckets.agg(max(col("revenue")).as("mx"), min(col("revenue")).as("mn"))
+    val withExt = buckets.crossJoin(broadcast(ext))
+    def row(metric: String, cmp: Column) =
+      withExt.filter(col("revenue") === cmp)
+        .agg(max(col("revenue")).as("value"),
+          sort_array(collect_list(col("month").cast("string"))).as("keys"))
+        .select(lit(metric).as("metric"), col("value"), col("keys"))
+    row("max_bucket", col("mx")).unionByName(row("min_bucket", col("mn")))
+      .orderBy(col("metric"))
+  }
+
   /** Oracle-checked query: the ES `global` aggregation (r18) — an agg
     * that ESCAPES the query context: the search is status-filtered, but
     * the global wrapper's metrics cover EVERY document (the

@@ -55,6 +55,35 @@ object Multimodal {
     def frameOffsets(nFrames: Int, k: Int): Seq[Int] =
       if (nFrames <= k) 0 until nFrames
       else (0 until k).map(i => i * nFrames / k)
+
+    /** "Perceptual hash" → a 32-bit average-hash over the decoded
+      * payload: 32 byte windows (the stand-in for an 8×4 downscaled
+      * luminance grid), bit w set iff window w's mean exceeds the whole
+      * payload's mean. The compare is the INTEGER cross-multiply
+      * `s_w · n > total · c_w` — no division anywhere, so the oracle SQL
+      * reproduces every bit exactly. Real deployments swap this for a
+      * DCT pHash over decoded pixels; the fingerprint SHAPE, the banding
+      * and the hamming verify are the operator. */
+    def ahash32(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      var total = 0L
+      var i = 0
+      while (i < n) { total += bytes(i) & 0xff; i += 1 }
+      val win = math.max(1, n / 32)
+      var fp = 0L
+      var w = 0
+      while (w < 32) {
+        var s = 0L
+        var j = w * win
+        val end = math.min(n, j + win)
+        val c = end - j
+        while (j < end) { s += (bytes(j) & 0xff); j += 1 }
+        if (c > 0 && s * n > total * c) fp |= (1L << w)
+        w += 1
+      }
+      fp
+    }
   }
 
   val mediaSchema: StructType = StructType(Seq(
@@ -153,6 +182,62 @@ object Multimodal {
         (round(avg(col("height")) * 1e6) / 1e6).as("avg_h"),
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("media_type"))
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
+
+  /** Per-media perceptual fingerprints — partition-local like every codec
+    * call; only (id, 32-bit fp) flows downstream. */
+  private[graft] def phashes(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(phashSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(Array.emptyByteArray)
+        Row(r.getAs[Long]("media_id"), FakeCodec.ahash32(bytes))
+      }
+    }(enc)
+  }
+
+  /** Oracle-checked query: PERCEPTUAL-HASH near-duplicate detection over
+    * the media column (r19) — the image-dedup rung of a multimodal
+    * training pipeline (datasets dedup images by pHash before training;
+    * text dedup never sees them). Fingerprints are the stub codec's
+    * 32-bit average-hash ([[FakeCodec.ahash32]] — deterministic, so the
+    * whole pipeline is oracle-checked, not rows-counted; on this
+    * text-bytes fixture near-misses beyond exact-duplicate payloads are
+    * limited, disclosed). The pair search is EXACT LSH BANDING, never
+    * media×media: 4 bands of 8 bits — any pair within hamming ≤ 3
+    * differs in at most 3 bands, so at least one band matches
+    * (pigeonhole: banding is exact for d < bands) — candidates join on
+    * (band index, band value), then one bit_count verify. At 100 TB the
+    * band join touches only colliding fingerprints, the minhash-LSH
+    * scale shape. */
+  def qPhashNearDup(spark: SparkSession, dir: String,
+                    maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4 bands are exact only for hamming < 4")
+    val fp = phashes(mediaFromDocuments(spark, dir))
+    val bands = fp.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("media_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   def qFrameSample(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(spark, dir))

@@ -331,6 +331,72 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Oracle-checked query: SCALAR-QUANTIZED (SQ8 / int8) ANN (r19) — the
+    * quantization ES 8.x applies to dense vectors BY DEFAULT
+    * (`int8_hnsw`) and faiss ships as IndexScalarQuantizer: per DIMENSION
+    * a (min, max) range over the corpus, each component stored as
+    * `round((v − min) · 255 / (max − min))` — 4× smaller than float32
+    * with far better fidelity than PQ at the same simplicity (the ladder:
+    * SQ8 4×, PQ m=16 25.6×). The query path mirrors the deployed shape:
+    * approximate scores against the DEQUANTIZED corpus (min + code ·
+    * (max − min)/255 — arithmetic text identical in the oracle), a
+    * `shortlist` cut per query, then the exact raw-vector rerank (the
+    * emb_pq_topk discipline). Constant dimensions quantize to code 0 and
+    * dequantize to min (the CASE both engines share). In-plan range
+    * computation is one 64-row agg (nothing like the Lloyd training that
+    * moved PQ/IVF to stagings); a deployment stores the codes like
+    * [[pqModel]] stages — encode once, scan codes. Recall vs exact
+    * pinned in KmeansSpec. */
+  def qSq8TopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+               k: Int = 5, shortlist: Int = 40): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val x = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i0", "ev")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("ev").cast("double").as("e"))
+    val mm = x.groupBy(col("i"))
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+    // quantize + dequantize against the per-dim range (identical text in
+    // the oracle); code stays the double round() returns — the value is
+    // an exact small integer either way
+    val code = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(round((col("e") - col("mn")) * 255 / (col("mx") - col("mn"))))
+    val dq = x.join(broadcast(mm), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        (col("mn") + code * (col("mx") - col("mn")) / 255).as("v"))
+    val dqn = dq.groupBy(col("vec_id")).agg(sqrt(sum(col("v") * col("v"))).as("dqnrm"))
+    val q = x.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("i"), col("e").as("qe"))
+    val approx = dq.join(broadcast(q),
+        dq("i") === q("i") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qe") * col("v")).as("dot"))
+      .join(dqn, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("nrm").as("qnrm")), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("dot") / (col("qnrm") * col("dqnrm")), 6).as("ascore"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val sl = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank over the shortlist's raw vectors
+    val exact = sl
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("qnrm")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("qnrm") * col("nrm")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    exact.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ── CDC-maintained vector index (the es.go loop, for dense kNN) ───────
 
   /** The maintained index's PQ encoding constants — the codes STORED in the

@@ -591,4 +591,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.toMap !== plain,
       "fixture degenerate: dedup by customer changed nothing")
   }
+
+  test("max_bucket/min_bucket: the extrema and their tie-naming keys " +
+    "recompute exactly from the bucket frame (r19)") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.qBucketExtrema(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("max_bucket", "min_bucket"))
+    val buckets = Pipeline.qState(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(round(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+        .cast("double").as("rev"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1))
+    val mx = buckets.map(_._2).max
+    val mn = buckets.map(_._2).min
+    val maxRow = out(0); val minRow = out(1)
+    assert(maxRow.getDouble(1) === mx && minRow.getDouble(1) === mn)
+    assert(maxRow.getSeq[String](2).toSeq ===
+      buckets.filter(_._2 == mx).map(_._1).sorted.toSeq)
+    assert(minRow.getSeq[String](2).toSeq ===
+      buckets.filter(_._2 == mn).map(_._1).sorted.toSeq)
+    assert(mx > mn, "fixture degenerate: flat revenue")
+  }
 }

@@ -369,4 +369,19 @@ class KmeansSpec extends AnyFunSuite with SparkSpec {
     val b = Similarity.qCdcVectorSearch(spark, sfDir).collect().toSeq
     assert(a === b)
   }
+
+  test("SQ8: the int8 round-trip reranks to near-exact recall, and the " +
+    "approximate-then-rerank page matches brute force where it should (r19)") {
+    val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val sq8 = Similarity.qSq8TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(sq8.keySet === exact.keySet)
+    val recall = exact.keys.toSeq.map(q =>
+      (sq8(q) intersect exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.9,
+      f"SQ8 recall $recall%.2f below 0.9 — the 255-level grid should rerank near-exact")
+  }
 }

@@ -544,4 +544,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val counts = out.groupBy("media_id").count().collect()
     assert(counts.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4))
   }
+
+  test("phash near-dup: the banded pair search equals brute force (the " +
+    "4-band pigeonhole is exact for hamming <= 3), exact-duplicate " +
+    "payloads land at distance 0 (r19)") {
+    val out = Multimodal.qPhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 <= 3L))
+    // brute force over the fingerprints, driver-side
+    val fps = Multimodal.phashes(Multimodal.mediaFromDocuments(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)
+    assert(out.toSeq === brute.toSeq,
+      "banding missed or invented a pair vs brute force")
+    // exact-duplicate payloads (the corpus carries them) hash identically
+    assert(out.exists(_._3 == 0L),
+      "fixture degenerate: no identical-payload pair at distance 0")
+  }
 }
