@@ -70,33 +70,64 @@ object Bench {
     // corrupt floors file DISABLES the gate loudly
     // (`body_suspect_floors_unavailable`: the silent-disable was itself a
     // false-clean class — ADVICE r18); fatal JVM errors propagate.
-    val (committedFloors, floorThreshold, floorsUnavailable):
-        (Map[String, Double], Double, Boolean) =
+    // r20 additions: (a) `bands_sec` — [lo, hi] jitter bands for the
+    // streaming-trigger family (stream_late_data et al.) and
+    // cdc_search_after, where trigger jitter makes a FLOOR the wrong
+    // shape but the r19 driver run showed the body can run 3-6× its
+    // committed values while all four cdc floor carriers sit quiet (the
+    // alphabet blind spot — VERDICT r19 next #2); a value above
+    // threshold_ratio × hi flags body_suspect exactly like a floor
+    // violation, the lo edge is the self-adjudication bound only.
+    // (b) an sf mismatch now reports its OWN flag
+    // (`body_suspect_floors_scale_mismatch`) instead of posing as an
+    // armed gate with zero carriers — the silent-disable false-clean
+    // class, third instance (ADVICE r19 #4).
+    val (committedFloors, committedBands, floorThreshold, floorsUnavailable,
+        floorsScaleMismatch):
+        (Map[String, Double], Map[String, (Double, Double)], Double, Boolean,
+          Boolean) =
       try {
         val f = new java.io.File(sys.props("user.dir"), "BENCH_FLOORS.json")
-        if (!f.exists) (Map.empty[String, Double], 1.5, true)
+        if (!f.exists)
+          (Map.empty[String, Double], Map.empty[String, (Double, Double)],
+            1.5, true, false)
         else {
           val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
           // floors only compare within one scale: a reference measured at
           // a different SF would make every comparison meaningless (this
-          // is a scale mismatch, not a corrupt file — no unavailable flag)
+          // is a scale mismatch, not a corrupt file — distinct flag)
           val sameSf = Option(node.get("sf")).exists(_.asText == sfDir)
           val fl = node.get("floors_sec")
+          val bd = node.get("bands_sec")
           val thr = Option(node.get("threshold_ratio")).map(_.asDouble).getOrElse(1.5)
-          if (fl == null || !fl.isObject) (Map.empty[String, Double], thr, true)
-          else if (!sameSf) (Map.empty[String, Double], thr, false)
+          if (fl == null || !fl.isObject)
+            (Map.empty[String, Double], Map.empty[String, (Double, Double)],
+              thr, true, false)
+          else if (!sameSf)
+            (Map.empty[String, Double], Map.empty[String, (Double, Double)],
+              thr, false, true)
           else {
             val it = fl.fieldNames()
             val b = Map.newBuilder[String, Double]
             while (it.hasNext) { val k = it.next(); b += k -> fl.get(k).asDouble }
-            (b.result(), thr, false)
+            val bands = Map.newBuilder[String, (Double, Double)]
+            if (bd != null && bd.isObject) {
+              val bit = bd.fieldNames()
+              while (bit.hasNext) {
+                val k = bit.next(); val arr = bd.get(k)
+                if (arr.isArray && arr.size == 2)
+                  bands += k -> (arr.get(0).asDouble, arr.get(1).asDouble)
+              }
+            }
+            (b.result(), bands.result(), thr, false, false)
           }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"WARN: BENCH_FLOORS.json unreadable — " +
             s"body_suspect gate disabled: $e")
-          (Map.empty[String, Double], 1.5, true)
+          (Map.empty[String, Double], Map.empty[String, (Double, Double)],
+            1.5, true, false)
       }
     val floorCarriers = committedFloors.keys.toSeq.sorted
     val loadStart = loadavg()
@@ -231,9 +262,12 @@ object Bench {
     // on runs the probes called clean — a flagged run already says "bad
     // window" and per-query comparisons are already off the table there
     val resultsMap = results.toMap
-    val bodySuspects = floorCarriers.filter(c =>
+    val bodySuspects = (floorCarriers.filter(c =>
       committedFloors.get(c).exists(ref =>
-        resultsMap.get(c).exists(_ > floorThreshold * ref)))
+        resultsMap.get(c).exists(_ > floorThreshold * ref))) ++
+      committedBands.keys.toSeq.sorted.filter(c =>
+        committedBands.get(c).exists { case (_, hi) =>
+          resultsMap.get(c).exists(_ > floorThreshold * hi) }))
     val bodySuspect = !contended && !degraded && bodySuspects.nonEmpty
 
     // Full-precision per-query map goes to a file (the harness that captures
@@ -403,6 +437,7 @@ object Bench {
       s""""contended":$contended,"degraded":$degraded,""" +
       s""""body_suspect":$bodySuspect,""" +
       s""""body_suspect_floors_unavailable":$floorsUnavailable,""" +
+      s""""body_suspect_floors_scale_mismatch":$floorsScaleMismatch,""" +
       s""""body_suspect_carriers":${arr(bodySuspects)},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
@@ -417,7 +452,7 @@ object Bench {
     // queries first, greedily added under a strict budget, the rest in the
     // detail file.
     val budget = 1800
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"body_suspect":$bodySuspect,"body_suspect_floors_unavailable":$floorsUnavailable,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"spin_ms":${r3(spinBest)},"value_spin_normalized":${r3(totalNorm)},"contended":$contended,"degraded":$degraded,"body_suspect":$bodySuspect,"body_suspect_floors_unavailable":$floorsUnavailable,"body_suspect_floors_scale_mismatch":$floorsScaleMismatch,"loadavg_start":${r3(loadStart)},"detail":"BENCH_DETAIL.json","queries":{"""
     val tail = "}}"
     val sb = new StringBuilder(head)
     var first = true

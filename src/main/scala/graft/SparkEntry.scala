@@ -3012,10 +3012,11 @@ object SparkEntry {
          |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1),
          |ext AS (SELECT max(revenue) AS mx, min(revenue) AS mn FROM b)
          |SELECT 'max_bucket' AS metric, mx AS value,
-         |       list_sort(list(CAST(month AS VARCHAR))) AS keys
+         |       array_to_string(list_sort(list(CAST(month AS VARCHAR))), ',') AS keys
          |FROM b, ext WHERE revenue = mx GROUP BY mx
          |UNION ALL
-         |SELECT 'min_bucket', mn, list_sort(list(CAST(month AS VARCHAR)))
+         |SELECT 'min_bucket', mn,
+         |       array_to_string(list_sort(list(CAST(month AS VARCHAR))), ',')
          |FROM b, ext WHERE revenue = mn GROUP BY mn
          |ORDER BY metric""".stripMargin,
     "mm_phash_neardup" ->

