@@ -134,6 +134,12 @@ object SparkEntry {
     // max_bucket + min_bucket (r19): WHICH buckets, not just the values —
     // keys arrive as the tie-naming array the ES aggs return
     "cdc_max_bucket" -> ((s, d) => graft.cdc.Pipeline.qBucketExtrema(s, d)),
+    // bucket_sort (r20): the generic declarative sort/from/size pipeline
+    // step over the monthly bucket frame — truncation AFTER the sort
+    "cdc_bucket_sort" -> ((s, d) => graft.cdc.Pipeline.qCdcBucketSort(s, d)),
+    // median_absolute_deviation (r20): exact integer-cents medians in the
+    // below-threshold regime, per order status
+    "cdc_mad" -> ((s, d) => graft.cdc.Pipeline.qCdcMad(s, d)),
     // cumulative_cardinality (r19): running distinct customers per month —
     // distinct counts don't sum, so the scalable first-occurrence
     // rendering replaces the naive per-month distinct union
@@ -427,6 +433,9 @@ object SparkEntry {
     "doc_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "doc_simhash_clusters" -> (Dedup.simhashClusters _),
     "doc_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(s, d)),
+    // cross-document exact-substring dedup (r20): k-gram hash blocking,
+    // gram-verified, diagonal islands -> maximal shared spans
+    "doc_substring_dedup" -> ((s, d) => Dedup.qSubstringDedup(s, d)),
     // ── Similarity search ───────────────────────────────────────────────
     "emb_norm_stats" -> (Similarity.qNormStats _),
     "emb_centroids" -> (Similarity.qCentroids _),
@@ -531,6 +540,15 @@ object SparkEntry {
     // positional postings ('window … merge' matches as well as the
     // ordered direction)
     "cdc_span_near" -> ((s, d) => graft.ops.Search.qCdcSpanNear(s, d)),
+    // ES span_or composed inside span_near (r20): the union of two terms'
+    // position lists is one span clause near a companion term
+    "cdc_span_or" -> ((s, d) => graft.ops.Search.qCdcSpanOr(s, d)),
+    // ES span_not (r20): include-term occurrences not overlapping any
+    // exclude-phrase span (anti join on the span window)
+    "cdc_span_not" -> ((s, d) => graft.ops.Search.qCdcSpanNot(s, d)),
+    // ES intervals (r20): any_of of two ordered max_gaps matches — the
+    // modern span replacement, sharing the in-order chain with slopHits
+    "cdc_intervals" -> ((s, d) => graft.ops.Search.qCdcIntervals(s, d)),
     // ES match `operator: and`: the BM25 ranking over docs matching EVERY
     // query term (minShouldMatch = |query|), same pruned-postings IO
     "cdc_match_and" -> ((s, d) => graft.ops.Search.qCdcMatchAnd(s, d)),
@@ -663,6 +681,10 @@ object SparkEntry {
     // ES term suggester (did-you-mean): per misspelled input, the closest
     // index terms by (edit distance, df desc, term) within prefix_length=1
     "cdc_suggest" -> ((s, d) => graft.ops.Search.qCdcSuggest(s, d)),
+    // suggest.term with its full knob set (r20): sort: frequency +
+    // suggest_mode: popular — the input's own df gates candidates and the
+    // frequency order can disagree with the edit-distance order
+    "cdc_term_suggest" -> ((s, d) => graft.ops.Search.qCdcTermSuggest(s, d)),
     // completion suggester: weight-ranked prefix completions from the
     // sorted term directory (the Lucene FST surface as range reads)
     "cdc_completion" -> ((s, d) => graft.ops.Search.qCdcCompletion(s, d)),
@@ -689,6 +711,14 @@ object SparkEntry {
     // scored as OR terms (the search-as-you-type match)
     "cdc_match_bool_prefix" ->
       ((s, d) => graft.ops.Search.qCdcMatchBoolPrefix(s, d)),
+    // search_as_you_type (r20): 2/3-shingle subfields maintained as
+    // analyzer views; multi_match bool_prefix shingles the query per
+    // subfield and most_fields SUMS the per-field BM25 scores
+    "cdc_search_as_you_type" ->
+      ((s, d) => graft.ops.Search.qCdcSearchAsYouType(s, d)),
+    // string_stats (r20): exact length statistics off the doc state
+    // (entropy scoped out — ln(); see the Scaladoc disclosure)
+    "cdc_string_stats" -> ((s, d) => graft.ops.Search.qCdcStringStats(s, d)),
     // sliced scroll: one disjoint export slice of the live corpus
     "cdc_sliced_scroll" -> ((s, d) => graft.ops.Search.qCdcSlicedScroll(s, d)),
     // ES function_score: filter+weight functions on the stored keyword
@@ -960,6 +990,28 @@ object SparkEntry {
          |       FROM ${p}post p JOIN ${p}df USING (tok)
          |       JOIN ${p}dl dl ON dl.doc_id = p.doc_id CROSS JOIN ${p}st)""".stripMargin
   }
+
+  /** [[fieldCtes]] with a PARAMETERIZED clause-set predicate — the
+    * search_as_you_type oracle's fields select exact query shingles plus
+    * a LIKE prefix expansion instead of the fixed three terms; the
+    * scoring text is [[fieldCtes]]' verbatim (editing one cannot drift
+    * from the other without a hash mismatch). */
+  private def saytFieldCtes(p: String, toksCte: String,
+                            termsPred: String): String =
+    s"""${p}dl AS (SELECT doc_id, count(*) AS dl FROM $toksCte GROUP BY 1),
+         |${p}st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
+         |${p}post AS (SELECT tok, doc_id, count(*) AS tf FROM $toksCte
+         |         WHERE $termsPred GROUP BY 1, 2),
+         |${p}df AS (SELECT tok, count(*) AS df FROM ${p}post GROUP BY 1),
+         |${p}ts AS (SELECT p.doc_id,
+         |         CAST(round(
+         |           ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |           ((CAST(tf AS DOUBLE) * 2.2) /
+         |            (CAST(tf AS DOUBLE) +
+         |             1.2 * ((1 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)))),
+         |           6) AS DECIMAL(18,8)) AS ts
+         |       FROM ${p}post p JOIN ${p}df USING (tok)
+         |       JOIN ${p}dl dl ON dl.doc_id = p.doc_id CROSS JOIN ${p}st)""".stripMargin
 
   private lazy val cdcMultiMatchSql: String =
     s"""WITH $docsChangelogCte,
@@ -3019,6 +3071,41 @@ object SparkEntry {
          |       array_to_string(list_sort(list(CAST(month AS VARCHAR))), ',')
          |FROM b, ext WHERE revenue = mn GROUP BY mn
          |ORDER BY metric""".stripMargin,
+    "cdc_bucket_sort" ->
+      // bucket_sort: sort by metric desc (ties on the key), skip `from`,
+      // keep `size` — truncation AFTER the sort
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |             count(*) AS doc_count,
+         |             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         |      FROM ranked WHERE rn = 1 AND op <> 'DELETE' GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, month) AS rk FROM b)
+         |SELECT CAST(rk AS BIGINT) AS rk, month, doc_count, revenue
+         |FROM r WHERE rk > 2 AND rk <= 7 ORDER BY rk""".stripMargin,
+    "cdc_mad" ->
+      // median_absolute_deviation: exact integer cents, exact medians
+      // (interpolation lands on integers or halves), MAD = median of the
+      // exact double deviations — below-threshold regime like the
+      // percentiles family
+      s"""WITH ${Changelog.oracleCte},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM changelog),
+         |st2 AS (SELECT o_orderstatus,
+         |               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |        FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+         |med AS (SELECT o_orderstatus, quantile_cont(cents, 0.5) AS median_cents
+         |        FROM st2 GROUP BY 1),
+         |d2 AS (SELECT s.o_orderstatus, m.median_cents,
+         |              abs(CAST(s.cents AS DOUBLE) - m.median_cents) AS dev
+         |       FROM st2 s JOIN med m USING (o_orderstatus))
+         |SELECT o_orderstatus, count(*) AS doc_count,
+         |       max(median_cents) AS median_cents,
+         |       quantile_cont(dev, 0.5) AS mad_cents
+         |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_phash_neardup" ->
       // the fingerprint rederived per byte (integer cross-multiply bits),
       // pairs by BRUTE FORCE — the gate itself proves the Spark side's
@@ -3257,6 +3344,131 @@ object SparkEntry {
          |      FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id
          |       AND greatest(t0.p, t1.p) - least(t0.p, t1.p) - 1 <= 2)
          |SELECT doc_id, count(*) AS hits FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_span_or" ->
+      // span_or([merge, sort]) composed inside span_near(window, slop 2,
+      // unordered): the union of the alternatives' position lists is the
+      // first span clause
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |t0 AS (SELECT doc_id, p FROM toks2 WHERE tok IN ('merge', 'sort')),
+         |t1 AS (SELECT doc_id, p FROM toks2 WHERE tok = 'window'),
+         |m AS (SELECT DISTINCT t0.doc_id, least(t0.p, t1.p) AS s
+         |      FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id
+         |       AND greatest(t0.p, t1.p) - least(t0.p, t1.p) - 1 <= 2)
+         |SELECT doc_id, count(*) AS hits FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_span_not" ->
+      // span_not: 'merge' occurrences NOT overlapping any 'merge window'
+      // phrase span [s, s+1]
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |inc AS (SELECT doc_id, p FROM toks2 WHERE tok = 'merge'),
+         |exc AS (SELECT e0.doc_id, e0.p AS s
+         |        FROM (SELECT doc_id, p FROM toks2 WHERE tok = 'merge') e0
+         |        JOIN (SELECT doc_id, p - 1 AS p FROM toks2 WHERE tok = 'window') e1
+         |          ON e1.doc_id = e0.doc_id AND e1.p = e0.p),
+         |sv AS (SELECT i.doc_id, i.p FROM inc i WHERE NOT EXISTS
+         |         (SELECT 1 FROM exc e
+         |          WHERE e.doc_id = i.doc_id AND i.p BETWEEN e.s AND e.s + 1))
+         |SELECT doc_id, count(*) AS hits FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_intervals" ->
+      // intervals any_of of two ordered max_gaps:1 matches — per rule,
+      // ordered pairs with gap <= 1, distinct starts, union, dedup, count
+      s"""WITH $docsChangelogCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p FROM w),
+         |r1 AS (SELECT DISTINCT a.doc_id, a.p AS s
+         |       FROM (SELECT doc_id, p FROM toks2 WHERE tok = 'merge') a
+         |       JOIN (SELECT doc_id, p FROM toks2 WHERE tok = 'window') b
+         |         ON b.doc_id = a.doc_id AND b.p > a.p AND b.p - a.p - 1 <= 1),
+         |r2 AS (SELECT DISTINCT a.doc_id, a.p AS s
+         |       FROM (SELECT doc_id, p FROM toks2 WHERE tok = 'hash') a
+         |       JOIN (SELECT doc_id, p FROM toks2 WHERE tok = 'join') b
+         |         ON b.doc_id = a.doc_id AND b.p > a.p AND b.p - a.p - 1 <= 1),
+         |u AS (SELECT doc_id, s FROM r1 UNION SELECT doc_id, s FROM r2)
+         |SELECT doc_id, count(*) AS hits FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_term_suggest" ->
+      // suggest.term, sort: frequency + suggest_mode: popular — the
+      // input's own df (0 when absent) gates candidates (df > input_df),
+      // rank by (df desc, dist, term)
+      s"""WITH $docsChangelogCte,
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |ins AS (SELECT * FROM (VALUES ('mrege'), ('scal'), ('agg')) AS t(input)),
+         |ind AS (SELECT i.input, CAST(coalesce(d.df, 0) AS BIGINT) AS input_df
+         |        FROM ins i LEFT JOIN d ON d.tok = i.input),
+         |cand AS (SELECT i.input, i.input_df, d.tok AS suggestion,
+         |           CAST(levenshtein(d.tok, i.input) AS BIGINT) AS dist, d.df
+         |         FROM d JOIN ind i ON substr(d.tok, 1, 1) = substr(i.input, 1, 1)
+         |           AND d.tok <> i.input AND levenshtein(d.tok, i.input) <= 2
+         |         WHERE d.df > i.input_df),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY input ORDER BY df DESC, dist, suggestion) AS rk
+         |      FROM cand)
+         |SELECT input, input_df, CAST(rk AS BIGINT) AS rk, suggestion, dist, df
+         |FROM r WHERE rk <= 3 ORDER BY input, rk""".stripMargin,
+    "cdc_search_as_you_type" ->
+      // search_as_you_type: the query shingles per subfield (last shingle
+      // a LIKE prefix against that FIELD's vocabulary, earlier shingles
+      // exact), per-field BM25 with the field's own stats, most_fields
+      // sum — round-6 per field, exact decimal sum, one final round-6
+      s"""WITH $docsChangelogCte,
+         |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+         |g2t AS (SELECT doc_id, array_to_string(list_slice(ws, pos, pos + 1), ' ') AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS pos
+         |              FROM w2 WHERE len(ws) >= 2)),
+         |g3t AS (SELECT doc_id, array_to_string(list_slice(ws, pos, pos + 2), ' ') AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS pos
+         |              FROM w2 WHERE len(ws) >= 3)),
+         |${saytFieldCtes("b", "toks",
+              "(tok IN ('stream', 'merge') OR tok LIKE 'wind%')")},
+         |${saytFieldCtes("g2", "g2t",
+              "(tok IN ('stream merge') OR tok LIKE 'merge wind%')")},
+         |${saytFieldCtes("g3", "g3t", "(tok LIKE 'stream merge wind%')")},
+         |u AS (SELECT doc_id,
+         |        CAST(round(CAST(sum(ts) AS DOUBLE), 6) AS DECIMAL(18,8)) AS fscore
+         |      FROM bts GROUP BY 1
+         |      UNION ALL
+         |      SELECT doc_id, CAST(round(CAST(sum(ts) AS DOUBLE), 6) AS DECIMAL(18,8))
+         |      FROM g2ts GROUP BY 1
+         |      UNION ALL
+         |      SELECT doc_id, CAST(round(CAST(sum(ts) AS DOUBLE), 6) AS DECIMAL(18,8))
+         |      FROM g3ts GROUP BY 1),
+         |c AS (SELECT doc_id, count(*) AS n_fields,
+         |        round(CAST(sum(fscore) AS DOUBLE), 6) AS score FROM u GROUP BY 1),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM c)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_fields, score
+         |FROM r2 WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "cdc_string_stats" ->
+      // string_stats: exact length stats per source over the live doc
+      // state; avg = one double division of two exact integers; ES's
+      // entropy term scoped out (ln) with the Spark side's disclosure
+      s"""WITH $docsChangelogCte
+         |SELECT source, count(*) AS doc_count,
+         |       CAST(min(length(text)) AS BIGINT) AS min_length,
+         |       CAST(max(length(text)) AS BIGINT) AS max_length,
+         |       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_length
+         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_substring_dedup" ->
+      // brute force: candidate pairs joined on the RAW gram string (no
+      // hash anywhere) — the gate itself proves the Spark side's
+      // xxhash64 blocking exact; identical island arithmetic
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  string_split(text, ' ') AS ws FROM documents),
+        |gp AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |       FROM d WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |             array_to_string(list_slice(ws, pos, pos + 7), ' ') AS gram
+        |      FROM gp),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |i AS (SELECT *, pa - row_number() OVER
+        |        (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM p)
+        |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+        |       count(*) + 7 AS span_len
+        |FROM i GROUP BY doc_a, doc_b, diag, isl
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "cdc_more_like_this" -> bm25Sql(
       s"""$docsChangelogCte,
          |seedtoks AS (SELECT tok, count(*) AS tf2 FROM toks WHERE doc_id = 42 GROUP BY 1),
@@ -3282,7 +3494,7 @@ object SparkEntry {
       1, Seq("stream", "merge", "window"), Seq.empty, Seq.empty,
       tail = s""",w50 AS (SELECT doc_id, score FROM r WHERE rk <= 50),
          |resc AS (SELECT w.doc_id, coalesce(ph.hits, 0) AS hits,
-         |           round(w.score + 0.5 * coalesce(ph.hits, 0), 6) AS score
+         |           round(0.25 * w.score + 0.5 * coalesce(ph.hits, 0), 6) AS score
          |         FROM w50 w LEFT JOIN ph USING (doc_id)),
          |r2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk2 FROM resc)
          |SELECT CAST(rk2 AS BIGINT) AS rk, doc_id, CAST(hits AS BIGINT) AS hits, score

@@ -511,6 +511,63 @@ object Pipeline {
       .orderBy(col("metric"))
   }
 
+  /** Oracle-checked query: the ES `bucket_sort` PIPELINE aggregation
+    * (r20, VERDICT r19 next #4) — the generic declarative
+    * sort/`from`/`size` over a parent agg's bucket frame, the most-used
+    * pipeline agg (dashboards page through metric-ordered buckets with
+    * it). The parent is the monthly-revenue histogram (the dsum
+    * discipline); the pipeline step is sort by revenue desc (ties on the
+    * bucket key), SKIP `from` buckets, keep `size` — truncation happens
+    * AFTER the sort, the property the drill pins (the kept buckets are
+    * ranks from+1..from+size of the metric order, NOT the key order, and
+    * the global top-`from` buckets are absent). Reduce-side over the
+    * \|months\|-sized frame like every pipeline agg — the parent groupBy
+    * is the only data-sized shuffle at any scale. */
+  def qCdcBucketSort(spark: SparkSession, sfDir: String,
+                     from: Int = 2, size: Int = 5): DataFrame = {
+    val sumDec = sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    val buckets = tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sumDec, 2).cast("double").as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("month"))
+    buckets.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") > from && col("rk") <= from + size)
+      .select(col("rk"), col("month"), col("doc_count"), col("revenue"))
+      .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `median_absolute_deviation` aggregation
+    * (r20, VERDICT r19 next #6's second half) — the robust dispersion
+    * metric, per order status over the live keyed state. ES computes it
+    * on a TDigest sketch; this rendering is EXACT in the below-threshold
+    * regime exactly like the percentiles family (disclosed): prices move
+    * to integer cents through one exact DECIMAL(18,4) multiply, the
+    * per-group median interpolates between integers (halves are
+    * binary-exact — the r7 same-bits precedent), deviations are exact
+    * doubles < 2^53, and the MAD is the median of those. Two passes over
+    * the 3-group frame with the medians broadcast back — no extra
+    * data-sized shuffle beyond the two group-bys. */
+  def qCdcMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = tableState(spark, runFull(spark, sfDir).state, "orders",
+        Changelog.payloadCols)
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 100).cast("long").as("cents"))
+    val med = base.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+    base.join(broadcast(med), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("median_cents"),
+        abs(col("cents").cast("double") - col("median_cents")).as("dev"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("doc_count"),
+        max(col("median_cents")).as("median_cents"),
+        expr("percentile(dev, 0.5)").as("mad_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Oracle-checked query: the ES `global` aggregation (r18) — an agg
     * that ESCAPES the query context: the search is status-filtered, but
     * the global wrapper's metrics cover EVERY document (the

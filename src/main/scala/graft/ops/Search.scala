@@ -1176,6 +1176,74 @@ object Search {
       .orderBy(col("input"), col("rk"))
   }
 
+  /** The standalone `suggest.term` surface with its full knob set (r20,
+    * VERDICT r19 next #5) — the direct_generator shortlist of
+    * [[qCdcSuggest]] extended with ES's two remaining parameters:
+    * `suggest_mode` (`missing` = suggest only for inputs ABSENT from the
+    * index; `popular` = only candidates MORE FREQUENT than the input;
+    * `always` = no df cut) and `sort` (`score` = edit distance first —
+    * [[qCdcSuggest]]'s order; `frequency` = document frequency first).
+    * The input's own df rides in via one broadcast left join against the
+    * term directory (0 when absent), so both mode cuts are codegen'd
+    * per-candidate predicates inside the same first-letter-bucketed
+    * broadcast join — never |vocab| × |inputs|. Parameterized by the
+    * dict frame so the spec can drill mode/sort crossings on a synthetic
+    * vocabulary. */
+  private[graft] def termSuggest(spark: SparkSession, dict: DataFrame,
+                                 inputs: Seq[String], maxEdits: Int,
+                                 size: Int, sortMode: String,
+                                 suggestMode: String): DataFrame = {
+    require(Seq("score", "frequency").contains(sortMode),
+      s"sort must be score|frequency, got $sortMode")
+    require(Seq("missing", "popular", "always").contains(suggestMode),
+      s"suggest_mode must be missing|popular|always, got $suggestMode")
+    import spark.implicits._
+    val in = inputs.toDF("input")
+      .join(dict.select(col("tok").as("input"), col("df").as("idf0")),
+        Seq("input"), "left_outer")
+      .select(col("input"), coalesce(col("idf0"), lit(0L)).as("input_df"))
+    val modeCut: Column = suggestMode match {
+      case "missing" => col("input_df") === 0L
+      case "popular" => col("df") > col("input_df")
+      case "always"  => lit(true)
+    }
+    val cand = dict.join(broadcast(in),
+        substring(col("tok"), 1, 1) === substring(col("input"), 1, 1) &&
+          col("tok") =!= col("input") &&
+          levenshtein(col("tok"), col("input")) <= maxEdits)
+      .filter(modeCut)
+      .select(col("input"), col("input_df"), col("tok").as("suggestion"),
+        levenshtein(col("tok"), col("input")).cast("long").as("dist"),
+        col("df"))
+    val ord: Seq[Column] =
+      if (sortMode == "frequency")
+        Seq(col("df").desc, col("dist"), col("suggestion"))
+      else Seq(col("dist"), col("df").desc, col("suggestion"))
+    val w = Window.partitionBy(col("input")).orderBy(ord: _*)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= size)
+      .select(col("input"), col("input_df"), col("rk"), col("suggestion"),
+        col("dist"), col("df"))
+      .orderBy(col("input"), col("rk"))
+  }
+
+  /** Oracle-checked query: `suggest.term` with `sort: frequency` +
+    * `suggest_mode: popular` over the maintained term directory — the
+    * three inputs exercise the knobs: 'mrege' (absent, one candidate),
+    * 'scal' (absent, MULTIPLE candidates at different distances — the
+    * frequency sort can disagree with the score sort), and 'agg' (a LIVE
+    * term — `popular` admits only strictly-more-frequent neighbours, so
+    * its row set shrinks or vanishes where `always` would suggest). */
+  def qCdcTermSuggest(spark: SparkSession, sfDir: String,
+                      inputs: Seq[String] = Seq("mrege", "scal", "agg"),
+                      maxEdits: Int = 2, size: Int = 3,
+                      sortMode: String = "frequency",
+                      suggestMode: String = "popular"): DataFrame = {
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    termSuggest(spark, dictTerms(spark, idxDir), inputs, maxEdits, size,
+      sortMode, suggestMode)
+  }
+
   /** Oracle-checked query: the ES COMPLETION SUGGESTER (`suggest:
     * {completion: …}`) — the search-as-you-type surface Lucene serves from
     * a weight-ranked FST: per input prefix, the top `size` completions
@@ -2062,13 +2130,20 @@ object Search {
     * final top-k ranks the rescored window. Cost shape: the expensive
     * primary is the ordinary pruned-postings match; the secondary runs
     * over ≤ window docs' phrase terms — exactly why ES rescore exists
-    * (run the cheap ranker broadly, the expensive one narrowly). All
-    * arithmetic is the shared round-6 discipline; weight 0.5 is exact
-    * binary. */
+    * (run the cheap ranker broadly, the expensive one narrowly). The
+    * full ES weight composition (r20, VERDICT r19 next #3):
+    * `combined = query_weight × primary + rescore_query_weight ×
+    * secondary` — both weights exact powers of two (0.25 / 0.5), so the
+    * products are binary-exact and the two-term sum is one deterministic
+    * double add; one final round-6. The window cut IS the semantics: a
+    * doc outside the primary top-`window` never re-enters however many
+    * phrase hits it has (SearchSpec drills the disagreement against a
+    * whole-corpus rerank). */
   def qCdcRescore(spark: SparkSession, sfDir: String,
                   query: Seq[String] = Seq("stream", "merge", "window"),
                   phrase: String = "merge window",
-                  window: Int = 50, weight: Double = 0.5,
+                  window: Int = 50, queryWeight: Double = 0.25,
+                  rescoreWeight: Double = 0.5,
                   k: Int = 10): DataFrame = {
     val (_, idxDir) = textIndexRun(spark, sfDir)
     val primary = maintainedBm25(spark, idxDir, query, window)
@@ -2081,7 +2156,8 @@ object Search {
     val rescored = primary.join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        round(col("score") + lit(weight) * coalesce(col("hits"), lit(0L))
+        round(lit(queryWeight) * col("score") +
+          lit(rescoreWeight) * coalesce(col("hits"), lit(0L))
           .cast("double"), 6).as("score"))
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     rescored.orderBy(col("score").desc, col("doc_id")).limit(k)
@@ -2267,6 +2343,31 @@ object Search {
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("tok"), col("fg_df"), col("bg_df"), col("score"))
       .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `string_stats` aggregation (r20,
+    * VERDICT r19 next #9) — per-`source` length statistics of the LIVE
+    * documents' text, straight off the maintained doc state (the
+    * doc-values read ES performs): count and exact-integer
+    * min/max character lengths, avg_length as ONE double division of two
+    * exact integers (IEEE division is correctly rounded — identical
+    * bits both engines, the unrounded-ship discipline). ES's fifth
+    * statistic, `show_distribution`-style Shannon ENTROPY, is scoped out
+    * with this disclosure: it needs ln(), whose libm ulps differ across
+    * engines — the same rationale that keeps BM25's idf rational. One
+    * state scan, one groupBy — no per-doc shuffle beyond the 20-key
+    * hash agg. */
+  def qCdcStringStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stateDir, _) = textIndexRun(spark, sfDir)
+    graft.cdc.ChangelogStream.readState(spark, stateDir,
+        Seq("id", "text", "source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(length(col("text"))).cast("long").as("min_length"),
+        max(length(col("text"))).cast("long").as("max_length"),
+        (sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1))).as("avg_length"))
+      .orderBy(col("source"))
   }
 
   /** Oracle-checked query: the ES `constant_score` query (r19) — a
@@ -2804,19 +2905,39 @@ object Search {
   private[graft] def synonymQuery(terms: Seq[String]): Seq[String] =
     terms.map(t => Synonyms.toMap.getOrElse(t, t))
 
+  /** n-token SHINGLES of the text (`"a b c"` → `["a b", "b c"]` at n=2) —
+    * the analyzer behind ES's `search_as_you_type` subfields
+    * (`_2gram`/`_3gram`): contiguous word n-grams indexed as SINGLE
+    * terms, so a typed phrase matches one posting instead of paying a
+    * positional intersection per keystroke. Pure array expressions
+    * (sequence + transform + concat_ws — codegen'd, no UDF); a doc
+    * shorter than n shingles to the empty array, which the
+    * posexplode_outer null-tok carrier keeps countable in the field
+    * stats. */
+  private[graft] def shingleTokens(text: Column, n: Int): Column = {
+    val ws = Text.tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** The default mapping over the documents fixture: `body` is the full
     * text, `title` its first five tokens, `body_en` the stop-filtered
-    * s-stemmed analyzer view, `body_syn` the synonym-contracted view —
-    * four genuinely different analyzed views (different lengths, dfs AND
-    * vocabulary) of one stored `_source`, the shape every real ES
-    * mapping has. The per-side scan count stays ONE however many views
-    * ride (the r16 exploded-struct rewrite — the property this fourth
-    * view exists to keep honest). */
+    * s-stemmed analyzer view, `body_syn` the synonym-contracted view,
+    * and (r20) `say_2gram`/`say_3gram` the `search_as_you_type` shingle
+    * subfields — six genuinely different analyzed views (different
+    * lengths, dfs AND vocabulary) of one stored `_source`, the shape
+    * every real ES mapping has. The per-side scan count stays ONE
+    * however many views ride (the r16 exploded-struct rewrite — the
+    * property the extra views exist to keep honest). */
   private[graft] def defaultFields: Seq[(String, Column)] = Seq(
     "body" -> Text.tokens(col("text")),
     "title" -> slice(Text.tokens(col("text")), 1, 5),
     "body_en" -> analyzedTokens(col("text")),
-    "body_syn" -> synonymTokens(col("text")))
+    "body_syn" -> synonymTokens(col("text")),
+    "say_2gram" -> shingleTokens(col("text"), 2),
+    "say_3gram" -> shingleTokens(col("text"), 3))
 
   private val multiFieldRuns = new graft.model.JvmMemo[(String, String)]()
 
@@ -2898,6 +3019,70 @@ object Search {
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     topk.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("field"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** Oracle-checked query: the ES `search_as_you_type` FIELD (r20,
+    * VERDICT r19 next #7) — the 2/3-shingle subfield rendering
+    * [[qCdcMatchBoolPrefix]] alone cannot express: the mapping indexes
+    * `say_2gram`/`say_3gram` shingle views alongside the root through
+    * the ONE multi-field maintenance pass (a subfield IS an analyzer
+    * view — [[defaultFields]]), and the `multi_match type: bool_prefix`
+    * query shingles ITSELF per subfield (the last query shingle is the
+    * still-being-typed prefix, expanded against that FIELD's term
+    * directory in term order under maxClauseCount; the earlier shingles
+    * match exactly). Each field scores its clause set with its OWN
+    * BM25 statistics; `most_fields` SUMS the per-field scores (each
+    * round-6, summed as exact DECIMAL(18,8), one final round-6) — so a
+    * doc containing the typed words CONTIGUOUSLY outranks one containing
+    * them scattered, which is precisely what the shingle subfields buy
+    * over plain match_bool_prefix (SearchSpec drills the ranking
+    * disagreement). A field whose clause set is empty (no exact shingle,
+    * prefix expands to nothing) contributes nothing, the ES bool. IO:
+    * per field, a directory prefix range + the clause terms' pruned
+    * (field, tok)-buckets — never another field's postings, never the
+    * corpus. */
+  def qCdcSearchAsYouType(spark: SparkSession, sfDir: String,
+                          query: Seq[String] = Seq("stream", "merge", "wind"),
+                          k: Int = 10, maxClauses: Int = 1024): DataFrame = {
+    require(query.size >= 2, "search_as_you_type wants >= 2 typed tokens")
+    val (_, idxDir) = multiFieldIndexRun(spark, sfDir)
+    val dict = fieldDictTerms(spark, idxDir)
+    def expand(field: String, prefix: String): Seq[String] = {
+      val exp = dict
+        .filter(col("field") === field && col("tok").startsWith(prefix))
+        .select(col("tok")).orderBy(col("tok")).limit(maxClauses + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(exp.size <= maxClauses,
+        s"prefix '$prefix' expands past maxClauseCount=$maxClauses on $field")
+      exp
+    }
+    // per subfield: shingle the QUERY at the field's n, last shingle is
+    // the prefix clause, earlier shingles exact clauses
+    val fieldClauses: Seq[(String, Seq[String])] =
+      Seq(("body", 1), ("say_2gram", 2), ("say_3gram", 3)).collect {
+        case (f, n) if query.size >= n =>
+          val sh = query.sliding(n).map(_.mkString(" ")).toSeq
+          f -> (sh.init ++ expand(f, sh.last)).distinct
+      }.filter(_._2.nonEmpty)
+    val stats = fieldStats(spark, idxDir)
+    val perField = fieldClauses.map { case (f, terms) =>
+      bm25Scored(
+        maintainedFieldPostings(spark, idxDir, Seq(f), terms)
+          .filter(col("field") === f)
+          .select(col("tok"), col("id").as("doc_id"), col("tf"), col("dl")),
+        stats.filter(col("field") === f).select(col("n_docs"), col("sum_dl")),
+        1.2, 0.75)
+        .select(col("doc_id"), col("score")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("fscore"))
+    }.reduce(_.unionByName(_))
+    val combined = perField.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fields"),
+        round(sum(col("fscore")).cast("double"), 6).as("score"))
+    val topk = combined.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w2 = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w2).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_fields"), col("score"))
       .orderBy(col("rk"))
   }
 
@@ -3185,7 +3370,18 @@ object Search {
     * phrase is n−1 bounded position joins — per-query cost stays df-sized,
     * never the corpus, exactly as the exact-phrase path. */
   private[graft] def slopHits(postings: DataFrame, terms: Seq[String],
-                              slop: Int): DataFrame = {
+                              slop: Int): DataFrame =
+    slopStarts(postings, terms, slop)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
+
+  /** The in-order chain of [[slopHits]] up to (but not including) the
+    * per-doc aggregation: the DISTINCT `(doc_id, start)` pairs that begin
+    * a within-budget ordered completion — shared with the `intervals`
+    * any_of composition, whose union must dedup at the START level before
+    * counting. */
+  private[graft] def slopStarts(postings: DataFrame, terms: Seq[String],
+                                slop: Int): DataFrame = {
     require(terms.nonEmpty, "empty phrase")
     val heads = postings.filter(col("tok") === terms.head)
       .select(col("doc_id"), explode(col("positions")).as("start"))
@@ -3201,6 +3397,30 @@ object Search {
           (col("used") + col("p") - col("prev") - 1).as("used"))
     }
     chained.select(col("doc_id"), col("start")).distinct()
+  }
+
+  /** Oracle-checked query: the ES `intervals` query (r20 — the modern
+    * replacement for the span family, noted absent in VERDICT r19
+    * missing #5): `any_of` of two ordered `match` rules with `max_gaps`
+    * (`ordered: true`, Σ gaps ≤ max_gaps — EXACTLY [[slopStarts]]' chain
+    * semantics, which is why the rule shares its code). Each rule is
+    * n−1 bounded position joins over its terms' pruned tok-buckets; the
+    * any_of union dedups at the (doc, start) level before counting (two
+    * rules cannot start at one position — their lead terms differ — but
+    * the dedup IS the intervals contract and guards rule sets that
+    * share a lead). Output: the span_near shape (doc_id, hits). */
+  def qCdcIntervals(spark: SparkSession, sfDir: String,
+                    rules: Seq[Seq[String]] =
+                      Seq(Seq("merge", "window"), Seq("hash", "join")),
+                    maxGaps: Int = 1): DataFrame = {
+    require(rules.nonEmpty && rules.forall(_.nonEmpty), "empty rule set")
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val terms = rules.flatten.distinct
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    rules.map(r => slopStarts(postings, r, maxGaps))
+      .reduce(_.unionByName(_)).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
       .orderBy(col("doc_id"))
   }
@@ -3525,6 +3745,77 @@ object Search {
         Seq("tok", "id", "positions"))
       .select(col("tok"), col("id").as("doc_id"), col("positions"))
     spanNearHits(postings, terms, slop)
+  }
+
+  /** Oracle-checked query: ES `span_or` COMPOSED inside `span_near` (r20,
+    * VERDICT r19 next #6 — the boolean span combinator the half-done span
+    * family lacked): the first clause is the UNION of several terms'
+    * position lists (`span_or: [merge, sort]` — one token occupies one
+    * position, so the union needs no dedup), the second an ordinary term
+    * span, matched unordered within `slop` like [[spanNearHits]]. The
+    * matched docs are exactly the union of the per-alternative span_nears
+    * (SearchSpec pins that identity), but the HIT COUNTS are the
+    * composite's own: distinct least-position starts across both
+    * alternatives, counted once where alternatives overlap. IO: the
+    * alternatives' + the companion's pruned tok-buckets. */
+  def qCdcSpanOr(spark: SparkSession, sfDir: String,
+                 orTerms: Seq[String] = Seq("merge", "sort"),
+                 other: String = "window", slop: Int = 2): DataFrame = {
+    require(orTerms.nonEmpty && !orTerms.contains(other),
+      s"span_or needs alternatives distinct from the companion term")
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val postings = maintainedPostings(spark, idxDir, orTerms :+ other,
+        Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    val f0 = postings.filter(col("tok").isin(orTerms: _*))
+      .select(col("doc_id"), explode(col("positions")).as("p0"))
+    val f1 = postings.filter(col("tok") === other)
+      .select(col("doc_id"), explode(col("positions")).as("p1"))
+    f0.join(f1, Seq("doc_id"))
+      .filter(greatest(col("p0"), col("p1")) - least(col("p0"), col("p1"))
+        - 1 <= slop)
+      .select(col("doc_id"), least(col("p0"), col("p1")).as("start"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checked query: ES `span_not` (r20) — include spans MINUS
+    * those overlapping an exclude span: occurrences of `include` that do
+    * NOT sit inside any occurrence of the exclude PHRASE ("`merge` not
+    * part of `merge window`" — the classic negative-context span). The
+    * include spans are single positions `[p, p]`; the exclude spans are
+    * the phrase's `[s, s + len − 1]` windows from the same positional
+    * postings; survival = an ANTI join on span overlap
+    * (`s ≤ p ≤ s + len − 1`) — doc-keyed with a bounded range predicate,
+    * never positions × positions across docs. Docs whose every
+    * occurrence is excluded drop out (ES: the clause no longer
+    * matches). */
+  def qCdcSpanNot(spark: SparkSession, sfDir: String,
+                  include: String = "merge",
+                  excludePhrase: Seq[String] = Seq("merge", "window")): DataFrame = {
+    require(excludePhrase.nonEmpty, "span_not needs an exclude span")
+    val (_, idxDir) = textIndexRun(spark, sfDir)
+    val terms = (include +: excludePhrase).distinct
+    val postings = maintainedPostings(spark, idxDir, terms,
+        Seq("tok", "id", "positions"))
+      .select(col("tok"), col("id").as("doc_id"), col("positions"))
+    val inc = postings.filter(col("tok") === include)
+      .select(col("doc_id"), explode(col("positions")).as("p"))
+    // exclude-phrase starts: every term's positions rebased to the start
+    // slot and intersected — the phraseHits frame fold, start retained
+    val exc = excludePhrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("tok") === t)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), (col("p") - i).as("s"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "s")))
+    val hi = excludePhrase.size - 1
+    val surv = inc.join(exc,
+      inc("doc_id") === exc("doc_id") &&
+        col("p") >= col("s") && col("p") <= col("s") + hi,
+      "left_anti")
+    surv.groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
   }
 
   /** Oracle-checked query: ES `match_phrase_prefix` — the

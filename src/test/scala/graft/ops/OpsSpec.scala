@@ -399,6 +399,61 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         s"component ($v, $k) spans clusters")
     }
   }
+
+  test("substring dedup: every reported span verifies by string compare, " +
+    "is MAXIMAL on both ends, and the full output equals a brute-force " +
+    "all-pairs recompute (r20)") {
+    val k = 8
+    val out = Dedup.qSubstringDedup(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty, "fixture degenerate: no shared >= k-token run")
+    val texts = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ')).toMap
+    // (a) every span verifies and is maximal (extending one token either
+    // direction breaks equality or hits a doc boundary)
+    out.foreach { case (a, b, sa, sb, len) =>
+      val (ta, tb) = (texts(a), texts(b))
+      assert(len >= k)
+      val (ia, ib) = (sa.toInt - 1, sb.toInt - 1)
+      assert(ta.slice(ia, ia + len.toInt).sameElements(
+        tb.slice(ib, ib + len.toInt)), s"span ($a,$b,$sa,$sb,$len) differs")
+      assert(ia == 0 || ib == 0 || ta(ia - 1) != tb(ib - 1),
+        s"span ($a,$b) extends left")
+      assert(ia + len == ta.length || ib + len == tb.length ||
+        ta(ia + len.toInt) != tb(ib + len.toInt),
+        s"span ($a,$b) extends right")
+    }
+    // islands genuinely merged: some span exceeds a single gram
+    assert(out.exists(_._5 > k), "no multi-gram island — merging untested")
+    // (b) brute force: every doc pair x every diagonal, runs recomputed
+    // by direct token comparison (no hashing anywhere)
+    val ids = texts.keys.toSeq.sorted
+    val grams = texts.map { case (id, ws) =>
+      id -> ws.sliding(k).map(_.mkString(" ")).zipWithIndex.toSeq
+    }
+    val byGram = grams.toSeq.flatMap { case (id, gs) =>
+      gs.map { case (g, i) => (g, id, i + 1) }
+    }.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+    val want = byGram.values.flatMap { occs =>
+      for ((g1, a, pa) <- occs; (g2, b, pb) <- occs if a < b)
+        yield ((a, b, pa.toLong - pb), pa.toLong)
+    }.groupBy(_._1).flatMap { case ((a, b, diag), ps) =>
+      // islands of consecutive pa along the diagonal
+      val sorted = ps.map(_._2).toSeq.distinct.sorted
+      val islands = sorted.foldLeft(Seq.empty[Seq[Long]]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last.last == p - 1)
+          acc.init :+ (acc.last :+ p)
+        else acc :+ Seq(p)
+      }
+      islands.map(run =>
+        (a, b, run.head, run.head - diag, run.size.toLong + (k - 1)))
+    }.toSet
+    assert(out.toSet === want,
+      "hash-blocked spans differ from the brute-force recompute")
+    assert(ids.size > 2, "fixture degenerate")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {

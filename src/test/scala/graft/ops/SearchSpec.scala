@@ -979,10 +979,12 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       assert(window.contains(r.getLong(1)),
         s"doc ${r.getLong(1)} rescored from outside the primary window")
     }
-    // combined = round6(primary + 0.5 × hits) — exact binary weight, the
-    // shared rounding discipline
+    // combined = round6(0.25 × primary + 0.5 × hits) — the full ES
+    // query_weight/rescore_query_weight composition (r20), both weights
+    // exact binary, the shared rounding discipline
     rescored.foreach { r =>
-      val expect = BigDecimal(window(r.getLong(1)) + 0.5 * r.getLong(2))
+      val expect = BigDecimal(0.25 * window(r.getLong(1)) +
+          0.5 * r.getLong(2))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(3) === expect,
         s"doc ${r.getLong(1)}: combined ${r.getDouble(3)} != $expect")
@@ -2016,5 +2018,181 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       assert(batched.toSeq === standalone.toSeq,
         s"query $qid: batched page differs from the standalone search")
     }
+  }
+
+  /** The LIVE documents after the fixture changelog drains — the drill
+    * twin of the docsChangelogCte (INSERT all, UPDATE %3 appends
+    * " merge window r2", DELETE %5==4), as (doc_id → tokens). */
+  private def liveFixtureTokens(): Map[Long, Array[String]] =
+    graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val id = r.getLong(0)
+        if (id % 5 == 4) None
+        else Some(id -> (if (id % 3 == 0) r.getString(1) + " merge window r2"
+                         else r.getString(1)).split(' '))
+      }.toMap
+
+  test("rescore: the window cut IS the semantics — the windowed top-k " +
+    "stays inside the primary window and disagrees with a whole-corpus " +
+    "rerank (r20)") {
+    val window = 10
+    val windowed = Search.qCdcRescore(spark, sfDir, window = window)
+      .collect().map(_.getLong(1))
+    // the primary retriever's own top-`window` (same query, same index)
+    val primary = Search.qCdcTextSearch(spark, sfDir, k = window)
+      .collect().map(_.getLong(1)).toSet
+    assert(windowed.toSet.subsetOf(primary),
+      "a doc outside the rescore window entered the result")
+    // a whole-corpus rerank (window >> corpus) admits docs the window cut
+    // excluded — the disagreement that makes window_size semantics, not
+    // an optimization
+    val full = Search.qCdcRescore(spark, sfDir, window = 1000000)
+      .collect().map(_.getLong(1))
+    assert(windowed.toSeq !== full.toSeq,
+      "fixture degenerate: the window cut never bit")
+    assert(full.exists(id => !primary.contains(id)),
+      "full rerank stayed inside the window — the drill shape is gone")
+  }
+
+  test("term suggester: sort: frequency disagrees with sort: score, " +
+    "suggest_mode popular/missing gate on the input's own df (r20)") {
+    import spark.implicits._
+    // dists from 'aple': apple 1, ample 1, axle 1, apply 2
+    val dict = Seq(("apple", 5L), ("ample", 5L), ("apply", 10L),
+      ("axle", 2L)).toDF("tok", "df")
+    def suggestions(sort: String, mode: String, in: String) =
+      Search.termSuggest(spark, dict, Seq(in), 2, 4, sort, mode)
+        .collect().map(_.getString(3)).toSeq
+    assert(suggestions("score", "always", "aple") ===
+      Seq("ample", "apple", "axle", "apply"))
+    assert(suggestions("frequency", "always", "aple") ===
+      Seq("apply", "ample", "apple", "axle"))
+    // popular on a LIVE input (df 5): only strictly-more-frequent terms
+    assert(suggestions("score", "popular", "apple") === Seq("apply"))
+    // missing on a live input: no suggestions at all
+    assert(suggestions("score", "missing", "apple") === Seq.empty)
+    // missing on an absent input: everything within reach
+    assert(suggestions("score", "missing", "aple").nonEmpty)
+    // ...and the declared fixture query returns rows with the knobs on
+    assert(Search.qCdcTermSuggest(spark, sfDir).count() > 0)
+  }
+
+  test("span_or inside span_near: matches exactly the union of the " +
+    "per-alternative span_nears, hit counts recompute from the live " +
+    "corpus with overlapping starts counted once (r20)") {
+    val got = Search.qCdcSpanOr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc-set identity with the per-alternative queries
+    def docsOf(t: String): Set[Long] =
+      Search.qCdcSpanNear(spark, sfDir, Seq("window", t), 2)
+        .collect().map(_.getLong(0)).toSet
+    val (dm, ds) = (docsOf("merge"), docsOf("sort"))
+    assert(got.keySet === (dm ++ ds))
+    assert((dm -- ds).nonEmpty && (ds -- dm).nonEmpty,
+      "fixture degenerate: one alternative subsumes the other")
+    // exact hit counts from the live corpus
+    val want = liveFixtureTokens().flatMap { case (id, ws) =>
+      val alt = ws.zipWithIndex.collect {
+        case (t, i) if t == "merge" || t == "sort" => i + 1
+      }
+      val win = ws.zipWithIndex.collect { case ("window", i) => i + 1 }
+      val starts = (for (a <- alt; w <- win
+                         if math.max(a, w) - math.min(a, w) - 1 <= 2)
+        yield math.min(a, w)).toSet
+      if (starts.nonEmpty) Some(id -> starts.size.toLong) else None
+    }
+    assert(got === want)
+  }
+
+  test("span_not: include occurrences overlapping an exclude-phrase span " +
+    "are removed, fully-excluded docs drop out (r20)") {
+    val got = Search.qCdcSpanNot(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var removed = 0L
+    val want = liveFixtureTokens().flatMap { case (id, ws) =>
+      val inc = ws.zipWithIndex.collect { case ("merge", i) => i + 1 }
+      val starts = (0 until ws.length - 1).collect {
+        case i if ws(i) == "merge" && ws(i + 1) == "window" => i + 1
+      }
+      val surv = inc.filterNot(p => starts.exists(s => p >= s && p <= s + 1))
+      removed += inc.length - surv.length
+      if (surv.nonEmpty) Some(id -> surv.length.toLong) else None
+    }
+    assert(got === want)
+    assert(removed > 0, "fixture degenerate: the exclude span never bit")
+    // a doc whose every 'merge' sits in a 'merge window' context DROPPED
+    val raw = liveFixtureTokens().filter(_._2.contains("merge")).keySet
+    assert((raw -- want.keySet).nonEmpty,
+      "fixture degenerate: no fully-excluded doc")
+  }
+
+  test("search_as_you_type: the 2-gram subfield indexes exactly the live " +
+    "text's shingles, and shingles CHANGE the ranking vs " +
+    "match_bool_prefix on the same typed query (r20)") {
+    val (_, mfIdx) = Search.multiFieldIndexRun(spark, sfDir)
+    // (a) shingle-view postings of one live, never-updated doc
+    val id = 1L
+    val got2 = graft.cdc.ChangelogStream.readState(spark, mfIdx,
+        Seq("field", "tok", "id", "tf"))
+      .filter(col("field") === "say_2gram" && col("id") === id)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    val ws = liveFixtureTokens()(id)
+    val want2 = ws.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    assert(got2 === want2)
+    // (b) the shingle fields genuinely contribute (docs matched >1 field)
+    val sayt = Search.qCdcSearchAsYouType(spark, sfDir).collect()
+    assert(sayt.exists(_.getLong(2) > 1L),
+      "no doc matched a shingle subfield — the mapping is dead weight")
+    // (c) ranking disagreement with the single-field bool_prefix on the
+    // same typed query ('stream merge wind'): contiguity pays only
+    // through the shingle subfields
+    val root = Search.qCdcMatchBoolPrefix(spark, sfDir,
+        exact = Seq("stream", "merge"), prefix = "wind")
+      .collect().map(_.getLong(1))
+    assert(sayt.map(_.getLong(1)).toSeq !== root.toSeq,
+      "fixture degenerate: shingles never changed the ranking")
+  }
+
+  test("intervals: any_of of ordered max_gaps matches — starts recompute " +
+    "from the live corpus and both rules contribute (r20)") {
+    val got = Search.qCdcIntervals(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ruleStarts(ws: Array[String], a: String, b: String,
+                   gaps: Int): Set[Int] =
+      (for (i <- ws.indices if ws(i) == a;
+            j <- ws.indices if ws(j) == b && j > i && j - i - 1 <= gaps)
+        yield i + 1).toSet
+    var (only1, only2) = (0, 0)
+    val want = liveFixtureTokens().flatMap { case (id, ws) =>
+      val s1 = ruleStarts(ws, "merge", "window", 1)
+      val s2 = ruleStarts(ws, "hash", "join", 1)
+      if (s1.nonEmpty && s2.isEmpty) only1 += 1
+      if (s2.nonEmpty && s1.isEmpty) only2 += 1
+      val u = s1 ++ s2
+      if (u.nonEmpty) Some(id -> u.size.toLong) else None
+    }
+    assert(got === want)
+    assert(only1 > 0 && only2 > 0,
+      "fixture degenerate: one any_of rule subsumes the other")
+  }
+
+  test("string_stats: per-source length statistics recompute from the " +
+    "live corpus (r20)") {
+    val got = Search.qCdcStringStats(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val sources = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lens = liveFixtureTokens().toSeq.map { case (id, ws) =>
+      sources(id) -> ws.mkString(" ").length.toLong
+    }
+    val want = lens.groupBy(_._1).map { case (s, g) =>
+      val ls = g.map(_._2)
+      s -> (ls.size.toLong, ls.min, ls.max, ls.sum.toDouble / ls.size)
+    }
+    assert(got === want)
+    assert(got.size > 1, "fixture degenerate: one source only")
   }
 }
