@@ -388,7 +388,16 @@ object Bench {
       // composed pass's orders state (carried by cdc_apply_customer_dsv2)
       "cdc_constant_score", "cdc_random_score", "cdc_msearch",
       "cdc_cumulative_cardinality", "cdc_diversified_sampler",
-      "cdc_max_bucket")
+      "cdc_max_bucket",
+      // r20: the span trio, intervals, suggester knobs and string_stats
+      // read the text pass (carried by cdc_adjacency_matrix);
+      // search_as_you_type reads the multi-field pass (carried by
+      // cdc_analyzer_search — now six analyzer views, same one pass);
+      // bucket_sort/mad read the composed pass's orders state (carried
+      // by cdc_apply_customer_dsv2)
+      "cdc_span_or", "cdc_span_not", "cdc_intervals", "cdc_term_suggest",
+      "cdc_string_stats", "cdc_search_as_you_type", "cdc_bucket_sort",
+      "cdc_mad")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagingJson = stagingRebuilt
       .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
