@@ -165,13 +165,17 @@ object DynamicPipeline {
         // put inner jobs in a group the outer cancel can't reach)
         val maintainers = Seq(
           mvSpecs.get(t).map { case MvSpec(g, v) => (prev: DataFrame, merged: DataFrame) =>
+            // these maintainers run sequentially ON the hook thread, so the
+            // hook's prev-empty thread-local is readable inline
             Materialize.commitDelta(spark, s"$root/mv/$t", epochId,
-              prev, merged, Seq(g), Materialize.aggContrib(g, v)) },
+              prev, merged, Seq(g), Materialize.aggContrib(g, v),
+              prevEmpty = ChangelogStream.hookPrevIsEmpty) },
           indexSpecs.get(t).map { case IndexSpec(v) => (prev: DataFrame, merged: DataFrame) =>
             // the index needs no epoch fence: a replayed batch recomputes
             // an empty (or identical, re-absorbed) delta — Index's replay
             // contract
-            Index.commitIndexDelta(prev, merged, epochId, s"$root/idx/$t", v) }
+            Index.commitIndexDelta(prev, merged, epochId, s"$root/idx/$t", v,
+              prevEmpty = ChangelogStream.hookPrevIsEmpty) }
         ).flatten
         val hook: (DataFrame, DataFrame) => Unit =
           if (maintainers.isEmpty) null

@@ -47,7 +47,8 @@ object Index {
                                     valueCol: String,
                                     keyCols: Seq[String] = Seq("id"),
                                     initialBuckets: Int = ChangelogStream.NumBuckets,
-                                    fullMerge: Boolean = false): Unit = {
+                                    fullMerge: Boolean = false,
+                                    prevEmpty: Boolean = false): Unit = {
     // per-key (old value, new value) via ONE union + ONE key aggregation —
     // the tagged-leg fold [[JoinMv.ensurePendingK]] uses, replacing the
     // previous full_outer join (two shuffled sides + a join stage for the
@@ -63,11 +64,20 @@ object Index {
       .select(keyCols.map(col) :+
         (if (isPrev) col("v") else lit(null).cast(vType)).as("v_old") :+
         (if (isPrev) lit(null).cast(vType) else col("v")).as("v_new"): _*)
-    val changed = leg(prev, isPrev = true)
-      .unionByName(leg(merged, isPrev = false))
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(col("v_old")).as("v_old"), max(col("v_new")).as("v_new"))
-      .filter(!(col("v_old") <=> col("v_new")))
+    // prevEmpty (the seed batch): the prev leg is empty BY CONSTRUCTION —
+    // the union would plan (and codegen) a dead chain every epoch, and the
+    // per-key fold would re-aggregate groups that are already unique
+    // (merged is latest-per-key). The seed delta is one projection of the
+    // merged side; !(null <=> v_new) reduces to v_new IS NOT NULL, kept
+    // explicitly so null-valued keys still emit no event (guide §2.4).
+    val changed =
+      if (prevEmpty)
+        leg(merged, isPrev = false).filter(col("v_new").isNotNull)
+      else leg(prev, isPrev = true)
+        .unionByName(leg(merged, isPrev = false))
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col("v_old")).as("v_old"), max(col("v_new")).as("v_new"))
+        .filter(!(col("v_old") <=> col("v_new")))
     val dels = changed.filter(col("v_old").isNotNull)
       .select(col("v_old").as("v") +: keyCols.map(col) :+
         lit(batchId).as("seq") :+ lit("DELETE").as("op"): _*)
@@ -92,7 +102,8 @@ object Index {
                          keyCols: Seq[String] = Seq("id")): Unit = {
     ChangelogStream.upsertBatch(batch, stateDir, keyCols,
       beforeCommit = (prev, merged) =>
-        commitIndexDelta(prev, merged, batchId, idxDir, valueCol, keyCols))
+        commitIndexDelta(prev, merged, batchId, idxDir, valueCol, keyCols,
+          prevEmpty = ChangelogStream.hookPrevIsEmpty))
   }
 
   /** All keys currently holding `value` — served from ONE index bucket

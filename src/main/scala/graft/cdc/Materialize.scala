@@ -244,12 +244,16 @@ object Materialize {
   private[cdc] def commitDelta(spark: SparkSession, mvDir: String, batchId: Long,
                                prev: DataFrame, merged: DataFrame,
                                groupCols: Seq[String],
-                               contrib: (DataFrame, Int) => DataFrame): Unit =
+                               contrib: (DataFrame, Int) => DataFrame,
+                               prevEmpty: Boolean = false): Unit =
     // merged rows credit, previous rows debit — ONE union + ONE shuffle per
     // batch (a per-side aggregate pair would cost three shuffle stages for
-    // the same result)
+    // the same result). prevEmpty (the seed batch): the debit side is empty
+    // by construction, so the union would only plan + codegen a dead chain
+    // per epoch (guide §2.4).
     commitDeltaRows(spark, mvDir, batchId,
-      contrib(merged, 1).unionByName(contrib(prev, -1)), groupCols)
+      if (prevEmpty) contrib(merged, 1)
+      else contrib(merged, 1).unionByName(contrib(prev, -1)), groupCols)
 
   /** The fenced fold-and-commit shared by every maintained aggregate:
     * signed (groupCols..., n, s) delta rows + the prior MV carry-over →
@@ -392,7 +396,8 @@ object Materialize {
     ChangelogStream.upsertBatch(batch, stateDir, keyCols,
       beforeCommit = (prev, merged) =>
         commitDelta(spark, mvDir, batchId, prev, merged,
-          Seq(groupCol), aggContrib(groupCol, valueCol)))
+          Seq(groupCol), aggContrib(groupCol, valueCol),
+          prevEmpty = ChangelogStream.hookPrevIsEmpty))
   }
 
   /** The delta-JOIN contribution: each live orders row joins the broadcast

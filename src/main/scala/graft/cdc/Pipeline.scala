@@ -84,19 +84,25 @@ object Pipeline {
       // prev/merged arrive persisted (upsertBatch); concurrent first
       // accesses materialize the cache under the block manager's
       // per-partition locks — no separate warm-up pass (round-9 ask #1)
+      // captured HERE (hook thread): the lanes below run on the maintainer
+      // pool, where the hook's thread-local is not visible
+      val prevEmpty = ChangelogStream.hookPrevIsEmpty
       Materialize.runConcurrent(
         () => Materialize.timed("hook: mv delta")(
           Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
             orders(prev), orders(merged), Seq("o_orderstatus"),
-            Materialize.aggContrib("o_orderstatus", "o_totalprice"))),
+            Materialize.aggContrib("o_orderstatus", "o_totalprice"),
+            prevEmpty = prevEmpty)),
         () => Materialize.timed("hook: join-mv delta")(
           Materialize.commitDelta(prev.sparkSession, dirs.mvJoin, epochId,
             orders(prev), orders(merged), Seq("c_mktsegment"),
             Materialize.joinAggContrib(dim, "o_custkey", "c_custkey",
-              "c_mktsegment", "o_totalprice"))),
+              "c_mktsegment", "o_totalprice"),
+            prevEmpty = prevEmpty)),
         () => Materialize.timed("hook: index delta")(
           Index.commitIndexDelta(orders(prev), orders(merged), epochId,
-            dirs.idx, "o_orderstatus", initialBuckets = 8)),
+            dirs.idx, "o_orderstatus", initialBuckets = 8,
+            prevEmpty = prevEmpty)),
         () => Materialize.timed("hook: bidi join-mv")(
           JoinMv.maintain(prev, merged, epochId,
             dirs.agg, dirs.seg, dirs.mvBidi)))
@@ -974,12 +980,14 @@ object Pipeline {
       val pcKey = s"$hookKey-pc"
       ChangelogStateSink.maintainers.put(hookKey,
         (prev: DataFrame, merged: DataFrame, epochId: Long) => {
+          val prevEmpty = ChangelogStream.hookPrevIsEmpty // hook thread
           Materialize.runConcurrent(
             () => Materialize.commitDelta(prev.sparkSession, dirs.mv, epochId,
               prev, merged, Seq("o_orderstatus"),
-              Materialize.aggContrib("o_orderstatus", "o_totalprice")),
+              Materialize.aggContrib("o_orderstatus", "o_totalprice"),
+              prevEmpty = prevEmpty),
             () => Index.commitIndexDelta(prev, merged, epochId,
-              dirs.idx, "o_orderstatus"))
+              dirs.idx, "o_orderstatus", prevEmpty = prevEmpty))
         })
       // query-local 8-partition session (see runFull); maxFilesPerTrigger
       // STAYS 1 — the TRUNCATE fence must arrive as its own fence-only

@@ -412,16 +412,40 @@ object ChangelogStream {
       // changelog's schema without a rewrite
       val others = (data.columns ++ prev.columns).distinct.toSeq
         .filterNot(keyCols.contains).filterNot(_ == "__bucket")
-      def mergedPlan(prevSide: DataFrame) =
-        prevSide.unionByName(data, allowMissingColumns = true)
-          .groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
+      def mergedPlan(prevSide: DataFrame) = {
+        // SEED batch (no committed bucket version anywhere in the touched
+        // set): the union-with-an-empty-frame is a no-op on rows but NOT
+        // on the plan — it plans (and codegen-compiles) a dead branch and,
+        // worse, discards the batch's existing output partitioning, which
+        // for derived-event upserts (postings/codes: events pre-grouped by
+        // a subset of the merge keys) forces a second Exchange the merge
+        // could otherwise reuse (guide §2.4). Skip it: `data` alone IS the
+        // union's row set, and every column of `others` exists on it
+        // (empty prev carries withB's own schema by construction).
+        val src =
+          if (prevPaths.isEmpty) data
+          else prevSide.unionByName(data, allowMissingColumns = true)
+        src.groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
           .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
           .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
             others.map(c => col(s"last.$c").as(c)): _*)
-      if (beforeCommit == null)
+      }
+      // plan capture for the committed plans/ artifacts: GRAFT_EXPLAIN=1
+      // prints each state merge's physical plan (Exchange count / reuse is
+      // the thing the r20 optimization notes assert) — dev-only, like
+      // GRAFT_TIMING
+      def explainMerge(df: DataFrame): Unit =
+        if (sys.env.contains("GRAFT_EXPLAIN")) {
+          println(s"##### upsert merge plan: $stateDir")
+          df.explain("formatted")
+        }
+      if (beforeCommit == null) {
+        val plan = mergedPlan(prev)
+        explainMerge(plan)
         Materialize.timed("merge write", stateDir)(
-          mergedPlan(prev).write.partitionBy("__bucket")
+          plan.write.partitionBy("__bucket")
             .mode(SaveMode.Overwrite).parquet(tmp))
+      }
       else {
         // HOOK EPOCHS OVERLAP the bucket-file write with the maintainer
         // chain: `prev` is persisted so the merge's cache fill serves the
@@ -434,6 +458,7 @@ object ChangelogStream {
         // invisible until promote either way.
         val prevCached = prev.persist()
         val merged = mergedPlan(prevCached).persist()
+        explainMerge(merged)
         val hookPrev =
           if (truncs.isEmpty) prevCached
           else {

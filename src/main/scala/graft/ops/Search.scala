@@ -219,7 +219,9 @@ object Search {
     * docs a single (cached) time instead of once per delta. */
   private def liveToks(src: DataFrame): DataFrame =
     src.filter(col("op") =!= "DELETE")
-      .select(col("id"), Text.tokens(col("text")).as("ws"))
+      // `text` rides along for the INSERT side's offset arithmetic
+      // (column-pruned away on the DELETE side, which never reads it)
+      .select(col("id"), col("text"), Text.tokens(col("text")).as("ws"))
 
   /** The batch's POSTINGS EVENTS frame — the single exploded/aggregated
     * pass that every per-batch delta folds off (r15, VERDICT r14 #1: the
@@ -231,35 +233,53 @@ object Search {
     * postings and dict consumers filter it out, the STATS consumer needs
     * it (the doc still counts toward n_docs with dl 0). */
   private[graft] def postingsEvents(prevToks: DataFrame, mergedToks: DataFrame,
-                                    batchId: Long): DataFrame = {
+                                    batchId: Long,
+                                    prevEmpty: Boolean = false): DataFrame = {
     def posts(toks: DataFrame, opv: String, seqv: Long,
               withOffsets: Boolean) = {
-      val exploded = toks
-        .select(col("id"), size(col("ws")).cast("long").as("dl"),
-          posexplode_outer(col("ws")).as(Seq("p0", "tok")))
+      val exploded =
+        if (withOffsets)
+          toks.select(col("id"), col("text"),
+            size(col("ws")).cast("long").as("dl"),
+            posexplode_outer(col("ws")).as(Seq("p0", "tok")))
+        else
+          toks.select(col("id"), size(col("ws")).cast("long").as("dl"),
+            posexplode_outer(col("ws")).as(Seq("p0", "tok")))
       // CHARACTER OFFSETS beside the positions (r17, VERDICT r16 missing
       // #2 — Lucene's `offsets` index option): token p₀'s start offset is
-      // the cumulative length of its predecessors + their separators
-      // (tokenization is the single-space split, [[graft.ops.Text
-      // .tokens]], so offsets reconstruct exactly) — one per-doc window
-      // over the already-exploded frame, ∝ the touched docs' tokens.
+      // the cumulative length of its predecessors + their separators.
+      // Tokenization is the single-space split ([[graft.ops.Text.tokens]]),
+      // so the prefix before the p₀-th separator IS the first p₀ tokens
+      // joined: length(substring_index(text,' ',p₀)) = Σ_{j<p₀} len(ws[j])
+      // + (p₀−1), hence off = that + 2 (and 1 for the first token) —
+      // ROW-LOCAL arithmetic in the same codegen stage. The r17 rendering
+      // was a per-doc window over the exploded frame, i.e. one Exchange +
+      // Sort of every touched token per batch (guide §2.4: an exchange
+      // that exists only to order rows the next operator re-groups anyway
+      // is removable). Worst case this scans O(doc_len) chars per token
+      // (quadratic for megabyte single-doc outliers — such a corpus should
+      // reinstate the window rendering); for search-sized documents the
+      // in-stage scan is far cheaper than shuffling the exploded frame.
       // Live (INSERT) side only: a DELETE event is a tombstone whose
-      // payload no reader consumes, so the prev side skips the window
-      // and carries nulls
+      // payload no reader consumes, so the prev side carries nulls
       val off =
         if (withOffsets)
-          (coalesce(sum(length(col("tok")) + 1).over(
-              Window.partitionBy(col("id")).orderBy(col("p0"))
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)) + 1).cast("int")
+          when(col("p0") === 0, 1)
+            .otherwise(length(expr("substring_index(text, ' ', p0)")) + 2)
+            .cast("int")
         else lit(null).cast("int")
       exploded.withColumn("off", off)
-        .groupBy(col("tok"), col("id"), col("dl"))
+        // keyed (tok, id) — NOT (tok, id, dl) — so the aggregate's output
+        // partitioning is a subset of the postings upsert's merge keys
+        // (__bucket, tok, id) and the seed-batch merge reuses this very
+        // exchange instead of adding its own (guide §2.4; dl is constant
+        // per (side, doc), so max(dl) is exact)
+        .groupBy(col("tok"), col("id"))
         // count(p0), not count(1): the outer row's tf must read 0.
         // The (position, offset) pairs collect as structs (null struct —
         // skipped, like the bare positions were — when p0 is the outer
         // row's null) and sort by position, so both arrays stay aligned
-        .agg(count(col("p0")).as("tf"),
+        .agg(max(col("dl")).as("dl"), count(col("p0")).as("tf"),
           // sorted 1-based positions — the staged index's positional
           // postings shape, so the maintained index serves phrase
           // queries too ([[qCdcPhraseSearch]])
@@ -270,9 +290,15 @@ object Search {
           transform(col("po"), x => x.getField("p")).as("positions"),
           transform(col("po"), x => x.getField("o")).as("offsets"))
     }
-    posts(prevToks, "DELETE", 2 * batchId, withOffsets = false)
-      .unionByName(posts(mergedToks, "INSERT", 2 * batchId + 1,
-        withOffsets = true))
+    val ins = posts(mergedToks, "INSERT", 2 * batchId + 1, withOffsets = true)
+    // prevEmpty (the seed batch — the one-epoch passes' whole life): the
+    // DELETE side is empty BY CONSTRUCTION, yet unioning it in would (a)
+    // plan + codegen a dead explode/aggregate chain every epoch and (b)
+    // discard the INSERT side's hash(tok, id) output partitioning — the
+    // thing the seed postings merge reuses (guide §2.4)
+    if (prevEmpty) ins
+    else posts(prevToks, "DELETE", 2 * batchId, withOffsets = false)
+      .unionByName(ins)
   }
 
   /** Upsert a batch's postings events (null-tok stats carriers excluded)
@@ -462,13 +488,24 @@ object Search {
     * append-only log contract. */
   private[graft] def commitValueIndexDelta(prev: DataFrame, merged: DataFrame,
                                            batchId: Long, dir: String,
-                                           value: Column): Unit = {
+                                           value: Column,
+                                           prevEmpty: Boolean = false): Unit = {
     def live(side: DataFrame) = side.filter(col("op") =!= "DELETE")
       .select(col("id"), value.as("v"))
-    val moved = live(prev).select(col("id"), col("v").as("v_old"))
-      .join(live(merged).select(col("id"), col("v").as("v_new")),
-        Seq("id"), "full_outer")
-      .filter(!(col("v_old") <=> col("v_new")))
+    // prevEmpty (the seed batch — e.g. each rolled generation's first
+    // write): the full_outer join against an empty prev side plans two
+    // shuffled legs + a join stage for what is a projection of the merged
+    // side; !(null <=> v_new) reduces to v_new IS NOT NULL (guide §2.4)
+    val moved =
+      if (prevEmpty)
+        live(merged).select(col("id"),
+          when(lit(false), col("v")).as("v_old"), // typed null: no prev value
+          col("v").as("v_new"))
+          .filter(col("v_new").isNotNull)
+      else live(prev).select(col("id"), col("v").as("v_old"))
+        .join(live(merged).select(col("id"), col("v").as("v_new")),
+          Seq("id"), "full_outer")
+        .filter(!(col("v_old") <=> col("v_new")))
     val delta = moved.filter(col("v_old").isNotNull)
         .select(col("v_old").as("v"), col("id"), lit(-1L).as("d"))
       .unionByName(moved.filter(col("v_new").isNotNull)
@@ -561,7 +598,8 @@ object Search {
         // keys), so it is skipped outright: on the seed batch it was a
         // corpus × keys shuffle join for nothing (r14).
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
-        val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val prevEmpty = graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val skipRestrict = hasTrunc || prevEmpty
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
           if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
@@ -573,7 +611,8 @@ object Search {
         // small-job chains' driver latency — the dict and stats chains
         // are now sub-second aggregates over this touched-docs-sized
         // cache)
-        val events = postingsEvents(liveToks(p), liveToks(m), batchId).persist()
+        val events = postingsEvents(liveToks(p), liveToks(m), batchId,
+          prevEmpty = prevEmpty).persist()
         try {
           // independent targets (idx vs idx/_stats vs idx/_dict vs the
           // stored-field secondary index), independently fenced (postings
@@ -608,7 +647,7 @@ object Search {
               if (merged.columns.contains("ts"))
                 graft.cdc.Materialize.timed("tsidx delta", stateDir)(
                   commitValueIndexDelta(p, m, batchId, s"$stateDir/_tsidx",
-                    unix_micros(col("ts"))))
+                    unix_micros(col("ts")), prevEmpty = prevEmpty))
             }) ++
             // the SOURCE secondary index (value → doc ids) — the ES
             // filter-context keep set served from one bucket (r14,
@@ -619,7 +658,8 @@ object Search {
                  graft.cdc.Materialize.timed("srcidx delta", stateDir)(
                    graft.cdc.Index.commitIndexDelta(
                      p, m, batchId, s"$stateDir/_srcidx", "source",
-                     initialBuckets = 4, fullMerge = fullMerge)))
+                     initialBuckets = 4, fullMerge = fullMerge,
+                     prevEmpty = prevEmpty)))
              else Seq.empty)
           graft.cdc.Materialize.runConcurrent(deltas: _*)
         } finally events.unpersist()
@@ -2737,18 +2777,26 @@ object Search {
     * explode (null-tok rows carry token-less (doc, field) pairs for the
     * stats delta), same per-event-row Δdf/Σtf by-products. */
   private def postingsEventsFields(prevToks: DataFrame, mergedToks: DataFrame,
-                                   batchId: Long): DataFrame = {
+                                   batchId: Long,
+                                   prevEmpty: Boolean = false): DataFrame = {
     def posts(toks: DataFrame, opv: String, seqv: Long) =
       toks
         .select(col("field"), col("id"), size(col("ws")).cast("long").as("dl"),
           posexplode_outer(col("ws")).as(Seq("p0", "tok")))
-        .groupBy(col("field"), col("tok"), col("id"), col("dl"))
-        .agg(count(col("p0")).as("tf"),
+        // keyed (field, tok, id) — dl via max, same rationale as
+        // [[postingsEvents]]: the aggregate's partitioning is a subset of
+        // the postings merge keys (__bucket, field, tok, id), so the
+        // seed-batch upsert reuses this exchange outright
+        .groupBy(col("field"), col("tok"), col("id"))
+        .agg(max(col("dl")).as("dl"), count(col("p0")).as("tf"),
           sort_array(collect_list(col("p0") + 1)).as("positions"))
         .select(col("field"), col("tok"), col("id"), lit(seqv).as("seq"),
           lit(opv).as("op"), col("tf"), col("dl"), col("positions"))
-    posts(prevToks, "DELETE", 2 * batchId)
-      .unionByName(posts(mergedToks, "INSERT", 2 * batchId + 1))
+    val ins = posts(mergedToks, "INSERT", 2 * batchId + 1)
+    // seed batch: skip the dead DELETE chain and keep the INSERT side's
+    // partitioning visible to the merge ([[postingsEvents]]'s note)
+    if (prevEmpty) ins
+    else posts(prevToks, "DELETE", 2 * batchId).unionByName(ins)
   }
 
   /** Per-FIELD corpus stats delta: the `_stats` MV group-keyed by field —
@@ -2816,13 +2864,15 @@ object Search {
       initialBuckets = initialBuckets,
       beforeCommit = (prev, merged) => {
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
-        val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val prevEmpty = graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val skipRestrict = hasTrunc || prevEmpty
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
           if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         val events = postingsEventsFields(
           liveToksFields(touched(prev), fields),
-          liveToksFields(touched(merged), fields), batchId).persist()
+          liveToksFields(touched(merged), fields), batchId,
+          prevEmpty = prevEmpty).persist()
         try graft.cdc.Materialize.runConcurrent(
           () => graft.cdc.Materialize.timed("postings delta", idxDir)(
             graft.cdc.ChangelogStream.upsertBatch(

@@ -450,7 +450,8 @@ object Similarity {
                                      batchId: Long, idxDir: String,
                                      cent: DataFrame,
                                      book: DataFrame = null, m: Int = 16,
-                                     fullMerge: Boolean = false): Unit = {
+                                     fullMerge: Boolean = false,
+                                     prevEmpty: Boolean = false): Unit = {
     def cells(src: DataFrame, opv: String, seqv: Long) = {
       val live = src.filter(col("op") =!= "DELETE")
         .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -481,8 +482,13 @@ object Similarity {
             col("cscore"), col("codes"))
       }
     }
-    val events = cells(prev, "DELETE", 2 * batchId)
-      .unionByName(cells(merged, "INSERT", 2 * batchId + 1))
+    // prevEmpty (the seed batch): the DELETE side is empty by construction —
+    // unioning it in would plan (and codegen) a dead quantize chain per
+    // epoch and discard the INSERT side's partitioning (guide §2.4)
+    val events =
+      if (prevEmpty) cells(merged, "INSERT", 2 * batchId + 1)
+      else cells(prev, "DELETE", 2 * batchId)
+        .unionByName(cells(merged, "INSERT", 2 * batchId + 1))
     // synthesized DELETE/INSERT events — the seed batch's probe is
     // skippable (noTruncate, upsertBatch's doc)
     graft.cdc.ChangelogStream.upsertBatch(events, idxDir,
@@ -519,12 +525,13 @@ object Similarity {
         // batch) makes the semi-join an identity — skipped (r14, the
         // maintainTextIndexBatch note).
         val hasTrunc = graft.cdc.ChangelogStream.hookBatchHasTruncate
-        val skipRestrict = hasTrunc || graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val prevEmpty = graft.cdc.ChangelogStream.hookPrevIsEmpty
+        val skipRestrict = hasTrunc || prevEmpty
         val keys = batch.select(col("id")).distinct()
         def touched(side: DataFrame): DataFrame =
           if (skipRestrict) side else side.join(keys, Seq("id"), "left_semi")
         commitCellDelta(touched(prev), touched(merged), batchId, idxDir,
-          cent, book, fullMerge = fullMerge)
+          cent, book, fullMerge = fullMerge, prevEmpty = prevEmpty)
       })
 
   private val vecRuns = new graft.model.JvmMemo[(String, String)]()
