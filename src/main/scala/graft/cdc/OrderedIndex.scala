@@ -105,6 +105,26 @@ object OrderedIndex {
       .select(col("id"), col("v"))
   }
 
+  /** [[liveValues]] across SEVERAL ordered indexes (a rolled family's
+    * per-generation `_tsidx` dirs) in ONE fold: all manifests' runs read
+    * as one frame, one Σd aggregation — instead of |dirs| separate
+    * aggregate+exchange chains unioned (guide §2.4; the r20 distance
+    * query paid one exchange per generation for the same rows). Identical
+    * to the per-dir union whenever a key's movements live in one index —
+    * the rollover router's invariant — and the d-algebra sums identically
+    * even for a key whose retract/insert pair straddles two indexes. */
+  def liveValuesAll(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val runs = dirs.flatMap { dir =>
+      val (_, rs) = manifest(spark, dir)
+      require(rs.nonEmpty, s"no ordered index at $dir — no batch ever committed")
+      rs.map(r => s"$dir/$r")
+    }
+    spark.read.parquet(runs: _*)
+      .groupBy(col("v"), col("id")).agg(sum(col("d")).as("d"))
+      .filter(col("d") > 0)
+      .select(col("id"), col("v"))
+  }
+
   /** Fold the live runs into ONE sorted base run — the compaction that
     * bounds merge-on-read width, reader-safe and crash-convergent exactly
     * like the term directory's ([[graft.ops.Search.compactDict]]): new

@@ -1601,9 +1601,12 @@ object Search {
     // corpus:candidate ratio it was corpus-∝ column IO per query). The
     // ordered index already holds every live (ts, id) pair sorted: the
     // liveValues read is two index columns, never the doc state.
-    val ts = gens.map(g => graft.cdc.OrderedIndex
-        .liveValues(spark, s"${g.dir}/state/_tsidx"))
-      .reduce(_.unionByName(_))
+    // ONE Σd fold over every generation's runs (r20 opt): the per-
+    // generation liveValues union paid one aggregate + exchange per
+    // generation for the same live (ts, id) rows ([[graft.cdc
+    // .OrderedIndex.liveValuesAll]]'s equivalence note)
+    val ts = graft.cdc.OrderedIndex
+      .liveValuesAll(spark, gens.map(g => s"${g.dir}/state/_tsidx"))
       .select(col("id").as("doc_id"), col("v"))
     val originM = TextRollover.micros(origin)
     val distDays = ((lit(originM) - col("v")) / 86400000000L)
