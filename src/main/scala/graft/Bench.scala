@@ -145,6 +145,27 @@ object Bench {
       // shift every MICROS-fixture event timestamp (ADVICE r10 #5)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Codegen-cache effectiveness (r21, guide §1.2 step 2 — per-task/
+      // per-plan fixed work): stable generated class names (the per-query
+      // stage id in the class name makes byte-identical stage bodies
+      // text-distinct, so repeated plan shapes re-compile; the id is a
+      // debugging nicety) and a compile cache sized for a 248-query
+      // engine rather than the 100-entry default (the suite compiles
+      // thousands of distinct sources; at 100 the cache thrashes before
+      // any cross-epoch or cross-query reuse). Engine-level settings, not
+      // bench knobs: identical on Verify and any deployment of the engine.
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Spark 4's per-session ARTIFACT ISOLATION gives every session
+      // (including the clone each streaming query start() takes) its own
+      // classloader, and the codegen compile cache is keyed by
+      // (classloader, source) — so with isolation on, every pass/stream
+      // recompiled every generated class (measured: the one-epoch
+      // stateful apply re-Janino'd all 44 classes on every identical
+      // re-run; 0 with this off). The engine adds no session artifacts
+      // (no addArtifact/UDF jars), so isolation buys nothing and only
+      // defeats compile caching. Engine-level, scale-independent.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM + codegen + parquet footer/FileIndex caches,

@@ -78,12 +78,17 @@ object Index {
         .groupBy(keyCols.map(col): _*)
         .agg(max(col("v_old")).as("v_old"), max(col("v_new")).as("v_new"))
         .filter(!(col("v_old") <=> col("v_new")))
+    // stableLit, not lit: an inlined batch-id literal re-keys the codegen
+    // cache every epoch, recompiling this delta's whole generated stage
+    // per batch ([[graft.functions.StableLongLiteral]])
     val dels = changed.filter(col("v_old").isNotNull)
       .select(col("v_old").as("v") +: keyCols.map(col) :+
-        lit(batchId).as("seq") :+ lit("DELETE").as("op"): _*)
+        graft.functions.StableLiterals.stableLit(batchId).as("seq") :+
+        lit("DELETE").as("op"): _*)
     val ins = changed.filter(col("v_new").isNotNull)
       .select(col("v_new").as("v") +: keyCols.map(col) :+
-        lit(batchId).as("seq") :+ lit("INSERT").as("op"): _*)
+        graft.functions.StableLiterals.stableLit(batchId).as("seq") :+
+        lit("INSERT").as("op"): _*)
     val idxEvents = dels.unionByName(ins)
     // the index is itself a keyed state: key (v, id...), bucketed by v;
     // its events are synthesized DELETE/INSERT only, so the seed batch's

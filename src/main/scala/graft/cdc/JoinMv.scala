@@ -271,7 +271,10 @@ object JoinMv {
     * shared by [[advanceStates]] and the crash-replay spec. */
   private[cdc] def newARows(k: DataFrame, batchId: Long): DataFrame =
     k.filter(col("in_do"))
-      .select(col("custkey").as("id"), lit(batchId).as("seq"),
+      // stableLit: epoch-stable codegen for the per-batch seq stamp
+      // ([[graft.functions.StableLongLiteral]])
+      .select(col("custkey").as("id"),
+        graft.functions.StableLiterals.stableLit(batchId).as("seq"),
         lit("INSERT").as("op"), col("n_a").as("n"), col("s_a").as("s"))
 
   /** Step 3: advance A and the segment dim state behind ONE batchId fence.
@@ -292,11 +295,14 @@ object JoinMv {
     if (committedAggBatch(spark, aggDir) < batchId) {
       val mergedCust = merged.filter(col("table") === "customer")
       val custEvents = mergedCust
-        .select(col("id"), lit(batchId).as("seq"), col("op"), col("c_mktsegment"))
+        .select(col("id"),
+          graft.functions.StableLiterals.stableLit(batchId).as("seq"),
+          col("op"), col("c_mktsegment"))
       val vanished = prev.filter(col("table") === "customer")
         .select(col("id"), col("c_mktsegment"))
         .join(mergedCust.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(batchId).as("seq"),
+        .select(col("id"),
+          graft.functions.StableLiterals.stableLit(batchId).as("seq"),
           lit("DELETE").as("op"), col("c_mktsegment"))
       // A and the segment dim are independent states (own dirs, own
       // manifests) with values pinned by `k`/`merged` — advance them

@@ -130,8 +130,36 @@ object Materialize {
     * around the stream (the previous rendering) was racy the moment two
     * queries ran concurrently in one session. `newSession` isolates the
     * override completely: the streaming query clones ITS conf from this
-    * session at start, and the caller's session never observes it. */
+    * session at start, and the caller's session never observes it.
+    *
+    * MEMOIZED per (SparkContext, parts) — r21, the round's biggest codegen
+    * find: Spark 4's generated-code compile cache is keyed by
+    * `(weakref(context classloader), source)` (CodeGenerator.compile),
+    * and every SparkSession owns a distinct artifact-manager classloader
+    * that query execution installs on the running thread — so a THROWAWAY
+    * sibling session per pass made every compilation a guaranteed cache
+    * miss: measured, an identical re-run of the one-epoch stateful apply
+    * recompiled all 44 of its generated classes every time (~1.1 s of its
+    * 3.4 s wall), and the 248-query suite re-Janino'd every shared plan
+    * shape once per pass. The sessions are configuration-identical by
+    * construction (everything set below is deterministic in `parts`), so
+    * reuse is semantically free: streaming queries clone their conf at
+    * start, checkpoints/state are per-query, and no caller mutates the
+    * sibling's conf afterwards (grep-audited; the only external set is
+    * the idempotent `nanosAsLong` in Tables/StreamQueries). Entries of
+    * stopped contexts (test suites create and stop many) are pruned on
+    * access. */
+  private val siblingSessions = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Int), SparkSession]()
+
   private[graft] def sessionWithParts(spark: SparkSession, parts: Int): SparkSession = {
+    val it = siblingSessions.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    siblingSessions.computeIfAbsent((spark.sparkContext, parts),
+      _ => newSiblingSession(spark, parts))
+  }
+
+  private def newSiblingSession(spark: SparkSession, parts: Int): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // AQE off for the per-batch chains: every stage here is a

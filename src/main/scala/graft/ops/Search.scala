@@ -285,7 +285,10 @@ object Search {
           // queries too ([[qCdcPhraseSearch]])
           sort_array(collect_list(when(col("p0").isNotNull,
             struct((col("p0") + 1).as("p"), col("off").as("o"))))).as("po"))
-        .select(col("tok"), col("id"), lit(seqv).as("seq"),
+        // stableLit: the per-epoch seq stamp must not re-key the codegen
+        // cache ([[graft.functions.StableLongLiteral]])
+        .select(col("tok"), col("id"),
+          graft.functions.StableLiterals.stableLit(seqv).as("seq"),
           lit(opv).as("op"), col("tf"), col("dl"),
           transform(col("po"), x => x.getField("p")).as("positions"),
           transform(col("po"), x => x.getField("o")).as("offsets"))
@@ -2793,7 +2796,8 @@ object Search {
         .groupBy(col("field"), col("tok"), col("id"))
         .agg(max(col("dl")).as("dl"), count(col("p0")).as("tf"),
           sort_array(collect_list(col("p0") + 1)).as("positions"))
-        .select(col("field"), col("tok"), col("id"), lit(seqv).as("seq"),
+        .select(col("field"), col("tok"), col("id"),
+          graft.functions.StableLiterals.stableLit(seqv).as("seq"),
           lit(opv).as("op"), col("tf"), col("dl"), col("positions"))
     val ins = posts(mergedToks, "INSERT", 2 * batchId + 1)
     // seed batch: skip the dead DELETE chain and keep the INSERT side's

@@ -463,7 +463,9 @@ object Similarity {
         .agg(max_by(struct(col("cl"), col("cscore"), col("embedding")),
           struct(col("cscore"), (-col("cl")).as("nc"))).as("best"))
         .select(col("best.cl").as("cell"), col("id"),
-          lit(seqv).as("seq"), lit(opv).as("op"),
+          // stableLit: epoch-stable codegen for the seq stamp
+          graft.functions.StableLiterals.stableLit(seqv).as("seq"),
+          lit(opv).as("op"),
           col("best.cscore").as("cscore"), col("best.embedding").as("embedding"))
       if (book == null) best
       else if (opv == "DELETE")
