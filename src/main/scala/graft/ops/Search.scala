@@ -378,7 +378,8 @@ object Search {
     * manifest flip leaves the run unlisted, and the replay overwrites and
     * relists it. */
   private[graft] def commitDictDelta(events: DataFrame,
-                                     batchId: Long, idxDir: String): Unit =
+                                     batchId: Long, idxDir: String,
+                                     prevEmpty: Boolean = false): Unit =
     graft.cdc.Materialize.timed("dict delta", idxDir) {
       val spark = events.sparkSession
       val dir = s"$idxDir/_dict"
@@ -387,11 +388,18 @@ object Search {
       // Δdf straight off the (cached) postings events: one event row IS
       // one (tok, doc) distinct pair, so INSERT rows credit and DELETE
       // rows debit — no second explode/shuffle over the tokenized frames
-      // (r15; the null-tok stats carriers are not terms)
-      val run = events.filter(col("tok").isNotNull)
-        .groupBy(col("tok"))
-        .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
-        .filter(col("ddf") =!= 0)
+      // (r15; the null-tok stats carriers are not terms).
+      // prevEmpty (the seed batch — r21, VERDICT r20 next #5): every
+      // event is an INSERT by construction, so the signed fold reduces to
+      // a plain count per term (ddf ≥ 1 — the =!= 0 filter is vacuous);
+      // sum(lit(1)) keeps the run schema byte-identical to the fold's.
+      val run =
+        if (prevEmpty) events.filter(col("tok").isNotNull)
+          .groupBy(col("tok")).agg(sum(lit(1L)).as("ddf"))
+        else events.filter(col("tok").isNotNull)
+          .groupBy(col("tok"))
+          .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
+          .filter(col("ddf") =!= 0)
       // sorted by tok, one file per run at fixture scale (a run is the
       // TOUCHED docs' vocabulary; shard by tok range before maintaining a
       // run that outgrows one task). coalesce-then-sortWithinPartitions:
@@ -465,15 +473,26 @@ object Search {
     * unchanged. Cost ∝ touched docs: one aggregate over the cached frame
     * + one sorted batch-sized run write. */
   private def commitDlIndexDelta(events: DataFrame, batchId: Long,
-                                 dir: String): Unit = {
-    val moved = events.groupBy(col("id"))
-      .agg(max(when(col("op") === "DELETE", col("dl"))).as("v_old"),
-        max(when(col("op") === "INSERT", col("dl"))).as("v_new"))
-      .filter(!(col("v_old") <=> col("v_new")))
-    val delta = moved.filter(col("v_old").isNotNull)
-        .select(col("v_old").as("v"), col("id"), lit(-1L).as("d"))
-      .unionByName(moved.filter(col("v_new").isNotNull)
-        .select(col("v_new").as("v"), col("id"), lit(1L).as("d")))
+                                 dir: String, prevEmpty: Boolean = false): Unit = {
+    // prevEmpty (seed): no DELETE rows exist, so v_old is null for every
+    // doc — the retraction leg and the moved filter are dead plan; the
+    // delta is one credit per live doc with a non-null length (a null
+    // length emits nothing, exactly like the general fold's
+    // !(null <=> null) drop)
+    val delta =
+      if (prevEmpty) events.groupBy(col("id"))
+        .agg(max(col("dl")).as("v")).filter(col("v").isNotNull)
+        .select(col("v"), col("id"), lit(1L).as("d"))
+      else {
+        val moved = events.groupBy(col("id"))
+          .agg(max(when(col("op") === "DELETE", col("dl"))).as("v_old"),
+            max(when(col("op") === "INSERT", col("dl"))).as("v_new"))
+          .filter(!(col("v_old") <=> col("v_new")))
+        moved.filter(col("v_old").isNotNull)
+            .select(col("v_old").as("v"), col("id"), lit(-1L).as("d"))
+          .unionByName(moved.filter(col("v_new").isNotNull)
+            .select(col("v_new").as("v"), col("id"), lit(1L).as("d")))
+      }
     graft.cdc.OrderedIndex.commitDelta(events.sparkSession, dir, batchId, delta)
   }
 
@@ -528,18 +547,26 @@ object Search {
     * stats row). Replay-safe via [[graft.cdc.Materialize.commitDelta]]'s
     * batch-id fence (a stats delta is not idempotent). */
   private[graft] def commitCorpusStatsDelta(events: DataFrame,
-                                            batchId: Long, idxDir: String): Unit = {
+                                            batchId: Long, idxDir: String,
+                                            prevEmpty: Boolean = false): Unit = {
     // also a by-product of the cached events frame (r15): per side,
     // n = distinct docs (the outer-explode null-tok row keeps token-less
     // docs countable) and Σ tf over a doc's term rows = its token count
-    // = dl — so sum_dl needs no per-doc collapse at all
-    val contrib = events.groupBy(col("op"))
-      .agg(count_distinct(col("id")).as("docs"),
-        sum(col("tf")).cast(graft.cdc.Materialize.SType).as("toks"))
-      .select(
-        when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
-        when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
-          .cast(graft.cdc.Materialize.SType).as("s"))
+    // = dl — so sum_dl needs no per-doc collapse at all.
+    // prevEmpty (seed): one side only — the op grouping and the sign
+    // branches are dead plan; a single global aggregate gives the row
+    val contrib =
+      if (prevEmpty) events
+        .agg(count_distinct(col("id")).as("n"),
+          sum(col("tf")).cast(graft.cdc.Materialize.SType).as("s"))
+        .select(col("n"), col("s"))
+      else events.groupBy(col("op"))
+        .agg(count_distinct(col("id")).as("docs"),
+          sum(col("tf")).cast(graft.cdc.Materialize.SType).as("toks"))
+        .select(
+          when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
+          when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
+            .cast(graft.cdc.Materialize.SType).as("s"))
     graft.cdc.Materialize.commitDeltaRows(events.sparkSession, s"$idxDir/_stats",
       batchId, contrib, Seq.empty)
   }
@@ -627,7 +654,8 @@ object Search {
             () => graft.cdc.Materialize.timed("postings delta", idxDir)(
               commitPostingsEvents(events, idxDir, initialBuckets, fullMerge)),
             () => graft.cdc.Materialize.timed("stats delta", idxDir)(
-              commitCorpusStatsDelta(events, batchId, idxDir)),
+              commitCorpusStatsDelta(events, batchId, idxDir,
+                prevEmpty = prevEmpty)),
             // the dict and dl-index deltas CHAIN in one lane (r16): both
             // are sub-second aggregates over the cached events frame, and
             // a fifth concurrent lane cost more in small-job driver
@@ -635,12 +663,13 @@ object Search {
             // lesson) — measured +0.7-1.1 s on both text carriers as a
             // separate lane
             () => {
-              commitDictDelta(events, batchId, idxDir)
+              commitDictDelta(events, batchId, idxDir, prevEmpty = prevEmpty)
               // the value-ORDERED index on dl (VERDICT r15 #1) — the ES
               // numeric range filter's serving structure, yet another
               // by-product of the same cached events frame
               graft.cdc.Materialize.timed("dlidx delta", stateDir)(
-                commitDlIndexDelta(events, batchId, s"$stateDir/_dlidx"))
+                commitDlIndexDelta(events, batchId, s"$stateDir/_dlidx",
+                  prevEmpty = prevEmpty))
               // the EVENT-TIME ordered index (r18) — maintained INSIDE the
               // maintainer so a CRUD rolled family folds ±1 movements
               // (VERDICT r17's _tsidx seam; the r17 INSERT-only commit
@@ -2811,14 +2840,22 @@ object Search {
     * have very different average lengths; sharing one row would skew
     * every score). */
   private def commitFieldStatsDelta(events: DataFrame,
-                                    batchId: Long, idxDir: String): Unit = {
-    val contrib = events.groupBy(col("field"), col("op"))
-      .agg(count_distinct(col("id")).as("docs"),
-        sum(col("tf")).cast(graft.cdc.Materialize.SType).as("toks"))
-      .select(col("field"),
-        when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
-        when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
-          .cast(graft.cdc.Materialize.SType).as("s"))
+                                    batchId: Long, idxDir: String,
+                                    prevEmpty: Boolean = false): Unit = {
+    // prevEmpty (seed): INSERT side only — the op grouping and sign
+    // branches are dead plan (the [[commitCorpusStatsDelta]] note)
+    val contrib =
+      if (prevEmpty) events.groupBy(col("field"))
+        .agg(count_distinct(col("id")).as("n"),
+          sum(col("tf")).cast(graft.cdc.Materialize.SType).as("s"))
+        .select(col("field"), col("n"), col("s"))
+      else events.groupBy(col("field"), col("op"))
+        .agg(count_distinct(col("id")).as("docs"),
+          sum(col("tf")).cast(graft.cdc.Materialize.SType).as("toks"))
+        .select(col("field"),
+          when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
+          when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
+            .cast(graft.cdc.Materialize.SType).as("s"))
     graft.cdc.Materialize.commitDeltaRows(events.sparkSession, s"$idxDir/_stats",
       batchId, contrib, Seq("field"))
   }
@@ -2834,15 +2871,20 @@ object Search {
     * manifest protocol as [[commitDictDelta]] (one MetaFile fence + live
     * run set per index). */
   private def commitFieldDictDelta(events: DataFrame,
-                                   batchId: Long, idxDir: String): Unit = {
+                                   batchId: Long, idxDir: String,
+                                   prevEmpty: Boolean = false): Unit = {
     val spark = events.sparkSession
     val dir = s"$idxDir/_dict"
     val (maxB, runs) = dictManifest(spark, idxDir)
     if (maxB >= batchId) return
-    val run = events.filter(col("tok").isNotNull)
-      .groupBy(col("field"), col("tok"))
-      .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
-      .filter(col("ddf") =!= 0)
+    // prevEmpty (seed): plain per-term count (the [[commitDictDelta]] note)
+    val run =
+      if (prevEmpty) events.filter(col("tok").isNotNull)
+        .groupBy(col("field"), col("tok")).agg(sum(lit(1L)).as("ddf"))
+      else events.filter(col("tok").isNotNull)
+        .groupBy(col("field"), col("tok"))
+        .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
+        .filter(col("ddf") =!= 0)
     val name = s"run-$batchId"
     run.coalesce(1).sortWithinPartitions(col("field"), col("tok"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
@@ -2889,9 +2931,11 @@ object Search {
               initialBuckets = initialBuckets, noTruncate = true,
               cacheBatch = false)), // events already persisted above
           () => graft.cdc.Materialize.timed("stats delta", idxDir)(
-            commitFieldStatsDelta(events, batchId, idxDir)),
+            commitFieldStatsDelta(events, batchId, idxDir,
+              prevEmpty = prevEmpty)),
           () => graft.cdc.Materialize.timed("dict delta", idxDir)(
-            commitFieldDictDelta(events, batchId, idxDir)))
+            commitFieldDictDelta(events, batchId, idxDir,
+              prevEmpty = prevEmpty)))
         finally events.unpersist()
       })
 
