@@ -413,22 +413,75 @@ object ChangelogStream {
       val others = (data.columns ++ prev.columns).distinct.toSeq
         .filterNot(keyCols.contains).filterNot(_ == "__bucket")
       def mergedPlan(prevSide: DataFrame) = {
-        // SEED batch (no committed bucket version anywhere in the touched
-        // set): the union-with-an-empty-frame is a no-op on rows but NOT
-        // on the plan — it plans (and codegen-compiles) a dead branch and,
-        // worse, discards the batch's existing output partitioning, which
-        // for derived-event upserts (postings/codes: events pre-grouped by
-        // a subset of the merge keys) forces a second Exchange the merge
-        // could otherwise reuse (guide §2.4). Skip it: `data` alone IS the
-        // union's row set, and every column of `others` exists on it
-        // (empty prev carries withB's own schema by construction).
-        val src =
-          if (prevPaths.isEmpty) data
-          else prevSide.unionByName(data, allowMissingColumns = true)
-        src.groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
-          .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
-          .select(Seq(col("__bucket")) ++ keyCols.map(col) ++
-            others.map(c => col(s"last.$c").as(c)): _*)
+        val finalCols = Seq(col("__bucket")) ++ keyCols.map(col) ++
+          others.map(c => col(s"last.$c").as(c))
+        if (prevPaths.isEmpty) {
+          // SEED batch (no committed bucket version anywhere in the touched
+          // set): the union-with-an-empty-frame is a no-op on rows but NOT
+          // on the plan — it plans (and codegen-compiles) a dead branch and,
+          // worse, discards the batch's existing output partitioning, which
+          // for derived-event upserts (postings/codes: events pre-grouped by
+          // a subset of the merge keys) forces a second Exchange the merge
+          // could otherwise reuse (guide §2.4). Skip it: `data` alone IS the
+          // union's row set, and every column of `others` exists on it
+          // (empty prev carries withB's own schema by construction).
+          data.groupBy((Seq("__bucket") ++ keyCols).map(col): _*)
+            .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+            .select(finalCols: _*)
+        } else {
+          // NON-SEED merge: SKEW-AWARE BUCKET-SLICED exchange (r21, VERDICT
+          // r20 next #1; guide §2.2 fewer-larger partitions, §6 small
+          // files). The old shape let the groupBy hash (__bucket, keys…)
+          // over shuffle_partitions tasks, so the partitionBy("__bucket")
+          // write emitted up to partitions × touched_buckets files per
+          // epoch — 63 merge writes were 45% of the committed suite, mostly
+          // committer/file fan-out. Here the ONE merge exchange (count
+          // unchanged — the repartition replaces the aggregate's own
+          // exchange, which the groupBy then reuses: its grouping set
+          // contains the partitioning columns) clusters rows by
+          // (__bucket, __slice), where a bucket's slice count derives from
+          // its PREV bytes + the batch's size estimate over a configurable
+          // target (spark.graft.merge.slice.bytes, default 256 MB): small
+          // buckets collapse to ONE file each, while a bucket past the
+          // target splits into ⌈bytes/target⌉ key-hash slices — intra-
+          // bucket merge parallelism survives at 100 TB (the reason plain
+          // bucket-clustering was rejected in r20). __slice is a pure
+          // function of the key columns (xxhash64 — deliberately a
+          // DIFFERENT hash family than the murmur3 bucket id: pmod of the
+          // same hash by a divisor of the bucket modulus is constant
+          // within a bucket and would not slice at all), so adding it to
+          // the groupBy keys changes no group; it is projected away below.
+          // Trade-off, disclosed: rows cross the exchange un-combined
+          // (map-side partial aggregation now happens after the shuffle),
+          // which costs only the intra-batch duplicate-key factor — the
+          // prev side is latest-per-key already and never combined.
+          val sliceTarget = spark.conf.get(
+            "spark.graft.merge.slice.bytes", (256L << 20).toString).toLong
+          val batchEst = scala.util.Try(
+            withB.queryExecution.optimizedPlan.stats.sizeInBytes)
+            .map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(0L)
+          val perBucketBatch = batchEst / math.max(1, touched.size)
+          val slices: Map[Int, Int] = touched.map { b =>
+            val v = layout.version(b)
+            val prevBytes =
+              if (v < 0) 0L
+              else scala.util.Try(fs.getContentSummary(
+                new org.apache.hadoop.fs.Path(
+                  s"$stateDir/bucket=$b/v=$v")).getLength).getOrElse(0L)
+            val want = (prevBytes + perBucketBatch + sliceTarget - 1) / sliceTarget
+            b -> math.max(1L, math.min(4096L, want)).toInt
+          }.toMap
+          val nParts = slices.values.sum
+          val sliceOf = pmod(xxhash64(keyCols.map(col): _*),
+            element_at(typedlit(slices), col("__bucket")).cast("long"))
+            .cast("int")
+          prevSide.unionByName(data, allowMissingColumns = true)
+            .withColumn("__slice", sliceOf)
+            .repartition(nParts, col("__bucket"), col("__slice"))
+            .groupBy((Seq("__bucket", "__slice") ++ keyCols).map(col): _*)
+            .agg(max_by(struct(others.map(col): _*), col("seq")).as("last"))
+            .select(finalCols: _*)
+        }
       }
       // plan capture for the committed plans/ artifacts: GRAFT_EXPLAIN=1
       // prints each state merge's physical plan (Exchange count / reuse is
