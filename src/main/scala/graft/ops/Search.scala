@@ -38,6 +38,16 @@ import graft.model.Tables
   */
 object Search {
 
+  /** Plan capture for the committed plans/ artifacts (dev-only, the
+    * GRAFT_EXPLAIN discipline of [[graft.cdc.ChangelogStream]]'s merge):
+    * prints a side-delta's physical plan so the seed-vs-general fold
+    * claims are checkable against committed explain output. */
+  private def explainIf(tag: String, df: DataFrame): Unit =
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      println(s"##### $tag")
+      df.explain("formatted")
+    }
+
   val TermBuckets = 64
 
   /** Spark-side term bucket: crc32 over the token's UTF-8 bytes, mod 64. */
@@ -400,6 +410,7 @@ object Search {
           .groupBy(col("tok"))
           .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
           .filter(col("ddf") =!= 0)
+      explainIf(s"dict delta plan (prevEmpty=$prevEmpty): $idxDir", run)
       // sorted by tok, one file per run at fixture scale (a run is the
       // TOUCHED docs' vocabulary; shard by tok range before maintaining a
       // run that outgrows one task). coalesce-then-sortWithinPartitions:
@@ -493,6 +504,7 @@ object Search {
           .unionByName(moved.filter(col("v_new").isNotNull)
             .select(col("v_new").as("v"), col("id"), lit(1L).as("d")))
       }
+    explainIf(s"dlidx delta plan (prevEmpty=$prevEmpty): $dir", delta)
     graft.cdc.OrderedIndex.commitDelta(events.sparkSession, dir, batchId, delta)
   }
 
@@ -567,6 +579,7 @@ object Search {
           when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
           when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
             .cast(graft.cdc.Materialize.SType).as("s"))
+    explainIf(s"stats delta plan (prevEmpty=$prevEmpty): $idxDir", contrib)
     graft.cdc.Materialize.commitDeltaRows(events.sparkSession, s"$idxDir/_stats",
       batchId, contrib, Seq.empty)
   }
@@ -2856,6 +2869,7 @@ object Search {
           when(col("op") === "INSERT", col("docs")).otherwise(-col("docs")).as("n"),
           when(col("op") === "INSERT", col("toks")).otherwise(-col("toks"))
             .cast(graft.cdc.Materialize.SType).as("s"))
+    explainIf(s"field stats delta plan (prevEmpty=$prevEmpty): $idxDir", contrib)
     graft.cdc.Materialize.commitDeltaRows(events.sparkSession, s"$idxDir/_stats",
       batchId, contrib, Seq("field"))
   }
@@ -2885,6 +2899,7 @@ object Search {
         .groupBy(col("field"), col("tok"))
         .agg(sum(when(col("op") === "INSERT", 1L).otherwise(-1L)).as("ddf"))
         .filter(col("ddf") =!= 0)
+    explainIf(s"field dict delta plan (prevEmpty=$prevEmpty): $idxDir", run)
     val name = s"run-$batchId"
     run.coalesce(1).sortWithinPartitions(col("field"), col("tok"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$name")
