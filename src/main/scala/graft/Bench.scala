@@ -132,6 +132,23 @@ object Bench {
     val floorCarriers = committedFloors.keys.toSeq.sorted
     val loadStart = loadavg()
     val ioStart = ioPressure()
+    // JVM memory-pressure accounting (r21): the codegen-cache resize and
+    // session memoization trade heap/metaspace for compile time — the
+    // committed artifact must show what the suite PAID in GC so a tail
+    // inflation adjudicates from data, not guesswork. Deltas of the
+    // always-on JMX counters; zero-cost to read.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def gcCount(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionCount).sum
+    }
+    val gcMsStart = gcMs()
+    val gcCountStart = gcCount()
     spinMs() // discarded JIT warm-up: the measured samples must compare
     spinParMs() // same for the 32-thread probe (its lambda JITs separately)
     val spinStart = spinMs()
@@ -154,8 +171,12 @@ object Bench {
       // thousands of distinct sources; at 100 the cache thrashes before
       // any cross-epoch or cross-query reuse). Engine-level settings, not
       // bench knobs: identical on Verify and any deployment of the engine.
-      .config("spark.sql.codegen.useIdInClassName", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // (env-overridable for A/B forensics only, like Scratch — the
+      // defaults below are what the driver's env-free run measures)
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("GRAFT_CODEGEN_USE_ID", "false"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4096"))
       // Spark 4's per-session ARTIFACT ISOLATION gives every session
       // (including the clone each streaming query start() takes) its own
       // classloader, and the codegen compile cache is keyed by
@@ -165,7 +186,8 @@ object Bench {
       // re-run; 0 with this off). The engine adds no session artifacts
       // (no addArtifact/UDF jars), so isolation buys nothing and only
       // defeats compile caching. Engine-level, scale-independent.
-      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM + codegen + parquet footer/FileIndex caches,
@@ -229,6 +251,8 @@ object Bench {
     // the first pass and the repetition tier closes that window: a run
     // whose middle was contended now shows it in the committed artifact.
     val spinParMid = spinParMs()
+    val gcMsMid = gcMs() - gcMsStart
+    val gcCountMid = gcCount() - gcCountStart
     // noise control: same-code totals have varied ~35% run-to-run on this
     // box, dominated by jitter in the many sub-second queries (GC, codegen
     // compiles landing mid-query). The fast tier re-runs twice more and
@@ -469,6 +493,12 @@ object Bench {
       s""""body_suspect_floors_unavailable":$floorsUnavailable,""" +
       s""""body_suspect_floors_scale_mismatch":$floorsScaleMismatch,""" +
       s""""body_suspect_carriers":${arr(bodySuspects)},""" +
+      s""""gc_ms_first_pass":$gcMsMid,"gc_count_first_pass":$gcCountMid,""" +
+      s""""gc_ms_rep_tier":${gcMs() - gcMsStart - gcMsMid},""" +
+      s""""gc_count_rep_tier":${gcCount() - gcCountStart - gcCountMid},""" +
+      s""""classes_loaded":${java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailPath = new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
