@@ -472,8 +472,20 @@ object ChangelogStream {
             b -> math.max(1L, math.min(4096L, want)).toInt
           }.toMap
           val nParts = slices.values.sum
-          val sliceOf = pmod(xxhash64(keyCols.map(col): _*),
-            element_at(typedlit(slices), col("__bucket")).cast("long"))
+          // only SKEWED buckets (slices > 1) ride the literal lookup map:
+          // GetMapValue on a map literal codegens a LINEAR key scan per
+          // row, so a map carrying every touched bucket would cost
+          // O(|touched|) per row at scale — with the 1-slice majority
+          // defaulted through coalesce, the scan is O(|skewed|), which is
+          // the handful of outlier buckets the slicing exists for.
+          // pmod(h, 1) = 0, so a defaulted bucket lands in its single
+          // slice exactly as an explicit 1-entry would.
+          val skewed: Map[Int, Int] = slices.filter(_._2 > 1)
+          val nSlices =
+            if (skewed.isEmpty) lit(1L)
+            else coalesce(element_at(typedlit(skewed), col("__bucket"))
+              .cast("long"), lit(1L))
+          val sliceOf = pmod(xxhash64(keyCols.map(col): _*), nSlices)
             .cast("int")
           prevSide.unionByName(data, allowMissingColumns = true)
             .withColumn("__slice", sliceOf)
